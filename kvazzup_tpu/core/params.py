@@ -1,0 +1,585 @@
+"""HEVC parameter sets (VPS/SPS/PPS) and slice headers: compose + parse.
+
+Mirrors the configuration surface the reference exposes through kvazaar
+(/root/reference/src/media/processing/kvazaarfilter.cpp:176-276 maps ~25
+settings into kvz_config) — here the static coded-stream side of it.
+
+Only syntax needed by the engine's current toolset is emitted; every field is
+written exactly per ITU-T H.265. Parsers accept the subset we emit plus a
+tolerant superset (enough to parse x265-generated streams for decoder tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .bitstream import BitReader, BitWriter
+from .nal import NalType, NalUnit
+
+
+@dataclass
+class StreamConfig:
+    """Static per-stream coding configuration (the SPS/PPS surface)."""
+
+    width: int = 352
+    height: int = 288
+    qp: int = 32
+    ctb_log2: int = 4  # 16x16 CTBs (v1); 32/64 supported by the tables
+    min_cb_log2: int = 4
+    min_tb_log2: int = 2
+    max_tb_log2: int = 4
+    max_transform_hierarchy_depth_intra: int = 0
+    max_transform_hierarchy_depth_inter: int = 0
+    bit_depth: int = 8
+    sao_enabled: bool = False
+    deblocking_enabled: bool = False
+    strong_intra_smoothing: bool = False
+    sign_data_hiding: bool = False
+    amp_enabled: bool = False
+    level_idc: int = 123  # level 4.1
+    max_dec_pic_buffering: int = 2
+    num_reorder_pics: int = 0
+    log2_max_poc_lsb: int = 8
+    # inter coding (used from the P/B milestones onward)
+    temporal_mvp: bool = False
+    num_ref_l0: int = 1
+    num_ref_l1: int = 1
+
+    @property
+    def ctb_size(self) -> int:
+        return 1 << self.ctb_log2
+
+    @property
+    def ctbs_w(self) -> int:
+        return -(-self.width // self.ctb_size)
+
+    @property
+    def ctbs_h(self) -> int:
+        return -(-self.height // self.ctb_size)
+
+
+def _profile_tier_level(w: BitWriter, cfg: StreamConfig) -> None:
+    w.u(0, 2)  # general_profile_space
+    w.flag(0)  # general_tier_flag
+    w.u(1, 5)  # general_profile_idc = Main
+    compat = [0] * 32
+    compat[1] = 1  # Main
+    compat[2] = 1  # Main streams also conform to Main10
+    for b in compat:
+        w.flag(b)
+    w.flag(1)  # general_progressive_source_flag
+    w.flag(0)  # general_interlaced_source_flag
+    w.flag(0)  # general_non_packed_constraint_flag
+    w.flag(1)  # general_frame_only_constraint_flag
+    w.u(0, 32)  # general_reserved_zero_43bits...
+    w.u(0, 11)
+    w.flag(0)  # general_reserved/inbld
+    w.u(cfg.level_idc, 8)
+
+
+def _parse_profile_tier_level(r: BitReader, max_sub_layers_minus1: int = 0) -> dict:
+    out = {}
+    out["profile_space"] = r.u(2)
+    out["tier"] = r.flag()
+    out["profile_idc"] = r.u(5)
+    out["compat"] = [r.flag() for _ in range(32)]
+    out["progressive"] = r.flag()
+    out["interlaced"] = r.flag()
+    out["non_packed"] = r.flag()
+    out["frame_only"] = r.flag()
+    r.u(32)
+    r.u(11)
+    r.flag()
+    out["level_idc"] = r.u(8)
+    sub_profile_present = []
+    sub_level_present = []
+    for _ in range(max_sub_layers_minus1):
+        sub_profile_present.append(r.flag())
+        sub_level_present.append(r.flag())
+    if max_sub_layers_minus1 > 0:
+        for _ in range(8 - max_sub_layers_minus1):
+            r.u(2)
+    for i in range(max_sub_layers_minus1):
+        if sub_profile_present[i]:
+            r.u(32)
+            r.u(32)
+            r.u(24)  # 88 bits
+        if sub_level_present[i]:
+            r.u(8)
+    return out
+
+
+def compose_vps(cfg: StreamConfig) -> NalUnit:
+    w = BitWriter()
+    w.u(0, 4)  # vps_video_parameter_set_id
+    w.flag(1)  # vps_base_layer_internal_flag
+    w.flag(1)  # vps_base_layer_available_flag
+    w.u(0, 6)  # vps_max_layers_minus1
+    w.u(0, 3)  # vps_max_sub_layers_minus1
+    w.flag(1)  # vps_temporal_id_nesting_flag
+    w.u(0xFFFF, 16)  # vps_reserved_0xffff_16bits
+    _profile_tier_level(w, cfg)
+    w.flag(1)  # vps_sub_layer_ordering_info_present_flag
+    w.ue(cfg.max_dec_pic_buffering - 1)
+    w.ue(cfg.num_reorder_pics)
+    w.ue(0)  # vps_max_latency_increase_plus1
+    w.u(0, 6)  # vps_max_layer_id
+    w.ue(0)  # vps_num_layer_sets_minus1
+    w.flag(0)  # vps_timing_info_present_flag
+    w.flag(0)  # vps_extension_flag
+    w.rbsp_trailing_bits()
+    return NalUnit(NalType.VPS, w.data())
+
+
+def compose_sps(cfg: StreamConfig) -> NalUnit:
+    if cfg.width % (1 << cfg.min_cb_log2) or cfg.height % (1 << cfg.min_cb_log2):
+        raise ValueError("picture size must be a multiple of the min CB size (pad first)")
+    w = BitWriter()
+    w.u(0, 4)  # sps_video_parameter_set_id
+    w.u(0, 3)  # sps_max_sub_layers_minus1
+    w.flag(1)  # sps_temporal_id_nesting_flag
+    _profile_tier_level(w, cfg)
+    w.ue(0)  # sps_seq_parameter_set_id
+    w.ue(1)  # chroma_format_idc = 4:2:0
+    w.ue(cfg.width)
+    w.ue(cfg.height)
+    w.flag(0)  # conformance_window_flag
+    w.ue(cfg.bit_depth - 8)
+    w.ue(cfg.bit_depth - 8)
+    w.ue(cfg.log2_max_poc_lsb - 4)
+    w.flag(1)  # sps_sub_layer_ordering_info_present_flag
+    w.ue(cfg.max_dec_pic_buffering - 1)
+    w.ue(cfg.num_reorder_pics)
+    w.ue(0)
+    w.ue(cfg.min_cb_log2 - 3)
+    w.ue(cfg.ctb_log2 - cfg.min_cb_log2)
+    w.ue(cfg.min_tb_log2 - 2)
+    w.ue(cfg.max_tb_log2 - cfg.min_tb_log2)
+    w.ue(cfg.max_transform_hierarchy_depth_inter)
+    w.ue(cfg.max_transform_hierarchy_depth_intra)
+    w.flag(0)  # scaling_list_enabled_flag
+    w.flag(cfg.amp_enabled)
+    w.flag(cfg.sao_enabled)
+    w.flag(0)  # pcm_enabled_flag
+    w.ue(0)  # num_short_term_ref_pic_sets
+    w.flag(0)  # long_term_ref_pics_present_flag
+    w.flag(cfg.temporal_mvp)
+    w.flag(cfg.strong_intra_smoothing)
+    w.flag(0)  # vui_parameters_present_flag
+    w.flag(0)  # sps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return NalUnit(NalType.SPS, w.data())
+
+
+def compose_pps(cfg: StreamConfig) -> NalUnit:
+    w = BitWriter()
+    w.ue(0)  # pps_pic_parameter_set_id
+    w.ue(0)  # pps_seq_parameter_set_id
+    w.flag(0)  # dependent_slice_segments_enabled_flag
+    w.flag(0)  # output_flag_present_flag
+    w.u(0, 3)  # num_extra_slice_header_bits
+    w.flag(cfg.sign_data_hiding)
+    w.flag(0)  # cabac_init_present_flag
+    w.ue(cfg.num_ref_l0 - 1)
+    w.ue(cfg.num_ref_l1 - 1)
+    w.se(cfg.qp - 26)  # init_qp_minus26
+    w.flag(0)  # constrained_intra_pred_flag
+    w.flag(0)  # transform_skip_enabled_flag
+    w.flag(0)  # cu_qp_delta_enabled_flag
+    w.se(0)  # pps_cb_qp_offset
+    w.se(0)  # pps_cr_qp_offset
+    w.flag(0)  # pps_slice_chroma_qp_offsets_present_flag
+    w.flag(0)  # weighted_pred_flag
+    w.flag(0)  # weighted_bipred_flag
+    w.flag(0)  # transquant_bypass_enabled_flag
+    w.flag(0)  # tiles_enabled_flag
+    w.flag(0)  # entropy_coding_sync_enabled_flag
+    w.flag(1)  # pps_loop_filter_across_slices_enabled_flag
+    w.flag(1)  # deblocking_filter_control_present_flag
+    w.flag(0)  # deblocking_filter_override_enabled_flag
+    w.flag(not cfg.deblocking_enabled)  # pps_deblocking_filter_disabled_flag
+    if cfg.deblocking_enabled:
+        w.se(0)  # pps_beta_offset_div2
+        w.se(0)  # pps_tc_offset_div2
+    w.flag(0)  # pps_scaling_list_data_present_flag
+    w.flag(0)  # lists_modification_present_flag
+    w.ue(0)  # log2_parallel_merge_level_minus2
+    w.flag(0)  # slice_segment_header_extension_present_flag
+    w.flag(0)  # pps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return NalUnit(NalType.PPS, w.data())
+
+
+@dataclass
+class SliceHeader:
+    slice_type: int = 2  # 0=B 1=P 2=I
+    qp: int = 32
+    first_slice: bool = True
+    nal_type: int = NalType.IDR_W_RADL
+    pic_order_cnt_lsb: int = 0
+    segment_address: int = 0
+    # short-term RPS (inline, one negative ref at delta=1 by default for P)
+    num_negative_pics: int = 0
+    delta_pocs: tuple = ()
+    num_ref_idx_l0: int = 1
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    deblocking_disabled: bool = True
+
+
+def compose_slice_header(cfg: StreamConfig, sh: SliceHeader) -> BitWriter:
+    """Compose a slice segment header; returns the (unaligned-aware) writer so
+    the caller can append CABAC payload after byte_alignment()."""
+    w = BitWriter()
+    w.flag(sh.first_slice)
+    from .nal import is_irap
+
+    if is_irap(sh.nal_type):
+        w.flag(0)  # no_output_of_prior_pics_flag
+    w.ue(0)  # slice_pic_parameter_set_id
+    if not sh.first_slice:
+        addr_bits = _ceil_log2(cfg.ctbs_w * cfg.ctbs_h)
+        w.u(sh.segment_address, addr_bits)
+    w.ue(sh.slice_type)
+    from .nal import is_idr
+
+    if not is_idr(sh.nal_type):
+        w.u(sh.pic_order_cnt_lsb, cfg.log2_max_poc_lsb)
+        w.flag(0)  # short_term_ref_pic_set_sps_flag -> coded inline
+        # st_ref_pic_set(num_short_term_ref_pic_sets=0 -> idx 0, no inter-rps)
+        w.ue(sh.num_negative_pics)
+        w.ue(0)  # num_positive_pics
+        prev = 0
+        for dp in sh.delta_pocs:  # negative pics: delta_poc_s0_minus1, used flag
+            w.ue(-dp + prev - 1)
+            prev = dp
+            w.flag(1)  # used_by_curr_pic_s0_flag
+        if cfg.temporal_mvp:
+            w.flag(1)  # slice_temporal_mvp_enabled_flag
+    if cfg.sao_enabled:
+        w.flag(sh.sao_luma)
+        w.flag(sh.sao_chroma)
+    if sh.slice_type != 2:
+        w.flag(0)  # num_ref_idx_active_override_flag (use PPS defaults)
+        if sh.slice_type == 0:
+            w.flag(0)  # mvd_l1_zero_flag
+        # cabac_init_present=0 -> no cabac_init_flag
+        if cfg.temporal_mvp:
+            w.flag(1)  # collocated_from_l0_flag (l0) -- only if B? l0 default
+        w.ue(4)  # five_minus_max_num_merge_cand -> 1 merge cand (v1 inter)
+    w.se(sh.qp - cfg.qp)  # slice_qp_delta relative to init_qp
+    # deblocking: pps has control_present=1, override_enabled=0 -> nothing here
+    # loop_filter_across_slices: condition false when sao+deblock off
+    if cfg.sao_enabled or not sh.deblocking_disabled or cfg.deblocking_enabled:
+        w.flag(1)  # slice_loop_filter_across_slices_enabled_flag
+    # no tiles / entropy sync -> no entry points
+    w.byte_alignment()
+    return w
+
+
+def _ceil_log2(n: int) -> int:
+    return (n - 1).bit_length()
+
+
+# ---------------------------------------------------------------- parsers
+
+
+@dataclass
+class ParsedSps:
+    width: int = 0
+    height: int = 0
+    conf_win: tuple = (0, 0, 0, 0)
+    bit_depth: int = 8
+    bit_depth_chroma: int = 8
+    chroma_format_idc: int = 1
+    log2_max_poc_lsb: int = 8
+    min_cb_log2: int = 4
+    ctb_log2: int = 4
+    min_tb_log2: int = 2
+    max_tb_log2: int = 4
+    max_td_inter: int = 0
+    max_td_intra: int = 0
+    scaling_list_enabled: bool = False
+    amp_enabled: bool = False
+    sao_enabled: bool = False
+    pcm_enabled: bool = False
+    num_st_rps: int = 0
+    st_rps: list = field(default_factory=list)
+    temporal_mvp: bool = False
+    strong_intra_smoothing: bool = False
+
+
+def parse_sps(rbsp: bytes) -> ParsedSps:
+    r = BitReader(rbsp)
+    s = ParsedSps()
+    r.u(4)  # sps_video_parameter_set_id
+    max_sub_layers_minus1 = r.u(3)
+    r.flag()  # temporal_id_nesting
+    _parse_profile_tier_level(r, max_sub_layers_minus1)
+    r.ue()  # sps id
+    s.chroma_format_idc = r.ue()
+    if s.chroma_format_idc == 3:
+        r.flag()
+    s.width = r.ue()
+    s.height = r.ue()
+    if r.flag():  # conformance window
+        s.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())
+    s.bit_depth = 8 + r.ue()
+    s.bit_depth_chroma = 8 + r.ue()
+    s.log2_max_poc_lsb = 4 + r.ue()
+    sub_layer_ordering = r.flag()
+    for _ in range((max_sub_layers_minus1 + 1) if sub_layer_ordering else 1):
+        r.ue()
+        r.ue()
+        r.ue()
+    s.min_cb_log2 = 3 + r.ue()
+    s.ctb_log2 = s.min_cb_log2 + r.ue()
+    s.min_tb_log2 = 2 + r.ue()
+    s.max_tb_log2 = s.min_tb_log2 + r.ue()
+    s.max_td_inter = r.ue()
+    s.max_td_intra = r.ue()
+    s.scaling_list_enabled = bool(r.flag())
+    if s.scaling_list_enabled:
+        if r.flag():
+            raise NotImplementedError("explicit scaling lists not supported")
+    s.amp_enabled = bool(r.flag())
+    s.sao_enabled = bool(r.flag())
+    s.pcm_enabled = bool(r.flag())
+    if s.pcm_enabled:
+        raise NotImplementedError("PCM not supported")
+    s.num_st_rps = r.ue()
+    prev = None
+    for i in range(s.num_st_rps):
+        prev = _parse_st_rps(r, i, s.num_st_rps, prev, s.st_rps)
+    if r.flag():  # long_term_ref_pics_present
+        raise NotImplementedError("long-term refs not supported")
+    s.temporal_mvp = bool(r.flag())
+    s.strong_intra_smoothing = bool(r.flag())
+    return s
+
+
+def _parse_st_rps(r: BitReader, idx: int, num: int, prev, out: list):
+    """Parse one short_term_ref_pic_set; returns (neg_deltas, pos_deltas, used)."""
+    inter_rps = False
+    if idx != 0:
+        inter_rps = bool(r.flag())
+    if inter_rps:
+        delta_rps_sign = r.flag()
+        abs_delta_rps = r.ue() + 1
+        delta_rps = (1 - 2 * delta_rps_sign) * abs_delta_rps
+        ref_neg, ref_pos, ref_used = prev
+        ref_all = ref_neg + ref_pos
+        num_delta_pocs = len(ref_all)
+        used = []
+        new_deltas = []
+        for j in range(num_delta_pocs + 1):
+            used_by = r.flag()
+            use_delta = 1
+            if not used_by:
+                use_delta = r.flag()
+            if j < num_delta_pocs:
+                d = ref_all[j] + delta_rps
+            else:
+                d = delta_rps
+            if used_by or use_delta:
+                new_deltas.append((d, used_by))
+        neg = sorted([x for x in new_deltas if x[0] < 0], key=lambda t: -t[0])
+        pos = sorted([x for x in new_deltas if x[0] > 0], key=lambda t: t[0])
+        res = ([d for d, _ in neg], [d for d, _ in pos], [u for _, u in neg] + [u for _, u in pos])
+    else:
+        nneg = r.ue()
+        npos = r.ue()
+        negs, poss, used = [], [], []
+        acc = 0
+        for _ in range(nneg):
+            acc -= r.ue() + 1
+            negs.append(acc)
+            used.append(r.flag())
+        acc = 0
+        for _ in range(npos):
+            acc += r.ue() + 1
+            poss.append(acc)
+            used.append(r.flag())
+        res = (negs, poss, used)
+    out.append(res)
+    return res
+
+
+@dataclass
+class ParsedPps:
+    init_qp: int = 26
+    sign_data_hiding: bool = False
+    cabac_init_present: bool = False
+    num_ref_l0: int = 1
+    num_ref_l1: int = 1
+    constrained_intra: bool = False
+    transform_skip: bool = False
+    cu_qp_delta_enabled: bool = False
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    slice_chroma_qp_offsets: bool = False
+    weighted_pred: bool = False
+    weighted_bipred: bool = False
+    transquant_bypass: bool = False
+    tiles_enabled: bool = False
+    entropy_sync: bool = False
+    loop_filter_across_slices: bool = True
+    deblocking_override_enabled: bool = False
+    deblocking_disabled: bool = False
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    log2_parallel_merge_level: int = 2
+    tile_cols: list = field(default_factory=list)
+    tile_rows: list = field(default_factory=list)
+    uniform_spacing: bool = True
+    num_tile_cols: int = 1
+    num_tile_rows: int = 1
+
+
+def parse_pps(rbsp: bytes) -> ParsedPps:
+    r = BitReader(rbsp)
+    p = ParsedPps()
+    r.ue()  # pps id
+    r.ue()  # sps id
+    if r.flag():
+        raise NotImplementedError("dependent slice segments not supported")
+    r.flag()  # output_flag_present
+    r.u(3)  # num_extra_slice_header_bits
+    p.sign_data_hiding = bool(r.flag())
+    p.cabac_init_present = bool(r.flag())
+    p.num_ref_l0 = r.ue() + 1
+    p.num_ref_l1 = r.ue() + 1
+    p.init_qp = 26 + r.se()
+    p.constrained_intra = bool(r.flag())
+    p.transform_skip = bool(r.flag())
+    p.cu_qp_delta_enabled = bool(r.flag())
+    if p.cu_qp_delta_enabled:
+        p.diff_cu_qp_delta_depth = r.ue()
+    p.cb_qp_offset = r.se()
+    p.cr_qp_offset = r.se()
+    p.slice_chroma_qp_offsets = bool(r.flag())
+    p.weighted_pred = bool(r.flag())
+    p.weighted_bipred = bool(r.flag())
+    p.transquant_bypass = bool(r.flag())
+    p.tiles_enabled = bool(r.flag())
+    p.entropy_sync = bool(r.flag())
+    if p.tiles_enabled:
+        p.num_tile_cols = r.ue() + 1
+        p.num_tile_rows = r.ue() + 1
+        p.uniform_spacing = bool(r.flag())
+        if not p.uniform_spacing:
+            p.tile_cols = [r.ue() + 1 for _ in range(p.num_tile_cols - 1)]
+            p.tile_rows = [r.ue() + 1 for _ in range(p.num_tile_rows - 1)]
+        p.loop_filter_across_tiles = bool(r.flag())
+    p.loop_filter_across_slices = bool(r.flag())
+    if r.flag():  # deblocking_filter_control_present_flag
+        p.deblocking_override_enabled = bool(r.flag())
+        p.deblocking_disabled = bool(r.flag())
+        if not p.deblocking_disabled:
+            p.beta_offset_div2 = r.se()
+            p.tc_offset_div2 = r.se()
+    if r.flag():  # pps_scaling_list_data_present_flag
+        raise NotImplementedError("PPS scaling lists not supported")
+    if r.flag():  # lists_modification_present_flag
+        raise NotImplementedError("ref list modification not supported")
+    p.log2_parallel_merge_level = 2 + r.ue()
+    r.flag()  # slice_segment_header_extension
+    return p
+
+
+@dataclass
+class ParsedSliceHeader:
+    first_slice: bool = True
+    nal_type: int = NalType.IDR_W_RADL
+    slice_type: int = 2
+    segment_address: int = 0
+    pic_order_cnt_lsb: int = 0
+    qp: int = 26
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    num_ref_idx_l0: int = 1
+    num_ref_idx_l1: int = 1
+    rps: tuple = ((), (), ())
+    temporal_mvp: bool = False
+    collocated_from_l0: bool = True
+    max_num_merge_cand: int = 5
+    deblocking_disabled: bool = False
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    data_offset_bits: int = 0  # bit offset of slice data within RBSP
+
+
+def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPps) -> ParsedSliceHeader:
+    from .nal import is_idr, is_irap
+
+    r = BitReader(rbsp)
+    sh = ParsedSliceHeader(nal_type=nal_type)
+    sh.deblocking_disabled = pps.deblocking_disabled
+    sh.beta_offset_div2 = pps.beta_offset_div2
+    sh.tc_offset_div2 = pps.tc_offset_div2
+    sh.first_slice = bool(r.flag())
+    if is_irap(nal_type):
+        r.flag()  # no_output_of_prior_pics_flag
+    r.ue()  # slice_pic_parameter_set_id
+    if not sh.first_slice:
+        ctbs = -(-sps.width // (1 << sps.ctb_log2)) * -(-sps.height // (1 << sps.ctb_log2))
+        sh.segment_address = r.u(_ceil_log2(ctbs))
+    sh.slice_type = r.ue()
+    sh.num_ref_idx_l0 = pps.num_ref_l0
+    sh.num_ref_idx_l1 = pps.num_ref_l1
+    if not is_idr(nal_type):
+        sh.pic_order_cnt_lsb = r.u(sps.log2_max_poc_lsb)
+        if r.flag():  # short_term_ref_pic_set_sps_flag
+            idx = r.u(_ceil_log2(sps.num_st_rps)) if sps.num_st_rps > 1 else 0
+            sh.rps = sps.st_rps[idx]
+        else:
+            tmp: list = []
+            prev = sps.st_rps[-1] if sps.st_rps else None
+            sh.rps = _parse_st_rps(r, sps.num_st_rps, sps.num_st_rps + 1, prev, tmp)
+        if sps.temporal_mvp:
+            sh.temporal_mvp = bool(r.flag())
+    if sps.sao_enabled:
+        sh.sao_luma = bool(r.flag())
+        sh.sao_chroma = bool(r.flag())
+    if sh.slice_type != 2:
+        if r.flag():  # num_ref_idx_active_override
+            sh.num_ref_idx_l0 = r.ue() + 1
+            if sh.slice_type == 0:
+                sh.num_ref_idx_l1 = r.ue() + 1
+        if sh.slice_type == 0:
+            r.flag()  # mvd_l1_zero_flag
+        if pps.cabac_init_present:
+            r.flag()
+        if sh.temporal_mvp:
+            if sh.slice_type == 0:
+                sh.collocated_from_l0 = bool(r.flag())
+            nref = sh.num_ref_idx_l0 if sh.collocated_from_l0 else sh.num_ref_idx_l1
+            if nref > 1:
+                r.ue()  # collocated_ref_idx
+        if pps.weighted_pred or pps.weighted_bipred:
+            raise NotImplementedError("weighted prediction not supported")
+        sh.max_num_merge_cand = 5 - r.ue()
+    sh.qp = pps.init_qp + r.se()
+    if pps.slice_chroma_qp_offsets:
+        r.se()
+        r.se()
+    if pps.deblocking_override_enabled:
+        if r.flag():  # deblocking_filter_override_flag
+            sh.deblocking_disabled = bool(r.flag())
+            if not sh.deblocking_disabled:
+                sh.beta_offset_div2 = r.se()
+                sh.tc_offset_div2 = r.se()
+    if pps.loop_filter_across_slices and (
+        sh.sao_luma or sh.sao_chroma or not sh.deblocking_disabled
+    ):
+        r.flag()  # slice_loop_filter_across_slices_enabled_flag
+    if pps.tiles_enabled or pps.entropy_sync:
+        n_entry = r.ue()
+        if n_entry:
+            offset_len = r.ue() + 1
+            for _ in range(n_entry):
+                r.u(offset_len)
+    r.byte_alignment()
+    sh.data_offset_bits = r.bit_pos()
+    return sh
