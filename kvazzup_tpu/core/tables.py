@@ -97,6 +97,10 @@ def chroma_qp(qp_y: int, offset: int = 0) -> int:
     return qpi - 6
 
 
+# full qPi (0..57) -> QpC lookup for traced-QP device code
+CHROMA_QP_TABLE = np.array([chroma_qp(q) for q in range(58)], dtype=np.int32)
+
+
 # ------------------------------------------------------------- scan orders
 
 SCAN_DIAG, SCAN_HORIZ, SCAN_VERT = 0, 1, 2
