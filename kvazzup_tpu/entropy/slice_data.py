@@ -64,8 +64,19 @@ def encode_slice_data_intra(
     lev_y: np.ndarray,
     lev_cb: np.ndarray,
     lev_cr: np.ndarray,
+    use_native: bool = True,
 ) -> bytes:
-    """CTU raster scan -> CABAC slice payload (v1: CU == CTB == 16)."""
+    """CTU raster scan -> CABAC slice payload (v1: CU == CTB == 16).
+
+    Dispatches to the native C codec (kvazzup_tpu/native) when available;
+    this Python path is the behavioral reference (tests assert equality).
+    """
+    if use_native:
+        from ..native import encode_slice_data_intra_native
+
+        out = encode_slice_data_intra_native(cfg, modes, lev_y, lev_cb, lev_cr)
+        if out is not None:
+            return out
     enc = CabacEncoder(init_type=0, slice_qp=cfg.qp)
     ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
     nctu = ctbs_w * ctbs_h
@@ -97,8 +108,14 @@ def encode_slice_data_intra(
     return enc.data()
 
 
-def decode_slice_data_intra(cfg: StreamConfig, payload: bytes, slice_qp: int):
+def decode_slice_data_intra(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True):
     """Inverse of encode_slice_data_intra; returns per-CTU arrays."""
+    if use_native:
+        from ..native import decode_slice_data_intra_native
+
+        out = decode_slice_data_intra_native(cfg, payload, slice_qp)
+        if out is not None:
+            return out
     dec = CabacDecoder(payload, init_type=0, slice_qp=slice_qp)
     ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
     nctu = ctbs_w * ctbs_h

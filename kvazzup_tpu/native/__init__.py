@@ -1,0 +1,111 @@
+"""Native host-runtime components (C, loaded via ctypes).
+
+Build-on-first-use with a content-hash check; the Python implementations in
+entropy/ remain the behavioral reference and fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB = None
+_LOAD_FAILED = False
+
+
+def _build() -> str:
+    from .gen_tables import generate
+
+    header = os.path.join(_DIR, "cabac_tables.h")
+    src = os.path.join(_DIR, "slice_cabac.c")
+    so = os.path.join(_DIR, "libslice_cabac.so")
+    if (
+        os.path.exists(so)
+        and os.path.getmtime(so) > os.path.getmtime(src)
+        and os.path.exists(header)
+    ):
+        return so
+    generate(header)
+    cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", so]
+    subprocess.run(cmd, check=True, capture_output=True, cwd=_DIR)
+    return so
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None on failure."""
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None or _LOAD_FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _LOAD_FAILED:
+            return _LIB
+        try:
+            lib = ctypes.CDLL(_build())
+            lib.encode_slice_data_intra_c.restype = ctypes.c_long
+            lib.encode_slice_data_intra_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib.decode_slice_data_intra_c.restype = ctypes.c_int
+            lib.decode_slice_data_intra_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            _LIB = lib
+        except Exception:
+            _LOAD_FAILED = True
+    return _LIB
+
+
+def _as_i32(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def encode_slice_data_intra_native(cfg, modes, lev_y, lev_cb, lev_cr) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    nctu = len(modes)
+    modes = _as_i32(modes)
+    lev_y = _as_i32(lev_y)
+    lev_cb = _as_i32(lev_cb)
+    lev_cr = _as_i32(lev_cr)
+    cap = max(65536, lev_y.nbytes + lev_cb.nbytes + lev_cr.nbytes + 4096)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.encode_slice_data_intra_c(
+        modes.ctypes.data, lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
+        nctu, cfg.ctbs_w, cfg.ctb_log2, int(cfg.ctb_log2 == cfg.min_cb_log2), cfg.qp,
+        out.ctypes.data, cap,
+    )
+    if n < 0:
+        raise RuntimeError(f"native slice encode failed: {n}")
+    return out[:n].tobytes()
+
+
+def decode_slice_data_intra_native(cfg, payload: bytes, slice_qp: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    modes = np.zeros(nctu, dtype=np.int32)
+    lev_y = np.zeros((nctu, n, n), dtype=np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    rc = lib.decode_slice_data_intra_c(
+        buf.ctypes.data, len(payload),
+        nctu, cfg.ctbs_w, cfg.ctb_log2, int(cfg.ctb_log2 == cfg.min_cb_log2), slice_qp,
+        modes.ctypes.data, lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
+    )
+    if rc != 0:
+        raise ValueError(f"native slice decode failed: {rc}")
+    return modes, lev_y, lev_cb, lev_cr
