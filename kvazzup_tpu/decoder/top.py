@@ -68,4 +68,16 @@ class Decoder:
         y, u, v = reconstruct_frame_intra(
             modes, lev_y, lev_cb, lev_cr, sh.qp, width=sps.width, height=sps.height
         )
+        if not sh.deblocking_disabled:
+            from ..ops.deblock import deblock_frame
+
+            y, u, v = deblock_frame(
+                y,
+                u,
+                v,
+                sh.qp,
+                spacing=1 << sps.min_cb_log2,
+                beta_offset=sh.beta_offset_div2,
+                tc_offset=sh.tc_offset_div2,
+            )
         return np.asarray(y), np.asarray(u), np.asarray(v)

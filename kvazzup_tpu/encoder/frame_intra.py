@@ -264,3 +264,19 @@ def encode_frame_intra(y, u, v, qp, *, width: int, height: int):
     )
     outs = {"mode": modes, "lev_y": lev_y_a, "lev_cb": lev_cb_a, "lev_cr": lev_cr_a}
     return _crop_out(outs, recon_y, recon_u, recon_v, width, height)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def encode_frames_intra_batch(ys, us, vs, qps, *, width: int, height: int):
+    """Batched wavefront encode over frames in flight (the OWF axis:
+    kvazaarfilter.cpp:193,299 sizes an owf+1 input ring; here the batch
+    rides the device's vector lanes instead of a thread pool).
+
+    ys: (B, H, W) uint8; qps: (B,) int32.  Returns the per-frame outputs of
+    encode_frame_intra with a leading B axis.
+    """
+
+    def one(y, u, v, qp):
+        return encode_frame_intra(y, u, v, qp, width=width, height=height)
+
+    return jax.vmap(one)(ys, us, vs, qps)

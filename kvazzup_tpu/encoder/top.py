@@ -60,9 +60,10 @@ class Encoder:
             stream += self.headers()
         stream += compose_nal(nal)
         self._frame_count += 1
-        recon = (
-            np.asarray(out["recon_y"]),
-            np.asarray(out["recon_u"]),
-            np.asarray(out["recon_v"]),
-        )
+        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+        if cfg.deblocking_enabled:
+            from ..ops.deblock import deblock_frame
+
+            ry, ru, rv = deblock_frame(ry, ru, rv, cfg.qp, spacing=cfg.ctb_size)
+        recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
         return stream, recon

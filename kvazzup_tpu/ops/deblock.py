@@ -1,0 +1,190 @@
+"""In-loop deblocking filter (H.265 8.7.2), full-frame vectorized.
+
+Intra prediction reads reconstructed samples *before* in-loop filtering, so
+deblocking is a pure post-pass over the picture: all vertical edges filtered
+first, then all horizontal edges on the result — each as one batched VPU
+expression over (edges x lines).  This replaces kvazaar's per-CTU `filter.c`
+job with two dense passes (Reconstruction group,
+dependencies/kvazaar_CMakeLists.txt:207-218).
+
+Current tool-set: all-intra, uniform QP -> boundary strength 2 on every
+CU edge; edge spacing = CU size.  The bS map generalizes when inter lands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Table 8-12 (beta') and tc' — spec constants
+BETA_TABLE = np.array(
+    [0] * 16
+    + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28,
+       30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64],
+    dtype=np.int32,
+)
+TC_TABLE = np.array(
+    [0] * 18
+    + [1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5,
+       6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24],
+    dtype=np.int32,
+)
+
+
+def _luma_edge_filter(s, beta, tc):
+    """Filter one batch of luma edge slabs.
+
+    s: (..., L, 8) int32 — L filtering lines (multiple of 4), 8 samples
+    across the edge [p3 p2 p1 p0 q0 q1 q2 q3].  Returns filtered slabs.
+    """
+    p3, p2, p1, p0 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+    q0, q1, q2, q3 = s[..., 4], s[..., 5], s[..., 6], s[..., 7]
+
+    shape4 = s.shape[:-2] + (s.shape[-2] // 4, 4)
+    g = lambda x: x.reshape(shape4)  # group lines by 4
+    gp2, gp1, gp0 = g(p2), g(p1), g(p0)
+    gq0, gq1, gq2 = g(q0), g(q1), g(q2)
+    gp3, gq3 = g(p3), g(q3)
+
+    dp = jnp.abs(gp2 - 2 * gp1 + gp0)  # (..., G, 4)
+    dq = jnp.abs(gq2 - 2 * gq1 + gq0)
+    dp0, dp3 = dp[..., 0], dp[..., 3]
+    dq0, dq3 = dq[..., 0], dq[..., 3]
+    d0 = dp0 + dq0
+    d3 = dp3 + dq3
+    d = d0 + d3
+    filter_on = d < beta  # (..., G)
+
+    def strong_cond(i):
+        ddp = dp[..., i]
+        ddq = dq[..., i]
+        c1 = 2 * (ddp + ddq) < (beta >> 2)
+        c2 = jnp.abs(gp3[..., i] - gp0[..., i]) + jnp.abs(gq0[..., i] - gq3[..., i]) < (beta >> 3)
+        c3 = jnp.abs(gp0[..., i] - gq0[..., i]) < ((5 * tc + 1) >> 1)
+        return c1 & c2 & c3
+
+    strong = strong_cond(0) & strong_cond(3)  # (..., G)
+    up = lambda m: jnp.repeat(m, 4, axis=-1).reshape(s.shape[:-1])  # (..., L)
+    filter_on_l = up(filter_on)
+    strong_l = up(strong)
+
+    clip = lambda x, c: jnp.clip(x, -c, c)
+    cl1 = lambda x: jnp.clip(x, 0, 255)
+
+    # strong filter
+    sp0 = p0 + clip(((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3) - p0, 2 * tc)
+    sp1 = p1 + clip(((p2 + p1 + p0 + q0 + 2) >> 2) - p1, 2 * tc)
+    sp2 = p2 + clip(((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3) - p2, 2 * tc)
+    sq0 = q0 + clip(((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3) - q0, 2 * tc)
+    sq1 = q1 + clip(((q2 + q1 + q0 + p0 + 2) >> 2) - q1, 2 * tc)
+    sq2 = q2 + clip(((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3) - q2, 2 * tc)
+
+    # weak filter
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    weak_on = jnp.abs(delta) < 10 * tc
+    dlt = clip(delta, tc)
+    wp0 = cl1(p0 + dlt)
+    wq0 = cl1(q0 - dlt)
+    side_thresh = (beta + (beta >> 1)) >> 3
+    dEp = up((dp0 + dp3) < side_thresh)
+    dEq = up((dq0 + dq3) < side_thresh)
+    tc2 = tc >> 1
+    dp1v = clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, tc2)
+    dq1v = clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, tc2)
+    wp1 = cl1(p1 + dp1v)
+    wq1 = cl1(q1 + dq1v)
+
+    weak_act = filter_on_l & ~strong_l & weak_on
+    strong_act = filter_on_l & strong_l
+    np0 = jnp.where(strong_act, cl1(sp0), jnp.where(weak_act, wp0, p0))
+    nq0 = jnp.where(strong_act, cl1(sq0), jnp.where(weak_act, wq0, q0))
+    np1 = jnp.where(strong_act, cl1(sp1), jnp.where(weak_act & dEp, wp1, p1))
+    nq1 = jnp.where(strong_act, cl1(sq1), jnp.where(weak_act & dEq, wq1, q1))
+    np2 = jnp.where(strong_act, cl1(sp2), p2)
+    nq2 = jnp.where(strong_act, cl1(sq2), q2)
+
+    return jnp.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3], axis=-1)
+
+
+def _chroma_edge_filter(s, tc):
+    """Chroma filter (bS == 2): s: (..., L, 4) = [p1 p0 q0 q1]."""
+    p1, p0, q0, q1 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    cl1 = lambda x: jnp.clip(x, 0, 255)
+    return jnp.stack([p1, cl1(p0 + delta), cl1(q0 - delta), q1], axis=-1)
+
+
+def _edge_positions(size: int, spacing: int) -> np.ndarray:
+    return np.arange(spacing, size, spacing, dtype=np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("spacing", "beta_offset", "tc_offset"))
+def deblock_frame(y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_offset: int = 0):
+    """Deblock one picture (uniform QP, all-intra bS=2 on every CU edge).
+
+    y: (H, W) uint8/int32; u, v: (H/2, W/2).  Returns filtered planes
+    (uint8).  `spacing` = CU size in luma samples.
+    """
+    from ..core.tables import CHROMA_QP_TABLE
+
+    qp = jnp.asarray(qp, jnp.int32)
+    beta_tab = jnp.asarray(BETA_TABLE)
+    tc_tab = jnp.asarray(TC_TABLE)
+    q_b = jnp.clip(qp + (beta_offset << 1), 0, 51)
+    beta = beta_tab[q_b]
+    q_tc = jnp.clip(qp + 2 * (2 - 1) + (tc_offset << 1), 0, 53)  # bS=2
+    tc = tc_tab[q_tc]
+    qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
+    q_tc_c = jnp.clip(qp_c + 2 + (tc_offset << 1), 0, 53)
+    tc_c = tc_tab[q_tc_c]
+
+    y32 = y.astype(jnp.int32)
+    h, w = y32.shape
+
+    # ---- vertical edges (filter across columns), whole picture at once
+    xe = _edge_positions(w, spacing)
+    if len(xe):
+        cols = (xe[:, None] + np.arange(-4, 4)[None, :]).reshape(-1)  # (E*8,)
+        slabs = y32[:, cols].reshape(h, len(xe), 8).transpose(1, 0, 2)  # (E, H, 8)
+        out = _luma_edge_filter(slabs, beta, tc)
+        wcols = (xe[:, None] + np.arange(-3, 3)[None, :]).reshape(-1)
+        y32 = y32.at[:, wcols].set(
+            out[..., 1:7].transpose(1, 0, 2).reshape(h, len(xe) * 6)
+        )
+
+    # ---- horizontal edges on the vertically-filtered picture
+    ye = _edge_positions(h, spacing)
+    if len(ye):
+        rows = (ye[:, None] + np.arange(-4, 4)[None, :]).reshape(-1)
+        slabs = y32[rows, :].reshape(len(ye), 8, w).transpose(0, 2, 1)  # (E, W, 8)
+        out = _luma_edge_filter(slabs, beta, tc)
+        wrows = (ye[:, None] + np.arange(-3, 3)[None, :]).reshape(-1)
+        y32 = y32.at[wrows, :].set(
+            out[..., 1:7].transpose(0, 2, 1).reshape(len(ye) * 6, w)
+        )
+
+    # ---- chroma (half resolution, edge spacing/2, [p1 p0 q0 q1])
+    def chroma_plane(c):
+        c32 = c.astype(jnp.int32)
+        ch, cw = c32.shape
+        sp = spacing // 2
+        xe = _edge_positions(cw, sp)
+        if len(xe):
+            cols = (xe[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
+            slabs = c32[:, cols].reshape(ch, len(xe), 4).transpose(1, 0, 2)
+            out = _chroma_edge_filter(slabs, tc_c)
+            wcols = (xe[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
+            c32 = c32.at[:, wcols].set(out[..., 1:3].transpose(1, 0, 2).reshape(ch, len(xe) * 2))
+        ye = _edge_positions(ch, sp)
+        if len(ye):
+            rows = (ye[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
+            slabs = c32[rows, :].reshape(len(ye), 4, cw).transpose(0, 2, 1)
+            out = _chroma_edge_filter(slabs, tc_c)
+            wrows = (ye[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
+            c32 = c32.at[wrows, :].set(out[..., 1:3].transpose(0, 2, 1).reshape(len(ye) * 2, cw))
+        return c32.astype(jnp.uint8)
+
+    return y32.astype(jnp.uint8), chroma_plane(u), chroma_plane(v)

@@ -102,3 +102,18 @@ def test_quality_reasonable(tmp_path):
     cfg = StreamConfig(width=w, height=h, qp=22)
     stream, recon = Encoder(cfg).encode_frame(y, u, v)
     assert psnr(y, recon[0]) > 33.0
+
+
+@pytest.mark.parametrize("qp", [22, 37])
+def test_e2e_deblocking(qp, tmp_path):
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=qp, deblocking_enabled=True)
+    y, u, v = _content("synthetic", w, h)
+    stream, recon = Encoder(cfg).encode_frame(y, u, v)
+    outs = Decoder().decode(stream)
+    for a, b in zip(recon, outs[0]):
+        np.testing.assert_array_equal(a, b)
+    ref, log = oracle_decode(stream, w, h, tmp_path)
+    assert len(ref) == 1, log
+    for a, b in zip(recon, ref[0]):
+        np.testing.assert_array_equal(a, b)
