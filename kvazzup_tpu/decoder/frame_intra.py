@@ -1,9 +1,12 @@
 """All-intra frame reconstruction: the decoder-side device scan.
 
-Same in-loop math as the encoder's scan (dequant -> inverse transform ->
-intra prediction -> reconstruct), driven by decoded modes/coefficients —
-bit-exactness with the encoder reconstruction is structural, since both run
-the identical jitted integer ops in the identical order.
+Same in-loop math and block memory layout as the encoder's scan (dequant ->
+inverse transform -> intra prediction -> reconstruct), driven by decoded
+modes/coefficients — bit-exactness with the encoder reconstruction is
+structural, since both run the identical jitted integer ops.
+
+Uses the wavefront (2:1 skew) schedule: decode reconstruction has the same
+left/above/above-right dependency pattern as encode.
 
 Counterpart: openHEVC's decode loop (the reference consumes it at
 /root/reference/src/media/processing/openhevcfilter.cpp:103-237).
@@ -16,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..encoder.frame_intra import PAD, _gather_refs
+from ..encoder.frame_intra import _gather_refs_blocks, from_blocks
 from ..ops import intra as intra_ops
 from ..ops.quant import dequantize
 from ..ops.transforms import inv_transform
@@ -28,47 +31,55 @@ def reconstruct_frame_intra(modes, lev_y, lev_cb, lev_cr, qp, *, width: int, hei
     from ..core.tables import CHROMA_QP_TABLE
 
     n = 16
-    ctbs_w = width // n
-    nctu = modes.shape[0]
+    cw, ch = width // n, height // n
+    nctu = cw * ch
+    lanes = min(ch, cw // 2 + 1)
+    n_waves = 2 * ch + cw - 2
     qp = jnp.asarray(qp, jnp.int32)
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
 
-    recon_y0 = jnp.zeros((height + 2 * PAD, width + 2 * PAD), jnp.int32)
-    recon_u0 = jnp.zeros((height // 2 + 2 * PAD, width // 2 + 2 * PAD), jnp.int32)
-    recon_v0 = jnp.zeros_like(recon_u0)
+    blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
+    blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
 
-    def recon_block(rec_buf, lev, mode, x0, y0, size_log2, is_luma, q, w, avail_above, avail_left):
-        a_raw, avail = _gather_refs(
-            rec_buf, x0, y0, 1 << size_log2, w, avail_above, avail_left
-        )
-        a = intra_ops.substitute_refs(a_raw, avail)
-        pred = intra_ops.predict_mode(a, size_log2, is_luma, mode)
-        deq = dequantize(lev, q, size_log2)
-        resid = inv_transform(deq, size_log2)
-        rec = jnp.clip(pred + resid, 0, 255)
-        return jax.lax.dynamic_update_slice(rec_buf, rec, (PAD + y0, PAD + x0))
+    def recon_ctu(blk_y, blk_u, blk_v, ly, lcb, lcr, mode, r, c):
+        def one_plane(blocks, lev, log2, is_luma, q, w):
+            a_raw, avail = _gather_refs_blocks(blocks, r, c, 1 << log2, cw, ch, w)
+            a = intra_ops.substitute_refs(a_raw, avail)
+            pred = intra_ops.predict_mode(a, log2, is_luma, mode)
+            resid = inv_transform(dequantize(lev, q, log2), log2)
+            return jnp.clip(pred + resid, 0, 255)
 
-    def step(carry, inp):
-        recon_y, recon_u, recon_v = carry
-        i, mode, ly, lcb, lcr = inp
-        r = i // ctbs_w
-        c = i % ctbs_w
-        x0, y0 = c * n, r * n
-        avail_above = r > 0
-        avail_left = c > 0
-        recon_y = recon_block(recon_y, ly, mode, x0, y0, 4, True, qp, width, avail_above, avail_left)
-        recon_u = recon_block(recon_u, lcb, mode, x0 // 2, y0 // 2, 3, False, qp_c, width // 2, avail_above, avail_left)
-        recon_v = recon_block(recon_v, lcr, mode, x0 // 2, y0 // 2, 3, False, qp_c, width // 2, avail_above, avail_left)
-        return (recon_y, recon_u, recon_v), None
+        rec_y = one_plane(blk_y, ly, 4, True, qp, width)
+        rec_cb = one_plane(blk_u, lcb, 3, False, qp_c, width // 2)
+        rec_cr = one_plane(blk_v, lcr, 3, False, qp_c, width // 2)
+        return rec_y, rec_cb, rec_cr
 
-    (recon_y, recon_u, recon_v), _ = jax.lax.scan(
-        step,
-        (recon_y0, recon_u0, recon_v0),
-        (jnp.arange(nctu, dtype=jnp.int32), modes, lev_y, lev_cb, lev_cr),
+    def wave(carry, d):
+        blk_y, blk_u, blk_v = carry
+        k = jnp.arange(lanes, dtype=jnp.int32)
+        r_min = jnp.maximum(0, (d - cw + 2) // 2)
+        r = r_min + k
+        c = d - 2 * r
+        valid = (r < ch) & (c >= 0) & (c < cw)
+        rs = jnp.where(valid, r, 0)
+        cs = jnp.where(valid, c, 0)
+        idx = rs * cw + cs
+
+        rec_y, rec_cb, rec_cr = jax.vmap(
+            recon_ctu, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0)
+        )(blk_y, blk_u, blk_v, lev_y[idx], lev_cb[idx], lev_cr[idx], modes[idx], rs, cs)
+
+        out_idx = jnp.where(valid, idx, nctu)
+        blk_y = blk_y.at[out_idx].set(rec_y, mode="drop")
+        blk_u = blk_u.at[out_idx].set(rec_cb, mode="drop")
+        blk_v = blk_v.at[out_idx].set(rec_cr, mode="drop")
+        return (blk_y, blk_u, blk_v), None
+
+    (blk_y, blk_u, blk_v), _ = jax.lax.scan(
+        wave, (blk_y0, blk_c0, jnp.zeros_like(blk_c0)), jnp.arange(n_waves, dtype=jnp.int32)
     )
-    crop = lambda rbuf, h, w: rbuf[PAD : PAD + h, PAD : PAD + w].astype(jnp.uint8)
     return (
-        crop(recon_y, height, width),
-        crop(recon_u, height // 2, width // 2),
-        crop(recon_v, height // 2, width // 2),
+        from_blocks(blk_y, height, width).astype(jnp.uint8),
+        from_blocks(blk_u, height // 2, width // 2).astype(jnp.uint8),
+        from_blocks(blk_v, height // 2, width // 2).astype(jnp.uint8),
     )

@@ -9,6 +9,12 @@ Two schedules over the same per-CTU compute kernel (`_encode_ctu`):
   never reads samples written in the same wave and the output is bit-exact
   vs the raster schedule.
 
+Memory layout: the in-loop reconstruction lives as flat per-CTU blocks
+(nctu, N, N) rather than a 2-D picture — neighbor reference reads become
+whole-block row gathers and block writes become row scatters, which map to
+efficient DMA on TPU (2-D fancy indexing into a picture-sized buffer
+measured ~10x slower).  The picture is assembled once at the end.
+
 Everything inside a CTU step is dense integer math batched over the 35
 intra modes — mode sweep, SATD costing, transform, quant, dequant, inverse
 transform, reconstruction.  This is the TPU inversion of kvazaar's
@@ -37,7 +43,7 @@ from ..ops.quant import dequantize, quantize
 from ..ops.satd import satd_blocks
 from ..ops.transforms import fwd_transform, inv_transform
 
-PAD = 32  # recon border padding: any reference read stays in bounds
+PAD = 32  # retained for decoder compatibility imports
 
 
 def _mode_bits_table(cand_a, n_modes: int = 35):
@@ -74,26 +80,38 @@ def _mpm_list(cand_a, cand_b):
     return jnp.where(cand_a == cand_b, equal_case(cand_a), diff_case(cand_a, cand_b))
 
 
-def _gather_refs(recon_pad, x0, y0, n: int, width: int, avail_above, avail_left):
-    """Boundary walk A[0..4N] + availability mask from the padded recon."""
-    idx = jnp.arange(2 * n, dtype=jnp.int32)
-    # left column bottom -> top: A[i] = recon[y0 + 2N-1-i, x0-1]
-    rows_l = PAD + y0 + (2 * n - 1 - idx)
-    cols_l = jnp.full((2 * n,), PAD + x0 - 1, dtype=jnp.int32)
-    # top row: A[2N+1+j] = recon[y0-1, x0+j]
-    rows_t = jnp.full((2 * n,), PAD + y0 - 1, dtype=jnp.int32)
-    cols_t = PAD + x0 + idx
-    rows = jnp.concatenate([rows_l, (PAD + y0 - 1)[None], rows_t])
-    cols = jnp.concatenate([cols_l, (PAD + x0 - 1)[None], cols_t])
-    a_raw = recon_pad[rows, cols]
+def _gather_refs_blocks(blocks, r, c, n: int, cw: int, ch: int, width: int):
+    """Boundary walk A[0..4N] + availability from block-layout recon.
 
-    # availability: left col only above the CU-row boundary (left-below CTUs
-    # are not yet coded in raster order); top-right clipped at the frame edge
-    left_ok = avail_left & (idx >= n)
+    blocks: (nctu, n, n) int32.  Neighbor blocks are fetched as whole rows
+    of the flat block array (left, above-left, above, above-right); the
+    walk is then assembled with static slicing.  Left-below samples are
+    never available under a CTB-raster coding order, so they carry zeros
+    and rely on the substitution mask.
+    """
+    idx = r * cw + c
+    clampi = lambda i: jnp.clip(i, 0, cw * ch - 1)
+    blk_l = blocks[clampi(idx - 1)]
+    blk_al = blocks[clampi(idx - cw - 1)]
+    blk_a = blocks[clampi(idx - cw)]
+    blk_ar = blocks[clampi(idx - cw + 1)]
+
+    left_top = blk_l[::-1, n - 1]  # A[N..2N-1]: left column, bottom-of-CU upward
+    corner = blk_al[n - 1, n - 1]
+    top = blk_a[n - 1, :]
+    topright = blk_ar[n - 1, :]
+    a_raw = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), left_top, corner[None], top, topright]
+    )
+
+    j = jnp.arange(2 * n, dtype=jnp.int32)
+    avail_left = c > 0
+    avail_above = r > 0
+    left_ok = avail_left & (j >= n)
     corner_ok = avail_left & avail_above
-    top_ok = avail_above & ((x0 + idx) < width)
+    top_ok = avail_above & ((c * n + j) < width) & ((j < n) | (c + 1 < cw))
     avail = jnp.concatenate([left_ok, corner_ok[None], top_ok])
-    return a_raw.astype(jnp.int32), avail
+    return a_raw, avail
 
 
 def _code_block(orig, pred, qp, log2: int, intra: bool = True):
@@ -107,102 +125,108 @@ def _code_block(orig, pred, qp, log2: int, intra: bool = True):
     return lev, recon
 
 
-def _encode_ctu(recon_y, recon_u, recon_v, y32, u32, v32, r, c, cand_a, qp, qp_c, lam, width):
+def _encode_ctu(blk_y, blk_u, blk_v, oy, ou, ov, r, c, cand_a, qp, qp_c, lam, geom):
     """Per-CTU compute: mode decision + code blocks.  No buffer writes.
 
+    oy/ou/ov: original blocks for this CTU ((16,16)/(8,8) — pre-gathered).
     Returns (mode, lev_y, lev_cb, lev_cr, rec_y16, rec_cb8, rec_cr8).
     """
     n = 16
-    x0 = c * n
-    y0 = r * n
-    avail_above = r > 0
+    cw, ch, width = geom
     avail_left = c > 0
 
-    orig = jax.lax.dynamic_slice(y32, (y0, x0), (n, n))
-    a_raw, avail = _gather_refs(recon_y, x0, y0, n, width, avail_above, avail_left)
+    a_raw, avail = _gather_refs_blocks(blk_y, r, c, n, cw, ch, width)
     a = intra_ops.substitute_refs(a_raw, avail)
     preds = intra_ops.predict_all_modes(a, 4, True)  # (35, 16, 16)
 
-    cost_satd = satd_blocks(preds, orig[None]).astype(jnp.float32)
+    cost_satd = satd_blocks(preds, oy[None]).astype(jnp.float32)
     bits = _mode_bits_table(jnp.where(avail_left, cand_a, 1))
     mode = jnp.argmin(cost_satd + lam * bits).astype(jnp.int32)
     pred = preds[mode]
-    lev_y, rec_y = _code_block(orig, pred, qp, 4)
+    lev_y, rec_y = _code_block(oy, pred, qp, 4)
 
     # chroma: derived mode (DM), 8x8
-    xc, yc = x0 // 2, y0 // 2
     chroma = []
-    for rec_buf, orig_p, q in ((recon_u, u32, qp_c), (recon_v, v32, qp_c)):
-        a_raw_c, avail_c = _gather_refs(
-            rec_buf, xc, yc, n // 2, width // 2, avail_above, avail_left
-        )
+    for blk_c, oc in ((blk_u, ou), (blk_v, ov)):
+        a_raw_c, avail_c = _gather_refs_blocks(blk_c, r, c, n // 2, cw, ch, width // 2)
         ac = intra_ops.substitute_refs(a_raw_c, avail_c)
         pred_c = intra_ops.predict_mode(ac, 3, False, mode)
-        orig_c = jax.lax.dynamic_slice(orig_p, (yc, xc), (n // 2, n // 2))
-        chroma.append(_code_block(orig_c, pred_c, q, 3))
+        chroma.append(_code_block(oc, pred_c, qp_c, 3))
     (lev_cb, rec_cb), (lev_cr, rec_cr) = chroma
     return mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr
 
 
-def _frame_setup(y, u, v, qp, width, height):
+def to_blocks(img, n: int):
+    """(H, W) -> (nctu, n, n) raster block order."""
+    h, w = img.shape
+    return (
+        img.reshape(h // n, n, w // n, n).transpose(0, 2, 1, 3).reshape(-1, n, n)
+    )
+
+
+def from_blocks(blocks, height: int, width: int):
+    n = blocks.shape[-1]
+    return (
+        blocks.reshape(height // n, width // n, n, n)
+        .transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
+
+
+def _frame_setup(y, u, v, qp):
     from ..core.tables import CHROMA_QP_TABLE
 
     qp = jnp.asarray(qp, jnp.int32)
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
     lam = jnp.sqrt(0.57 * 2.0 ** ((qp.astype(jnp.float32) - 12.0) / 3.0))
-    recon_y0 = jnp.zeros((height + 2 * PAD, width + 2 * PAD), jnp.int32)
-    recon_u0 = jnp.zeros((height // 2 + 2 * PAD, width // 2 + 2 * PAD), jnp.int32)
-    recon_v0 = jnp.zeros_like(recon_u0)
-    return (
-        qp,
-        qp_c,
-        lam,
-        recon_y0,
-        recon_u0,
-        recon_v0,
-        y.astype(jnp.int32),
-        u.astype(jnp.int32),
-        v.astype(jnp.int32),
-    )
+    oy = to_blocks(y.astype(jnp.int32), 16)
+    ou = to_blocks(u.astype(jnp.int32), 8)
+    ov = to_blocks(v.astype(jnp.int32), 8)
+    return qp, qp_c, lam, oy, ou, ov
 
 
-def _crop_out(outs, recon_y, recon_u, recon_v, width, height):
-    crop = lambda rbuf, h, w: rbuf[PAD : PAD + h, PAD : PAD + w].astype(jnp.uint8)
-    outs["recon_y"] = crop(recon_y, height, width)
-    outs["recon_u"] = crop(recon_u, height // 2, width // 2)
-    outs["recon_v"] = crop(recon_v, height // 2, width // 2)
-    return outs
+def _finish(modes, lev_y, lev_cb, lev_cr, blk_y, blk_u, blk_v, width, height):
+    return {
+        "mode": modes,
+        "lev_y": lev_y,
+        "lev_cb": lev_cb,
+        "lev_cr": lev_cr,
+        "recon_y": from_blocks(blk_y, height, width).astype(jnp.uint8),
+        "recon_u": from_blocks(blk_u, height // 2, width // 2).astype(jnp.uint8),
+        "recon_v": from_blocks(blk_v, height // 2, width // 2).astype(jnp.uint8),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def encode_frame_intra_raster(y, u, v, qp, *, width: int, height: int):
     """Raster-order reference schedule.  y: (H, W) uint8; u, v: (H/2, W/2)."""
     n = 16
-    ctbs_w = width // n
-    nctu = ctbs_w * (height // n)
-    qp, qp_c, lam, recon_y0, recon_u0, recon_v0, y32, u32, v32 = _frame_setup(
-        y, u, v, qp, width, height
-    )
+    cw, ch = width // n, height // n
+    nctu = cw * ch
+    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp)
+    geom = (cw, ch, width)
+
+    blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
+    blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
 
     def step(carry, i):
-        recon_y, recon_u, recon_v, prev_mode = carry
-        r, c = i // ctbs_w, i % ctbs_w
+        blk_y, blk_u, blk_v, prev_mode = carry
+        r, c = i // cw, i % cw
         mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr = _encode_ctu(
-            recon_y, recon_u, recon_v, y32, u32, v32, r, c, prev_mode, qp, qp_c, lam, width
+            blk_y, blk_u, blk_v, oy[i], ou[i], ov[i], r, c, prev_mode, qp, qp_c, lam, geom
         )
-        x0, y0 = c * n, r * n
-        recon_y = jax.lax.dynamic_update_slice(recon_y, rec_y, (PAD + y0, PAD + x0))
-        recon_u = jax.lax.dynamic_update_slice(recon_u, rec_cb, (PAD + y0 // 2, PAD + x0 // 2))
-        recon_v = jax.lax.dynamic_update_slice(recon_v, rec_cr, (PAD + y0 // 2, PAD + x0 // 2))
+        blk_y = blk_y.at[i].set(rec_y)
+        blk_u = blk_u.at[i].set(rec_cb)
+        blk_v = blk_v.at[i].set(rec_cr)
         out = {"mode": mode, "lev_y": lev_y, "lev_cb": lev_cb, "lev_cr": lev_cr}
-        return (recon_y, recon_u, recon_v, mode), out
+        return (blk_y, blk_u, blk_v, mode), out
 
-    (recon_y, recon_u, recon_v, _), outs = jax.lax.scan(
-        step,
-        (recon_y0, recon_u0, recon_v0, jnp.int32(1)),
-        jnp.arange(nctu, dtype=jnp.int32),
+    (blk_y, blk_u, blk_v, _), outs = jax.lax.scan(
+        step, (blk_y0, blk_c0, jnp.zeros_like(blk_c0), jnp.int32(1)), jnp.arange(nctu, dtype=jnp.int32)
     )
-    return _crop_out(outs, recon_y, recon_u, recon_v, width, height)
+    return _finish(
+        outs["mode"], outs["lev_y"], outs["lev_cb"], outs["lev_cr"], blk_y, blk_u, blk_v, width, height
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -215,16 +239,17 @@ def encode_frame_intra(y, u, v, qp, *, width: int, height: int):
     nctu = cw * ch
     lanes = min(ch, cw // 2 + 1)
     n_waves = 2 * ch + cw - 2
-    qp, qp_c, lam, recon_y0, recon_u0, recon_v0, y32, u32, v32 = _frame_setup(
-        y, u, v, qp, width, height
-    )
+    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp)
+    geom = (cw, ch, width)
 
+    blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
+    blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
     lev_y0 = jnp.zeros((nctu, n, n), jnp.int32)
     lev_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
     modes0 = jnp.zeros((nctu,), jnp.int32)
 
     def wave(carry, d):
-        recon_y, recon_u, recon_v, modes, lev_y_a, lev_cb_a, lev_cr_a = carry
+        blk_y, blk_u, blk_v, modes, lev_y_a, lev_cb_a, lev_cr_a = carry
         k = jnp.arange(lanes, dtype=jnp.int32)
         r_min = jnp.maximum(0, (d - cw + 2) // 2)
         r = r_min + k
@@ -233,37 +258,27 @@ def encode_frame_intra(y, u, v, qp, *, width: int, height: int):
         rs = jnp.where(valid, r, 0)
         cs = jnp.where(valid, c, 0)
         idx = rs * cw + cs
-        # left-neighbor mode from the already-written modes array (wave d-1)
         cand_a = modes[jnp.maximum(idx - 1, 0)]
 
         mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr = jax.vmap(
-            _encode_ctu, in_axes=(None,) * 6 + (0, 0, 0) + (None,) * 4
-        )(recon_y, recon_u, recon_v, y32, u32, v32, rs, cs, cand_a, qp, qp_c, lam, width)
-
-        # scatter recon blocks; invalid lanes land in the padding corner
-        # (PAD=32 > 16, so the dump region never overlaps picture samples)
-        def scat(buf, blocks, x0s, y0s, bn):
-            rows = jnp.where(valid, PAD + y0s, 0)[:, None, None] + jnp.arange(bn)[None, :, None]
-            cols = jnp.where(valid, PAD + x0s, 0)[:, None, None] + jnp.arange(bn)[None, None, :]
-            return buf.at[rows, cols].set(blocks)
-
-        recon_y = scat(recon_y, rec_y, cs * n, rs * n, n)
-        recon_u = scat(recon_u, rec_cb, cs * (n // 2), rs * (n // 2), n // 2)
-        recon_v = scat(recon_v, rec_cr, cs * (n // 2), rs * (n // 2), n // 2)
+            _encode_ctu, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, None, None, None, None)
+        )(blk_y, blk_u, blk_v, oy[idx], ou[idx], ov[idx], rs, cs, cand_a, qp, qp_c, lam, geom)
 
         out_idx = jnp.where(valid, idx, nctu)
+        blk_y = blk_y.at[out_idx].set(rec_y, mode="drop")
+        blk_u = blk_u.at[out_idx].set(rec_cb, mode="drop")
+        blk_v = blk_v.at[out_idx].set(rec_cr, mode="drop")
         modes = modes.at[out_idx].set(mode, mode="drop")
         lev_y_a = lev_y_a.at[out_idx].set(lev_y, mode="drop")
         lev_cb_a = lev_cb_a.at[out_idx].set(lev_cb, mode="drop")
         lev_cr_a = lev_cr_a.at[out_idx].set(lev_cr, mode="drop")
-        return (recon_y, recon_u, recon_v, modes, lev_y_a, lev_cb_a, lev_cr_a), None
+        return (blk_y, blk_u, blk_v, modes, lev_y_a, lev_cb_a, lev_cr_a), None
 
-    carry0 = (recon_y0, recon_u0, recon_v0, modes0, lev_y0, lev_c0, jnp.zeros_like(lev_c0))
-    (recon_y, recon_u, recon_v, modes, lev_y_a, lev_cb_a, lev_cr_a), _ = jax.lax.scan(
+    carry0 = (blk_y0, blk_c0, jnp.zeros_like(blk_c0), modes0, lev_y0, lev_c0, jnp.zeros_like(lev_c0))
+    (blk_y, blk_u, blk_v, modes, lev_y_a, lev_cb_a, lev_cr_a), _ = jax.lax.scan(
         wave, carry0, jnp.arange(n_waves, dtype=jnp.int32)
     )
-    outs = {"mode": modes, "lev_y": lev_y_a, "lev_cb": lev_cb_a, "lev_cr": lev_cr_a}
-    return _crop_out(outs, recon_y, recon_u, recon_v, width, height)
+    return _finish(modes, lev_y_a, lev_cb_a, lev_cr_a, blk_y, blk_u, blk_v, width, height)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
