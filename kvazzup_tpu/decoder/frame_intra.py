@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..encoder.frame_intra import _gather_refs_blocks, from_blocks
+from ..encoder.frame_intra import _gather_refs_blocks, from_blocks, wave_inputs
 from ..ops import intra as intra_ops
 from ..ops.quant import dequantize
 from ..ops.transforms import inv_transform
@@ -30,11 +30,12 @@ def reconstruct_frame_intra(modes, lev_y, lev_cb, lev_cr, qp, *, width: int, hei
     """modes: (nctu,), lev_y: (nctu,16,16), lev_cb/cr: (nctu,8,8); qp traced."""
     from ..core.tables import CHROMA_QP_TABLE
 
+    from ..encoder.wavefront import schedule
+
     n = 16
     cw, ch = width // n, height // n
     nctu = cw * ch
-    lanes = min(ch, cw // 2 + 1)
-    n_waves = 2 * ch + cw - 2
+    sched = schedule(cw, ch)
     qp = jnp.asarray(qp, jnp.int32)
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
 
@@ -54,20 +55,20 @@ def reconstruct_frame_intra(modes, lev_y, lev_cb, lev_cr, qp, *, width: int, hei
         rec_cr = one_plane(blk_v, lcr, 3, False, qp_c, width // 2)
         return rec_y, rec_cb, rec_cr
 
-    def wave(carry, d):
+    ly_w, lcb_w, lcr_w, modes_w = wave_inputs(
+        sched, nctu, [jnp.asarray(lev_y), jnp.asarray(lev_cb), jnp.asarray(lev_cr), jnp.asarray(modes)]
+    )
+    xs = (ly_w, lcb_w, lcr_w, modes_w,
+          jnp.asarray(sched["rs"]), jnp.asarray(sched["cs"]),
+          jnp.asarray(sched["valid"]), jnp.asarray(sched["idx"]))
+
+    def wave(carry, x):
         blk_y, blk_u, blk_v = carry
-        k = jnp.arange(lanes, dtype=jnp.int32)
-        r_min = jnp.maximum(0, (d - cw + 2) // 2)
-        r = r_min + k
-        c = d - 2 * r
-        valid = (r < ch) & (c >= 0) & (c < cw)
-        rs = jnp.where(valid, r, 0)
-        cs = jnp.where(valid, c, 0)
-        idx = rs * cw + cs
+        lyw, lcbw, lcrw, modesw, rs, cs, valid, idx = x
 
         rec_y, rec_cb, rec_cr = jax.vmap(
             recon_ctu, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0)
-        )(blk_y, blk_u, blk_v, lev_y[idx], lev_cb[idx], lev_cr[idx], modes[idx], rs, cs)
+        )(blk_y, blk_u, blk_v, lyw, lcbw, lcrw, modesw, rs, cs)
 
         out_idx = jnp.where(valid, idx, nctu)
         blk_y = blk_y.at[out_idx].set(rec_y, mode="drop")
@@ -76,7 +77,7 @@ def reconstruct_frame_intra(modes, lev_y, lev_cb, lev_cr, qp, *, width: int, hei
         return (blk_y, blk_u, blk_v), None
 
     (blk_y, blk_u, blk_v), _ = jax.lax.scan(
-        wave, (blk_y0, blk_c0, jnp.zeros_like(blk_c0)), jnp.arange(n_waves, dtype=jnp.int32)
+        wave, (blk_y0, blk_c0, jnp.zeros_like(blk_c0)), xs
     )
     return (
         from_blocks(blk_y, height, width).astype(jnp.uint8),

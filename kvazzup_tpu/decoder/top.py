@@ -1,18 +1,18 @@
 """Decoder top level: Annex-B byte stream in, frames out.
 
 Host side parses NALs/headers and CABAC-decodes slice data to coefficient
-arrays; the device scan reconstructs.  Parity target: bit-exact output vs
-independent conformant decoders (openHEVC in the reference; libavcodec in
-our test oracle — SURVEY.md §4).
+arrays; the device scans reconstruct.  Maintains a one-picture DPB for the
+low-delay P chain.  Parity target: bit-exact output vs independent
+conformant decoders (openHEVC in the reference; libavcodec in our test
+oracle — SURVEY.md §4).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
+import jax.numpy as jnp
 
-from ..core.nal import NalType, is_irap, split_annexb
+from ..core.nal import NalType, is_idr, split_annexb
 from ..core.params import (
     ParsedPps,
     ParsedSps,
@@ -21,16 +21,19 @@ from ..core.params import (
     parse_slice_header,
     parse_sps,
 )
-from ..entropy.slice_data import decode_slice_data_intra
+from ..entropy.slice_data import decode_slice_data_intra, decode_slice_data_p
+from ..ops.deblock import compute_bs, deblock_frame
+from .frame_inter import reconstruct_frame_p
 from .frame_intra import reconstruct_frame_intra
 
 
 class Decoder:
-    """HEVC decoder for the tool-set the encoder emits (v1: all-intra)."""
+    """HEVC decoder for the tool-set the encoder emits (I + low-delay P)."""
 
     def __init__(self) -> None:
         self.sps: ParsedSps | None = None
         self.pps: ParsedPps | None = None
+        self._ref = None  # one-picture DPB
 
     def decode(self, stream: bytes):
         """Decode an Annex-B stream; returns list of (y, u, v) frames."""
@@ -52,8 +55,6 @@ class Decoder:
     def _decode_picture(self, nal):
         sps, pps = self.sps, self.pps
         sh = parse_slice_header(nal.rbsp, nal.nal_type, sps, pps)
-        if sh.slice_type != 2:
-            raise NotImplementedError("inter slices land with the P-frame milestone")
         if sps.ctb_log2 != 4 or sps.min_cb_log2 != 4:
             raise NotImplementedError("decoder v1 supports CTB == min CB == 16")
         cfg = StreamConfig(
@@ -64,20 +65,43 @@ class Decoder:
             min_cb_log2=sps.min_cb_log2,
         )
         payload = nal.rbsp[sh.data_offset_bits // 8 :]
-        modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra(cfg, payload, sh.qp)
-        y, u, v = reconstruct_frame_intra(
-            modes, lev_y, lev_cb, lev_cr, sh.qp, width=sps.width, height=sps.height
-        )
+        bs_v = bs_h = None
+        if sh.slice_type == 2:
+            modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra(cfg, payload, sh.qp)
+            y, u, v = reconstruct_frame_intra(
+                modes, lev_y, lev_cb, lev_cr, sh.qp, width=sps.width, height=sps.height
+            )
+        elif sh.slice_type == 1:
+            if self._ref is None:
+                raise ValueError("P slice without a reference picture")
+            ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
+                cfg, payload, sh.qp
+            )
+            ry, ru, rv = self._ref
+            y, u, v = reconstruct_frame_p(
+                jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(mvs),
+                lev_y, lev_cb, lev_cr,
+                jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), sh.qp,
+                width=sps.width, height=sps.height,
+            )
+            bs_v, bs_h = compute_bs(
+                jnp.asarray(ctype),
+                jnp.asarray(np.any(lev_y, axis=(1, 2))),
+                jnp.asarray(mvs),
+                cfg.ctbs_w,
+                cfg.ctbs_h,
+            )
+        else:
+            raise NotImplementedError("B slices land with the random-access milestone")
         if not sh.deblocking_disabled:
-            from ..ops.deblock import deblock_frame
-
             y, u, v = deblock_frame(
-                y,
-                u,
-                v,
-                sh.qp,
+                y, u, v, sh.qp,
                 spacing=1 << sps.min_cb_log2,
                 beta_offset=sh.beta_offset_div2,
                 tc_offset=sh.tc_offset_div2,
+                bs_v=bs_v,
+                bs_h=bs_h,
             )
-        return np.asarray(y), np.asarray(u), np.asarray(v)
+        out = (np.asarray(y), np.asarray(u), np.asarray(v))
+        self._ref = out
+        return out

@@ -1,0 +1,408 @@
+"""Low-delay P frame encoder: the device-side wavefront with inter tools.
+
+Adds to the intra scan (frame_intra.py): motion-compensated prediction from
+one reference picture (the previous deblocked frame), merge / AMVP / skip
+decision, and the intra-vs-inter choice — the low-delay P operating point
+of the reference (GOP `lp-g4d3t1`-family, kvazaarfilter.cpp:233; here a
+one-ref P chain, IDR every intra-period).
+
+Structure: integer+half-pel motion search runs as a dense frame-level
+pre-pass (ops/me.py) because it reads only the original and the reference
+picture; the wavefront then resolves merge/AMVP (which depend on coded
+neighbor MVs), evaluates intra vs inter by SATD + bit cost, and codes the
+residual.  Every decision is computed for all candidates and selected —
+the dense evaluate-all-then-select shape (SURVEY.md §7).
+
+CU types emitted per CTU: 0 = intra, 1 = merge (with residual),
+2 = AMVP, 3 = skip (merge, no residual).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import intra as intra_ops
+from ..ops.mc import CHROMA_PAD, LUMA_PAD, mc_chroma, mc_luma, pad_reference
+from ..ops.me import _mv_bits, motion_search
+from ..ops.quant import dequantize, quantize
+from ..ops.satd import satd_blocks
+from .frame_intra import (
+    _code_block,
+    _encode_ctu,
+    _frame_setup,
+    _gather_refs_blocks,
+    _mode_bits_table,
+    from_blocks,
+    to_blocks,
+    wave_inputs,
+    wave_to_raster,
+)
+from .wavefront import schedule
+
+CT_INTRA, CT_MERGE, CT_AMVP, CT_SKIP = 0, 1, 2, 3
+SEARCH_RANGE = 16
+REF_PAD = SEARCH_RANGE + 8
+
+
+def _first_inter_mv(cands):
+    """First available inter neighbor MV from a list of (avail, mv) pairs.
+
+    Returns (found, mv): the HEVC first-merge-candidate rule specialized to
+    MaxNumMergeCand == 1 (spatial order A1, B1, B0, B2; TMVP off) — with a
+    single candidate, merge_idx is not coded (7.4.9.5) and only the first
+    available candidate matters.
+    """
+    found = jnp.bool_(False)
+    mv = jnp.zeros((2,), jnp.int32)
+    for avail, cand in cands:
+        take = avail & ~found
+        mv = jnp.where(take, cand, mv)
+        found = found | avail
+    return found, mv
+
+
+def _amvp_list(a_avail, a_mv, b_avail, b_mv):
+    """AMVP candidate list (8.5.3.2.6 specialized): A then B, dedupe,
+    zero-pad to two."""
+    both = a_avail & b_avail
+    same = both & jnp.all(a_mv == b_mv)
+    # slot 0: A if available else B else zero
+    mvp0 = jnp.where(a_avail, a_mv, jnp.where(b_avail, b_mv, jnp.zeros(2, jnp.int32)))
+    # slot 1: B if (A and B and distinct) else zero
+    use_b1 = both & ~same
+    mvp1 = jnp.where(use_b1, b_mv, jnp.zeros(2, jnp.int32))
+    # when only one of A/B exists, slot1 is the zero candidate
+    return mvp0, mvp1
+
+
+def _mvd_bits(mvd):
+    return _mv_bits(mvd[0]) + _mv_bits(mvd[1]) + 2.0
+
+
+def _encode_ctu_p(
+    blk_y, blk_u, blk_v, mvs, inter_flags,
+    refp_y, refp_u, refp_v,
+    oy, ou, ov, r, c, cand_a_mode, me_mv,
+    qp, qp_c, lam, geom,
+):
+    """Per-CTU P-slice compute.  Returns coding decisions + recon blocks."""
+    n = 16
+    cw, ch, width, height = geom
+    idx = r * cw + c
+    avail_l = c > 0
+    avail_a = r > 0
+    avail_ar = avail_a & (c + 1 < cw)
+    avail_al = avail_a & avail_l
+    clampi = lambda i: jnp.clip(i, 0, cw * ch - 1)
+    nb = lambda off: (mvs[clampi(idx + off)], inter_flags[clampi(idx + off)])
+    mv_l, int_l = nb(-1)
+    mv_a, int_a = nb(-cw)
+    mv_ar, int_ar = nb(-cw + 1)
+    mv_al, int_al = nb(-cw - 1)
+
+    # merge first candidate: A1, B1, B0, B2 (A0 below-left never coded)
+    _, merge_mv = _first_inter_mv(
+        [
+            (avail_l & int_l, mv_l),
+            (avail_a & int_a, mv_a),
+            (avail_ar & int_ar, mv_ar),
+            (avail_al & int_al, mv_al),
+        ]
+    )
+    # AMVP: A from left; B from above-right, above, above-left
+    b_avail, b_mv = _first_inter_mv(
+        [(avail_ar & int_ar, mv_ar), (avail_a & int_a, mv_a), (avail_al & int_al, mv_al)]
+    )
+    mvp0, mvp1 = _amvp_list(avail_l & int_l, mv_l, b_avail, b_mv)
+
+    # ---- intra evaluation (same as I slices)
+    a_raw, avail = _gather_refs_blocks(blk_y, r, c, n, cw, ch, width)
+    a = intra_ops.substitute_refs(a_raw, avail)
+    preds = intra_ops.predict_all_modes(a, 4, True)
+    cost35 = satd_blocks(preds, oy[None]).astype(jnp.float32)
+    ibits = _mode_bits_table(jnp.where(avail_l, cand_a_mode, 1))
+    intra_mode = jnp.argmin(cost35 + lam * ibits).astype(jnp.int32)
+    cost_intra = (cost35 + lam * ibits)[intra_mode] + lam * 3.0  # pred_mode+part+chroma
+    pred_intra = preds[intra_mode]
+
+    # ---- inter evaluation
+    x0, y0 = c * n, r * n
+    mc_y = lambda mv: mc_luma(refp_y, x0, y0, mv[0], mv[1], n, width, height, REF_PAD)
+    pred_merge = mc_y(merge_mv)
+    pred_me = mc_y(me_mv)
+    cost_merge = satd_blocks(pred_merge[None], oy[None])[0].astype(jnp.float32) + lam * 2.0
+    mvd0 = me_mv - mvp0
+    mvd1 = me_mv - mvp1
+    use_mvp1 = _mvd_bits(mvd1) < _mvd_bits(mvd0)
+    mvp_flag = use_mvp1.astype(jnp.int32)
+    mvd = jnp.where(use_mvp1, mvd1, mvd0)
+    cost_me = (
+        satd_blocks(pred_me[None], oy[None])[0].astype(jnp.float32)
+        + lam * (_mvd_bits(mvd) + 3.0)
+    )
+    is_merge = cost_merge <= cost_me
+    mv_sel = jnp.where(is_merge, merge_mv, me_mv)
+    pred_inter = jnp.where(is_merge, pred_merge, pred_me)
+    cost_inter = jnp.minimum(cost_merge, cost_me)
+
+    use_intra = cost_intra < cost_inter
+    pred_y = jnp.where(use_intra, pred_intra, pred_inter)
+    lev_y, rec_y = _code_block(oy, pred_y, qp, 4, intra=True)
+
+    # ---- chroma: DM intra or MC with the same MV
+    xc, yc = x0 // 2, y0 // 2
+    outs_c = []
+    for blk_c, oc, refp_c in ((blk_u, ou, refp_u), (blk_v, ov, refp_v)):
+        a_raw_c, avail_c = _gather_refs_blocks(blk_c, r, c, n // 2, cw, ch, width // 2)
+        ac = intra_ops.substitute_refs(a_raw_c, avail_c)
+        pred_ci = intra_ops.predict_mode(ac, 3, False, intra_mode)
+        pred_cm = mc_chroma(
+            refp_c, xc, yc, mv_sel[0], mv_sel[1], n // 2, width // 2, height // 2, REF_PAD // 2
+        )
+        pred_c = jnp.where(use_intra, pred_ci, pred_cm)
+        outs_c.append(_code_block(oc, pred_c, qp_c, 3, intra=True))
+    (lev_cb, rec_cb), (lev_cr, rec_cr) = outs_c
+
+    zero_resid = (
+        jnp.all(lev_y == 0) & jnp.all(lev_cb == 0) & jnp.all(lev_cr == 0)
+    )
+    ctype = jnp.where(
+        use_intra,
+        CT_INTRA,
+        jnp.where(is_merge, jnp.where(zero_resid, CT_SKIP, CT_MERGE), CT_AMVP),
+    ).astype(jnp.int32)
+
+    return dict(
+        ctype=ctype,
+        intra_mode=intra_mode,
+        mv=mv_sel,
+        mvp_flag=mvp_flag,
+        mvd=mvd,
+        lev_y=lev_y,
+        lev_cb=lev_cb,
+        lev_cr=lev_cr,
+        rec_y=rec_y,
+        rec_cb=rec_cb,
+        rec_cr=rec_cr,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int):
+    """Encode one P frame against one reference picture (deblocked).
+
+    Returns per-CTU arrays: ctype, intra_mode, mv, mvp_flag, mvd, levels,
+    and the (pre-deblock) reconstruction planes.
+    """
+    n = 16
+    cw, ch = width // n, height // n
+    nctu = cw * ch
+    sched = schedule(cw, ch)
+    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp)
+    geom = (cw, ch, width, height)
+
+    lam_x1k = (lam * 1024.0).astype(jnp.int32)
+    me_mv, _ = motion_search(
+        y, ref_y, lam_x1k, block=n, search_range=SEARCH_RANGE, width=width, height=height
+    )
+
+    refp_y = pad_reference(ref_y, REF_PAD)
+    refp_u = pad_reference(ref_u, REF_PAD // 2)
+    refp_v = pad_reference(ref_v, REF_PAD // 2)
+
+    blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
+    blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
+
+    oy_w, ou_w, ov_w, memv_w = wave_inputs(sched, nctu, [oy, ou, ov, me_mv])
+    xs = (oy_w, ou_w, ov_w, memv_w,
+          jnp.asarray(sched["rs"]), jnp.asarray(sched["cs"]),
+          jnp.asarray(sched["valid"]), jnp.asarray(sched["idx"]))
+
+    carry0 = (
+        blk_y0, blk_c0, jnp.zeros_like(blk_c0),
+        jnp.zeros((nctu,), jnp.int32),         # intra modes
+        jnp.zeros((nctu, 2), jnp.int32),       # mvs
+        jnp.zeros((nctu,), bool),              # inter flags
+    )
+    carry, outs = jax.lax.scan(
+        functools.partial(_wave_impl, cw=cw, ch=ch, nctu=nctu, geom=geom,
+                          refp=(refp_y, refp_u, refp_v), qp=qp, qp_c=qp_c, lam=lam),
+        carry0,
+        xs,
+    )
+    (blk_y, blk_u, blk_v, modes, mvs, inter_flags) = carry
+    w2r = lambda a: wave_to_raster(sched, a)
+    return {
+        "ctype": w2r(outs["ctype"]),
+        "intra_mode": w2r(outs["intra_mode"]),
+        "mv": w2r(outs["mv"]),
+        "mvp_flag": w2r(outs["mvp_flag"]),
+        "mvd": w2r(outs["mvd"]),
+        "lev_y": w2r(outs["lev_y"]),
+        "lev_cb": w2r(outs["lev_cb"]),
+        "lev_cr": w2r(outs["lev_cr"]),
+        "recon_y": from_blocks(blk_y, height, width).astype(jnp.uint8),
+        "recon_u": from_blocks(blk_u, height // 2, width // 2).astype(jnp.uint8),
+        "recon_v": from_blocks(blk_v, height // 2, width // 2).astype(jnp.uint8),
+    }
+
+
+def _encode_ctu_p_wave(
+    blk_y, blk_u, blk_v, mvs, inter_flags, refp, oyw, ouw, ovw,
+    rs, cs, cand_a_mode, me_mv, qp, qp_c, lam, geom,
+):
+    """Batched P-slice wave compute: per-lane gathers/MC vmapped, all heavy
+    kernels (intra sweep, SATD, transforms) as flat MXU batches.  Decision
+    logic identical to _encode_ctu_p."""
+    from ..ops import ctu_kernels as ck
+    from .frame_intra import _mode_bits_table
+
+    refp_y, refp_u, refp_v = refp
+    n = 16
+    cw, ch, width, height = geom
+    lanes = rs.shape[0]
+
+    def lane_nb(r, c, memv):
+        idx = r * cw + c
+        avail_l = c > 0
+        avail_a = r > 0
+        avail_ar = avail_a & (c + 1 < cw)
+        avail_al = avail_a & avail_l
+        clampi = lambda i: jnp.clip(i, 0, cw * ch - 1)
+        nb = lambda off: (mvs[clampi(idx + off)], inter_flags[clampi(idx + off)])
+        mv_l, int_l = nb(-1)
+        mv_a, int_a = nb(-cw)
+        mv_ar, int_ar = nb(-cw + 1)
+        mv_al, int_al = nb(-cw - 1)
+        _, merge_mv = _first_inter_mv(
+            [(avail_l & int_l, mv_l), (avail_a & int_a, mv_a),
+             (avail_ar & int_ar, mv_ar), (avail_al & int_al, mv_al)]
+        )
+        b_avail, b_mv = _first_inter_mv(
+            [(avail_ar & int_ar, mv_ar), (avail_a & int_a, mv_a), (avail_al & int_al, mv_al)]
+        )
+        mvp0, mvp1 = _amvp_list(avail_l & int_l, mv_l, b_avail, b_mv)
+        x0, y0 = c * n, r * n
+        pred_merge = mc_luma(refp_y, x0, y0, merge_mv[0], merge_mv[1], n, width, height, REF_PAD)
+        pred_me = mc_luma(refp_y, x0, y0, memv[0], memv[1], n, width, height, REF_PAD)
+        return merge_mv, mvp0, mvp1, pred_merge, pred_me
+
+    merge_mv, mvp0, mvp1, pred_merge, pred_me = jax.vmap(lane_nb)(rs, cs, me_mv)
+
+    # intra sweep (flat kernels)
+    a_raw, avail = jax.vmap(
+        _gather_refs_blocks, in_axes=(None, 0, 0, None, None, None, None)
+    )(blk_y, rs, cs, n, cw, ch, width)
+    a = intra_ops.substitute_refs(a_raw, avail)
+    preds = ck.predict_all_modes_flat(a, 4, True)
+    oy_flat = oyw.reshape(lanes, n * n)
+    cost35 = ck.satd_flat(preds, oy_flat[:, None, :], 4).astype(jnp.float32)
+    ibits = jax.vmap(_mode_bits_table)(jnp.where(cs > 0, cand_a_mode, 1))
+    costs = cost35 + lam * ibits
+    intra_mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
+    cost_intra = jnp.take_along_axis(costs, intra_mode[:, None], 1)[:, 0] + lam * 3.0
+    pred_intra = jnp.take_along_axis(preds, intra_mode[:, None, None], 1)[:, 0]
+
+    # inter costs
+    pm_flat = pred_merge.reshape(lanes, -1)
+    pe_flat = pred_me.reshape(lanes, -1)
+    cost_merge = ck.satd_flat(pm_flat, oy_flat, 4).astype(jnp.float32) + lam * 2.0
+    mvd0 = me_mv - mvp0
+    mvd1 = me_mv - mvp1
+    bits0 = jax.vmap(_mvd_bits)(mvd0)
+    bits1 = jax.vmap(_mvd_bits)(mvd1)
+    use_mvp1 = bits1 < bits0
+    mvp_flag = use_mvp1.astype(jnp.int32)
+    mvd = jnp.where(use_mvp1[:, None], mvd1, mvd0)
+    cost_me = ck.satd_flat(pe_flat, oy_flat, 4).astype(jnp.float32) + lam * (
+        jnp.minimum(bits0, bits1) + 3.0
+    )
+    is_merge = cost_merge <= cost_me
+    mv_sel = jnp.where(is_merge[:, None], merge_mv, me_mv)
+    pred_inter = jnp.where(is_merge[:, None], pm_flat, pe_flat)
+    cost_inter = jnp.minimum(cost_merge, cost_me)
+
+    use_intra = cost_intra < cost_inter
+    pred_y = jnp.where(use_intra[:, None], pred_intra, pred_inter)
+
+    def code_flat(orig, pred, q, log2):
+        coef = ck.fwd_transform_flat(orig - pred, log2)
+        lev = quantize(coef, q, log2, True)
+        deq = dequantize(lev, q, log2)
+        rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
+        return lev, rec
+
+    lev_y, rec_y = code_flat(oy_flat, pred_y, qp, 4)
+
+    chroma = []
+    for blk_c, ocw, refp_c in ((blk_u, ouw, refp_u), (blk_v, ovw, refp_v)):
+        a_raw_c, avail_c = jax.vmap(
+            _gather_refs_blocks, in_axes=(None, 0, 0, None, None, None, None)
+        )(blk_c, rs, cs, n // 2, cw, ch, width // 2)
+        ac = intra_ops.substitute_refs(a_raw_c, avail_c)
+        preds_c = ck.predict_all_modes_flat(ac, 3, False)
+        pred_ci = jnp.take_along_axis(preds_c, intra_mode[:, None, None], 1)[:, 0]
+        pred_cm = jax.vmap(
+            lambda r, c, mv: mc_chroma(
+                refp_c, c * (n // 2), r * (n // 2), mv[0], mv[1],
+                n // 2, width // 2, height // 2, REF_PAD // 2,
+            )
+        )(rs, cs, mv_sel).reshape(lanes, -1)
+        pred_c = jnp.where(use_intra[:, None], pred_ci, pred_cm)
+        chroma.append(code_flat(ocw.reshape(lanes, -1), pred_c, qp_c, 3))
+    (lev_cb, rec_cb), (lev_cr, rec_cr) = chroma
+
+    zero_resid = (
+        jnp.all(lev_y == 0, axis=-1)
+        & jnp.all(lev_cb == 0, axis=-1)
+        & jnp.all(lev_cr == 0, axis=-1)
+    )
+    ctype = jnp.where(
+        use_intra,
+        CT_INTRA,
+        jnp.where(is_merge, jnp.where(zero_resid, CT_SKIP, CT_MERGE), CT_AMVP),
+    ).astype(jnp.int32)
+
+    sq = lambda x, s: x.reshape(lanes, s, s)
+    return dict(
+        ctype=ctype,
+        intra_mode=intra_mode,
+        mv=mv_sel,
+        mvp_flag=mvp_flag,
+        mvd=mvd,
+        lev_y=sq(lev_y, n),
+        lev_cb=sq(lev_cb, n // 2),
+        lev_cr=sq(lev_cr, n // 2),
+        rec_y=sq(rec_y, n),
+        rec_cb=sq(rec_cb, n // 2),
+        rec_cr=sq(rec_cr, n // 2),
+    )
+
+
+def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp, qp, qp_c, lam):
+    (blk_y, blk_u, blk_v, modes, mvs, inter_flags) = carry
+    oyw, ouw, ovw, memvw, rs, cs, valid, idx = x
+    # 8.4.2: an inter-coded left neighbor contributes DC to the MPM list
+    left_i = jnp.maximum(idx - 1, 0)
+    cand_a_mode = jnp.where(inter_flags[left_i], 1, modes[left_i])
+
+    out = _encode_ctu_p_wave(
+        blk_y, blk_u, blk_v, mvs, inter_flags, refp,
+        oyw, ouw, ovw, rs, cs, cand_a_mode, memvw, qp, qp_c, lam, geom,
+    )
+
+    out_idx = jnp.where(valid, idx, nctu)
+    st = lambda arr, vals: arr.at[out_idx].set(vals, mode="drop")
+    blk_y = st(blk_y, out["rec_y"])
+    blk_u = st(blk_u, out["rec_cb"])
+    blk_v = st(blk_v, out["rec_cr"])
+    modes = st(modes, out["intra_mode"])
+    mvs = st(mvs, out["mv"])
+    inter_flags = st(inter_flags, out["ctype"] != CT_INTRA)
+    stacked = {k: out[k] for k in
+               ("ctype", "intra_mode", "mv", "mvp_flag", "mvd", "lev_y", "lev_cb", "lev_cr")}
+    return (blk_y, blk_u, blk_v, modes, mvs, inter_flags), stacked

@@ -156,6 +156,63 @@ def _encode_ctu(blk_y, blk_u, blk_v, oy, ou, ov, r, c, cand_a, qp, qp_c, lam, ge
     return mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr
 
 
+def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_c, lam, geom):
+    """Batched per-wave CTU compute on flattened blocks (MXU kernels).
+
+    oyw: (L, 16, 16); rs/cs/cand_a: (L,).  Bit-identical to vmapped
+    _encode_ctu (ops/ctu_kernels.py asserts kernel equivalence).
+    """
+    from ..ops import ctu_kernels as ck
+
+    n = 16
+    cw, ch, width = geom
+    lanes = rs.shape[0]
+
+    a_raw, avail = jax.vmap(
+        _gather_refs_blocks, in_axes=(None, 0, 0, None, None, None, None)
+    )(blk_y, rs, cs, n, cw, ch, width)
+    a = intra_ops.substitute_refs(a_raw, avail)
+    preds = ck.predict_all_modes_flat(a, 4, True)  # (L, 35, 256)
+
+    oy_flat = oyw.reshape(lanes, n * n)
+    cost_satd = ck.satd_flat(preds, oy_flat[:, None, :], 4).astype(jnp.float32)
+    bits = jax.vmap(_mode_bits_table)(jnp.where(cs > 0, cand_a, 1))
+    mode = jnp.argmin(cost_satd + lam * bits, axis=1).astype(jnp.int32)
+    pred = jnp.take_along_axis(preds, mode[:, None, None], axis=1)[:, 0]
+
+    def code_flat(orig, pred, q, log2):
+        resid = orig - pred
+        coef = ck.fwd_transform_flat(resid, log2)
+        lev = quantize(coef, q, log2, True)
+        deq = dequantize(lev, q, log2)
+        rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
+        return lev, rec
+
+    lev_y, rec_y = code_flat(oy_flat, pred, qp, 4)
+
+    chroma = []
+    for blk_c, ocw in ((blk_u, ouw), (blk_v, ovw)):
+        a_raw_c, avail_c = jax.vmap(
+            _gather_refs_blocks, in_axes=(None, 0, 0, None, None, None, None)
+        )(blk_c, rs, cs, n // 2, cw, ch, width // 2)
+        ac = intra_ops.substitute_refs(a_raw_c, avail_c)
+        preds_c = ck.predict_all_modes_flat(ac, 3, False)  # (L, 35, 64)
+        pred_c = jnp.take_along_axis(preds_c, mode[:, None, None], axis=1)[:, 0]
+        chroma.append(code_flat(ocw.reshape(lanes, -1), pred_c, qp_c, 3))
+    (lev_cb, rec_cb), (lev_cr, rec_cr) = chroma
+
+    sq = lambda x, s: x.reshape(lanes, s, s)
+    return (
+        mode,
+        sq(lev_y, n),
+        sq(lev_cb, n // 2),
+        sq(lev_cr, n // 2),
+        sq(rec_y, n),
+        sq(rec_cb, n // 2),
+        sq(rec_cr, n // 2),
+    )
+
+
 def to_blocks(img, n: int):
     """(H, W) -> (nctu, n, n) raster block order."""
     h, w = img.shape
@@ -229,56 +286,83 @@ def encode_frame_intra_raster(y, u, v, qp, *, width: int, height: int):
     )
 
 
+def wave_inputs(sched, nctu, arrays):
+    """Pre-gather per-CTU arrays into (n_waves, lanes, ...) wave order with
+    static indices (outside the scan)."""
+    idx = np.minimum(sched["idx"], nctu - 1)
+    return [a[idx.reshape(-1)].reshape(idx.shape + a.shape[1:]) for a in arrays]
+
+
+def wave_to_raster(sched, out):
+    """(n_waves, lanes, ...) scan-stacked output -> (nctu, ...) raster."""
+    nw, ln = out.shape[0], out.shape[1]
+    return out.reshape((nw * ln,) + out.shape[2:])[sched["perm"]]
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def encode_frame_intra(y, u, v, qp, *, width: int, height: int):
     """Wavefront schedule: scan over anti-diagonals d = 2r + c, all CTUs of
     a wave computed as one vmapped batch.  Bit-exact vs the raster schedule
-    (the 2:1 skew respects every intra reference dependency)."""
+    (the 2:1 skew respects every intra reference dependency).
+
+    Schedule geometry is static (encoder/wavefront.py): per-wave inputs are
+    pre-gathered, outputs ride the scan's stacking, and only recon blocks +
+    the mode map (MPM dependency) live in the carry."""
+    from .wavefront import schedule
+
     n = 16
     cw, ch = width // n, height // n
     nctu = cw * ch
-    lanes = min(ch, cw // 2 + 1)
-    n_waves = 2 * ch + cw - 2
+    sched = schedule(cw, ch)
     qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp)
     geom = (cw, ch, width)
 
+    oy_w, ou_w, ov_w = wave_inputs(sched, nctu, [oy, ou, ov])
+    xs = (
+        oy_w,
+        ou_w,
+        ov_w,
+        jnp.asarray(sched["rs"]),
+        jnp.asarray(sched["cs"]),
+        jnp.asarray(sched["valid"]),
+        jnp.asarray(sched["idx"]),
+    )
+
     blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
     blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
-    lev_y0 = jnp.zeros((nctu, n, n), jnp.int32)
-    lev_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
     modes0 = jnp.zeros((nctu,), jnp.int32)
 
-    def wave(carry, d):
-        blk_y, blk_u, blk_v, modes, lev_y_a, lev_cb_a, lev_cr_a = carry
-        k = jnp.arange(lanes, dtype=jnp.int32)
-        r_min = jnp.maximum(0, (d - cw + 2) // 2)
-        r = r_min + k
-        c = d - 2 * r
-        valid = (r < ch) & (c >= 0) & (c < cw)
-        rs = jnp.where(valid, r, 0)
-        cs = jnp.where(valid, c, 0)
-        idx = rs * cw + cs
+    def wave(carry, x):
+        blk_y, blk_u, blk_v, modes = carry
+        oyw, ouw, ovw, rs, cs, valid, idx = x
         cand_a = modes[jnp.maximum(idx - 1, 0)]
 
-        mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr = jax.vmap(
-            _encode_ctu, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, None, None, None, None)
-        )(blk_y, blk_u, blk_v, oy[idx], ou[idx], ov[idx], rs, cs, cand_a, qp, qp_c, lam, geom)
+        mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr = _encode_ctu_wave(
+            blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_c, lam, geom
+        )
 
         out_idx = jnp.where(valid, idx, nctu)
         blk_y = blk_y.at[out_idx].set(rec_y, mode="drop")
         blk_u = blk_u.at[out_idx].set(rec_cb, mode="drop")
         blk_v = blk_v.at[out_idx].set(rec_cr, mode="drop")
         modes = modes.at[out_idx].set(mode, mode="drop")
-        lev_y_a = lev_y_a.at[out_idx].set(lev_y, mode="drop")
-        lev_cb_a = lev_cb_a.at[out_idx].set(lev_cb, mode="drop")
-        lev_cr_a = lev_cr_a.at[out_idx].set(lev_cr, mode="drop")
-        return (blk_y, blk_u, blk_v, modes, lev_y_a, lev_cb_a, lev_cr_a), None
+        return (blk_y, blk_u, blk_v, modes), (mode, lev_y, lev_cb, lev_cr)
 
-    carry0 = (blk_y0, blk_c0, jnp.zeros_like(blk_c0), modes0, lev_y0, lev_c0, jnp.zeros_like(lev_c0))
-    (blk_y, blk_u, blk_v, modes, lev_y_a, lev_cb_a, lev_cr_a), _ = jax.lax.scan(
-        wave, carry0, jnp.arange(n_waves, dtype=jnp.int32)
+    carry0 = (blk_y0, blk_c0, jnp.zeros_like(blk_c0), modes0)
+    (blk_y, blk_u, blk_v, modes), (mode_w, lev_y_w, lev_cb_w, lev_cr_w) = jax.lax.scan(
+        wave, carry0, xs
     )
-    return _finish(modes, lev_y_a, lev_cb_a, lev_cr_a, blk_y, blk_u, blk_v, width, height)
+    return _finish(
+        wave_to_raster(sched, mode_w),
+        wave_to_raster(sched, lev_y_w),
+        wave_to_raster(sched, lev_cb_w),
+        wave_to_raster(sched, lev_cr_w),
+        blk_y,
+        blk_u,
+        blk_v,
+        width,
+        height,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))

@@ -2,8 +2,11 @@
 
 The idiomatic successor of the reference's KvazaarFilter
 (/root/reference/src/media/processing/kvazaarfilter.cpp:331-495: feed
-pictures, drain chunked NALs): device scan encodes, host muxes the
-bitstream.
+pictures, drain chunked NALs): device scans encode, host muxes the
+bitstream.  GOP structure: IDR every `intra_period` frames, low-delay P
+chain against the previous (deblocked) picture in between — the
+kvazaarfilter low-delay configuration (GOP lp-*, kvazaarfilter.cpp:233)
+with one active reference.
 """
 
 from __future__ import annotations
@@ -12,19 +15,31 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.nal import NalType, NalUnit, compose_nal
-from ..core.params import SliceHeader, StreamConfig, compose_pps, compose_slice_header, compose_sps, compose_vps
-from ..entropy.slice_data import encode_slice_data_intra
+from ..core.params import (
+    SliceHeader,
+    StreamConfig,
+    compose_pps,
+    compose_slice_header,
+    compose_sps,
+    compose_vps,
+)
+from ..entropy.slice_data import encode_slice_data_intra, encode_slice_data_p
+from ..ops.deblock import compute_bs, deblock_frame
+from .frame_inter import encode_frame_p
 from .frame_intra import encode_frame_intra
 
 
 class Encoder:
-    """All-intra HEVC encoder (v1 tool-set; see frame_intra.py)."""
+    """HEVC encoder: all-intra or low-delay P (see frame_intra/frame_inter)."""
 
-    def __init__(self, cfg: StreamConfig) -> None:
+    def __init__(self, cfg: StreamConfig, intra_period: int = 1) -> None:
         if cfg.width % cfg.ctb_size or cfg.height % cfg.ctb_size:
             raise ValueError("v1 requires CTB-aligned dimensions (pad input)")
         self.cfg = cfg
+        self.intra_period = max(1, intra_period)
         self._frame_count = 0
+        self._poc = 0
+        self._ref = None  # DPB: one (y, u, v) uint8 tuple (post-deblock)
 
     def headers(self) -> bytes:
         cfg = self.cfg
@@ -32,38 +47,79 @@ class Encoder:
             compose_nal(n) for n in (compose_vps(cfg), compose_sps(cfg), compose_pps(cfg))
         )
 
-    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
-        """Returns (annexb_bytes, recon_yuv_tuple)."""
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int | None = None):
+        """Returns (annexb_bytes, recon_yuv_tuple).  qp overrides cfg.qp
+        (rate control hook) — must equal the PPS init QP via slice_qp_delta."""
         cfg = self.cfg
-        out = encode_frame_intra(
-            jnp.asarray(y),
-            jnp.asarray(u),
-            jnp.asarray(v),
-            cfg.qp,
-            width=cfg.width,
-            height=cfg.height,
-        )
-        modes = np.asarray(out["mode"])
-        payload = encode_slice_data_intra(
-            cfg,
-            modes,
-            np.asarray(out["lev_y"]),
-            np.asarray(out["lev_cb"]),
-            np.asarray(out["lev_cr"]),
-        )
-        sh = SliceHeader(slice_type=2, qp=cfg.qp, nal_type=NalType.IDR_W_RADL)
+        qp = cfg.qp if qp is None else qp
+        is_idr = self._frame_count % self.intra_period == 0 or self._ref is None
+
+        if is_idr:
+            out = encode_frame_intra(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+                width=cfg.width, height=cfg.height,
+            )
+            payload = encode_slice_data_intra(
+                cfg,
+                np.asarray(out["mode"]),
+                np.asarray(out["lev_y"]),
+                np.asarray(out["lev_cb"]),
+                np.asarray(out["lev_cr"]),
+            )
+            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+            self._poc = 0
+            bs_v = bs_h = None
+        else:
+            ry, ru, rv = self._ref
+            out = encode_frame_p(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), qp,
+                width=cfg.width, height=cfg.height,
+            )
+            ctype = np.asarray(out["ctype"])
+            lev_y = np.asarray(out["lev_y"])
+            payload = encode_slice_data_p(
+                cfg,
+                ctype,
+                np.asarray(out["intra_mode"]),
+                np.asarray(out["mv"]),
+                np.asarray(out["mvp_flag"]),
+                np.asarray(out["mvd"]),
+                lev_y,
+                np.asarray(out["lev_cb"]),
+                np.asarray(out["lev_cr"]),
+                slice_qp=qp,
+            )
+            self._poc += 1
+            sh = SliceHeader(
+                slice_type=1,
+                qp=qp,
+                nal_type=NalType.TRAIL_R,
+                pic_order_cnt_lsb=self._poc % (1 << cfg.log2_max_poc_lsb),
+                num_negative_pics=1,
+                delta_pocs=(-1,),
+            )
+            bs_v, bs_h = compute_bs(
+                jnp.asarray(ctype),
+                jnp.asarray(np.any(lev_y, axis=(1, 2))),
+                jnp.asarray(out["mv"]),
+                cfg.ctbs_w,
+                cfg.ctbs_h,
+            )
+
         w = compose_slice_header(cfg, sh)
         w.write_bytes(payload)
-        nal = NalUnit(NalType.IDR_W_RADL, w.data())
         stream = b""
         if self._frame_count == 0:
             stream += self.headers()
-        stream += compose_nal(nal)
+        stream += compose_nal(NalUnit(sh.nal_type, w.data()))
         self._frame_count += 1
+
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
         if cfg.deblocking_enabled:
-            from ..ops.deblock import deblock_frame
-
-            ry, ru, rv = deblock_frame(ry, ru, rv, cfg.qp, spacing=cfg.ctb_size)
+            ry, ru, rv = deblock_frame(
+                ry, ru, rv, qp, spacing=cfg.ctb_size, bs_v=bs_v, bs_h=bs_h
+            )
         recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+        self._ref = recon
         return stream, recon

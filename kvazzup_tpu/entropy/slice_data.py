@@ -150,3 +150,260 @@ def decode_slice_data_intra(cfg: StreamConfig, payload: bytes, slice_qp: int, us
         if end != expected:
             raise ValueError(f"end_of_slice mismatch at CTU {i}: {end} != {expected}")
     return modes, lev_y, lev_cb, lev_cr
+
+
+# ---------------------------------------------------------------- P slices
+
+CT_INTRA, CT_MERGE, CT_AMVP, CT_SKIP = 0, 1, 2, 3
+
+
+def _write_egk(enc: CabacEncoder, v: int, k: int) -> None:
+    while v >= (1 << k):
+        enc.encode_bypass(1)
+        v -= 1 << k
+        k += 1
+    enc.encode_bypass(0)
+    enc.encode_bypass_bits(v, k)
+
+
+def _read_egk(dec: CabacDecoder, k: int) -> int:
+    v = 0
+    while dec.decode_bypass():
+        v += 1 << k
+        k += 1
+    return v + dec.decode_bypass_bits(k)
+
+
+def _encode_mvd(enc: CabacEncoder, mvd_x: int, mvd_y: int) -> None:
+    """mvd_coding (7.3.8.9)."""
+    base = OFFSETS["abs_mvd_greater_flag"]
+    ax, ay = abs(mvd_x), abs(mvd_y)
+    enc.encode_bin(base, 1 if ax > 0 else 0)
+    enc.encode_bin(base, 1 if ay > 0 else 0)
+    if ax > 0:
+        enc.encode_bin(base + 1, 1 if ax > 1 else 0)
+    if ay > 0:
+        enc.encode_bin(base + 1, 1 if ay > 1 else 0)
+    for a, v in ((ax, mvd_x), (ay, mvd_y)):
+        if a > 0:
+            if a > 1:
+                _write_egk(enc, a - 2, 1)
+            enc.encode_bypass(1 if v < 0 else 0)
+
+
+def _decode_mvd(dec: CabacDecoder) -> tuple[int, int]:
+    base = OFFSETS["abs_mvd_greater_flag"]
+    g0x = dec.decode_bin(base)
+    g0y = dec.decode_bin(base)
+    g1x = dec.decode_bin(base + 1) if g0x else 0
+    g1y = dec.decode_bin(base + 1) if g0y else 0
+    out = []
+    for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+        a = 0
+        if g0:
+            a = 1
+            if g1:
+                a = 2 + _read_egk(dec, 1)
+            if dec.decode_bypass():
+                a = -a
+        out.append(a)
+    return out[0], out[1]
+
+
+def _merge_first_mv(i, ctbs_w, nctu, inter, mvs):
+    """First-available merge candidate (A1, B1, B0, B2; TMVP off) —
+    mirrors encoder/frame_inter._first_inter_mv."""
+    c = i % ctbs_w
+    r = i // ctbs_w
+    cands = []
+    if c > 0:
+        cands.append(i - 1)
+    if r > 0:
+        cands.append(i - ctbs_w)
+    if r > 0 and c + 1 < ctbs_w:
+        cands.append(i - ctbs_w + 1)
+    # reorder to A1, B1, B0, B2
+    order = []
+    if c > 0:
+        order.append(i - 1)
+    if r > 0:
+        order.append(i - ctbs_w)
+    if r > 0 and c + 1 < ctbs_w:
+        order.append(i - ctbs_w + 1)
+    if r > 0 and c > 0:
+        order.append(i - ctbs_w - 1)
+    for j in order:
+        if inter[j]:
+            return np.array(mvs[j])
+    return np.zeros(2, np.int32)
+
+
+def _amvp_candidates(i, ctbs_w, inter, mvs):
+    c = i % ctbs_w
+    r = i // ctbs_w
+    a_ok = c > 0 and inter[i - 1]
+    a_mv = np.array(mvs[i - 1]) if a_ok else np.zeros(2, np.int32)
+    b_ok, b_mv = False, np.zeros(2, np.int32)
+    order = []
+    if r > 0 and c + 1 < ctbs_w:
+        order.append(i - ctbs_w + 1)
+    if r > 0:
+        order.append(i - ctbs_w)
+    if r > 0 and c > 0:
+        order.append(i - ctbs_w - 1)
+    for j in order:
+        if inter[j]:
+            b_ok, b_mv = True, np.array(mvs[j])
+            break
+    both = a_ok and b_ok
+    same = both and np.array_equal(a_mv, b_mv)
+    mvp0 = a_mv if a_ok else (b_mv if b_ok else np.zeros(2, np.int32))
+    mvp1 = b_mv if (both and not same) else np.zeros(2, np.int32)
+    return mvp0, mvp1
+
+
+def encode_slice_data_p(
+    cfg: StreamConfig,
+    ctype: np.ndarray,
+    intra_modes: np.ndarray,
+    mvs: np.ndarray,
+    mvp_flags: np.ndarray,
+    mvds: np.ndarray,
+    lev_y: np.ndarray,
+    lev_cb: np.ndarray,
+    lev_cr: np.ndarray,
+    slice_qp: int | None = None,
+) -> bytes:
+    """P-slice CTU syntax (CU == CTB == 16, one ref, MaxNumMergeCand=1)."""
+    enc = CabacEncoder(init_type=1, slice_qp=slice_qp if slice_qp is not None else cfg.qp)
+    ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
+    nctu = ctbs_w * ctbs_h
+    skip = np.zeros(nctu, dtype=bool)
+    for i in range(nctu):
+        c = i % ctbs_w
+        r = i // ctbs_w
+        ct = int(ctype[i])
+        # cu_skip_flag: ctx from left/above skip flags
+        ctx = 0
+        if c > 0 and skip[i - 1]:
+            ctx += 1
+        if r > 0 and skip[i - ctbs_w]:
+            ctx += 1
+        is_skip = ct == CT_SKIP
+        enc.encode_bin(OFFSETS["cu_skip_flag"] + ctx, 1 if is_skip else 0)
+        skip[i] = is_skip
+        if not is_skip:
+            enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == CT_INTRA else 0)
+            if ct == CT_INTRA:
+                enc.encode_bin(OFFSETS["part_mode"], 1)  # 2Nx2N
+                cand_a = (
+                    int(intra_modes[i - 1])
+                    if (c > 0 and ctype[i - 1] == CT_INTRA)
+                    else 1
+                )
+                _encode_luma_mode(enc, int(intra_modes[i]), cand_a, 1)
+                enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+            else:
+                enc.encode_bin(OFFSETS["part_mode"], 1)  # 2Nx2N
+                enc.encode_bin(OFFSETS["merge_flag"], 1 if ct == CT_MERGE else 0)
+                if ct == CT_AMVP:
+                    _encode_mvd(enc, int(mvds[i][0]), int(mvds[i][1]))
+                    enc.encode_bin(OFFSETS["mvp_flag"], int(mvp_flags[i]))
+            cbf_cb = 1 if np.any(lev_cb[i]) else 0
+            cbf_cr = 1 if np.any(lev_cr[i]) else 0
+            cbf_y = 1 if np.any(lev_y[i]) else 0
+            root_cbf = cbf_y or cbf_cb or cbf_cr
+            if ct == CT_AMVP:
+                enc.encode_bin(OFFSETS["rqt_root_cbf"], 1 if root_cbf else 0)
+            if ct == CT_MERGE:
+                assert root_cbf, "zero-residual merge must be coded as skip"
+            if ct == CT_INTRA or root_cbf:
+                enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+                enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+                if ct == CT_INTRA or cbf_cb or cbf_cr:
+                    enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+                else:
+                    assert cbf_y, "inter depth-0 luma cbf inferred to 1"
+                if cbf_y:
+                    encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
+                if cbf_cb:
+                    encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
+                if cbf_cr:
+                    encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    return enc.data()
+
+
+def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int):
+    """Inverse of encode_slice_data_p; also reconstructs per-CTU MVs."""
+    dec = CabacDecoder(payload, init_type=1, slice_qp=slice_qp)
+    ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
+    nctu = ctbs_w * ctbs_h
+    n = cfg.ctb_size
+    ctype = np.zeros(nctu, dtype=np.int32)
+    intra_modes = np.zeros(nctu, dtype=np.int32)
+    mvs = np.zeros((nctu, 2), dtype=np.int32)
+    inter = np.zeros(nctu, dtype=bool)
+    skip = np.zeros(nctu, dtype=bool)
+    lev_y = np.zeros((nctu, n, n), dtype=np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
+    for i in range(nctu):
+        c = i % ctbs_w
+        r = i // ctbs_w
+        ctx = 0
+        if c > 0 and skip[i - 1]:
+            ctx += 1
+        if r > 0 and skip[i - ctbs_w]:
+            ctx += 1
+        if dec.decode_bin(OFFSETS["cu_skip_flag"] + ctx):
+            skip[i] = True
+            inter[i] = True
+            ctype[i] = CT_SKIP
+            mvs[i] = _merge_first_mv(i, ctbs_w, nctu, inter, mvs)
+        else:
+            if dec.decode_bin(OFFSETS["pred_mode_flag"]):
+                ctype[i] = CT_INTRA
+                if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+                    raise NotImplementedError("NxN partition")
+                cand_a = (
+                    int(intra_modes[i - 1])
+                    if (c > 0 and ctype[i - 1] == CT_INTRA)
+                    else 1
+                )
+                intra_modes[i] = _decode_luma_mode(dec, cand_a, 1)
+                if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+                    raise NotImplementedError("non-DM chroma")
+            else:
+                inter[i] = True
+                if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+                    raise NotImplementedError("inter partition != 2Nx2N")
+                if dec.decode_bin(OFFSETS["merge_flag"]):
+                    ctype[i] = CT_MERGE
+                    mvs[i] = _merge_first_mv(i, ctbs_w, nctu, inter, mvs)
+                else:
+                    ctype[i] = CT_AMVP
+                    mvd = _decode_mvd(dec)
+                    flag = dec.decode_bin(OFFSETS["mvp_flag"])
+                    mvp0, mvp1 = _amvp_candidates(i, ctbs_w, inter, mvs)
+                    mvs[i] = (mvp1 if flag else mvp0) + np.array(mvd, np.int32)
+            root_cbf = True
+            if ctype[i] == CT_AMVP:
+                root_cbf = bool(dec.decode_bin(OFFSETS["rqt_root_cbf"]))
+            if ctype[i] == CT_INTRA or root_cbf:
+                cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+                cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+                if ctype[i] == CT_INTRA or cbf_cb or cbf_cr:
+                    cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+                else:
+                    cbf_y = 1
+                if cbf_y:
+                    lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
+                if cbf_cb:
+                    lev_cb[i] = decode_residual(dec, cfg.ctb_log2 - 1, 1)
+                if cbf_cr:
+                    lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
+        end = dec.decode_terminate()
+        if end != (1 if i == nctu - 1 else 0):
+            raise ValueError(f"end_of_slice mismatch at CTU {i}")
+    return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr

@@ -7,8 +7,10 @@ expression over (edges x lines).  This replaces kvazaar's per-CTU `filter.c`
 job with two dense passes (Reconstruction group,
 dependencies/kvazaar_CMakeLists.txt:207-218).
 
-Current tool-set: all-intra, uniform QP -> boundary strength 2 on every
-CU edge; edge spacing = CU size.  The bS map generalizes when inter lands.
+Boundary strength: with the current CU == TU == PU == spacing tool-set, bS
+is uniform along each block edge — bS maps are (edge, block) arrays
+(2 on intra edges, 1 on cbf/MV-discontinuity inter edges, else 0; 8.7.2.4).
+All-intra callers pass None (every edge bS = 2).
 """
 
 from __future__ import annotations
@@ -34,11 +36,37 @@ TC_TABLE = np.array(
 )
 
 
-def _luma_edge_filter(s, beta, tc):
+def compute_bs(ctype, cbf_y, mvs, cw: int, ch: int):
+    """Per-edge boundary strengths for the uniform-CU tool-set (8.7.2.4).
+
+    ctype: (nctu,) with 0 == intra; cbf_y: (nctu,) bool; mvs: (nctu, 2).
+    Returns (bs_v (cw-1, ch), bs_h (ch-1, cw)) int32 in {0, 1, 2}.
+    """
+    is_intra = (ctype == 0).reshape(ch, cw)
+    cbf = cbf_y.reshape(ch, cw)
+    mv = mvs.reshape(ch, cw, 2)
+
+    def pair_bs(ia, ib, ca, cb, ma, mb):
+        intra_edge = ia | ib
+        cbf_edge = ca | cb
+        mv_edge = jnp.any(jnp.abs(ma - mb) >= 4, axis=-1)
+        return jnp.where(intra_edge, 2, jnp.where(cbf_edge | mv_edge, 1, 0)).astype(jnp.int32)
+
+    bs_v = pair_bs(
+        is_intra[:, :-1], is_intra[:, 1:], cbf[:, :-1], cbf[:, 1:], mv[:, :-1], mv[:, 1:]
+    ).T  # (cw-1, ch)
+    bs_h = pair_bs(
+        is_intra[:-1, :], is_intra[1:, :], cbf[:-1, :], cbf[1:, :], mv[:-1], mv[1:]
+    )  # (ch-1, cw)
+    return bs_v, bs_h
+
+
+def _luma_edge_filter(s, beta, tc, gate):
     """Filter one batch of luma edge slabs.
 
-    s: (..., L, 8) int32 — L filtering lines (multiple of 4), 8 samples
-    across the edge [p3 p2 p1 p0 q0 q1 q2 q3].  Returns filtered slabs.
+    s: (E, L, 8) int32 — L filtering lines (multiple of 4), 8 samples
+    across the edge [p3 p2 p1 p0 q0 q1 q2 q3].  tc: (E, L) per-line tc;
+    gate: (E, L) bool (bS > 0).  Returns filtered slabs.
     """
     p3, p2, p1, p0 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
     q0, q1, q2, q3 = s[..., 4], s[..., 5], s[..., 6], s[..., 7]
@@ -48,6 +76,8 @@ def _luma_edge_filter(s, beta, tc):
     gp2, gp1, gp0 = g(p2), g(p1), g(p0)
     gq0, gq1, gq2 = g(q0), g(q1), g(q2)
     gp3, gq3 = g(p3), g(q3)
+    tc_g = g(tc)[..., 0]
+    gate_g = g(gate)[..., 0]
 
     dp = jnp.abs(gp2 - 2 * gp1 + gp0)  # (..., G, 4)
     dq = jnp.abs(gq2 - 2 * gq1 + gq0)
@@ -56,18 +86,18 @@ def _luma_edge_filter(s, beta, tc):
     d0 = dp0 + dq0
     d3 = dp3 + dq3
     d = d0 + d3
-    filter_on = d < beta  # (..., G)
+    filter_on = (d < beta) & gate_g  # (..., G)
 
     def strong_cond(i):
         ddp = dp[..., i]
         ddq = dq[..., i]
         c1 = 2 * (ddp + ddq) < (beta >> 2)
         c2 = jnp.abs(gp3[..., i] - gp0[..., i]) + jnp.abs(gq0[..., i] - gq3[..., i]) < (beta >> 3)
-        c3 = jnp.abs(gp0[..., i] - gq0[..., i]) < ((5 * tc + 1) >> 1)
+        c3 = jnp.abs(gp0[..., i] - gq0[..., i]) < ((5 * tc_g + 1) >> 1)
         return c1 & c2 & c3
 
     strong = strong_cond(0) & strong_cond(3)  # (..., G)
-    up = lambda m: jnp.repeat(m, 4, axis=-1).reshape(s.shape[:-1])  # (..., L)
+    up = lambda m: jnp.repeat(m, 4, axis=-1)  # (..., L)
     filter_on_l = up(filter_on)
     strong_l = up(strong)
 
@@ -109,12 +139,14 @@ def _luma_edge_filter(s, beta, tc):
     return jnp.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3], axis=-1)
 
 
-def _chroma_edge_filter(s, tc):
-    """Chroma filter (bS == 2): s: (..., L, 4) = [p1 p0 q0 q1]."""
+def _chroma_edge_filter(s, tc, gate):
+    """Chroma filter (bS == 2 only): s: (E, L, 4) = [p1 p0 q0 q1]."""
     p1, p0, q0, q1 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
     cl1 = lambda x: jnp.clip(x, 0, 255)
-    return jnp.stack([p1, cl1(p0 + delta), cl1(q0 - delta), q1], axis=-1)
+    np0 = jnp.where(gate, cl1(p0 + delta), p0)
+    nq0 = jnp.where(gate, cl1(q0 - delta), q0)
+    return jnp.stack([p1, np0, nq0, q1], axis=-1)
 
 
 def _edge_positions(size: int, spacing: int) -> np.ndarray:
@@ -122,34 +154,40 @@ def _edge_positions(size: int, spacing: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("spacing", "beta_offset", "tc_offset"))
-def deblock_frame(y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_offset: int = 0):
-    """Deblock one picture (uniform QP, all-intra bS=2 on every CU edge).
+def deblock_frame(
+    y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_offset: int = 0,
+    bs_v=None, bs_h=None,
+):
+    """Deblock one picture (uniform QP; per-edge bS maps, default all-2).
 
-    y: (H, W) uint8/int32; u, v: (H/2, W/2).  Returns filtered planes
-    (uint8).  `spacing` = CU size in luma samples.
+    y: (H, W) uint8/int32; u, v: (H/2, W/2).  bs_v: (n_v_edges, H/spacing),
+    bs_h: (n_h_edges, W/spacing).  Returns filtered planes (uint8).
     """
     from ..core.tables import CHROMA_QP_TABLE
 
     qp = jnp.asarray(qp, jnp.int32)
     beta_tab = jnp.asarray(BETA_TABLE)
     tc_tab = jnp.asarray(TC_TABLE)
-    q_b = jnp.clip(qp + (beta_offset << 1), 0, 51)
-    beta = beta_tab[q_b]
-    q_tc = jnp.clip(qp + 2 * (2 - 1) + (tc_offset << 1), 0, 53)  # bS=2
-    tc = tc_tab[q_tc]
+    beta = beta_tab[jnp.clip(qp + (beta_offset << 1), 0, 51)]
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
-    q_tc_c = jnp.clip(qp_c + 2 + (tc_offset << 1), 0, 53)
-    tc_c = tc_tab[q_tc_c]
 
     y32 = y.astype(jnp.int32)
     h, w = y32.shape
 
+    def luma_tc_gate(bs, nlines):
+        """bs: (E, nblocks) -> per-line (E, L) tc and gate."""
+        bs_l = jnp.repeat(bs, spacing, axis=1)
+        tc = tc_tab[jnp.clip(qp + 2 * (jnp.maximum(bs_l, 1) - 1) + (tc_offset << 1), 0, 53)]
+        return tc, bs_l > 0
+
     # ---- vertical edges (filter across columns), whole picture at once
     xe = _edge_positions(w, spacing)
     if len(xe):
+        bs = bs_v if bs_v is not None else jnp.full((len(xe), h // spacing), 2, jnp.int32)
+        tc, gate = luma_tc_gate(bs, h)
         cols = (xe[:, None] + np.arange(-4, 4)[None, :]).reshape(-1)  # (E*8,)
         slabs = y32[:, cols].reshape(h, len(xe), 8).transpose(1, 0, 2)  # (E, H, 8)
-        out = _luma_edge_filter(slabs, beta, tc)
+        out = _luma_edge_filter(slabs, beta, tc, gate)
         wcols = (xe[:, None] + np.arange(-3, 3)[None, :]).reshape(-1)
         y32 = y32.at[:, wcols].set(
             out[..., 1:7].transpose(1, 0, 2).reshape(h, len(xe) * 6)
@@ -158,33 +196,41 @@ def deblock_frame(y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_of
     # ---- horizontal edges on the vertically-filtered picture
     ye = _edge_positions(h, spacing)
     if len(ye):
+        bs = bs_h if bs_h is not None else jnp.full((len(ye), w // spacing), 2, jnp.int32)
+        tc, gate = luma_tc_gate(bs, w)
         rows = (ye[:, None] + np.arange(-4, 4)[None, :]).reshape(-1)
         slabs = y32[rows, :].reshape(len(ye), 8, w).transpose(0, 2, 1)  # (E, W, 8)
-        out = _luma_edge_filter(slabs, beta, tc)
+        out = _luma_edge_filter(slabs, beta, tc, gate)
         wrows = (ye[:, None] + np.arange(-3, 3)[None, :]).reshape(-1)
         y32 = y32.at[wrows, :].set(
             out[..., 1:7].transpose(0, 2, 1).reshape(len(ye) * 6, w)
         )
 
-    # ---- chroma (half resolution, edge spacing/2, [p1 p0 q0 q1])
+    # ---- chroma (half resolution, edge spacing/2, [p1 p0 q0 q1]); bS==2 only
+    tc_c_tab = tc_tab[jnp.clip(qp_c + 2 + (tc_offset << 1), 0, 53)]
+
     def chroma_plane(c):
         c32 = c.astype(jnp.int32)
-        ch, cw = c32.shape
+        ch_, cw_ = c32.shape
         sp = spacing // 2
-        xe = _edge_positions(cw, sp)
+        xe = _edge_positions(cw_, sp)
         if len(xe):
+            bs = bs_v if bs_v is not None else jnp.full((len(xe), ch_ // sp), 2, jnp.int32)
+            gate = jnp.repeat(bs == 2, sp, axis=1)
             cols = (xe[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
-            slabs = c32[:, cols].reshape(ch, len(xe), 4).transpose(1, 0, 2)
-            out = _chroma_edge_filter(slabs, tc_c)
+            slabs = c32[:, cols].reshape(ch_, len(xe), 4).transpose(1, 0, 2)
+            out = _chroma_edge_filter(slabs, tc_c_tab, gate)
             wcols = (xe[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
-            c32 = c32.at[:, wcols].set(out[..., 1:3].transpose(1, 0, 2).reshape(ch, len(xe) * 2))
-        ye = _edge_positions(ch, sp)
+            c32 = c32.at[:, wcols].set(out[..., 1:3].transpose(1, 0, 2).reshape(ch_, len(xe) * 2))
+        ye = _edge_positions(ch_, sp)
         if len(ye):
+            bs = bs_h if bs_h is not None else jnp.full((len(ye), cw_ // sp), 2, jnp.int32)
+            gate = jnp.repeat(bs == 2, sp, axis=1)
             rows = (ye[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
-            slabs = c32[rows, :].reshape(len(ye), 4, cw).transpose(0, 2, 1)
-            out = _chroma_edge_filter(slabs, tc_c)
+            slabs = c32[rows, :].reshape(len(ye), 4, cw_).transpose(0, 2, 1)
+            out = _chroma_edge_filter(slabs, tc_c_tab, gate)
             wrows = (ye[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
-            c32 = c32.at[wrows, :].set(out[..., 1:3].transpose(0, 2, 1).reshape(len(ye) * 2, cw))
+            c32 = c32.at[wrows, :].set(out[..., 1:3].transpose(0, 2, 1).reshape(len(ye) * 2, cw_))
         return c32.astype(jnp.uint8)
 
     return y32.astype(jnp.uint8), chroma_plane(u), chroma_plane(v)

@@ -1,0 +1,117 @@
+"""Motion compensation: HEVC sub-pel interpolation (8.5.4.2).
+
+Luma 8-tap and chroma 4-tap DCT-IF filters, two-stage (horizontal then
+vertical) with the normative 14-bit intermediate domain.  Fractional parts
+are traced scalars indexing the filter bank, so one compiled kernel serves
+every sub-pel position.  Reference-picture edge extension is realized by
+padding + MV clamp (identical semantics to the spec's coordinate clipping).
+
+Counterpart: kvazaar `inter.c` / `ipol` strategy kernels (Reconstruction
+group, dependencies/kvazaar_CMakeLists.txt:207-218).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Table 8-11: luma interpolation coefficients per quarter-pel phase
+LUMA_FILTERS = np.array(
+    [
+        [0, 0, 0, 64, 0, 0, 0, 0],
+        [-1, 4, -10, 58, 17, -5, 1, 0],
+        [-1, 4, -11, 40, 40, -11, 4, -1],
+        [0, 1, -5, 17, 58, -10, 4, -1],
+    ],
+    dtype=np.int32,
+)
+# Table 8-13: chroma interpolation coefficients per eighth-pel phase
+CHROMA_FILTERS = np.array(
+    [
+        [0, 64, 0, 0],
+        [-2, 58, 10, -2],
+        [-4, 54, 16, -2],
+        [-6, 46, 28, -4],
+        [-4, 36, 36, -4],
+        [-4, 28, 46, -6],
+        [-2, 16, 54, -4],
+        [-2, 10, 58, -2],
+    ],
+    dtype=np.int32,
+)
+
+LUMA_PAD = 4  # taps reach [-3, +4] around the integer position
+CHROMA_PAD = 2
+
+
+def pad_reference(plane: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Edge-replicated padded reference (spec 8.5.4.2: coordinate clamping)."""
+    return jnp.pad(plane.astype(jnp.int32), pad, mode="edge")
+
+
+def _filt_h(window, coef):
+    """window: (..., H, W+7); coef: (8,) -> (..., H, W)."""
+    taps = coef.shape[0]
+    w_out = window.shape[-1] - taps + 1
+    acc = jnp.zeros(window.shape[:-1] + (w_out,), jnp.int32)
+    for k in range(taps):
+        acc = acc + coef[k] * window[..., k : k + w_out]
+    return acc
+
+
+def _filt_v(window, coef):
+    taps = coef.shape[0]
+    h_out = window.shape[-2] - taps + 1
+    acc = jnp.zeros(window.shape[:-2] + (h_out,) + window.shape[-1:], jnp.int32)
+    for k in range(taps):
+        acc = acc + coef[k] * window[..., k : k + h_out, :]
+    return acc
+
+
+def mc_luma(ref_pad, x0, y0, mv_x, mv_y, size: int, width: int, height: int, pad: int):
+    """Uni-directional luma prediction block, quarter-pel MV.
+
+    ref_pad: edge-padded reference, pad >= LUMA_PAD + max MV reach.
+    (x0, y0): block origin; (mv_x, mv_y): MV in quarter-pel units (traced).
+    Returns (size, size) uint8-range int32.
+    """
+    ix = x0 + (mv_x >> 2)
+    iy = y0 + (mv_y >> 2)
+    fx = mv_x & 3
+    fy = mv_y & 3
+    # clamp integer position so all taps stay inside the padded plane —
+    # matches normative coordinate clipping given edge-replicated padding
+    ix = jnp.clip(ix, -pad + LUMA_PAD, width + pad - size - LUMA_PAD)
+    iy = jnp.clip(iy, -pad + LUMA_PAD, height + pad - size - LUMA_PAD)
+    win = jax.lax.dynamic_slice(
+        ref_pad,
+        (pad + iy - 3, pad + ix - 3),
+        (size + 7, size + 7),
+    )
+    ch = jnp.asarray(LUMA_FILTERS)[fx]
+    cv = jnp.asarray(LUMA_FILTERS)[fy]
+    tmp = _filt_h(win, ch)  # (size+7, size), 14-bit domain (shift1=0 @8bit)
+    val = _filt_v(tmp, cv) >> 6  # vertical, shift2=6
+    return jnp.clip((val + 32) >> 6, 0, 255)
+
+
+def mc_chroma(ref_pad, x0, y0, mv_x, mv_y, size: int, width: int, height: int, pad: int):
+    """Uni-directional chroma prediction (eighth-pel; MV given in luma
+    quarter-pel units -> chroma eighth-pel is the same integer value)."""
+    ix = x0 + (mv_x >> 3)
+    iy = y0 + (mv_y >> 3)
+    fx = mv_x & 7
+    fy = mv_y & 7
+    ix = jnp.clip(ix, -pad + CHROMA_PAD, width + pad - size - CHROMA_PAD)
+    iy = jnp.clip(iy, -pad + CHROMA_PAD, height + pad - size - CHROMA_PAD)
+    win = jax.lax.dynamic_slice(
+        ref_pad,
+        (pad + iy - 1, pad + ix - 1),
+        (size + 3, size + 3),
+    )
+    ch = jnp.asarray(CHROMA_FILTERS)[fx]
+    cv = jnp.asarray(CHROMA_FILTERS)[fy]
+    tmp = _filt_h(win, ch)
+    val = _filt_v(tmp, cv) >> 6
+    return jnp.clip((val + 32) >> 6, 0, 255)

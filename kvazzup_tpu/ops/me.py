@@ -1,0 +1,159 @@
+"""Integer + half-pel motion estimation as dense frame-level passes.
+
+TPU inversion of kvazaar's TZ/hex search (`search_inter.c`, Compression
+group): data-dependent stepping becomes a static three-stage funnel —
+full-search SAD at half resolution, +-2 full-pel refinement, half-pel
+refinement with the normative interpolation filters — each stage one
+batched tensor expression over every block of the frame.  ME reads only
+the original frame and the (already final) reference picture, so it runs
+*before* the CTU wavefront; only AMVP/merge resolution stays in the scan.
+
+MV cost is approximated with an exp-Golomb-ish bit model (lambda-weighted),
+the same role as kvazaar's mv cost tables.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mc import LUMA_FILTERS
+
+
+def _block_sums(x, bs: int):
+    """(H, W) -> (H/bs * W/bs,) sums per block, raster order."""
+    h, w = x.shape
+    return x.reshape(h // bs, bs, w // bs, bs).sum(axis=(1, 3)).reshape(-1)
+
+
+def _mv_bits(v):
+    """~ exp-Golomb coded length of one MV component (quarter-pel units)."""
+    return 2.0 * jnp.log2(jnp.abs(v).astype(jnp.float32) + 1.0) + 1.0
+
+
+@functools.partial(jax.jit, static_argnames=("block", "search_range", "width", "height"))
+def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int = 16,
+                  width: int, height: int):
+    """Full-frame motion search.  orig_y/ref_y: (H, W) uint8.
+
+    Returns (mv_qpel (nctu, 2) int32 [x, y], cost (nctu,) int32 SAD at the
+    chosen MV).  MVs are clamped to +-search_range full-pel.
+    """
+    bs = block
+    cw, ch = width // bs, height // bs
+    nctu = cw * ch
+    lam = lam_x1k / 1024.0
+    orig = orig_y.astype(jnp.int32)
+    ref = ref_y.astype(jnp.int32)
+
+    # ---- stage 1: full search at half resolution, offsets +-R/2
+    oh = (orig[0::2, 0::2] + orig[0::2, 1::2] + orig[1::2, 0::2] + orig[1::2, 1::2] + 2) >> 2
+    rh = (ref[0::2, 0::2] + ref[0::2, 1::2] + ref[1::2, 0::2] + ref[1::2, 1::2] + 2) >> 2
+    r2 = search_range // 2
+    rh_pad = jnp.pad(rh, r2, mode="edge")
+    h2, w2 = height // 2, width // 2
+    side = 2 * r2 + 1
+    offs = np.stack(
+        np.meshgrid(np.arange(-r2, r2 + 1), np.arange(-r2, r2 + 1), indexing="ij"), -1
+    ).reshape(-1, 2)  # (side^2, [dy, dx])
+
+    def s1_step(carry, off):
+        best_cost, best_mv = carry
+        dy, dx = off[0], off[1]
+        shifted = jax.lax.dynamic_slice(rh_pad, (r2 + dy, r2 + dx), (h2, w2))
+        sad = _block_sums(jnp.abs(oh - shifted), bs // 2)
+        mvb = lam * (_mv_bits(8 * dx) + _mv_bits(8 * dy))
+        cost = sad * 4 + mvb.astype(jnp.int32)  # scale half-res SAD to full
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best_mv = jnp.where(better[:, None], jnp.stack([2 * dx, 2 * dy])[None, :], best_mv)
+        return (best_cost, best_mv), None
+
+    (best_cost, best_mv), _ = jax.lax.scan(
+        s1_step,
+        (jnp.full((nctu,), 1 << 30, jnp.int32), jnp.zeros((nctu, 2), jnp.int32)),
+        jnp.asarray(offs, dtype=jnp.int32),
+    )
+
+    # ---- stage 2: +-2 full-pel refinement around stage-1 MV, per block
+    pad2 = search_range + 4
+    ref_pad = jnp.pad(ref, pad2, mode="edge")
+    ys = (jnp.arange(nctu, dtype=jnp.int32) // cw) * bs
+    xs = (jnp.arange(nctu, dtype=jnp.int32) % cw) * bs
+    orig_blocks = orig.reshape(ch, bs, cw, bs).transpose(0, 2, 1, 3).reshape(nctu, bs, bs)
+
+    def gather_win(x0, y0, mvx, mvy, ext: int):
+        return jax.lax.dynamic_slice(
+            ref_pad, (pad2 + y0 + mvy - ext, pad2 + x0 + mvx - ext), (bs + 2 * ext, bs + 2 * ext)
+        )
+
+    win2 = jax.vmap(lambda x0, y0, mv: gather_win(x0, y0, mv[0], mv[1], 2))(xs, ys, best_mv)
+    best_cost = jnp.full((nctu,), 1 << 30, jnp.int32)
+    best_d = jnp.zeros((nctu, 2), jnp.int32)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            cand = win2[:, 2 + dy : 2 + dy + bs, 2 + dx : 2 + dx + bs]
+            sad = jnp.abs(orig_blocks - cand).sum(axis=(1, 2))
+            mvx = 4 * (best_mv[:, 0] + dx)
+            mvy = 4 * (best_mv[:, 1] + dy)
+            cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            best_d = jnp.where(better[:, None], jnp.array([dx, dy], jnp.int32)[None, :], best_d)
+    int_mv = jnp.clip(best_mv + best_d, -search_range, search_range)  # full-pel
+
+    # ---- stage 3: half-pel refinement (normative half filter)
+    half = LUMA_FILTERS[2]  # numpy: taps static
+    win3 = jax.vmap(lambda x0, y0, mv: gather_win(x0, y0, mv[0], mv[1], 4))(xs, ys, int_mv)
+    # (nctu, bs+8, bs+8) windows; offset 4 = integer position
+
+    def interp_half(hx: int, hy: int):
+        """Half-pel (hx, hy in {-1,0,1} half units) block for all CTUs,
+        normative two-stage filtering (cf. ops/mc.py)."""
+        w = win3
+        if hx == 0:
+            horiz = w[:, :, 4 : 4 + bs] * 64
+        else:
+            off = 4 + (hx - 1) // 2  # -1 -> 3, +1 -> 4
+            acc = jnp.zeros((w.shape[0], w.shape[1], bs), jnp.int32)
+            for k in range(8):
+                acc = acc + int(half[k]) * w[:, :, off - 3 + k : off - 3 + k + bs]
+            horiz = acc
+        if hy == 0:
+            out = horiz[:, 4 : 4 + bs, :]
+        else:
+            offy = 4 + (hy - 1) // 2
+            acc = jnp.zeros((w.shape[0], bs, bs), jnp.int32)
+            for k in range(8):
+                acc = acc + int(half[k]) * horiz[:, offy - 3 + k : offy - 3 + k + bs, :]
+            out = acc >> 6
+        return jnp.clip((out + 32) >> 6, 0, 255)
+
+    best_half = jnp.zeros((nctu, 2), jnp.int32)
+    # seed with integer-position cost
+    qx = 4 * int_mv[:, 0]
+    qy = 4 * int_mv[:, 1]
+    cand0 = win3[:, 4 : 4 + bs, 4 : 4 + bs]
+    best_cost = jnp.abs(orig_blocks - cand0).sum(axis=(1, 2)) + (
+        lam * (_mv_bits(qx) + _mv_bits(qy))
+    ).astype(jnp.int32)
+    for hy in (-1, 0, 1):
+        for hx in (-1, 0, 1):
+            if hx == 0 and hy == 0:
+                continue
+            pred = interp_half(hx, hy)
+            sad = jnp.abs(orig_blocks - pred).sum(axis=(1, 2))
+            mvx = qx + 2 * hx
+            mvy = qy + 2 * hy
+            cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            best_half = jnp.where(
+                better[:, None], jnp.array([hx, hy], jnp.int32)[None, :], best_half
+            )
+
+    mv_qpel = jnp.stack([qx, qy], axis=1) + 2 * best_half
+    return mv_qpel, best_cost

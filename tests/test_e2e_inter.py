@@ -1,0 +1,81 @@
+"""End-to-end low-delay P tests: merge/AMVP/skip/MC + deblocking bS maps,
+validated bit-exactly against the external conformance oracle."""
+
+import numpy as np
+import pytest
+
+from kvazzup_tpu.core.params import StreamConfig
+from kvazzup_tpu.decoder.top import Decoder
+from kvazzup_tpu.encoder.top import Encoder
+from kvazzup_tpu.io.yuv import synthetic_frames
+from tests.test_e2e_intra import oracle_decode
+
+
+def _moving_frames(w, h, n, seed=12):
+    return synthetic_frames(w, h, n, seed=seed)
+
+
+def _run(cfg, frames, tmp_path, intra_period=16):
+    enc = Encoder(cfg, intra_period=intra_period)
+    stream = b""
+    recons = []
+    for (y, u, v) in frames:
+        s, rec = enc.encode_frame(y, u, v)
+        stream += s
+        recons.append(rec)
+    outs = Decoder().decode(stream)
+    assert len(outs) == len(frames)
+    for rec, out in zip(recons, outs):
+        for a, b in zip(rec, out):
+            np.testing.assert_array_equal(a, b)
+    ref, log = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
+    assert len(ref) == len(frames), log
+    for fi, (rec, rf) in enumerate(zip(recons, ref)):
+        for a, b in zip(rec, rf):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {fi}")
+    return stream, recons
+
+
+@pytest.mark.parametrize("qp", [27, 38])
+def test_p_frames(qp, tmp_path):
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=qp)
+    _run(cfg, _moving_frames(w, h, 4), tmp_path)
+
+
+def test_p_frames_deblocking(tmp_path):
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=30, deblocking_enabled=True)
+    _run(cfg, _moving_frames(w, h, 4), tmp_path)
+
+
+def test_p_static_content_skips(tmp_path):
+    """Static content must mostly code as skip (tiny P frames)."""
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=30)
+    f0 = _moving_frames(w, h, 1)[0]
+    frames = [f0, f0, f0]
+    stream, _ = _run(cfg, frames, tmp_path)
+    # the 2nd/3rd frames should be far smaller than the IDR
+    sizes = []
+    pos = 0
+    # crude split: count via re-encode
+    enc = Encoder(cfg, intra_period=16)
+    for (y, u, v) in frames:
+        s, _ = enc.encode_frame(y, u, v)
+        sizes.append(len(s))
+    assert sizes[1] < sizes[0] // 10
+    assert sizes[2] < sizes[0] // 10
+
+
+def test_intra_period_refresh(tmp_path):
+    w, h = 64, 48
+    cfg = StreamConfig(width=w, height=h, qp=32)
+    frames = _moving_frames(w, h, 5)
+    enc = Encoder(cfg, intra_period=2)
+    stream = b""
+    for (y, u, v) in frames:
+        s, _ = enc.encode_frame(y, u, v)
+        stream += s
+    outs = Decoder().decode(stream)
+    assert len(outs) == 5
