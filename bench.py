@@ -1,13 +1,13 @@
 """Benchmark: all-intra HEVC encode throughput on one chip.
 
 Prints ONE JSON line: encoded frames/s/chip at 1080p through the device
-compute path (wavefront 35-mode intra search + transform/quant/recon),
-frames batched OWF-style.  vs_baseline is measured against 30 fps — a
+compute path (wavefront 35-mode intra search + transform/quant/recon, MXU
+matmul kernels).  vs_baseline is measured against 30 fps — a
 kvazaar-medium-class single-CPU 1080p all-intra operating point (the
 reference publishes no numbers; see BASELINE.md).
 
-Secondary lines on stderr: single-frame latency and host entropy (CABAC)
-throughput, so the end-to-end picture is visible.
+Secondary lines on stderr: host entropy (CABAC) throughput and the
+low-delay P device path, so the end-to-end picture is visible.
 """
 
 import json
@@ -26,47 +26,45 @@ def main() -> None:
     import jax.numpy as jnp
 
     from kvazzup_tpu.core.params import StreamConfig
-    from kvazzup_tpu.encoder.frame_intra import encode_frames_intra_batch
+    from kvazzup_tpu.encoder.frame_intra import encode_frame_intra
     from kvazzup_tpu.entropy.slice_data import encode_slice_data_intra
     from kvazzup_tpu.io.yuv import synthetic_frames
 
     w, h = 1920, 1088
-    batch = 4
-    reps = 4
-    frames = synthetic_frames(w, h, batch, seed=7)
-    ys = jnp.asarray(np.stack([f[0] for f in frames]))
-    us = jnp.asarray(np.stack([f[1] for f in frames]))
-    vs = jnp.asarray(np.stack([f[2] for f in frames]))
-    qps = jnp.full((batch,), 32, jnp.int32)
+    reps = 16
+    frames = synthetic_frames(w, h, 2, seed=7)
+    dev = [(jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[2])) for f in frames]
+    qp = jnp.int32(32)
 
-    def run():
-        return encode_frames_intra_batch(ys, us, vs, qps, width=w, height=h)
+    def run(i):
+        y, u, v = dev[i % len(dev)]
+        return encode_frame_intra(y, u, v, qp, width=w, height=h)
 
     t0 = time.time()
-    out = run()
+    out = run(0)
     jax.block_until_ready(out["mode"])
     compile_s = time.time() - t0
 
     t0 = time.time()
-    for _ in range(reps):
-        out = run()
+    for i in range(reps):
+        out = run(i)
     jax.block_until_ready(out["mode"])
     dt = time.time() - t0
-    fps = batch * reps / dt
+    fps = reps / dt
 
     # host entropy stage on the real coefficient data (native C CABAC)
     cfg = StreamConfig(width=w, height=h, qp=32)
-    modes = np.asarray(out["mode"][0])
-    ly = np.asarray(out["lev_y"][0])
-    lcb = np.asarray(out["lev_cb"][0])
-    lcr = np.asarray(out["lev_cr"][0])
+    modes = np.asarray(out["mode"])
+    ly = np.asarray(out["lev_y"])
+    lcb = np.asarray(out["lev_cb"])
+    lcr = np.asarray(out["lev_cr"])
     t0 = time.time()
     payload = encode_slice_data_intra(cfg, modes, ly, lcb, lcr)
     cabac_dt = time.time() - t0
 
     print(
-        f"[bench] 1080p all-intra device path: {fps:.2f} fps (batch {batch}, "
-        f"{dt/(batch*reps)*1000:.0f} ms/frame, compile {compile_s:.1f}s) on "
+        f"[bench] 1080p all-intra device path: {fps:.2f} fps "
+        f"({dt/reps*1000:.0f} ms/frame, compile {compile_s:.1f}s) on "
         f"{jax.devices()[0].platform}; entropy {cabac_dt*1000:.0f} ms/frame "
         f"({len(payload)} bytes/frame)",
         file=sys.stderr,

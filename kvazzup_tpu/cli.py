@@ -1,0 +1,120 @@
+"""Command-line interface: file-based encode / decode / quality tools.
+
+The io/CLI edge of SURVEY.md §7 step 8 — y4m/yuv in, Annex-B out, plus the
+conformance-runner entry used by benchmarks and tests.
+
+    python -m kvazzup_tpu encode in.y4m out.265 --qp 32 [--intra-period 64]
+    python -m kvazzup_tpu decode in.265 out.yuv
+    python -m kvazzup_tpu psnr a.yuv b.yuv --size WxH
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _read_input(path: str, size: str | None, max_frames: int | None):
+    from .io.yuv import read_y4m, read_yuv420
+
+    if path.endswith(".y4m"):
+        frames, w, h, _fps = read_y4m(path, max_frames)
+        return frames, w, h
+    if not size:
+        raise SystemExit("raw .yuv input requires --size WxH")
+    w, h = (int(t) for t in size.split("x"))
+    return read_yuv420(path, w, h, max_frames), w, h
+
+
+def cmd_encode(args) -> int:
+    from .core.params import StreamConfig
+    from .encoder.top import Encoder
+    from .io.yuv import psnr
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    frames, w, h = _read_input(args.input, args.size, args.frames)
+    if not frames:
+        raise SystemExit("no frames read")
+    cfg = StreamConfig(width=w, height=h, qp=args.qp, deblocking_enabled=not args.no_deblock)
+    enc = Encoder(cfg, intra_period=args.intra_period)
+    t0 = time.time()
+    total_psnr = 0.0
+    with open(args.output, "wb") as f:
+        for i, (y, u, v) in enumerate(frames):
+            stream, recon = enc.encode_frame(y, u, v)
+            f.write(stream)
+            total_psnr += psnr(y, recon[0])
+    dt = time.time() - t0
+    nbytes = sum(1 for _ in open(args.output, "rb").read())
+    print(
+        f"encoded {len(frames)} frames {w}x{h} qp{args.qp}: {nbytes} bytes, "
+        f"{dt:.2f}s ({len(frames)/dt:.2f} fps), mean PSNR-Y {total_psnr/len(frames):.2f} dB"
+    )
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .decoder.top import Decoder
+    from .io.yuv import write_yuv420
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    stream = open(args.input, "rb").read()
+    t0 = time.time()
+    frames = Decoder().decode(stream)
+    dt = time.time() - t0
+    write_yuv420(args.output, frames)
+    if frames:
+        h, w = frames[0][0].shape
+        print(f"decoded {len(frames)} frames {w}x{h} in {dt:.2f}s ({len(frames)/dt:.2f} fps)")
+    return 0
+
+
+def cmd_psnr(args) -> int:
+    from .io.yuv import psnr, read_yuv420
+
+    w, h = (int(t) for t in args.size.split("x"))
+    fa = read_yuv420(args.a, w, h)
+    fb = read_yuv420(args.b, w, h)
+    n = min(len(fa), len(fb))
+    for i in range(n):
+        vals = [psnr(fa[i][p], fb[i][p]) for p in range(3)]
+        print(f"frame {i}: Y {vals[0]:.3f}  U {vals[1]:.3f}  V {vals[2]:.3f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="kvazzup_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode")
+    pe.add_argument("input")
+    pe.add_argument("output")
+    pe.add_argument("--qp", type=int, default=32)
+    pe.add_argument("--size", help="WxH for raw .yuv input")
+    pe.add_argument("--frames", type=int, default=None)
+    pe.add_argument("--intra-period", type=int, default=64)
+    pe.add_argument("--no-deblock", action="store_true")
+    pe.set_defaults(fn=cmd_encode)
+
+    pd = sub.add_parser("decode")
+    pd.add_argument("input")
+    pd.add_argument("output")
+    pd.set_defaults(fn=cmd_decode)
+
+    pp = sub.add_parser("psnr")
+    pp.add_argument("a")
+    pp.add_argument("b")
+    pp.add_argument("--size", required=True)
+    pp.set_defaults(fn=cmd_psnr)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Audio subsystem tests: Opus round-trip, framing, mixing, DSP."""
+
+import numpy as np
+import pytest
+
+from kvazzup_tpu.audio.dsp import EchoCanceller, Preprocessor
+from kvazzup_tpu.audio.frames import AudioFrameBuffer, AudioMixer
+from kvazzup_tpu.audio.opus_codec import OpusDecoder, OpusEncoder, available
+
+
+def _tone(n, freq=440.0, rate=48000, amp=8000):
+    t = np.arange(n) / rate
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+@pytest.mark.skipif(not available(), reason="libopus unavailable")
+def test_opus_roundtrip():
+    enc = OpusEncoder()
+    dec = OpusDecoder()
+    frame = _tone(960)  # 20 ms @48k
+    outs = []
+    for i in range(10):
+        pkt = enc.encode(frame)
+        assert 0 < len(pkt) < 400
+        outs.append(dec.decode(pkt))
+    rec = outs[-1].astype(np.float64)
+    # Opus adds ~6.5 ms algorithmic delay; correlate over candidate lags
+    ff = frame.astype(np.float64)
+    best = 0.0
+    for lag in range(0, 500, 4):
+        a = rec[: len(rec) - lag]
+        b = ff[lag : lag + len(a)]
+        if len(a) > 100:
+            best = max(best, abs(np.corrcoef(a, b)[0, 1]))
+    assert best > 0.8, best
+
+
+@pytest.mark.skipif(not available(), reason="libopus unavailable")
+def test_opus_plc():
+    enc = OpusEncoder()
+    dec = OpusDecoder()
+    for _ in range(3):
+        dec.decode(enc.encode(_tone(960)))
+    out = dec.decode(None)  # packet loss concealment
+    assert len(out) > 0
+
+
+def test_frame_buffer():
+    fb = AudioFrameBuffer(960)
+    fb.input_data(np.zeros(500, np.int16))
+    assert fb.get_frame() is None
+    fb.input_data(np.zeros(500, np.int16))
+    assert fb.get_frame() is not None
+    assert fb.get_frame() is None
+
+
+def test_mixer():
+    mx = AudioMixer()
+    mx.add_session(1)
+    mx.add_session(2)
+    f1 = np.full(960, 100, np.int16)
+    f2 = np.full(960, -40, np.int16)
+    assert mx.input_frame(1, f1) is None
+    mixed = mx.input_frame(2, f2)
+    assert mixed is not None
+    assert mixed[0] == 60
+
+
+def test_aec_reduces_echo():
+    rng = np.random.default_rng(0)
+    aec = EchoCanceller(960, playback_delay_frames=0)
+    raw_energy = 0.0
+    out_energy = 0.0
+    for i in range(40):
+        far = rng.normal(0, 3000, 960).astype(np.int16)
+        aec.put_echo_frame(far)
+        mic = (far * 0.6).astype(np.int16)  # pure echo, no near-end
+        out = aec.process_input_frame(mic)
+        if i >= 30:
+            raw_energy += float(np.mean(mic.astype(np.float64) ** 2))
+            out_energy += float(np.mean(out.astype(np.float64) ** 2))
+    assert out_energy < raw_energy * 0.2, (out_energy, raw_energy)
+
+
+def test_agc_converges():
+    pre = Preprocessor(agc=True, denoise=False, target_level=6000.0)
+    quiet = _tone(960, amp=500)
+    out = None
+    for _ in range(50):
+        out = pre.process(quiet)
+    rms = np.sqrt(np.mean(out.astype(np.float64) ** 2))
+    assert rms > 2000
