@@ -331,7 +331,12 @@ def _encode_ctu_p_wave(
 
     def code_flat(orig, pred, q, log2):
         coef = ck.fwd_transform_flat(orig - pred, log2)
-        lev = quantize(coef, q, log2, True)
+        # deadzone offset is mode-dependent (intra 171/512, inter 85/512)
+        lev = jnp.where(
+            use_intra[:, None],
+            quantize(coef, q, log2, True),
+            quantize(coef, q, log2, False),
+        )
         deq = dequantize(lev, q, log2)
         rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
         return lev, rec

@@ -141,9 +141,28 @@ def _encode_ctu(blk_y, blk_u, blk_v, oy, ou, ov, r, c, cand_a, qp, qp_c, lam, ge
 
     cost_satd = satd_blocks(preds, oy[None]).astype(jnp.float32)
     bits = _mode_bits_table(jnp.where(avail_left, cand_a, 1))
-    mode = jnp.argmin(cost_satd + lam * bits).astype(jnp.int32)
-    pred = preds[mode]
-    lev_y, rec_y = _code_block(oy, pred, qp, 4)
+    # two-stage decision: SATD-rank, then true RD over the top-K (matches
+    # the wavefront batch path bit-for-bit)
+    K = 3
+    _, cand = jax.lax.top_k(-(cost_satd + lam * bits), K)
+    lev_k = []
+    rec_k = []
+    for k in range(K):
+        lv, rc = _code_block(oy, preds[cand[k]], qp, 4)
+        lev_k.append(lv)
+        rec_k.append(rc)
+    lev_k = jnp.stack(lev_k)
+    rec_k = jnp.stack(rec_k)
+    sse = jnp.sum((rec_k - oy[None]) ** 2, axis=(1, 2)).astype(jnp.float32)
+    lev_bits = jnp.sum(
+        jnp.where(lev_k != 0, 2.0 * jnp.log2(jnp.abs(lev_k).astype(jnp.float32) + 1.0) + 1.0, 0.0),
+        axis=(1, 2),
+    )
+    rd = sse + (lam * lam) * (lev_bits + bits[cand])
+    best_k = jnp.argmin(rd)
+    mode = cand[best_k].astype(jnp.int32)
+    lev_y = lev_k[best_k]
+    rec_y = rec_k[best_k]
 
     # chroma: derived mode (DM), 8x8
     chroma = []
@@ -177,8 +196,6 @@ def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_
     oy_flat = oyw.reshape(lanes, n * n)
     cost_satd = ck.satd_flat(preds, oy_flat[:, None, :], 4).astype(jnp.float32)
     bits = jax.vmap(_mode_bits_table)(jnp.where(cs > 0, cand_a, 1))
-    mode = jnp.argmin(cost_satd + lam * bits, axis=1).astype(jnp.int32)
-    pred = jnp.take_along_axis(preds, mode[:, None, None], axis=1)[:, 0]
 
     def code_flat(orig, pred, q, log2):
         resid = orig - pred
@@ -188,7 +205,23 @@ def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_
         rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
         return lev, rec
 
-    lev_y, rec_y = code_flat(oy_flat, pred, qp, 4)
+    # two-stage decision (kvazaar search_intra shape): SATD-rank all 35,
+    # then true RD (SSE + lambda^2 * rate estimate) over the top-K
+    K = 3
+    _, cand = jax.lax.top_k(-(cost_satd + lam * bits), K)  # (L, K)
+    cand_preds = jnp.take_along_axis(preds, cand[:, :, None], axis=1)  # (L,K,256)
+    lev_k, rec_k = code_flat(oy_flat[:, None, :], cand_preds, qp, 4)
+    sse = jnp.sum((rec_k - oy_flat[:, None, :]) ** 2, axis=-1).astype(jnp.float32)
+    lev_bits = jnp.sum(
+        jnp.where(lev_k != 0, 2.0 * jnp.log2(jnp.abs(lev_k).astype(jnp.float32) + 1.0) + 1.0, 0.0),
+        axis=-1,
+    )
+    mode_bits = jnp.take_along_axis(bits, cand, axis=1)
+    rd = sse + (lam * lam) * (lev_bits + mode_bits)
+    best_k = jnp.argmin(rd, axis=1)
+    mode = jnp.take_along_axis(cand, best_k[:, None], 1)[:, 0].astype(jnp.int32)
+    lev_y = jnp.take_along_axis(lev_k, best_k[:, None, None], 1)[:, 0]
+    rec_y = jnp.take_along_axis(rec_k, best_k[:, None, None], 1)[:, 0]
 
     chroma = []
     for blk_c, ocw in ((blk_u, ouw), (blk_v, ovw)):
