@@ -52,6 +52,21 @@ def main() -> None:
     dt = time.time() - t0
     fps = reps / dt
 
+    # low-delay P device path (ME + MC + merge/AMVP + residual)
+    from kvazzup_tpu.encoder.frame_inter import encode_frame_p
+
+    ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+    y2, u2, v2 = dev[1]
+    t0 = time.time()
+    outp = encode_frame_p(y2, u2, v2, *ref, qp, width=w, height=h)
+    jax.block_until_ready(outp["ctype"])
+    compile_p = time.time() - t0
+    t0 = time.time()
+    for _ in range(8):
+        outp = encode_frame_p(y2, u2, v2, *ref, qp, width=w, height=h)
+    jax.block_until_ready(outp["ctype"])
+    p_ms = (time.time() - t0) / 8 * 1000
+
     # host entropy stage on the real coefficient data (native C CABAC)
     cfg = StreamConfig(width=w, height=h, qp=32)
     modes = np.asarray(out["mode"])
@@ -65,7 +80,8 @@ def main() -> None:
     print(
         f"[bench] 1080p all-intra device path: {fps:.2f} fps "
         f"({dt/reps*1000:.0f} ms/frame, compile {compile_s:.1f}s) on "
-        f"{jax.devices()[0].platform}; entropy {cabac_dt*1000:.0f} ms/frame "
+        f"{jax.devices()[0].platform}; P-frame {p_ms:.0f} ms "
+        f"(compile {compile_p:.0f}s); entropy {cabac_dt*1000:.0f} ms/frame "
         f"({len(payload)} bytes/frame)",
         file=sys.stderr,
     )
