@@ -36,6 +36,7 @@ class StreamConfig:
     strong_intra_smoothing: bool = False
     sign_data_hiding: bool = False
     amp_enabled: bool = False
+    wpp: bool = False  # entropy_coding_sync (WPP substreams)
     level_idc: int = 123  # level 4.1
     max_dec_pic_buffering: int = 2
     num_reorder_pics: int = 0
@@ -193,7 +194,7 @@ def compose_pps(cfg: StreamConfig) -> NalUnit:
     w.flag(0)  # weighted_bipred_flag
     w.flag(0)  # transquant_bypass_enabled_flag
     w.flag(0)  # tiles_enabled_flag
-    w.flag(0)  # entropy_coding_sync_enabled_flag
+    w.flag(cfg.wpp)  # entropy_coding_sync_enabled_flag
     w.flag(1)  # pps_loop_filter_across_slices_enabled_flag
     w.flag(1)  # deblocking_filter_control_present_flag
     w.flag(0)  # deblocking_filter_override_enabled_flag
@@ -227,9 +228,11 @@ class SliceHeader:
     deblocking_disabled: bool = True
 
 
-def compose_slice_header(cfg: StreamConfig, sh: SliceHeader) -> BitWriter:
+def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None) -> BitWriter:
     """Compose a slice segment header; returns the (unaligned-aware) writer so
-    the caller can append CABAC payload after byte_alignment()."""
+    the caller can append CABAC payload after byte_alignment().
+
+    entry_offsets: per-substream byte lengths for WPP/tiles (all but last)."""
     w = BitWriter()
     w.flag(sh.first_slice)
     from .nal import is_irap
@@ -272,7 +275,14 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader) -> BitWriter:
     # loop_filter_across_slices: condition false when sao+deblock off
     if cfg.sao_enabled or not sh.deblocking_disabled or cfg.deblocking_enabled:
         w.flag(1)  # slice_loop_filter_across_slices_enabled_flag
-    # no tiles / entropy sync -> no entry points
+    if cfg.wpp:
+        offs = entry_offsets or []
+        w.ue(len(offs))
+        if offs:
+            offset_len = max(o - 1 for o in offs).bit_length() or 1
+            w.ue(offset_len - 1)
+            for o in offs:
+                w.u(o - 1, offset_len)
     w.byte_alignment()
     return w
 
@@ -507,6 +517,7 @@ class ParsedSliceHeader:
     deblocking_disabled: bool = False
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
+    entry_points: list = field(default_factory=list)
     data_offset_bits: int = 0  # bit offset of slice data within RBSP
 
 
@@ -578,8 +589,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
         n_entry = r.ue()
         if n_entry:
             offset_len = r.ue() + 1
-            for _ in range(n_entry):
-                r.u(offset_len)
+            sh.entry_points = [r.u(offset_len) + 1 for _ in range(n_entry)]
     r.byte_alignment()
     sh.data_offset_bits = r.bit_pos()
     return sh

@@ -21,7 +21,12 @@ from ..core.params import (
     parse_slice_header,
     parse_sps,
 )
-from ..entropy.slice_data import decode_slice_data_intra, decode_slice_data_p
+from ..entropy.slice_data import (
+    decode_slice_data_intra,
+    decode_slice_data_intra_wpp,
+    decode_slice_data_p,
+    decode_slice_data_p_wpp,
+)
 from ..ops.deblock import compute_bs, deblock_frame
 from .frame_inter import reconstruct_frame_p
 from .frame_intra import reconstruct_frame_intra
@@ -67,16 +72,26 @@ class Decoder:
         payload = nal.rbsp[sh.data_offset_bits // 8 :]
         bs_v = bs_h = None
         if sh.slice_type == 2:
-            modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra(cfg, payload, sh.qp)
+            if pps.entropy_sync:
+                modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra_wpp(
+                    cfg, payload, sh.entry_points, sh.qp
+                )
+            else:
+                modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra(cfg, payload, sh.qp)
             y, u, v = reconstruct_frame_intra(
                 modes, lev_y, lev_cb, lev_cr, sh.qp, width=sps.width, height=sps.height
             )
         elif sh.slice_type == 1:
             if self._ref is None:
                 raise ValueError("P slice without a reference picture")
-            ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
-                cfg, payload, sh.qp
-            )
+            if pps.entropy_sync:
+                ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p_wpp(
+                    cfg, payload, sh.entry_points, sh.qp
+                )
+            else:
+                ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
+                    cfg, payload, sh.qp
+                )
             ry, ru, rv = self._ref
             y, u, v = reconstruct_frame_p(
                 jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(mvs),

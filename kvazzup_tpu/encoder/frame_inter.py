@@ -217,8 +217,26 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int)
     blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
     blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
 
-    oy_w, ou_w, ov_w, memv_w = wave_inputs(sched, nctu, [oy, ou, ov, me_mv])
-    xs = (oy_w, ou_w, ov_w, memv_w,
+    # ME-candidate MC is independent of coded neighbors: hoist it out of
+    # the wavefront as one batched pass over all CTUs
+    ys_all = (jnp.arange(nctu, dtype=jnp.int32) // cw) * n
+    xs_all = (jnp.arange(nctu, dtype=jnp.int32) % cw) * n
+    pred_me_all = jax.vmap(
+        lambda x0, y0, mv: mc_luma(refp_y, x0, y0, mv[0], mv[1], n, width, height, REF_PAD)
+    )(xs_all, ys_all, me_mv)
+    pred_me_cb = jax.vmap(
+        lambda x0, y0, mv: mc_chroma(refp_u, x0 // 2, y0 // 2, mv[0], mv[1], n // 2,
+                                     width // 2, height // 2, REF_PAD // 2)
+    )(xs_all, ys_all, me_mv)
+    pred_me_cr = jax.vmap(
+        lambda x0, y0, mv: mc_chroma(refp_v, x0 // 2, y0 // 2, mv[0], mv[1], n // 2,
+                                     width // 2, height // 2, REF_PAD // 2)
+    )(xs_all, ys_all, me_mv)
+
+    oy_w, ou_w, ov_w, memv_w, pme_w, pmecb_w, pmecr_w = wave_inputs(
+        sched, nctu, [oy, ou, ov, me_mv, pred_me_all, pred_me_cb, pred_me_cr]
+    )
+    xs = (oy_w, ou_w, ov_w, memv_w, pme_w, pmecb_w, pmecr_w,
           jnp.asarray(sched["rs"]), jnp.asarray(sched["cs"]),
           jnp.asarray(sched["valid"]), jnp.asarray(sched["idx"]))
 
@@ -253,7 +271,7 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int)
 
 def _encode_ctu_p_wave(
     blk_y, blk_u, blk_v, mvs, inter_flags, refp, oyw, ouw, ovw,
-    rs, cs, cand_a_mode, me_mv, qp, qp_c, lam, geom,
+    rs, cs, cand_a_mode, me_mv, me_preds, qp, qp_c, lam, geom,
 ):
     """Batched P-slice wave compute: per-lane gathers/MC vmapped, all heavy
     kernels (intra sweep, SATD, transforms) as flat MXU batches.  Decision
@@ -265,6 +283,8 @@ def _encode_ctu_p_wave(
     n = 16
     cw, ch, width, height = geom
     lanes = rs.shape[0]
+
+    pred_me_l, pred_me_cb, pred_me_cr = me_preds
 
     def lane_nb(r, c, memv):
         idx = r * cw + c
@@ -288,10 +308,10 @@ def _encode_ctu_p_wave(
         mvp0, mvp1 = _amvp_list(avail_l & int_l, mv_l, b_avail, b_mv)
         x0, y0 = c * n, r * n
         pred_merge = mc_luma(refp_y, x0, y0, merge_mv[0], merge_mv[1], n, width, height, REF_PAD)
-        pred_me = mc_luma(refp_y, x0, y0, memv[0], memv[1], n, width, height, REF_PAD)
-        return merge_mv, mvp0, mvp1, pred_merge, pred_me
+        return merge_mv, mvp0, mvp1, pred_merge
 
-    merge_mv, mvp0, mvp1, pred_merge, pred_me = jax.vmap(lane_nb)(rs, cs, me_mv)
+    merge_mv, mvp0, mvp1, pred_merge = jax.vmap(lane_nb)(rs, cs, me_mv)
+    pred_me = pred_me_l
 
     # intra sweep (flat kernels)
     a_raw, avail = jax.vmap(
@@ -344,19 +364,25 @@ def _encode_ctu_p_wave(
     lev_y, rec_y = code_flat(oy_flat, pred_y, qp, 4)
 
     chroma = []
-    for blk_c, ocw, refp_c in ((blk_u, ouw, refp_u), (blk_v, ovw, refp_v)):
+    for blk_c, ocw, refp_c, pred_me_c in (
+        (blk_u, ouw, refp_u, pred_me_cb),
+        (blk_v, ovw, refp_v, pred_me_cr),
+    ):
         a_raw_c, avail_c = jax.vmap(
             _gather_refs_blocks, in_axes=(None, 0, 0, None, None, None, None)
         )(blk_c, rs, cs, n // 2, cw, ch, width // 2)
         ac = intra_ops.substitute_refs(a_raw_c, avail_c)
         preds_c = ck.predict_all_modes_flat(ac, 3, False)
         pred_ci = jnp.take_along_axis(preds_c, intra_mode[:, None, None], 1)[:, 0]
-        pred_cm = jax.vmap(
+        # merge lanes need MC at the (dynamic) merge MV; ME lanes reuse the
+        # hoisted prediction
+        pred_cmerge = jax.vmap(
             lambda r, c, mv: mc_chroma(
                 refp_c, c * (n // 2), r * (n // 2), mv[0], mv[1],
                 n // 2, width // 2, height // 2, REF_PAD // 2,
             )
-        )(rs, cs, mv_sel).reshape(lanes, -1)
+        )(rs, cs, merge_mv).reshape(lanes, -1)
+        pred_cm = jnp.where(is_merge[:, None], pred_cmerge, pred_me_c.reshape(lanes, -1))
         pred_c = jnp.where(use_intra[:, None], pred_ci, pred_cm)
         chroma.append(code_flat(ocw.reshape(lanes, -1), pred_c, qp_c, 3))
     (lev_cb, rec_cb), (lev_cr, rec_cr) = chroma
@@ -390,14 +416,15 @@ def _encode_ctu_p_wave(
 
 def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp, qp, qp_c, lam):
     (blk_y, blk_u, blk_v, modes, mvs, inter_flags) = carry
-    oyw, ouw, ovw, memvw, rs, cs, valid, idx = x
+    oyw, ouw, ovw, memvw, pmew, pmecbw, pmecrw, rs, cs, valid, idx = x
     # 8.4.2: an inter-coded left neighbor contributes DC to the MPM list
     left_i = jnp.maximum(idx - 1, 0)
     cand_a_mode = jnp.where(inter_flags[left_i], 1, modes[left_i])
 
     out = _encode_ctu_p_wave(
         blk_y, blk_u, blk_v, mvs, inter_flags, refp,
-        oyw, ouw, ovw, rs, cs, cand_a_mode, memvw, qp, qp_c, lam, geom,
+        oyw, ouw, ovw, rs, cs, cand_a_mode, memvw, (pmew, pmecbw, pmecrw),
+        qp, qp_c, lam, geom,
     )
 
     out_idx = jnp.where(valid, idx, nctu)

@@ -23,7 +23,12 @@ from ..core.params import (
     compose_sps,
     compose_vps,
 )
-from ..entropy.slice_data import encode_slice_data_intra, encode_slice_data_p
+from ..entropy.slice_data import (
+    encode_slice_data_intra,
+    encode_slice_data_intra_wpp,
+    encode_slice_data_p,
+    encode_slice_data_p_wpp,
+)
 from ..ops.deblock import compute_bs, deblock_frame
 from .frame_inter import encode_frame_p
 from .frame_intra import encode_frame_intra
@@ -54,18 +59,22 @@ class Encoder:
         qp = cfg.qp if qp is None else qp
         is_idr = self._frame_count % self.intra_period == 0 or self._ref is None
 
+        entry_offsets = None
         if is_idr:
             out = encode_frame_intra(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
                 width=cfg.width, height=cfg.height,
             )
-            payload = encode_slice_data_intra(
-                cfg,
+            arrays = (
                 np.asarray(out["mode"]),
                 np.asarray(out["lev_y"]),
                 np.asarray(out["lev_cb"]),
                 np.asarray(out["lev_cr"]),
             )
+            if cfg.wpp:
+                payload, entry_offsets = encode_slice_data_intra_wpp(cfg, *arrays)
+            else:
+                payload = encode_slice_data_intra(cfg, *arrays)
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
             self._poc = 0
             bs_v = bs_h = None
@@ -78,8 +87,7 @@ class Encoder:
             )
             ctype = np.asarray(out["ctype"])
             lev_y = np.asarray(out["lev_y"])
-            payload = encode_slice_data_p(
-                cfg,
+            p_arrays = (
                 ctype,
                 np.asarray(out["intra_mode"]),
                 np.asarray(out["mv"]),
@@ -88,8 +96,11 @@ class Encoder:
                 lev_y,
                 np.asarray(out["lev_cb"]),
                 np.asarray(out["lev_cr"]),
-                slice_qp=qp,
             )
+            if cfg.wpp:
+                payload, entry_offsets = encode_slice_data_p_wpp(cfg, *p_arrays, slice_qp=qp)
+            else:
+                payload = encode_slice_data_p(cfg, *p_arrays, slice_qp=qp)
             self._poc += 1
             sh = SliceHeader(
                 slice_type=1,
@@ -107,7 +118,7 @@ class Encoder:
                 cfg.ctbs_h,
             )
 
-        w = compose_slice_header(cfg, sh)
+        w = compose_slice_header(cfg, sh, entry_offsets)
         w.write_bytes(payload)
         stream = b""
         if self._frame_count == 0:

@@ -407,3 +407,263 @@ def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int):
         if end != (1 if i == nctu - 1 else 0):
             raise ValueError(f"end_of_slice mismatch at CTU {i}")
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr
+
+
+# ------------------------------------------------- WPP (entropy sync) mode
+
+def _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr):
+    """One CTU of I-slice syntax (shared by raster and WPP drivers)."""
+    c = i % cfg.ctbs_w
+    if cfg.ctb_log2 == cfg.min_cb_log2:
+        enc.encode_bin(OFFSETS["part_mode"], 1)
+    cand_a = int(modes[i - 1]) if c > 0 else 1
+    _encode_luma_mode(enc, int(modes[i]), cand_a, 1)
+    enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+    cbf_cb = 1 if np.any(lev_cb[i]) else 0
+    cbf_cr = 1 if np.any(lev_cr[i]) else 0
+    cbf_y = 1 if np.any(lev_y[i]) else 0
+    enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+    enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+    enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+    if cbf_y:
+        encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
+    if cbf_cb:
+        encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
+    if cbf_cr:
+        encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+
+
+def _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr):
+    c = i % cfg.ctbs_w
+    if cfg.ctb_log2 == cfg.min_cb_log2:
+        if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+            raise NotImplementedError("NxN intra partition")
+    cand_a = int(modes[i - 1]) if c > 0 else 1
+    modes[i] = _decode_luma_mode(dec, cand_a, 1)
+    if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+        raise NotImplementedError("non-DM chroma")
+    cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+    cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+    cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+    if cbf_y:
+        lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
+    if cbf_cb:
+        lev_cb[i] = decode_residual(dec, cfg.ctb_log2 - 1, 1)
+    if cbf_cr:
+        lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
+
+
+def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn) -> tuple:
+    """Generic WPP slice-data encoder (entropy_coding_sync, 9.3.1/9.3.2.3).
+
+    ctu_fn(enc, i): encode one CTU's syntax.  Per-row CABAC engines with
+    context inheritance from the second CTU of the row above; each row but
+    the last terminates with end_of_subset_one_bit + byte alignment.
+    Returns (payload bytes, entry_point_offsets list of per-row lengths).
+    """
+    cw, chh = cfg.ctbs_w, cfg.ctbs_h
+    nctu = cw * chh
+    payloads = []
+    saved_state = None  # ctx after CTU index 1 of the previous row
+    for row in range(chh):
+        enc = CabacEncoder(init_type=0 if ctu_fn.init_type == 0 else ctu_fn.init_type,
+                           slice_qp=cfg.qp)
+        if row > 0 and cw > 1 and saved_state is not None:
+            enc.ctx = saved_state.copy()
+        for c in range(cw):
+            i = row * cw + c
+            ctu_fn(enc, i)
+            if c == 1:
+                saved_state = enc.ctx.copy()
+            last_in_slice = i == nctu - 1
+            enc.encode_terminate(1 if last_in_slice else 0)
+            if not last_in_slice and c == cw - 1:
+                enc.encode_terminate(1)  # end_of_subset_one_bit (+flush/align)
+        payloads.append(enc.data())
+    return b"".join(payloads), [len(p) for p in payloads[:-1]]
+
+
+def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_fn, init_type, slice_qp):
+    """Generic WPP slice-data decoder; ctu_fn(dec, i) decodes one CTU."""
+    cw, chh = cfg.ctbs_w, cfg.ctbs_h
+    nctu = cw * chh
+    # split payload into per-row substreams
+    bounds = [0]
+    for off in entry_offsets:
+        bounds.append(bounds[-1] + off)
+    bounds.append(len(payload))
+    saved_state = None
+    for row in range(chh):
+        data = payload[bounds[row] : bounds[row + 1]]
+        dec = CabacDecoder(data, init_type=init_type, slice_qp=slice_qp)
+        if row > 0 and cw > 1 and saved_state is not None:
+            dec.ctx = saved_state.copy()
+        for c in range(cw):
+            i = row * cw + c
+            ctu_fn(dec, i)
+            if c == 1:
+                saved_state = dec.ctx.copy()
+            end = dec.decode_terminate()
+            expected = 1 if i == nctu - 1 else 0
+            if end != expected:
+                raise ValueError(f"end_of_slice mismatch at CTU {i}")
+            if i != nctu - 1 and c == cw - 1:
+                if dec.decode_terminate() != 1:
+                    raise ValueError("missing end_of_subset_one_bit")
+
+
+def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr):
+    def fn(enc, i):
+        _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr)
+
+    fn.init_type = 0
+    return encode_slice_data_wpp(cfg, fn)
+
+
+def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp):
+    n = cfg.ctb_size
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    modes = np.zeros(nctu, np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+
+    def fn(dec, i):
+        _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr)
+
+    decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 0, slice_qp)
+    return modes, lev_y, lev_cb, lev_cr
+
+
+def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr):
+    """One CTU of P-slice syntax (shared by raster and WPP drivers)."""
+    ctbs_w = cfg.ctbs_w
+    c = i % ctbs_w
+    r = i // ctbs_w
+    ct = int(ctype[i])
+    ctx = 0
+    if c > 0 and skip[i - 1]:
+        ctx += 1
+    if r > 0 and skip[i - ctbs_w]:
+        ctx += 1
+    is_skip = ct == CT_SKIP
+    enc.encode_bin(OFFSETS["cu_skip_flag"] + ctx, 1 if is_skip else 0)
+    skip[i] = is_skip
+    if is_skip:
+        return
+    enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == CT_INTRA else 0)
+    if ct == CT_INTRA:
+        enc.encode_bin(OFFSETS["part_mode"], 1)
+        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
+        _encode_luma_mode(enc, int(intra_modes[i]), cand_a, 1)
+        enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+    else:
+        enc.encode_bin(OFFSETS["part_mode"], 1)
+        enc.encode_bin(OFFSETS["merge_flag"], 1 if ct == CT_MERGE else 0)
+        if ct == CT_AMVP:
+            _encode_mvd(enc, int(mvds[i][0]), int(mvds[i][1]))
+            enc.encode_bin(OFFSETS["mvp_flag"], int(mvp_flags[i]))
+    cbf_cb = 1 if np.any(lev_cb[i]) else 0
+    cbf_cr = 1 if np.any(lev_cr[i]) else 0
+    cbf_y = 1 if np.any(lev_y[i]) else 0
+    root_cbf = cbf_y or cbf_cb or cbf_cr
+    if ct == CT_AMVP:
+        enc.encode_bin(OFFSETS["rqt_root_cbf"], 1 if root_cbf else 0)
+    if ct == CT_MERGE:
+        assert root_cbf, "zero-residual merge must be coded as skip"
+    if ct == CT_INTRA or root_cbf:
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        if ct == CT_INTRA or cbf_cb or cbf_cr:
+            enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+        if cbf_y:
+            encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
+        if cbf_cb:
+            encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
+        if cbf_cr:
+            encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+
+
+def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None):
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    skip = np.zeros(nctu, dtype=bool)
+    cfg2 = cfg if slice_qp is None else __import__("dataclasses").replace(cfg, qp=slice_qp)
+
+    def fn(enc, i):
+        _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr)
+
+    fn.init_type = 1
+    return encode_slice_data_wpp(cfg2, fn)
+
+
+def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr):
+    ctbs_w = cfg.ctbs_w
+    c = i % ctbs_w
+    r = i // ctbs_w
+    ctx = 0
+    if c > 0 and skip[i - 1]:
+        ctx += 1
+    if r > 0 and skip[i - ctbs_w]:
+        ctx += 1
+    if dec.decode_bin(OFFSETS["cu_skip_flag"] + ctx):
+        skip[i] = True
+        inter[i] = True
+        ctype[i] = CT_SKIP
+        mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs)
+        return
+    if dec.decode_bin(OFFSETS["pred_mode_flag"]):
+        ctype[i] = CT_INTRA
+        if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+            raise NotImplementedError("NxN partition")
+        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
+        intra_modes[i] = _decode_luma_mode(dec, cand_a, 1)
+        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+            raise NotImplementedError("non-DM chroma")
+    else:
+        inter[i] = True
+        if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+            raise NotImplementedError("inter partition != 2Nx2N")
+        if dec.decode_bin(OFFSETS["merge_flag"]):
+            ctype[i] = CT_MERGE
+            mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs)
+        else:
+            ctype[i] = CT_AMVP
+            mvd = _decode_mvd(dec)
+            flag = dec.decode_bin(OFFSETS["mvp_flag"])
+            mvp0, mvp1 = _amvp_candidates(i, ctbs_w, inter, mvs)
+            mvs[i] = (mvp1 if flag else mvp0) + np.array(mvd, np.int32)
+    root_cbf = True
+    if ctype[i] == CT_AMVP:
+        root_cbf = bool(dec.decode_bin(OFFSETS["rqt_root_cbf"]))
+    if ctype[i] == CT_INTRA or root_cbf:
+        cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+        if ctype[i] == CT_INTRA or cbf_cb or cbf_cr:
+            cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+        else:
+            cbf_y = 1
+        if cbf_y:
+            lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
+        if cbf_cb:
+            lev_cb[i] = decode_residual(dec, cfg.ctb_log2 - 1, 1)
+        if cbf_cr:
+            lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
+
+
+def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp):
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    ctype = np.zeros(nctu, np.int32)
+    intra_modes = np.zeros(nctu, np.int32)
+    mvs = np.zeros((nctu, 2), np.int32)
+    inter = np.zeros(nctu, bool)
+    skip = np.zeros(nctu, bool)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+
+    def fn(dec, i):
+        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr)
+
+    decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 1, slice_qp)
+    return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr

@@ -79,3 +79,10 @@ def test_intra_period_refresh(tmp_path):
         stream += s
     outs = Decoder().decode(stream)
     assert len(outs) == 5
+
+
+def test_wpp_ip_stream(tmp_path):
+    """WPP (entropy_coding_sync) I+P stream, oracle-validated."""
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=30, wpp=True, deblocking_enabled=True)
+    _run(cfg, _moving_frames(w, h, 4), tmp_path)
