@@ -275,6 +275,16 @@ def encode_slice_data_p(
     slice_qp: int | None = None,
 ) -> bytes:
     """P-slice CTU syntax (CU == CTB == 16, one ref, MaxNumMergeCand=1)."""
+    from ..native import encode_slice_native
+
+    out = encode_slice_native(
+        cfg, 1, False,
+        dict(ctype=ctype, intra_modes=intra_modes, mvs=mvs, mvp_flags=mvp_flags,
+             mvds=mvds, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr),
+        slice_qp if slice_qp is not None else cfg.qp,
+    )
+    if out is not None:
+        return out[0]
     enc = CabacEncoder(init_type=1, slice_qp=slice_qp if slice_qp is not None else cfg.qp)
     ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
     nctu = ctbs_w * ctbs_h
@@ -334,8 +344,15 @@ def encode_slice_data_p(
     return enc.data()
 
 
-def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int):
+def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True):
     """Inverse of encode_slice_data_p; also reconstructs per-CTU MVs."""
+    if use_native:
+        from ..native import decode_slice_native
+
+        out = decode_slice_native(cfg, 1, False, payload, None, slice_qp)
+        if out is not None:
+            return (out["ctype"], out["intra_modes"], out["mvs"],
+                    out["lev_y"], out["lev_cb"], out["lev_cr"])
     dec = CabacDecoder(payload, init_type=1, slice_qp=slice_qp)
     ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
     nctu = ctbs_w * ctbs_h
@@ -512,7 +529,16 @@ def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_
                     raise ValueError("missing end_of_subset_one_bit")
 
 
-def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr):
+def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: bool = True):
+    if use_native:
+        from ..native import encode_slice_native
+
+        out = encode_slice_native(
+            cfg, 2, True, dict(modes=modes, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr), cfg.qp
+        )
+        if out is not None:
+            return out
+
     def fn(enc, i):
         _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr)
 
@@ -520,7 +546,13 @@ def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr):
     return encode_slice_data_wpp(cfg, fn)
 
 
-def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp):
+def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True):
+    if use_native:
+        from ..native import decode_slice_native
+
+        out = decode_slice_native(cfg, 2, True, payload, entry_offsets, slice_qp)
+        if out is not None:
+            return out["intra_modes"], out["lev_y"], out["lev_cb"], out["lev_cr"]
     n = cfg.ctb_size
     nctu = cfg.ctbs_w * cfg.ctbs_h
     modes = np.zeros(nctu, np.int32)
@@ -584,7 +616,18 @@ def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvd
             encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
 
 
-def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None):
+def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None, use_native: bool = True):
+    if use_native:
+        from ..native import encode_slice_native
+
+        out = encode_slice_native(
+            cfg, 1, True,
+            dict(ctype=ctype, intra_modes=intra_modes, mvs=mvs, mvp_flags=mvp_flags,
+                 mvds=mvds, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr),
+            slice_qp if slice_qp is not None else cfg.qp,
+        )
+        if out is not None:
+            return out
     nctu = cfg.ctbs_w * cfg.ctbs_h
     skip = np.zeros(nctu, dtype=bool)
     cfg2 = cfg if slice_qp is None else __import__("dataclasses").replace(cfg, qp=slice_qp)
@@ -650,7 +693,14 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
             lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
 
 
-def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp):
+def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True):
+    if use_native:
+        from ..native import decode_slice_native
+
+        out = decode_slice_native(cfg, 1, True, payload, entry_offsets, slice_qp)
+        if out is not None:
+            return (out["ctype"], out["intra_modes"], out["mvs"],
+                    out["lev_y"], out["lev_cb"], out["lev_cr"])
     nctu = cfg.ctbs_w * cfg.ctbs_h
     n = cfg.ctb_size
     ctype = np.zeros(nctu, np.int32)

@@ -109,3 +109,99 @@ def decode_slice_data_intra_native(cfg, payload: bytes, slice_qp: int):
     if rc != 0:
         raise ValueError(f"native slice decode failed: {rc}")
     return modes, lev_y, lev_cb, lev_cr
+
+
+def _bind_unified(lib):
+    import ctypes
+
+    if hasattr(lib, "_unified_bound"):
+        return
+    lib.encode_slice_c.restype = ctypes.c_long
+    lib.encode_slice_c.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+    ]
+    lib.decode_slice_c.restype = ctypes.c_int
+    lib.decode_slice_c.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib._unified_bound = True
+
+
+def encode_slice_native(cfg, slice_type, wpp, arrays, slice_qp):
+    """Unified native slice encoder.
+
+    arrays: dict with keys (I) modes, lev_y, lev_cb, lev_cr or (P) ctype,
+    intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr.
+    Returns (payload bytes, entry_offsets list or None), or None if the
+    native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_unified(lib)
+    z = np.zeros(1, np.int32)
+    if slice_type == 2:
+        ctype = None
+        modes = _as_i32(arrays["modes"])
+        mvs = mvp = mvd = z
+    else:
+        ctype = _as_i32(arrays["ctype"])
+        modes = _as_i32(arrays["intra_modes"])
+        mvs = _as_i32(arrays["mvs"])
+        mvp = _as_i32(arrays["mvp_flags"])
+        mvd = _as_i32(arrays["mvds"])
+    lev_y = _as_i32(arrays["lev_y"])
+    lev_cb = _as_i32(arrays["lev_cb"])
+    lev_cr = _as_i32(arrays["lev_cr"])
+    cap = max(1 << 16, lev_y.nbytes + lev_cb.nbytes + lev_cr.nbytes + 4096 * max(1, cfg.ctbs_h))
+    out = np.empty(cap, np.uint8)
+    row_lens = np.zeros(max(1, cfg.ctbs_h), np.int64)
+    n = lib.encode_slice_c(
+        slice_type, 1 if wpp else 0,
+        None if ctype is None else ctype.ctypes.data,
+        modes.ctypes.data, mvs.ctypes.data, mvp.ctypes.data, mvd.ctypes.data,
+        lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
+        cfg.ctbs_w, cfg.ctbs_h, cfg.ctb_log2, int(cfg.ctb_log2 == cfg.min_cb_log2),
+        slice_qp, out.ctypes.data, cap, row_lens.ctypes.data,
+    )
+    if n < 0:
+        raise RuntimeError(f"native slice encode failed: {n}")
+    entry = [int(x) for x in row_lens[: cfg.ctbs_h - 1]] if wpp else None
+    return out[:n].tobytes(), entry
+
+
+def decode_slice_native(cfg, slice_type, wpp, payload, entry_offsets, slice_qp):
+    """Unified native slice decoder; returns arrays dict or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_unified(lib)
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    ctype = np.zeros(nctu, np.int32)
+    modes = np.zeros(nctu, np.int32)
+    mvs = np.zeros((nctu, 2), np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    buf = np.frombuffer(payload, np.uint8)
+    offs = np.asarray(entry_offsets or [], np.int64)
+    rc = lib.decode_slice_c(
+        slice_type, 1 if wpp else 0,
+        buf.ctypes.data, len(payload), offs.ctypes.data if len(offs) else None,
+        cfg.ctbs_w, cfg.ctbs_h, cfg.ctb_log2, int(cfg.ctb_log2 == cfg.min_cb_log2),
+        slice_qp,
+        ctype.ctypes.data, modes.ctypes.data, mvs.ctypes.data,
+        lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
+    )
+    if rc != 0:
+        raise ValueError(f"native slice decode failed: {rc}")
+    return dict(ctype=ctype, intra_modes=modes, mvs=mvs, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr)

@@ -639,3 +639,450 @@ int decode_slice_data_intra_c(
     }
     return 0;
 }
+
+/* ==================================================================== */
+/* P-slice CU syntax + WPP substreams (entropy_coding_sync)             */
+/* Mirrors entropy/slice_data.py byte-for-byte.                         */
+
+#include <pthread.h>
+
+enum { CT_INTRA = 0, CT_MERGE = 1, CT_AMVP = 2, CT_SKIP = 3 };
+
+static void enc_egk(CabacEnc *e, uint32_t v, int k) {
+    while (v >= (1u << k)) { enc_bypass(e, 1); v -= 1u << k; k++; }
+    enc_bypass(e, 0);
+    enc_bypass_bits(e, v, k);
+}
+
+static uint32_t dec_egk(CabacDec *d, int k) {
+    uint32_t v = 0;
+    while (dec_bypass(d)) { v += 1u << k; k++; }
+    return v + dec_bypass_bits(d, k);
+}
+
+static void enc_mvd(CabacEnc *e, int mvd_x, int mvd_y) {
+    int ax = mvd_x < 0 ? -mvd_x : mvd_x;
+    int ay = mvd_y < 0 ? -mvd_y : mvd_y;
+    enc_bin(e, CTX_ABS_MVD_GREATER_FLAG, ax > 0);
+    enc_bin(e, CTX_ABS_MVD_GREATER_FLAG, ay > 0);
+    if (ax > 0) enc_bin(e, CTX_ABS_MVD_GREATER_FLAG + 1, ax > 1);
+    if (ay > 0) enc_bin(e, CTX_ABS_MVD_GREATER_FLAG + 1, ay > 1);
+    if (ax > 0) {
+        if (ax > 1) enc_egk(e, (uint32_t)(ax - 2), 1);
+        enc_bypass(e, mvd_x < 0);
+    }
+    if (ay > 0) {
+        if (ay > 1) enc_egk(e, (uint32_t)(ay - 2), 1);
+        enc_bypass(e, mvd_y < 0);
+    }
+}
+
+static void dec_mvd(CabacDec *d, int *mvd_x, int *mvd_y) {
+    int g0x = dec_bin(d, CTX_ABS_MVD_GREATER_FLAG);
+    int g0y = dec_bin(d, CTX_ABS_MVD_GREATER_FLAG);
+    int g1x = g0x ? dec_bin(d, CTX_ABS_MVD_GREATER_FLAG + 1) : 0;
+    int g1y = g0y ? dec_bin(d, CTX_ABS_MVD_GREATER_FLAG + 1) : 0;
+    int out[2] = {0, 0};
+    int g0[2] = {g0x, g0y}, g1[2] = {g1x, g1y};
+    for (int i = 0; i < 2; i++) {
+        if (g0[i]) {
+            int a = 1;
+            if (g1[i]) a = 2 + (int)dec_egk(d, 1);
+            if (dec_bypass(d)) a = -a;
+            out[i] = a;
+        }
+    }
+    *mvd_x = out[0];
+    *mvd_y = out[1];
+}
+
+/* merge first candidate: A1(left), B1(above), B0(above-right), B2(above-left) */
+static void merge_first_mv(int i, int cw, const uint8_t *inter, const int32_t *mvs, int32_t mv[2]) {
+    int c = i % cw, r = i / cw;
+    int order[4]; int norder = 0;
+    if (c > 0) order[norder++] = i - 1;
+    if (r > 0) order[norder++] = i - cw;
+    if (r > 0 && c + 1 < cw) order[norder++] = i - cw + 1;
+    if (r > 0 && c > 0) order[norder++] = i - cw - 1;
+    for (int k = 0; k < norder; k++) {
+        int j = order[k];
+        if (inter[j]) { mv[0] = mvs[2 * j]; mv[1] = mvs[2 * j + 1]; return; }
+    }
+    mv[0] = mv[1] = 0;
+}
+
+static void amvp_cands(int i, int cw, const uint8_t *inter, const int32_t *mvs,
+                       int32_t mvp0[2], int32_t mvp1[2]) {
+    int c = i % cw, r = i / cw;
+    int a_ok = (c > 0) && inter[i - 1];
+    int32_t a_mv[2] = {0, 0};
+    if (a_ok) { a_mv[0] = mvs[2 * (i - 1)]; a_mv[1] = mvs[2 * (i - 1) + 1]; }
+    int b_ok = 0;
+    int32_t b_mv[2] = {0, 0};
+    int order[3]; int norder = 0;
+    if (r > 0 && c + 1 < cw) order[norder++] = i - cw + 1;
+    if (r > 0) order[norder++] = i - cw;
+    if (r > 0 && c > 0) order[norder++] = i - cw - 1;
+    for (int k = 0; k < norder && !b_ok; k++) {
+        int j = order[k];
+        if (inter[j]) { b_ok = 1; b_mv[0] = mvs[2 * j]; b_mv[1] = mvs[2 * j + 1]; }
+    }
+    int both = a_ok && b_ok;
+    int same = both && a_mv[0] == b_mv[0] && a_mv[1] == b_mv[1];
+    if (a_ok) { mvp0[0] = a_mv[0]; mvp0[1] = a_mv[1]; }
+    else if (b_ok) { mvp0[0] = b_mv[0]; mvp0[1] = b_mv[1]; }
+    else mvp0[0] = mvp0[1] = 0;
+    if (both && !same) { mvp1[0] = b_mv[0]; mvp1[1] = b_mv[1]; }
+    else mvp1[0] = mvp1[1] = 0;
+}
+
+/* per-slice array bundle */
+typedef struct {
+    const int32_t *ctype;      /* NULL for I slices */
+    const int32_t *intra_modes;
+    const int32_t *mvs;        /* (nctu,2) */
+    const int32_t *mvp_flags;
+    const int32_t *mvds;       /* (nctu,2) */
+    const int32_t *lev_y, *lev_cb, *lev_cr;
+    uint8_t *skip;             /* (nctu,) scratch, encoder precomputed */
+    int ctbs_w, ctbs_h, ctb_log2, at_min_cb;
+} SliceArrays;
+
+static void enc_ctu_i(CabacEnc *e, const SliceArrays *sa, int i) {
+    int cw = sa->ctbs_w;
+    int c = i % cw;
+    int n = 1 << sa->ctb_log2;
+    int ylen = n * n, clen = (n / 2) * (n / 2);
+    if (sa->at_min_cb) enc_bin(e, CTX_PART_MODE, 1);
+    int cand_a = c > 0 ? sa->intra_modes[i - 1] : 1;
+    enc_luma_mode(e, sa->intra_modes[i], cand_a, 1);
+    enc_bin(e, CTX_INTRA_CHROMA_PRED_MODE, 0);
+    const int32_t *ly = sa->lev_y + (long)i * ylen;
+    const int32_t *lcb = sa->lev_cb + (long)i * clen;
+    const int32_t *lcr = sa->lev_cr + (long)i * clen;
+    int cbf_cb = any_nonzero(lcb, clen), cbf_cr = any_nonzero(lcr, clen), cbf_y = any_nonzero(ly, ylen);
+    enc_bin(e, CTX_CBF_CHROMA, cbf_cb);
+    enc_bin(e, CTX_CBF_CHROMA, cbf_cr);
+    enc_bin(e, CTX_CBF_LUMA + 1, cbf_y);
+    if (cbf_y) encode_residual(e, ly, sa->ctb_log2, 0, 0);
+    if (cbf_cb) encode_residual(e, lcb, sa->ctb_log2 - 1, 1, 0);
+    if (cbf_cr) encode_residual(e, lcr, sa->ctb_log2 - 1, 2, 0);
+}
+
+static void enc_ctu_p(CabacEnc *e, const SliceArrays *sa, int i) {
+    int cw = sa->ctbs_w;
+    int c = i % cw, r = i / cw;
+    int n = 1 << sa->ctb_log2;
+    int ylen = n * n, clen = (n / 2) * (n / 2);
+    int ct = sa->ctype[i];
+    int ctx = 0;
+    if (c > 0 && sa->skip[i - 1]) ctx++;
+    if (r > 0 && sa->skip[i - cw]) ctx++;
+    int is_skip = ct == CT_SKIP;
+    enc_bin(e, CTX_CU_SKIP_FLAG + ctx, is_skip);
+    if (is_skip) return;
+    enc_bin(e, CTX_PRED_MODE_FLAG, ct == CT_INTRA);
+    if (ct == CT_INTRA) {
+        enc_bin(e, CTX_PART_MODE, 1);
+        int cand_a = (c > 0 && sa->ctype[i - 1] == CT_INTRA) ? sa->intra_modes[i - 1] : 1;
+        enc_luma_mode(e, sa->intra_modes[i], cand_a, 1);
+        enc_bin(e, CTX_INTRA_CHROMA_PRED_MODE, 0);
+    } else {
+        enc_bin(e, CTX_PART_MODE, 1);
+        enc_bin(e, CTX_MERGE_FLAG, ct == CT_MERGE);
+        if (ct == CT_AMVP) {
+            enc_mvd(e, sa->mvds[2 * i], sa->mvds[2 * i + 1]);
+            enc_bin(e, CTX_MVP_FLAG, sa->mvp_flags[i]);
+        }
+    }
+    const int32_t *ly = sa->lev_y + (long)i * ylen;
+    const int32_t *lcb = sa->lev_cb + (long)i * clen;
+    const int32_t *lcr = sa->lev_cr + (long)i * clen;
+    int cbf_cb = any_nonzero(lcb, clen), cbf_cr = any_nonzero(lcr, clen), cbf_y = any_nonzero(ly, ylen);
+    int root_cbf = cbf_y || cbf_cb || cbf_cr;
+    if (ct == CT_AMVP) enc_bin(e, CTX_RQT_ROOT_CBF, root_cbf);
+    if (ct == CT_INTRA || root_cbf) {
+        enc_bin(e, CTX_CBF_CHROMA, cbf_cb);
+        enc_bin(e, CTX_CBF_CHROMA, cbf_cr);
+        if (ct == CT_INTRA || cbf_cb || cbf_cr) enc_bin(e, CTX_CBF_LUMA + 1, cbf_y);
+        if (cbf_y) encode_residual(e, ly, sa->ctb_log2, 0, 0);
+        if (cbf_cb) encode_residual(e, lcb, sa->ctb_log2 - 1, 1, 0);
+        if (cbf_cr) encode_residual(e, lcr, sa->ctb_log2 - 1, 2, 0);
+    }
+}
+
+/* ---------------- WPP parallel row encoder ---------------- */
+
+typedef struct {
+    const SliceArrays *sa;
+    int slice_type; /* 1 P, 2 I */
+    int slice_qp;
+    int row;
+    uint8_t *out;      /* per-row buffer */
+    long cap;
+    long len;          /* result */
+    uint8_t ctx_after1_state[NUM_CONTEXTS];
+    uint8_t ctx_after1_mps[NUM_CONTEXTS];
+    int ctx_after1_ready;
+    pthread_mutex_t mu;
+    pthread_cond_t cv;
+    struct RowCtl *prev;
+    int error;
+} RowCtl;
+typedef struct RowCtl RowCtlT;
+
+static void *encode_row_thread(void *arg) {
+    RowCtl *rc = (RowCtl *)arg;
+    const SliceArrays *sa = rc->sa;
+    int cw = sa->ctbs_w, chh = sa->ctbs_h;
+    int nctu = cw * chh;
+    CabacEnc e;
+    enc_init(&e, rc->slice_type == 2 ? 0 : 1, rc->slice_qp, rc->out, rc->cap);
+    if (rc->row > 0 && cw > 1) {
+        RowCtl *prev = (RowCtl *)rc->prev;
+        pthread_mutex_lock(&prev->mu);
+        while (!prev->ctx_after1_ready) pthread_cond_wait(&prev->cv, &prev->mu);
+        pthread_mutex_unlock(&prev->mu);
+        memcpy(e.state, prev->ctx_after1_state, NUM_CONTEXTS);
+        memcpy(e.mps, prev->ctx_after1_mps, NUM_CONTEXTS);
+    }
+    for (int c = 0; c < cw; c++) {
+        int i = rc->row * cw + c;
+        if (rc->slice_type == 2) enc_ctu_i(&e, sa, i);
+        else enc_ctu_p(&e, sa, i);
+        if (c == 1) {
+            pthread_mutex_lock(&rc->mu);
+            memcpy(rc->ctx_after1_state, e.state, NUM_CONTEXTS);
+            memcpy(rc->ctx_after1_mps, e.mps, NUM_CONTEXTS);
+            rc->ctx_after1_ready = 1;
+            pthread_cond_signal(&rc->cv);
+            pthread_mutex_unlock(&rc->mu);
+        }
+        int last = i == nctu - 1;
+        enc_terminate(&e, last);
+        if (!last && c == cw - 1) enc_terminate(&e, 1); /* end_of_subset */
+    }
+    if (cw == 1) { /* state still must be published for completeness */
+        pthread_mutex_lock(&rc->mu);
+        rc->ctx_after1_ready = 1;
+        pthread_cond_signal(&rc->cv);
+        pthread_mutex_unlock(&rc->mu);
+    }
+    while (e.out.nbits & 7) put_bit_raw(&e.out, 0);
+    rc->len = e.out.error ? -1 : (e.out.nbits >> 3);
+    rc->error = e.out.error;
+    return NULL;
+}
+
+/* Unified entry: slice_type 2=I (wpp optional), 1=P.
+ * wpp=0: single substream.  Returns total bytes; row lengths in row_lens
+ * (ctbs_h entries when wpp, else 1). */
+long encode_slice_c(
+    int slice_type, int wpp,
+    const int32_t *ctype, const int32_t *intra_modes, const int32_t *mvs,
+    const int32_t *mvp_flags, const int32_t *mvds,
+    const int32_t *lev_y, const int32_t *lev_cb, const int32_t *lev_cr,
+    int ctbs_w, int ctbs_h, int ctb_log2, int at_min_cb, int slice_qp,
+    uint8_t *out, long out_cap, long *row_lens) {
+    int nctu = ctbs_w * ctbs_h;
+    uint8_t *skip = (uint8_t *)calloc(nctu, 1);
+    if (slice_type == 1)
+        for (int i = 0; i < nctu; i++) skip[i] = ctype[i] == CT_SKIP;
+    SliceArrays sa = {ctype, intra_modes, mvs, mvp_flags, mvds,
+                      lev_y, lev_cb, lev_cr, skip, ctbs_w, ctbs_h, ctb_log2, at_min_cb};
+    long total = -1;
+    if (!wpp) {
+        CabacEnc e;
+        enc_init(&e, slice_type == 2 ? 0 : 1, slice_qp, out, out_cap);
+        for (int i = 0; i < nctu; i++) {
+            if (slice_type == 2) enc_ctu_i(&e, &sa, i);
+            else enc_ctu_p(&e, &sa, i);
+            enc_terminate(&e, i == nctu - 1);
+            if (e.out.error) goto done;
+        }
+        while (e.out.nbits & 7) put_bit_raw(&e.out, 0);
+        row_lens[0] = e.out.nbits >> 3;
+        total = row_lens[0];
+        goto done;
+    }
+    {
+        long per_cap = out_cap / ctbs_h;
+        uint8_t *tmp = (uint8_t *)malloc((size_t)out_cap);
+        RowCtl *rows = (RowCtl *)calloc(ctbs_h, sizeof(RowCtl));
+        pthread_t *tids = (pthread_t *)malloc(sizeof(pthread_t) * ctbs_h);
+        for (int r = 0; r < ctbs_h; r++) {
+            rows[r].sa = &sa;
+            rows[r].slice_type = slice_type;
+            rows[r].slice_qp = slice_qp;
+            rows[r].row = r;
+            rows[r].out = tmp + (long)r * per_cap;
+            rows[r].cap = per_cap;
+            pthread_mutex_init(&rows[r].mu, NULL);
+            pthread_cond_init(&rows[r].cv, NULL);
+            rows[r].prev = r > 0 ? (struct RowCtl *)&rows[r - 1] : NULL;
+        }
+        for (int r = 0; r < ctbs_h; r++) pthread_create(&tids[r], NULL, encode_row_thread, &rows[r]);
+        total = 0;
+        int err = 0;
+        for (int r = 0; r < ctbs_h; r++) {
+            pthread_join(tids[r], NULL);
+            if (rows[r].error || rows[r].len < 0) err = 1;
+        }
+        if (!err) {
+            long pos = 0;
+            for (int r = 0; r < ctbs_h; r++) {
+                memcpy(out + pos, rows[r].out, rows[r].len);
+                row_lens[r] = rows[r].len;
+                pos += rows[r].len;
+            }
+            total = pos;
+        }
+        for (int r = 0; r < ctbs_h; r++) {
+            pthread_mutex_destroy(&rows[r].mu);
+            pthread_cond_destroy(&rows[r].cv);
+        }
+        free(tids);
+        free(rows);
+        free(tmp);
+    }
+done:
+    free(skip);
+    return total;
+}
+
+/* ---------------- unified decoder (sequential) ---------------- */
+
+static int dec_ctu_i(CabacDec *d, SliceArrays *sa, int i,
+                     int32_t *modes, int32_t *lev_y, int32_t *lev_cb, int32_t *lev_cr) {
+    int cw = sa->ctbs_w;
+    int c = i % cw;
+    int n = 1 << sa->ctb_log2;
+    int ylen = n * n, clen = (n / 2) * (n / 2);
+    if (sa->at_min_cb && dec_bin(d, CTX_PART_MODE) != 1) return -10;
+    int cand_a = c > 0 ? modes[i - 1] : 1;
+    modes[i] = dec_luma_mode(d, cand_a, 1);
+    if (dec_bin(d, CTX_INTRA_CHROMA_PRED_MODE) != 0) return -11;
+    int cbf_cb = dec_bin(d, CTX_CBF_CHROMA);
+    int cbf_cr = dec_bin(d, CTX_CBF_CHROMA);
+    int cbf_y = dec_bin(d, CTX_CBF_LUMA + 1);
+    if (cbf_y && decode_residual(d, lev_y + (long)i * ylen, sa->ctb_log2, 0, 0)) return -12;
+    if (cbf_cb && decode_residual(d, lev_cb + (long)i * clen, sa->ctb_log2 - 1, 1, 0)) return -12;
+    if (cbf_cr && decode_residual(d, lev_cr + (long)i * clen, sa->ctb_log2 - 1, 2, 0)) return -12;
+    return 0;
+}
+
+static int dec_ctu_p(CabacDec *d, SliceArrays *sa, int i,
+                     int32_t *ctype, int32_t *modes, int32_t *mvs, uint8_t *inter, uint8_t *skip,
+                     int32_t *lev_y, int32_t *lev_cb, int32_t *lev_cr) {
+    int cw = sa->ctbs_w;
+    int c = i % cw, r = i / cw;
+    int n = 1 << sa->ctb_log2;
+    int ylen = n * n, clen = (n / 2) * (n / 2);
+    int ctx = 0;
+    if (c > 0 && skip[i - 1]) ctx++;
+    if (r > 0 && skip[i - cw]) ctx++;
+    if (dec_bin(d, CTX_CU_SKIP_FLAG + ctx)) {
+        skip[i] = 1;
+        inter[i] = 1;
+        ctype[i] = CT_SKIP;
+        int32_t mv[2];
+        merge_first_mv(i, cw, inter, mvs, mv);
+        mvs[2 * i] = mv[0]; mvs[2 * i + 1] = mv[1];
+        return 0;
+    }
+    if (dec_bin(d, CTX_PRED_MODE_FLAG)) {
+        ctype[i] = CT_INTRA;
+        if (dec_bin(d, CTX_PART_MODE) != 1) return -10;
+        int cand_a = (c > 0 && ctype[i - 1] == CT_INTRA) ? modes[i - 1] : 1;
+        modes[i] = dec_luma_mode(d, cand_a, 1);
+        if (dec_bin(d, CTX_INTRA_CHROMA_PRED_MODE) != 0) return -11;
+    } else {
+        inter[i] = 1;
+        if (dec_bin(d, CTX_PART_MODE) != 1) return -10;
+        if (dec_bin(d, CTX_MERGE_FLAG)) {
+            ctype[i] = CT_MERGE;
+            int32_t mv[2];
+            merge_first_mv(i, cw, inter, mvs, mv);
+            mvs[2 * i] = mv[0]; mvs[2 * i + 1] = mv[1];
+        } else {
+            ctype[i] = CT_AMVP;
+            int mvd_x, mvd_y;
+            dec_mvd(d, &mvd_x, &mvd_y);
+            int flag = dec_bin(d, CTX_MVP_FLAG);
+            int32_t mvp0[2], mvp1[2];
+            amvp_cands(i, cw, inter, mvs, mvp0, mvp1);
+            mvs[2 * i] = (flag ? mvp1[0] : mvp0[0]) + mvd_x;
+            mvs[2 * i + 1] = (flag ? mvp1[1] : mvp0[1]) + mvd_y;
+        }
+    }
+    int root_cbf = 1;
+    if (ctype[i] == CT_AMVP) root_cbf = dec_bin(d, CTX_RQT_ROOT_CBF);
+    if (ctype[i] == CT_INTRA || root_cbf) {
+        int cbf_cb = dec_bin(d, CTX_CBF_CHROMA);
+        int cbf_cr = dec_bin(d, CTX_CBF_CHROMA);
+        int cbf_y = (ctype[i] == CT_INTRA || cbf_cb || cbf_cr) ? dec_bin(d, CTX_CBF_LUMA + 1) : 1;
+        if (cbf_y && decode_residual(d, lev_y + (long)i * ylen, sa->ctb_log2, 0, 0)) return -12;
+        if (cbf_cb && decode_residual(d, lev_cb + (long)i * clen, sa->ctb_log2 - 1, 1, 0)) return -12;
+        if (cbf_cr && decode_residual(d, lev_cr + (long)i * clen, sa->ctb_log2 - 1, 2, 0)) return -12;
+    }
+    return 0;
+}
+
+/* entry_offsets: per-row byte lengths (ctbs_h-1 entries) when wpp */
+int decode_slice_c(
+    int slice_type, int wpp,
+    const uint8_t *payload, long payload_len, const long *entry_offsets,
+    int ctbs_w, int ctbs_h, int ctb_log2, int at_min_cb, int slice_qp,
+    int32_t *ctype, int32_t *intra_modes, int32_t *mvs,
+    int32_t *lev_y, int32_t *lev_cb, int32_t *lev_cr) {
+    int nctu = ctbs_w * ctbs_h;
+    int n = 1 << ctb_log2;
+    memset(lev_y, 0, sizeof(int32_t) * (long)nctu * n * n);
+    memset(lev_cb, 0, sizeof(int32_t) * (long)nctu * (n / 2) * (n / 2));
+    memset(lev_cr, 0, sizeof(int32_t) * (long)nctu * (n / 2) * (n / 2));
+    memset(intra_modes, 0, sizeof(int32_t) * nctu);
+    memset(mvs, 0, sizeof(int32_t) * 2 * nctu);
+    if (ctype) memset(ctype, 0, sizeof(int32_t) * nctu);
+    uint8_t *inter = (uint8_t *)calloc(nctu, 1);
+    uint8_t *skip = (uint8_t *)calloc(nctu, 1);
+    SliceArrays sa = {0};
+    sa.ctbs_w = ctbs_w; sa.ctbs_h = ctbs_h; sa.ctb_log2 = ctb_log2; sa.at_min_cb = at_min_cb;
+    int rc = 0;
+    uint8_t saved_state[NUM_CONTEXTS], saved_mps[NUM_CONTEXTS];
+    int have_saved = 0;
+    long pos = 0;
+    CabacDec d;
+    int nrows = wpp ? ctbs_h : 1;
+    for (int row = 0; row < nrows && rc == 0; row++) {
+        long row_len = wpp
+            ? (row < ctbs_h - 1 ? entry_offsets[row] : payload_len - pos)
+            : payload_len;
+        dec_init(&d, payload + pos, row_len, slice_type == 2 ? 0 : 1, slice_qp);
+        if (wpp && row > 0 && ctbs_w > 1 && have_saved) {
+            memcpy(d.state, saved_state, NUM_CONTEXTS);
+            memcpy(d.mps, saved_mps, NUM_CONTEXTS);
+        }
+        int cbegin = wpp ? row * ctbs_w : 0;
+        int cend = wpp ? (row + 1) * ctbs_w : nctu;
+        for (int i = cbegin; i < cend && rc == 0; i++) {
+            if (slice_type == 2) rc = dec_ctu_i(&d, &sa, i, intra_modes, lev_y, lev_cb, lev_cr);
+            else rc = dec_ctu_p(&d, &sa, i, ctype, intra_modes, mvs, inter, skip, lev_y, lev_cb, lev_cr);
+            if (rc) break;
+            if (wpp && (i % ctbs_w) == 1) {
+                memcpy(saved_state, d.state, NUM_CONTEXTS);
+                memcpy(saved_mps, d.mps, NUM_CONTEXTS);
+                have_saved = 1;
+            }
+            int end = dec_terminate(&d);
+            int expected = (i == nctu - 1) ? 1 : 0;
+            if (end != expected) { rc = -13; break; }
+            if (wpp && i != nctu - 1 && (i % ctbs_w) == ctbs_w - 1) {
+                if (dec_terminate(&d) != 1) { rc = -14; break; }
+            }
+        }
+        pos += row_len;
+    }
+    free(inter);
+    free(skip);
+    return rc;
+}

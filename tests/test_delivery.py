@@ -120,3 +120,49 @@ def test_stun_transaction_tracking():
     resp = StunMessage(BINDING_RESPONSE, req.transaction_id)
     assert tr.match_response(resp)
     assert not tr.match_response(resp)  # consumed
+
+
+def test_ice_priorities():
+    from kvazzup_tpu.delivery.ice import candidate_priority, form_pairs, pair_priority
+    from kvazzup_tpu.signaling.sdp import IceCandidate
+
+    hp = candidate_priority("host", 65535, 1)
+    sp = candidate_priority("srflx", 65535, 1)
+    assert hp > sp
+    # RFC 8445 worked relationship: controlling G, controlled D
+    assert pair_priority(100, 200) == (100 << 32) + 2 * 200
+    assert pair_priority(200, 100) == (100 << 32) + 2 * 200 + 1
+
+    local = [IceCandidate("1", 1, "udp", hp, "10.0.0.1", 1000, "host")]
+    remote = [
+        IceCandidate("1", 1, "udp", sp, "10.0.0.2", 2000, "srflx"),
+        IceCandidate("2", 1, "udp", hp, "10.0.0.2", 2001, "host"),
+        IceCandidate("3", 2, "udp", hp, "10.0.0.2", 2002, "host"),
+    ]
+    pairs = form_pairs(local, remote, controlling=True)
+    assert len(pairs) == 2  # component mismatch filtered
+    assert pairs[0].remote.port == 2001  # host-host ranks first
+
+
+def test_ice_loopback_nomination():
+    from kvazzup_tpu.delivery.ice import CandidatePair, IceAgent, form_pairs, pair_priority
+    from kvazzup_tpu.signaling.sdp import IceCandidate
+    import threading
+
+    controller = IceAgent(controlling=True)
+    controlled = IceAgent(controlling=False)
+    a_addr = controller.bind_component(1, "127.0.0.1", 0)
+    b_addr = controlled.bind_component(1, "127.0.0.1", 0)
+
+    mk = lambda addr: IceCandidate("1", 1, "udp", 2130706431, addr[0], addr[1], "host")
+    pairs_a = form_pairs([mk(a_addr)], [mk(b_addr)], controlling=True)
+    pairs_b = form_pairs([mk(b_addr)], [mk(a_addr)], controlling=False)
+
+    res_b = {}
+    t = threading.Thread(target=lambda: res_b.update(controlled.run_checks(pairs_b, timeout=4)))
+    t.start()
+    res_a = controller.run_checks(pairs_a, timeout=4)
+    t.join()
+    assert 1 in res_a, "controller must nominate a pair"
+    assert 1 in res_b, "controlled side must mirror the nomination"
+    assert res_a[1].remote.port == b_addr[1]
