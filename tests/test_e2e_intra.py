@@ -20,7 +20,18 @@ from kvazzup_tpu.io.yuv import psnr, synthetic_frames
 HEVCREF = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools", "hevcref")
 
 
+def _ensure_oracle() -> str:
+    """Build the libavcodec conformance oracle on first use."""
+    src = HEVCREF + ".c"
+    if not os.path.exists(HEVCREF) or os.path.getmtime(HEVCREF) < os.path.getmtime(src):
+        subprocess.run(
+            ["gcc", "-O2", src, "-o", HEVCREF, "-lavcodec", "-lavutil"], check=True
+        )
+    return HEVCREF
+
+
 def oracle_decode(stream: bytes, w: int, h: int, tmp_path):
+    _ensure_oracle()
     inp = tmp_path / "t.265"
     out = tmp_path / "t.yuv"
     inp.write_bytes(stream)
