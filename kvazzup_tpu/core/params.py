@@ -37,6 +37,7 @@ class StreamConfig:
     sign_data_hiding: bool = False
     amp_enabled: bool = False
     wpp: bool = False  # entropy_coding_sync (WPP substreams)
+    cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
     level_idc: int = 123  # level 4.1
     max_dec_pic_buffering: int = 2
     num_reorder_pics: int = 0
@@ -186,7 +187,9 @@ def compose_pps(cfg: StreamConfig) -> NalUnit:
     w.se(cfg.qp - 26)  # init_qp_minus26
     w.flag(0)  # constrained_intra_pred_flag
     w.flag(0)  # transform_skip_enabled_flag
-    w.flag(0)  # cu_qp_delta_enabled_flag
+    w.flag(cfg.cu_qp_delta)  # cu_qp_delta_enabled_flag
+    if cfg.cu_qp_delta:
+        w.ue(0)  # diff_cu_qp_delta_depth: quant group == CTB
     w.se(0)  # pps_cb_qp_offset
     w.se(0)  # pps_cr_qp_offset
     w.flag(0)  # pps_slice_chroma_qp_offsets_present_flag

@@ -36,13 +36,13 @@ def reconstruct_frame_intra(modes, lev_y, lev_cb, lev_cr, qp, *, width: int, hei
     cw, ch = width // n, height // n
     nctu = cw * ch
     sched = schedule(cw, ch)
-    qp = jnp.asarray(qp, jnp.int32)
+    qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (nctu,))
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
 
     blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
     blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
 
-    def recon_ctu(blk_y, blk_u, blk_v, ly, lcb, lcr, mode, r, c):
+    def recon_ctu(blk_y, blk_u, blk_v, ly, lcb, lcr, mode, qpi, qpci, r, c):
         def one_plane(blocks, lev, log2, is_luma, q, w):
             a_raw, avail = _gather_refs_blocks(blocks, r, c, 1 << log2, cw, ch, w)
             a = intra_ops.substitute_refs(a_raw, avail)
@@ -50,25 +50,26 @@ def reconstruct_frame_intra(modes, lev_y, lev_cb, lev_cr, qp, *, width: int, hei
             resid = inv_transform(dequantize(lev, q, log2), log2)
             return jnp.clip(pred + resid, 0, 255)
 
-        rec_y = one_plane(blk_y, ly, 4, True, qp, width)
-        rec_cb = one_plane(blk_u, lcb, 3, False, qp_c, width // 2)
-        rec_cr = one_plane(blk_v, lcr, 3, False, qp_c, width // 2)
+        rec_y = one_plane(blk_y, ly, 4, True, qpi, width)
+        rec_cb = one_plane(blk_u, lcb, 3, False, qpci, width // 2)
+        rec_cr = one_plane(blk_v, lcr, 3, False, qpci, width // 2)
         return rec_y, rec_cb, rec_cr
 
-    ly_w, lcb_w, lcr_w, modes_w = wave_inputs(
-        sched, nctu, [jnp.asarray(lev_y), jnp.asarray(lev_cb), jnp.asarray(lev_cr), jnp.asarray(modes)]
+    ly_w, lcb_w, lcr_w, modes_w, qp_w, qpc_w = wave_inputs(
+        sched, nctu, [jnp.asarray(lev_y), jnp.asarray(lev_cb), jnp.asarray(lev_cr),
+                      jnp.asarray(modes), qp, qp_c]
     )
-    xs = (ly_w, lcb_w, lcr_w, modes_w,
+    xs = (ly_w, lcb_w, lcr_w, modes_w, qp_w, qpc_w,
           jnp.asarray(sched["rs"]), jnp.asarray(sched["cs"]),
           jnp.asarray(sched["valid"]), jnp.asarray(sched["idx"]))
 
     def wave(carry, x):
         blk_y, blk_u, blk_v = carry
-        lyw, lcbw, lcrw, modesw, rs, cs, valid, idx = x
+        lyw, lcbw, lcrw, modesw, qpw, qpcw, rs, cs, valid, idx = x
 
         rec_y, rec_cb, rec_cr = jax.vmap(
-            recon_ctu, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0)
-        )(blk_y, blk_u, blk_v, lyw, lcbw, lcrw, modesw, rs, cs)
+            recon_ctu, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, 0)
+        )(blk_y, blk_u, blk_v, lyw, lcbw, lcrw, modesw, qpw, qpcw, rs, cs)
 
         out_idx = jnp.where(valid, idx, nctu)
         blk_y = blk_y.at[out_idx].set(rec_y, mode="drop")

@@ -26,6 +26,7 @@ from ..entropy.slice_data import (
     decode_slice_data_intra_wpp,
     decode_slice_data_p,
     decode_slice_data_p_wpp,
+    decode_slice_data_intra_qp,
 )
 from ..ops.deblock import compute_bs, deblock_frame
 from .frame_inter import reconstruct_frame_p
@@ -71,15 +72,22 @@ class Decoder:
         )
         payload = nal.rbsp[sh.data_offset_bits // 8 :]
         bs_v = bs_h = None
+        qp_actual = None
         if sh.slice_type == 2:
             if pps.entropy_sync:
-                modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra_wpp(
-                    cfg, payload, sh.entry_points, sh.qp
+                modes, lev_y, lev_cb, lev_cr, qp_actual = decode_slice_data_intra_wpp(
+                    cfg, payload, sh.entry_points, sh.qp,
+                    cu_qp_delta=pps.cu_qp_delta_enabled,
+                )
+            elif pps.cu_qp_delta_enabled:
+                modes, lev_y, lev_cb, lev_cr, qp_actual = decode_slice_data_intra_qp(
+                    cfg, payload, sh.qp
                 )
             else:
                 modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra(cfg, payload, sh.qp)
+            dec_qp = jnp.asarray(qp_actual) if qp_actual is not None else sh.qp
             y, u, v = reconstruct_frame_intra(
-                modes, lev_y, lev_cb, lev_cr, sh.qp, width=sps.width, height=sps.height
+                modes, lev_y, lev_cb, lev_cr, dec_qp, width=sps.width, height=sps.height
             )
         elif sh.slice_type == 1:
             if self._ref is None:
@@ -109,6 +117,11 @@ class Decoder:
         else:
             raise NotImplementedError("B slices land with the random-access milestone")
         if not sh.deblocking_disabled:
+            dq_map = (
+                jnp.asarray(np.asarray(qp_actual).reshape(cfg.ctbs_h, cfg.ctbs_w))
+                if qp_actual is not None
+                else None
+            )
             y, u, v = deblock_frame(
                 y, u, v, sh.qp,
                 spacing=1 << sps.min_cb_log2,
@@ -116,6 +129,7 @@ class Decoder:
                 tc_offset=sh.tc_offset_div2,
                 bs_v=bs_v,
                 bs_h=bs_h,
+                qp_map=dq_map,
             )
         out = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = out

@@ -196,6 +196,7 @@ def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_
     oy_flat = oyw.reshape(lanes, n * n)
     cost_satd = ck.satd_flat(preds, oy_flat[:, None, :], 4).astype(jnp.float32)
     bits = jax.vmap(_mode_bits_table)(jnp.where(cs > 0, cand_a, 1))
+    lam2 = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (lanes,))[:, None]
 
     def code_flat(orig, pred, q, log2):
         resid = orig - pred
@@ -208,7 +209,7 @@ def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_
     # two-stage decision (kvazaar search_intra shape): SATD-rank all 35,
     # then true RD (SSE + lambda^2 * rate estimate) over the top-K
     K = 3
-    _, cand = jax.lax.top_k(-(cost_satd + lam * bits), K)  # (L, K)
+    _, cand = jax.lax.top_k(-(cost_satd + lam2 * bits), K)  # (L, K)
     cand_preds = jnp.take_along_axis(preds, cand[:, :, None], axis=1)  # (L,K,256)
     lev_k, rec_k = code_flat(oy_flat[:, None, :], cand_preds, qp, 4)
     sse = jnp.sum((rec_k - oy_flat[:, None, :]) ** 2, axis=-1).astype(jnp.float32)
@@ -217,7 +218,7 @@ def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_
         axis=-1,
     )
     mode_bits = jnp.take_along_axis(bits, cand, axis=1)
-    rd = sse + (lam * lam) * (lev_bits + mode_bits)
+    rd = sse + (lam2 * lam2) * (lev_bits + mode_bits)
     best_k = jnp.argmin(rd, axis=1)
     mode = jnp.take_along_axis(cand, best_k[:, None], 1)[:, 0].astype(jnp.int32)
     lev_y = jnp.take_along_axis(lev_k, best_k[:, None, None], 1)[:, 0]
@@ -263,10 +264,13 @@ def from_blocks(blocks, height: int, width: int):
     )
 
 
-def _frame_setup(y, u, v, qp):
+def _frame_setup(y, u, v, qp, nctu=None):
+    """qp: scalar or (nctu,) per-CTU map (ROI / spatial rate control)."""
     from ..core.tables import CHROMA_QP_TABLE
 
     qp = jnp.asarray(qp, jnp.int32)
+    if nctu is not None:
+        qp = jnp.broadcast_to(qp, (nctu,))
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
     lam = jnp.sqrt(0.57 * 2.0 ** ((qp.astype(jnp.float32) - 12.0) / 3.0))
     oy = to_blocks(y.astype(jnp.int32), 16)
@@ -293,7 +297,7 @@ def encode_frame_intra_raster(y, u, v, qp, *, width: int, height: int):
     n = 16
     cw, ch = width // n, height // n
     nctu = cw * ch
-    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp)
+    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp, nctu)
     geom = (cw, ch, width)
 
     blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
@@ -303,7 +307,8 @@ def encode_frame_intra_raster(y, u, v, qp, *, width: int, height: int):
         blk_y, blk_u, blk_v, prev_mode = carry
         r, c = i // cw, i % cw
         mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr = _encode_ctu(
-            blk_y, blk_u, blk_v, oy[i], ou[i], ov[i], r, c, prev_mode, qp, qp_c, lam, geom
+            blk_y, blk_u, blk_v, oy[i], ou[i], ov[i], r, c, prev_mode,
+            qp[i], qp_c[i], lam[i], geom
         )
         blk_y = blk_y.at[i].set(rec_y)
         blk_u = blk_u.at[i].set(rec_cb)
@@ -347,14 +352,19 @@ def encode_frame_intra(y, u, v, qp, *, width: int, height: int):
     cw, ch = width // n, height // n
     nctu = cw * ch
     sched = schedule(cw, ch)
-    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp)
+    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp, nctu)
     geom = (cw, ch, width)
 
-    oy_w, ou_w, ov_w = wave_inputs(sched, nctu, [oy, ou, ov])
+    oy_w, ou_w, ov_w, qp_w, qpc_w, lam_w = wave_inputs(
+        sched, nctu, [oy, ou, ov, qp, qp_c, lam]
+    )
     xs = (
         oy_w,
         ou_w,
         ov_w,
+        qp_w,
+        qpc_w,
+        lam_w,
         jnp.asarray(sched["rs"]),
         jnp.asarray(sched["cs"]),
         jnp.asarray(sched["valid"]),
@@ -367,11 +377,11 @@ def encode_frame_intra(y, u, v, qp, *, width: int, height: int):
 
     def wave(carry, x):
         blk_y, blk_u, blk_v, modes = carry
-        oyw, ouw, ovw, rs, cs, valid, idx = x
+        oyw, ouw, ovw, qpw, qpcw, lamw, rs, cs, valid, idx = x
         cand_a = modes[jnp.maximum(idx - 1, 0)]
 
         mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr = _encode_ctu_wave(
-            blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_c, lam, geom
+            blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qpw, qpcw, lamw, geom
         )
 
         out_idx = jnp.where(valid, idx, nctu)

@@ -25,6 +25,7 @@ from ..core.params import (
 )
 from ..entropy.slice_data import (
     encode_slice_data_intra,
+    encode_slice_data_intra_qp,
     encode_slice_data_intra_wpp,
     encode_slice_data_p,
     encode_slice_data_p_wpp,
@@ -52,17 +53,27 @@ class Encoder:
             compose_nal(n) for n in (compose_vps(cfg), compose_sps(cfg), compose_pps(cfg))
         )
 
-    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int | None = None):
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int | None = None,
+                     qp_map: np.ndarray | None = None):
         """Returns (annexb_bytes, recon_yuv_tuple).  qp overrides cfg.qp
-        (rate control hook) — must equal the PPS init QP via slice_qp_delta."""
+        (rate control hook); qp_map is a per-CTU (ctbs_h, ctbs_w) QP grid
+        (requires cfg.cu_qp_delta — the ROI/RoiMap hook, applied on intra
+        frames)."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
+        if qp_map is not None and not cfg.cu_qp_delta:
+            raise ValueError("qp_map requires cfg.cu_qp_delta")
         is_idr = self._frame_count % self.intra_period == 0 or self._ref is None
 
         entry_offsets = None
+        qp_actual = None
         if is_idr:
+            flat_map = None
+            if qp_map is not None:
+                flat_map = np.clip(np.asarray(qp_map, np.int32).reshape(-1), 0, 51)
+            dev_qp = jnp.asarray(flat_map) if flat_map is not None else qp
             out = encode_frame_intra(
-                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
                 width=cfg.width, height=cfg.height,
             )
             arrays = (
@@ -71,8 +82,14 @@ class Encoder:
                 np.asarray(out["lev_cb"]),
                 np.asarray(out["lev_cr"]),
             )
-            if cfg.wpp:
+            if cfg.wpp and flat_map is not None:
+                payload, entry_offsets, qp_actual = encode_slice_data_intra_wpp(
+                    cfg, *arrays, qp_map=flat_map
+                )
+            elif cfg.wpp:
                 payload, entry_offsets = encode_slice_data_intra_wpp(cfg, *arrays)
+            elif flat_map is not None:
+                payload, qp_actual = encode_slice_data_intra_qp(cfg, *arrays, qp_map=flat_map)
             else:
                 payload = encode_slice_data_intra(cfg, *arrays)
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
@@ -128,8 +145,13 @@ class Encoder:
 
         ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
         if cfg.deblocking_enabled:
+            dq_map = (
+                jnp.asarray(qp_actual.reshape(cfg.ctbs_h, cfg.ctbs_w))
+                if qp_actual is not None
+                else None
+            )
             ry, ru, rv = deblock_frame(
-                ry, ru, rv, qp, spacing=cfg.ctb_size, bs_v=bs_v, bs_h=bs_h
+                ry, ru, rv, qp, spacing=cfg.ctb_size, bs_v=bs_v, bs_h=bs_h, qp_map=dq_map
             )
         recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
         self._ref = recon

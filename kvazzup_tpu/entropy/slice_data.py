@@ -426,9 +426,77 @@ def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_na
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr
 
 
+class QpState:
+    """cu_qp_delta coding state: the qPY_PREV prediction chain (8.6.1).
+
+    With quant group == CTB, the left/above-QG predictors always fall
+    outside the current CTB, so qPY_PRED == qPY_PREV (the previous QG in
+    decoding order; SliceQpY at the start of the slice and — under
+    entropy_coding_sync — at the start of each CTB row)."""
+
+    def __init__(self, slice_qp: int, qp_map=None, nctu: int = 0):
+        self.enabled = qp_map is not None
+        self.slice_qp = slice_qp
+        self.map = qp_map
+        self.prev = slice_qp
+        self.actual = np.full(nctu, slice_qp, np.int32)
+
+    def row_start(self):
+        self.prev = self.slice_qp
+
+    def encode(self, enc, i: int, any_cbf: bool) -> None:
+        if not self.enabled:
+            return
+        pred = self.prev
+        if any_cbf:
+            actual = int(self.map[i])
+            _encode_qp_delta(enc, actual - pred)
+        else:
+            actual = pred
+        self.actual[i] = actual
+        self.prev = actual
+
+    def decode(self, dec, i: int, any_cbf: bool) -> None:
+        if not self.enabled:
+            return
+        pred = self.prev
+        if any_cbf:
+            actual = pred + _decode_qp_delta(dec)
+        else:
+            actual = pred
+        self.actual[i] = actual
+        self.prev = actual
+
+
+def _encode_qp_delta(enc: CabacEncoder, delta: int) -> None:
+    """cu_qp_delta_abs (TR cMax=5 + EG0) + sign (9.3.3.10)."""
+    base = OFFSETS["cu_qp_delta_abs"]
+    a = abs(delta)
+    prefix = min(a, 5)
+    for b in range(prefix):
+        enc.encode_bin(base + (0 if b == 0 else 1), 1)
+    if prefix < 5:
+        enc.encode_bin(base + (0 if prefix == 0 else 1), 0)
+    else:
+        _write_egk(enc, a - 5, 0)
+    if a:
+        enc.encode_bypass(1 if delta < 0 else 0)
+
+
+def _decode_qp_delta(dec: CabacDecoder) -> int:
+    base = OFFSETS["cu_qp_delta_abs"]
+    prefix = 0
+    while prefix < 5 and dec.decode_bin(base + (0 if prefix == 0 else 1)):
+        prefix += 1
+    a = prefix if prefix < 5 else 5 + _read_egk(dec, 0)
+    if a and dec.decode_bypass():
+        return -a
+    return a
+
+
 # ------------------------------------------------- WPP (entropy sync) mode
 
-def _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr):
+def _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qp_state=None):
     """One CTU of I-slice syntax (shared by raster and WPP drivers)."""
     c = i % cfg.ctbs_w
     if cfg.ctb_log2 == cfg.min_cb_log2:
@@ -442,6 +510,8 @@ def _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr):
     enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
     enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
     enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+    if qp_state is not None:
+        qp_state.encode(enc, i, bool(cbf_y or cbf_cb or cbf_cr))
     if cbf_y:
         encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
     if cbf_cb:
@@ -450,7 +520,7 @@ def _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr):
         encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
 
 
-def _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr):
+def _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr, qp_state=None):
     c = i % cfg.ctbs_w
     if cfg.ctb_log2 == cfg.min_cb_log2:
         if dec.decode_bin(OFFSETS["part_mode"]) != 1:
@@ -462,6 +532,8 @@ def _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr):
     cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
     cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
     cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+    if qp_state is not None:
+        qp_state.decode(dec, i, bool(cbf_y or cbf_cb or cbf_cr))
     if cbf_y:
         lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
     if cbf_cb:
@@ -470,7 +542,7 @@ def _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr):
         lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
 
 
-def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn) -> tuple:
+def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn, qp_state=None) -> tuple:
     """Generic WPP slice-data encoder (entropy_coding_sync, 9.3.1/9.3.2.3).
 
     ctu_fn(enc, i): encode one CTU's syntax.  Per-row CABAC engines with
@@ -487,6 +559,8 @@ def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn) -> tuple:
                            slice_qp=cfg.qp)
         if row > 0 and cw > 1 and saved_state is not None:
             enc.ctx = saved_state.copy()
+        if qp_state is not None:
+            qp_state.row_start()
         for c in range(cw):
             i = row * cw + c
             ctu_fn(enc, i)
@@ -500,7 +574,7 @@ def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn) -> tuple:
     return b"".join(payloads), [len(p) for p in payloads[:-1]]
 
 
-def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_fn, init_type, slice_qp):
+def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_fn, init_type, slice_qp, qp_state=None):
     """Generic WPP slice-data decoder; ctu_fn(dec, i) decodes one CTU."""
     cw, chh = cfg.ctbs_w, cfg.ctbs_h
     nctu = cw * chh
@@ -515,6 +589,8 @@ def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_
         dec = CabacDecoder(data, init_type=init_type, slice_qp=slice_qp)
         if row > 0 and cw > 1 and saved_state is not None:
             dec.ctx = saved_state.copy()
+        if qp_state is not None:
+            qp_state.row_start()
         for c in range(cw):
             i = row * cw + c
             ctu_fn(dec, i)
@@ -529,8 +605,8 @@ def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_
                     raise ValueError("missing end_of_subset_one_bit")
 
 
-def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: bool = True):
-    if use_native:
+def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: bool = True, qp_map=None):
+    if use_native and qp_map is None:
         from ..native import encode_slice_native
 
         out = encode_slice_native(
@@ -538,33 +614,40 @@ def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: b
         )
         if out is not None:
             return out
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    qs = QpState(cfg.qp, qp_map, nctu) if qp_map is not None else None
 
     def fn(enc, i):
-        _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr)
+        _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qs)
 
     fn.init_type = 0
-    return encode_slice_data_wpp(cfg, fn)
+    out = encode_slice_data_wpp(cfg, fn, qs)
+    if qs is not None:
+        return out[0], out[1], qs.actual
+    return out
 
 
-def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True):
-    if use_native:
+def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True,
+                                cu_qp_delta: bool = False):
+    if use_native and not cu_qp_delta:
         from ..native import decode_slice_native
 
         out = decode_slice_native(cfg, 2, True, payload, entry_offsets, slice_qp)
         if out is not None:
-            return out["intra_modes"], out["lev_y"], out["lev_cb"], out["lev_cr"]
+            return out["intra_modes"], out["lev_y"], out["lev_cb"], out["lev_cr"], None
     n = cfg.ctb_size
     nctu = cfg.ctbs_w * cfg.ctbs_h
     modes = np.zeros(nctu, np.int32)
     lev_y = np.zeros((nctu, n, n), np.int32)
     lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    qs = QpState(slice_qp, np.zeros(nctu), nctu) if cu_qp_delta else None
 
     def fn(dec, i):
-        _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr)
+        _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr, qs)
 
-    decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 0, slice_qp)
-    return modes, lev_y, lev_cb, lev_cr
+    decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 0, slice_qp, qs)
+    return modes, lev_y, lev_cb, lev_cr, (qs.actual if qs else None)
 
 
 def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr):
@@ -717,3 +800,33 @@ def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: b
 
     decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 1, slice_qp)
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr
+
+
+def encode_slice_data_intra_qp(cfg, modes, lev_y, lev_cb, lev_cr, qp_map):
+    """Non-WPP I-slice encode with per-CTB cu_qp_delta; returns
+    (payload, actual_qp array)."""
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    qs = QpState(cfg.qp, qp_map, nctu)
+    enc = CabacEncoder(init_type=0, slice_qp=cfg.qp)
+    for i in range(nctu):
+        _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qs)
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    return enc.data(), qs.actual
+
+
+def decode_slice_data_intra_qp(cfg, payload, slice_qp):
+    """Non-WPP I-slice decode with cu_qp_delta; returns arrays + actual QP."""
+    n = cfg.ctb_size
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    modes = np.zeros(nctu, np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    qs = QpState(slice_qp, np.zeros(nctu), nctu)
+    dec = CabacDecoder(payload, init_type=0, slice_qp=slice_qp)
+    for i in range(nctu):
+        _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr, qs)
+        end = dec.decode_terminate()
+        if end != (1 if i == nctu - 1 else 0):
+            raise ValueError(f"end_of_slice mismatch at CTU {i}")
+    return modes, lev_y, lev_cb, lev_cr, qs.actual

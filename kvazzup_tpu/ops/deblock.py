@@ -76,6 +76,8 @@ def _luma_edge_filter(s, beta, tc, gate):
     gp2, gp1, gp0 = g(p2), g(p1), g(p0)
     gq0, gq1, gq2 = g(q0), g(q1), g(q2)
     gp3, gq3 = g(p3), g(q3)
+    tc = jnp.broadcast_to(tc, s.shape[:-1])
+    beta = g(jnp.broadcast_to(beta, s.shape[:-1]))[..., 0]  # per 4-line group
     tc_g = g(tc)[..., 0]
     gate_g = g(gate)[..., 0]
 
@@ -156,35 +158,48 @@ def _edge_positions(size: int, spacing: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("spacing", "beta_offset", "tc_offset"))
 def deblock_frame(
     y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_offset: int = 0,
-    bs_v=None, bs_h=None,
+    bs_v=None, bs_h=None, qp_map=None,
 ):
-    """Deblock one picture (uniform QP; per-edge bS maps, default all-2).
+    """Deblock one picture (per-edge bS maps, default all-2).
 
     y: (H, W) uint8/int32; u, v: (H/2, W/2).  bs_v: (n_v_edges, H/spacing),
-    bs_h: (n_h_edges, W/spacing).  Returns filtered planes (uint8).
+    bs_h: (n_h_edges, W/spacing).  qp_map: optional (H/spacing, W/spacing)
+    per-block QP (cu_qp_delta); beta/tc then use the edge-pair average
+    (8.7.2.5 qP = (QpQ + QpP + 1) >> 1).  Returns filtered planes (uint8).
     """
     from ..core.tables import CHROMA_QP_TABLE
 
     qp = jnp.asarray(qp, jnp.int32)
     beta_tab = jnp.asarray(BETA_TABLE)
     tc_tab = jnp.asarray(TC_TABLE)
-    beta = beta_tab[jnp.clip(qp + (beta_offset << 1), 0, 51)]
-    qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
+    chroma_tab = jnp.asarray(CHROMA_QP_TABLE)
+    qp_c = chroma_tab[jnp.clip(qp, 0, 57)]
 
     y32 = y.astype(jnp.int32)
     h, w = y32.shape
 
-    def luma_tc_gate(bs, nlines):
-        """bs: (E, nblocks) -> per-line (E, L) tc and gate."""
+    def edge_qp(vertical: bool):
+        """Per-(edge, block) average QP for luma edges; None -> scalar."""
+        if qp_map is None:
+            return None
+        qm = jnp.asarray(qp_map, jnp.int32)
+        if vertical:  # edges between columns: (cw-1, ch)
+            return ((qm[:, :-1] + qm[:, 1:] + 1) >> 1).T
+        return (qm[:-1, :] + qm[1:, :] + 1) >> 1  # (ch-1, cw)
+
+    def luma_tc_gate(bs, eqp):
+        """bs: (E, nblocks) -> per-line (E, L) beta, tc and gate."""
         bs_l = jnp.repeat(bs, spacing, axis=1)
-        tc = tc_tab[jnp.clip(qp + 2 * (jnp.maximum(bs_l, 1) - 1) + (tc_offset << 1), 0, 53)]
-        return tc, bs_l > 0
+        q = qp if eqp is None else jnp.repeat(eqp, spacing, axis=1)
+        beta_l = beta_tab[jnp.clip(q + (beta_offset << 1), 0, 51)]
+        tc = tc_tab[jnp.clip(q + 2 * (jnp.maximum(bs_l, 1) - 1) + (tc_offset << 1), 0, 53)]
+        return beta_l, tc, bs_l > 0
 
     # ---- vertical edges (filter across columns), whole picture at once
     xe = _edge_positions(w, spacing)
     if len(xe):
         bs = bs_v if bs_v is not None else jnp.full((len(xe), h // spacing), 2, jnp.int32)
-        tc, gate = luma_tc_gate(bs, h)
+        beta, tc, gate = luma_tc_gate(bs, edge_qp(True))
         cols = (xe[:, None] + np.arange(-4, 4)[None, :]).reshape(-1)  # (E*8,)
         slabs = y32[:, cols].reshape(h, len(xe), 8).transpose(1, 0, 2)  # (E, H, 8)
         out = _luma_edge_filter(slabs, beta, tc, gate)
@@ -197,7 +212,7 @@ def deblock_frame(
     ye = _edge_positions(h, spacing)
     if len(ye):
         bs = bs_h if bs_h is not None else jnp.full((len(ye), w // spacing), 2, jnp.int32)
-        tc, gate = luma_tc_gate(bs, w)
+        beta, tc, gate = luma_tc_gate(bs, edge_qp(False))
         rows = (ye[:, None] + np.arange(-4, 4)[None, :]).reshape(-1)
         slabs = y32[rows, :].reshape(len(ye), 8, w).transpose(0, 2, 1)  # (E, W, 8)
         out = _luma_edge_filter(slabs, beta, tc, gate)
@@ -209,6 +224,12 @@ def deblock_frame(
     # ---- chroma (half resolution, edge spacing/2, [p1 p0 q0 q1]); bS==2 only
     tc_c_tab = tc_tab[jnp.clip(qp_c + 2 + (tc_offset << 1), 0, 53)]
 
+    def chroma_tc(eqp, sp):
+        if eqp is None:
+            return tc_c_tab
+        qpc_e = chroma_tab[jnp.clip(eqp, 0, 57)]
+        return jnp.repeat(tc_tab[jnp.clip(qpc_e + 2 + (tc_offset << 1), 0, 53)], sp, axis=1)
+
     def chroma_plane(c):
         c32 = c.astype(jnp.int32)
         ch_, cw_ = c32.shape
@@ -219,7 +240,7 @@ def deblock_frame(
             gate = jnp.repeat(bs == 2, sp, axis=1)
             cols = (xe[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[:, cols].reshape(ch_, len(xe), 4).transpose(1, 0, 2)
-            out = _chroma_edge_filter(slabs, tc_c_tab, gate)
+            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(True), sp), gate)
             wcols = (xe[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
             c32 = c32.at[:, wcols].set(out[..., 1:3].transpose(1, 0, 2).reshape(ch_, len(xe) * 2))
         ye = _edge_positions(ch_, sp)
@@ -228,7 +249,7 @@ def deblock_frame(
             gate = jnp.repeat(bs == 2, sp, axis=1)
             rows = (ye[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[rows, :].reshape(len(ye), 4, cw_).transpose(0, 2, 1)
-            out = _chroma_edge_filter(slabs, tc_c_tab, gate)
+            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(False), sp), gate)
             wrows = (ye[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
             c32 = c32.at[wrows, :].set(out[..., 1:3].transpose(0, 2, 1).reshape(len(ye) * 2, cw_))
         return c32.astype(jnp.uint8)

@@ -19,9 +19,20 @@ _QUANT = jnp.asarray(QUANT_SCALES)
 _DEQUANT = jnp.asarray(DEQUANT_SCALES)
 
 
-def quantize(coef: jnp.ndarray, qp, log2: int, intra: bool = True) -> jnp.ndarray:
-    """Forward quantization of transform coefficients (..., N, N) -> levels."""
+def _bcast(qp, like):
+    """Broadcast a scalar or leading-dims qp array against coefficients."""
     qp = jnp.asarray(qp, jnp.int32)
+    while qp.ndim < like.ndim:
+        qp = qp[..., None]
+    return qp
+
+
+def quantize(coef: jnp.ndarray, qp, log2: int, intra: bool = True) -> jnp.ndarray:
+    """Forward quantization of transform coefficients (..., N, N) -> levels.
+
+    qp may be a scalar or an array matching coef's leading dims (per-CTU
+    adaptive QP / ROI)."""
+    qp = _bcast(qp, coef)
     per, rem = qp // 6, qp % 6
     qbits = 21 + per - log2  # QUANT_SHIFT(14) + per + transformShift(7-log2)
     offset = jnp.left_shift(jnp.int32(171 if intra else 85), qbits - 9)
@@ -38,7 +49,7 @@ def dequantize(level: jnp.ndarray, qp, log2: int) -> jnp.ndarray:
     `(level*m*levScale << per)` form can overflow 32 bits at high QP):
     right-shift by (bdShift - per) when positive, else left-shift.
     """
-    qp = jnp.asarray(qp, jnp.int32)
+    qp = _bcast(qp, level)
     per, rem = qp // 6, qp % 6
     bd_shift = log2 + 3  # BitDepth(8) + log2 + 10 - 15
     scale = _DEQUANT[rem] * 16

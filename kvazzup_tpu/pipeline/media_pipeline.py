@@ -105,7 +105,13 @@ class VideoSendPipeline:
                 self.encoder._frame_count = 0  # restart intra period
                 self._force_intra = False
             qp = self.allocator.suggest_qp(self.cfg.width, self.cfg.height, self.fps)
-            stream, _recon = self.encoder.encode_frame(frame.y, frame.u, frame.v, qp=qp)
+            qp_map = None
+            if self.roi_fn is not None and self.cfg.cu_qp_delta:
+                delta = np.asarray(self.roi_fn(frame))  # (ctbs_h, ctbs_w) int8
+                qp_map = np.clip(qp + delta.astype(np.int32), 0, 51)
+            stream, _recon = self.encoder.encode_frame(
+                frame.y, frame.u, frame.v, qp=qp, qp_map=qp_map
+            )
             dt = time.monotonic() - t0
             self.stats.record_delay("encode", dt)
             self.stats.record_bytes("video_send", len(stream))

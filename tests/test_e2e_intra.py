@@ -128,3 +128,24 @@ def test_e2e_deblocking(qp, tmp_path):
     assert len(ref) == 1, log
     for a, b in zip(recon, ref[0]):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("wpp", [False, True])
+def test_roi_cu_qp_delta(wpp, tmp_path):
+    """Per-CTU adaptive QP (cu_qp_delta): ROI coded finer, oracle-exact."""
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=34, cu_qp_delta=True,
+                       deblocking_enabled=True, wpp=wpp)
+    enc = Encoder(cfg)
+    y, u, v = _content("synthetic", w, h)
+    qp_map = np.full((cfg.ctbs_h, cfg.ctbs_w), 34, np.int32)
+    qp_map[1:3, 1:5] = 26
+    stream, recon = enc.encode_frame(y, u, v, qp_map=qp_map)
+    outs = Decoder().decode(stream)
+    for a, b in zip(recon, outs[0]):
+        np.testing.assert_array_equal(a, b)
+    ref, log = oracle_decode(stream, w, h, tmp_path)
+    assert len(ref) == 1, log
+    for a, b in zip(recon, ref[0]):
+        np.testing.assert_array_equal(a, b)
+    assert psnr(y[16:48, 16:80], recon[0][16:48, 16:80]) > psnr(y[:16, :], recon[0][:16, :]) + 3
