@@ -33,7 +33,7 @@ def reconstruct_frame_p(
     cw, ch = width // n, height // n
     nctu = cw * ch
     sched = schedule(cw, ch)
-    qp = jnp.asarray(qp, jnp.int32)
+    qp = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (nctu,))
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
 
     refp_y = pad_reference(ref_y, REF_PAD)
@@ -43,7 +43,7 @@ def reconstruct_frame_p(
     blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
     blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
 
-    def recon_ctu(blk_y, blk_u, blk_v, ct, mode, mv, ly, lcb, lcr, r, c):
+    def recon_ctu(blk_y, blk_u, blk_v, ct, mode, mv, ly, lcb, lcr, qpi, qpci, r, c):
         x0, y0 = c * n, r * n
         is_intra = ct == CT_INTRA
 
@@ -59,26 +59,26 @@ def reconstruct_frame_p(
             resid = inv_transform(dequantize(lev, q, log2), log2)
             return jnp.clip(pred + resid, 0, 255)
 
-        rec_y = plane(blk_y, ly, 4, True, qp, width, height, refp_y, REF_PAD, mc_luma)
-        rec_cb = plane(blk_u, lcb, 3, False, qp_c, width // 2, height // 2, refp_u, REF_PAD // 2, mc_chroma)
-        rec_cr = plane(blk_v, lcr, 3, False, qp_c, width // 2, height // 2, refp_v, REF_PAD // 2, mc_chroma)
+        rec_y = plane(blk_y, ly, 4, True, qpi, width, height, refp_y, REF_PAD, mc_luma)
+        rec_cb = plane(blk_u, lcb, 3, False, qpci, width // 2, height // 2, refp_u, REF_PAD // 2, mc_chroma)
+        rec_cr = plane(blk_v, lcr, 3, False, qpci, width // 2, height // 2, refp_v, REF_PAD // 2, mc_chroma)
         return rec_y, rec_cb, rec_cr
 
-    ct_w, im_w, mv_w, ly_w, lcb_w, lcr_w = wave_inputs(
+    ct_w, im_w, mv_w, ly_w, lcb_w, lcr_w, qp_w, qpc_w = wave_inputs(
         sched, nctu,
         [jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(mvs_in),
-         jnp.asarray(lev_y), jnp.asarray(lev_cb), jnp.asarray(lev_cr)],
+         jnp.asarray(lev_y), jnp.asarray(lev_cb), jnp.asarray(lev_cr), qp, qp_c],
     )
-    xs = (ct_w, im_w, mv_w, ly_w, lcb_w, lcr_w,
+    xs = (ct_w, im_w, mv_w, ly_w, lcb_w, lcr_w, qp_w, qpc_w,
           jnp.asarray(sched["rs"]), jnp.asarray(sched["cs"]),
           jnp.asarray(sched["valid"]), jnp.asarray(sched["idx"]))
 
     def wave(carry, x):
         blk_y, blk_u, blk_v = carry
-        ctw, imw, mvw, lyw, lcbw, lcrw, rs, cs, valid, idx = x
+        ctw, imw, mvw, lyw, lcbw, lcrw, qpw, qpcw, rs, cs, valid, idx = x
         rec_y, rec_cb, rec_cr = jax.vmap(
-            recon_ctu, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, 0)
-        )(blk_y, blk_u, blk_v, ctw, imw, mvw, lyw, lcbw, lcrw, rs, cs)
+            recon_ctu, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        )(blk_y, blk_u, blk_v, ctw, imw, mvw, lyw, lcbw, lcrw, qpw, qpcw, rs, cs)
         out_idx = jnp.where(valid, idx, nctu)
         blk_y = blk_y.at[out_idx].set(rec_y, mode="drop")
         blk_u = blk_u.at[out_idx].set(rec_cb, mode="drop")

@@ -22,6 +22,7 @@ from ..core.params import (
     parse_sps,
 )
 from ..entropy.slice_data import (
+    SaoState,
     decode_slice_data_intra,
     decode_slice_data_intra_wpp,
     decode_slice_data_p,
@@ -29,6 +30,7 @@ from ..entropy.slice_data import (
     decode_slice_data_intra_qp,
 )
 from ..ops.deblock import compute_bs, deblock_frame
+from ..ops.sao import sao_apply
 from .frame_inter import reconstruct_frame_p
 from .frame_intra import reconstruct_frame_intra
 
@@ -73,11 +75,19 @@ class Decoder:
         payload = nal.rbsp[sh.data_offset_bits // 8 :]
         bs_v = bs_h = None
         qp_actual = None
+        sao_state = None
+        if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
+            if not pps.entropy_sync:
+                raise NotImplementedError("SAO decode currently requires WPP streams")
+            sao_state = SaoState(
+                cfg.ctbs_w, cfg.ctbs_h, luma=sh.sao_luma, chroma=sh.sao_chroma
+            )
         if sh.slice_type == 2:
             if pps.entropy_sync:
                 modes, lev_y, lev_cb, lev_cr, qp_actual = decode_slice_data_intra_wpp(
                     cfg, payload, sh.entry_points, sh.qp,
                     cu_qp_delta=pps.cu_qp_delta_enabled,
+                    sao=sao_state,
                 )
             elif pps.cu_qp_delta_enabled:
                 modes, lev_y, lev_cb, lev_cr, qp_actual = decode_slice_data_intra_qp(
@@ -93,18 +103,25 @@ class Decoder:
             if self._ref is None:
                 raise ValueError("P slice without a reference picture")
             if pps.entropy_sync:
-                ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p_wpp(
-                    cfg, payload, sh.entry_points, sh.qp
+                ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_actual = (
+                    decode_slice_data_p_wpp(
+                        cfg, payload, sh.entry_points, sh.qp,
+                        cu_qp_delta=pps.cu_qp_delta_enabled,
+                        sao=sao_state,
+                    )
                 )
             else:
+                if pps.cu_qp_delta_enabled:
+                    raise NotImplementedError("P cu_qp_delta requires WPP streams")
                 ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
                     cfg, payload, sh.qp
                 )
             ry, ru, rv = self._ref
+            dec_qp = jnp.asarray(qp_actual) if qp_actual is not None else sh.qp
             y, u, v = reconstruct_frame_p(
                 jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(mvs),
                 lev_y, lev_cb, lev_cr,
-                jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), sh.qp,
+                jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dec_qp,
                 width=sps.width, height=sps.height,
             )
             bs_v, bs_h = compute_bs(
@@ -131,6 +148,16 @@ class Decoder:
                 bs_h=bs_h,
                 qp_map=dq_map,
             )
+        if sao_state is not None:
+            import jax.numpy as jnp2
+
+            sh2 = (cfg.ctbs_h, cfg.ctbs_w)
+            t = sao_state.typ.reshape(3, *sh2)
+            a = sao_state.aux.reshape(3, *sh2)
+            o = sao_state.offs.reshape(3, *sh2, 4)
+            y = sao_apply(y, jnp2.asarray(t[0]), jnp2.asarray(a[0]), jnp2.asarray(o[0]), ctb=cfg.ctb_size)
+            u = sao_apply(u, jnp2.asarray(t[1]), jnp2.asarray(a[1]), jnp2.asarray(o[1]), ctb=cfg.ctb_size // 2)
+            v = sao_apply(v, jnp2.asarray(t[2]), jnp2.asarray(a[2]), jnp2.asarray(o[2]), ctb=cfg.ctb_size // 2)
         out = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = out
         return out

@@ -202,10 +202,10 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int)
     cw, ch = width // n, height // n
     nctu = cw * ch
     sched = schedule(cw, ch)
-    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp)
+    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp, nctu)
     geom = (cw, ch, width, height)
 
-    lam_x1k = (lam * 1024.0).astype(jnp.int32)
+    lam_x1k = (lam.mean() * 1024.0).astype(jnp.int32)
     me_mv, _ = motion_search(
         y, ref_y, lam_x1k, block=n, search_range=SEARCH_RANGE, width=width, height=height
     )
@@ -233,10 +233,10 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int)
                                      width // 2, height // 2, REF_PAD // 2)
     )(xs_all, ys_all, me_mv)
 
-    oy_w, ou_w, ov_w, memv_w, pme_w, pmecb_w, pmecr_w = wave_inputs(
-        sched, nctu, [oy, ou, ov, me_mv, pred_me_all, pred_me_cb, pred_me_cr]
+    oy_w, ou_w, ov_w, memv_w, pme_w, pmecb_w, pmecr_w, qp_w, qpc_w, lam_w = wave_inputs(
+        sched, nctu, [oy, ou, ov, me_mv, pred_me_all, pred_me_cb, pred_me_cr, qp, qp_c, lam]
     )
-    xs = (oy_w, ou_w, ov_w, memv_w, pme_w, pmecb_w, pmecr_w,
+    xs = (oy_w, ou_w, ov_w, memv_w, pme_w, pmecb_w, pmecr_w, qp_w, qpc_w, lam_w,
           jnp.asarray(sched["rs"]), jnp.asarray(sched["cs"]),
           jnp.asarray(sched["valid"]), jnp.asarray(sched["idx"]))
 
@@ -248,7 +248,7 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int)
     )
     carry, outs = jax.lax.scan(
         functools.partial(_wave_impl, cw=cw, ch=ch, nctu=nctu, geom=geom,
-                          refp=(refp_y, refp_u, refp_v), qp=qp, qp_c=qp_c, lam=lam),
+                          refp=(refp_y, refp_u, refp_v)),
         carry0,
         xs,
     )
@@ -322,7 +322,8 @@ def _encode_ctu_p_wave(
     oy_flat = oyw.reshape(lanes, n * n)
     cost35 = ck.satd_flat(preds, oy_flat[:, None, :], 4).astype(jnp.float32)
     ibits = jax.vmap(_mode_bits_table)(jnp.where(cs > 0, cand_a_mode, 1))
-    costs = cost35 + lam * ibits
+    lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (lanes,))
+    costs = cost35 + lam[:, None] * ibits
     intra_mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
     cost_intra = jnp.take_along_axis(costs, intra_mode[:, None], 1)[:, 0] + lam * 3.0
     pred_intra = jnp.take_along_axis(preds, intra_mode[:, None, None], 1)[:, 0]
@@ -414,9 +415,9 @@ def _encode_ctu_p_wave(
     )
 
 
-def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp, qp, qp_c, lam):
+def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp):
     (blk_y, blk_u, blk_v, modes, mvs, inter_flags) = carry
-    oyw, ouw, ovw, memvw, pmew, pmecbw, pmecrw, rs, cs, valid, idx = x
+    oyw, ouw, ovw, memvw, pmew, pmecbw, pmecrw, qpw, qpcw, lamw, rs, cs, valid, idx = x
     # 8.4.2: an inter-coded left neighbor contributes DC to the MPM list
     left_i = jnp.maximum(idx - 1, 0)
     cand_a_mode = jnp.where(inter_flags[left_i], 1, modes[left_i])
@@ -424,7 +425,7 @@ def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp, qp, qp_c, lam):
     out = _encode_ctu_p_wave(
         blk_y, blk_u, blk_v, mvs, inter_flags, refp,
         oyw, ouw, ovw, rs, cs, cand_a_mode, memvw, (pmew, pmecbw, pmecrw),
-        qp, qp_c, lam, geom,
+        qpw, qpcw, lamw, geom,
     )
 
     out_idx = jnp.where(valid, idx, nctu)

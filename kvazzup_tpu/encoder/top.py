@@ -4,9 +4,13 @@ The idiomatic successor of the reference's KvazaarFilter
 (/root/reference/src/media/processing/kvazaarfilter.cpp:331-495: feed
 pictures, drain chunked NALs): device scans encode, host muxes the
 bitstream.  GOP structure: IDR every `intra_period` frames, low-delay P
-chain against the previous (deblocked) picture in between — the
+chain against the previous (in-loop-filtered) picture in between — the
 kvazaarfilter low-delay configuration (GOP lp-*, kvazaarfilter.cpp:233)
 with one active reference.
+
+Per-frame order: device encode -> deblocking -> SAO decision+apply (both
+read the original frame and feed the DPB) -> host entropy (SAO params
+precede each CTU's syntax) -> NAL mux.
 """
 
 from __future__ import annotations
@@ -24,6 +28,8 @@ from ..core.params import (
     compose_vps,
 )
 from ..entropy.slice_data import (
+    SaoState,
+    derive_qp_actual,
     encode_slice_data_intra,
     encode_slice_data_intra_qp,
     encode_slice_data_intra_wpp,
@@ -31,6 +37,7 @@ from ..entropy.slice_data import (
     encode_slice_data_p_wpp,
 )
 from ..ops.deblock import compute_bs, deblock_frame
+from ..ops.sao import sao_apply, sao_decide, sao_decide_chroma
 from .frame_inter import encode_frame_p
 from .frame_intra import encode_frame_intra
 
@@ -41,11 +48,13 @@ class Encoder:
     def __init__(self, cfg: StreamConfig, intra_period: int = 1) -> None:
         if cfg.width % cfg.ctb_size or cfg.height % cfg.ctb_size:
             raise ValueError("v1 requires CTB-aligned dimensions (pad input)")
+        if cfg.sao_enabled and not cfg.wpp:
+            raise NotImplementedError("SAO currently requires cfg.wpp streams")
         self.cfg = cfg
         self.intra_period = max(1, intra_period)
         self._frame_count = 0
         self._poc = 0
-        self._ref = None  # DPB: one (y, u, v) uint8 tuple (post-deblock)
+        self._ref = None  # DPB: one (y, u, v) uint8 tuple (post-loop-filter)
 
     def headers(self) -> bytes:
         cfg = self.cfg
@@ -57,65 +66,126 @@ class Encoder:
                      qp_map: np.ndarray | None = None):
         """Returns (annexb_bytes, recon_yuv_tuple).  qp overrides cfg.qp
         (rate control hook); qp_map is a per-CTU (ctbs_h, ctbs_w) QP grid
-        (requires cfg.cu_qp_delta — the ROI/RoiMap hook, applied on intra
-        frames)."""
+        (requires cfg.cu_qp_delta — the ROI/RoiMap hook)."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         if qp_map is not None and not cfg.cu_qp_delta:
             raise ValueError("qp_map requires cfg.cu_qp_delta")
+        flat_map = None
+        if qp_map is not None:
+            flat_map = np.clip(np.asarray(qp_map, np.int32).reshape(-1), 0, 51)
+        dev_qp = jnp.asarray(flat_map) if flat_map is not None else qp
         is_idr = self._frame_count % self.intra_period == 0 or self._ref is None
 
-        entry_offsets = None
-        qp_actual = None
+        # ---- device encode
         if is_idr:
-            flat_map = None
-            if qp_map is not None:
-                flat_map = np.clip(np.asarray(qp_map, np.int32).reshape(-1), 0, 51)
-            dev_qp = jnp.asarray(flat_map) if flat_map is not None else qp
             out = encode_frame_intra(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
                 width=cfg.width, height=cfg.height,
             )
+            bs_v = bs_h = None
+        else:
+            ry, ru, rv = self._ref
+            out = encode_frame_p(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dev_qp,
+                width=cfg.width, height=cfg.height,
+            )
+            bs_v, bs_h = compute_bs(
+                out["ctype"],
+                jnp.any(out["lev_y"] != 0, axis=(1, 2)),
+                out["mv"],
+                cfg.ctbs_w,
+                cfg.ctbs_h,
+            )
+
+        # ---- in-loop filters (feed the DPB and the output picture)
+        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+        sao_state = None
+        qp_pre_actual = None
+        if flat_map is not None:
+            any_cbf = (
+                np.any(np.asarray(out["lev_y"]), axis=(1, 2))
+                | np.any(np.asarray(out["lev_cb"]), axis=(1, 2))
+                | np.any(np.asarray(out["lev_cr"]), axis=(1, 2))
+            )
+            qp_pre_actual = derive_qp_actual(
+                flat_map, any_cbf, cfg.ctbs_w, cfg.ctbs_h, qp, cfg.wpp
+            )
+        if cfg.deblocking_enabled:
+            dq_map = (
+                jnp.asarray(qp_pre_actual.reshape(cfg.ctbs_h, cfg.ctbs_w))
+                if qp_pre_actual is not None
+                else None
+            )
+            ry, ru, rv = deblock_frame(
+                ry, ru, rv, qp, spacing=cfg.ctb_size, bs_v=bs_v, bs_h=bs_h, qp_map=dq_map
+            )
+        if cfg.sao_enabled:
+            lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+            t_l, aux_l, off_l, _ = sao_decide(jnp.asarray(y), ry, lam, ctb=cfg.ctb_size)
+            t_c, _cls, aux_cb, aux_cr, off_cb, off_cr = sao_decide_chroma(
+                jnp.asarray(u), ru, jnp.asarray(v), rv, lam, ctb=cfg.ctb_size // 2
+            )
+            sao_state = SaoState(
+                cfg.ctbs_w,
+                cfg.ctbs_h,
+                typ=np.stack([np.asarray(t_l), np.asarray(t_c), np.asarray(t_c)]),
+                aux=np.stack([np.asarray(aux_l), np.asarray(aux_cb), np.asarray(aux_cr)]),
+                offs=np.stack([np.asarray(off_l), np.asarray(off_cb), np.asarray(off_cr)]),
+            )
+            ry = sao_apply(ry, t_l, aux_l, off_l, ctb=cfg.ctb_size)
+            ru = sao_apply(ru, t_c, aux_cb, off_cb, ctb=cfg.ctb_size // 2)
+            rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
+
+        # ---- host entropy
+        entry_offsets = None
+        qp_actual = None
+        if is_idr:
             arrays = (
                 np.asarray(out["mode"]),
                 np.asarray(out["lev_y"]),
                 np.asarray(out["lev_cb"]),
                 np.asarray(out["lev_cr"]),
             )
-            if cfg.wpp and flat_map is not None:
-                payload, entry_offsets, qp_actual = encode_slice_data_intra_wpp(
-                    cfg, *arrays, qp_map=flat_map
+            if cfg.wpp:
+                res = encode_slice_data_intra_wpp(
+                    cfg, *arrays, qp_map=flat_map, sao=sao_state
                 )
-            elif cfg.wpp:
-                payload, entry_offsets = encode_slice_data_intra_wpp(cfg, *arrays)
+                if flat_map is not None:
+                    payload, entry_offsets, qp_actual = res
+                else:
+                    payload, entry_offsets = res
             elif flat_map is not None:
                 payload, qp_actual = encode_slice_data_intra_qp(cfg, *arrays, qp_map=flat_map)
             else:
                 payload = encode_slice_data_intra(cfg, *arrays)
-            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
-            self._poc = 0
-            bs_v = bs_h = None
-        else:
-            ry, ru, rv = self._ref
-            out = encode_frame_p(
-                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), qp,
-                width=cfg.width, height=cfg.height,
+            sh = SliceHeader(
+                slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
+                sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
             )
-            ctype = np.asarray(out["ctype"])
-            lev_y = np.asarray(out["lev_y"])
+            self._poc = 0
+        else:
             p_arrays = (
-                ctype,
+                np.asarray(out["ctype"]),
                 np.asarray(out["intra_mode"]),
                 np.asarray(out["mv"]),
                 np.asarray(out["mvp_flag"]),
                 np.asarray(out["mvd"]),
-                lev_y,
+                np.asarray(out["lev_y"]),
                 np.asarray(out["lev_cb"]),
                 np.asarray(out["lev_cr"]),
             )
             if cfg.wpp:
-                payload, entry_offsets = encode_slice_data_p_wpp(cfg, *p_arrays, slice_qp=qp)
+                res = encode_slice_data_p_wpp(
+                    cfg, *p_arrays, slice_qp=qp, qp_map=flat_map, sao=sao_state
+                )
+                if flat_map is not None:
+                    payload, entry_offsets, qp_actual = res
+                else:
+                    payload, entry_offsets = res
+            elif flat_map is not None:
+                raise NotImplementedError("P-frame qp_map currently requires cfg.wpp")
             else:
                 payload = encode_slice_data_p(cfg, *p_arrays, slice_qp=qp)
             self._poc += 1
@@ -126,13 +196,8 @@ class Encoder:
                 pic_order_cnt_lsb=self._poc % (1 << cfg.log2_max_poc_lsb),
                 num_negative_pics=1,
                 delta_pocs=(-1,),
-            )
-            bs_v, bs_h = compute_bs(
-                jnp.asarray(ctype),
-                jnp.asarray(np.any(lev_y, axis=(1, 2))),
-                jnp.asarray(out["mv"]),
-                cfg.ctbs_w,
-                cfg.ctbs_h,
+                sao_luma=cfg.sao_enabled,
+                sao_chroma=cfg.sao_enabled,
             )
 
         w = compose_slice_header(cfg, sh, entry_offsets)
@@ -143,16 +208,6 @@ class Encoder:
         stream += compose_nal(NalUnit(sh.nal_type, w.data()))
         self._frame_count += 1
 
-        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
-        if cfg.deblocking_enabled:
-            dq_map = (
-                jnp.asarray(qp_actual.reshape(cfg.ctbs_h, cfg.ctbs_w))
-                if qp_actual is not None
-                else None
-            )
-            ry, ru, rv = deblock_frame(
-                ry, ru, rv, qp, spacing=cfg.ctb_size, bs_v=bs_v, bs_h=bs_h, qp_map=dq_map
-            )
         recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
         self._ref = recon
         return stream, recon

@@ -496,8 +496,10 @@ def _decode_qp_delta(dec: CabacDecoder) -> int:
 
 # ------------------------------------------------- WPP (entropy sync) mode
 
-def _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qp_state=None):
+def _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qp_state=None, sao=None):
     """One CTU of I-slice syntax (shared by raster and WPP drivers)."""
+    if sao is not None:
+        sao.encode(enc, i)
     c = i % cfg.ctbs_w
     if cfg.ctb_log2 == cfg.min_cb_log2:
         enc.encode_bin(OFFSETS["part_mode"], 1)
@@ -520,7 +522,9 @@ def _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qp_state=None):
         encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
 
 
-def _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr, qp_state=None):
+def _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr, qp_state=None, sao=None):
+    if sao is not None:
+        sao.decode(dec, i)
     c = i % cfg.ctbs_w
     if cfg.ctb_log2 == cfg.min_cb_log2:
         if dec.decode_bin(OFFSETS["part_mode"]) != 1:
@@ -605,8 +609,8 @@ def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_
                     raise ValueError("missing end_of_subset_one_bit")
 
 
-def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: bool = True, qp_map=None):
-    if use_native and qp_map is None:
+def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: bool = True, qp_map=None, sao=None):
+    if use_native and qp_map is None and sao is None:
         from ..native import encode_slice_native
 
         out = encode_slice_native(
@@ -618,7 +622,7 @@ def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: b
     qs = QpState(cfg.qp, qp_map, nctu) if qp_map is not None else None
 
     def fn(enc, i):
-        _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qs)
+        _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qs, sao)
 
     fn.init_type = 0
     out = encode_slice_data_wpp(cfg, fn, qs)
@@ -628,8 +632,8 @@ def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: b
 
 
 def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True,
-                                cu_qp_delta: bool = False):
-    if use_native and not cu_qp_delta:
+                                cu_qp_delta: bool = False, sao=None):
+    if use_native and not cu_qp_delta and sao is None:
         from ..native import decode_slice_native
 
         out = decode_slice_native(cfg, 2, True, payload, entry_offsets, slice_qp)
@@ -644,14 +648,16 @@ def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp, use_nativ
     qs = QpState(slice_qp, np.zeros(nctu), nctu) if cu_qp_delta else None
 
     def fn(dec, i):
-        _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr, qs)
+        _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr, qs, sao)
 
     decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 0, slice_qp, qs)
     return modes, lev_y, lev_cb, lev_cr, (qs.actual if qs else None)
 
 
-def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr):
+def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, qp_state=None, sao=None):
     """One CTU of P-slice syntax (shared by raster and WPP drivers)."""
+    if sao is not None:
+        sao.encode(enc, i)
     ctbs_w = cfg.ctbs_w
     c = i % ctbs_w
     r = i // ctbs_w
@@ -665,6 +671,8 @@ def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvd
     enc.encode_bin(OFFSETS["cu_skip_flag"] + ctx, 1 if is_skip else 0)
     skip[i] = is_skip
     if is_skip:
+        if qp_state is not None:
+            qp_state.encode(enc, i, False)
         return
     enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == CT_INTRA else 0)
     if ct == CT_INTRA:
@@ -691,16 +699,20 @@ def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvd
         enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
         if ct == CT_INTRA or cbf_cb or cbf_cr:
             enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+        if qp_state is not None:
+            qp_state.encode(enc, i, bool(root_cbf))
         if cbf_y:
             encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
         if cbf_cb:
             encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
         if cbf_cr:
             encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+    elif qp_state is not None:
+        qp_state.encode(enc, i, False)
 
 
-def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None, use_native: bool = True):
-    if use_native:
+def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None, use_native: bool = True, qp_map=None, sao=None):
+    if use_native and qp_map is None and sao is None:
         from ..native import encode_slice_native
 
         out = encode_slice_native(
@@ -714,15 +726,21 @@ def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y
     nctu = cfg.ctbs_w * cfg.ctbs_h
     skip = np.zeros(nctu, dtype=bool)
     cfg2 = cfg if slice_qp is None else __import__("dataclasses").replace(cfg, qp=slice_qp)
+    qs = QpState(cfg2.qp, qp_map, nctu) if qp_map is not None else None
 
     def fn(enc, i):
-        _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr)
+        _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, qs, sao)
 
     fn.init_type = 1
-    return encode_slice_data_wpp(cfg2, fn)
+    out = encode_slice_data_wpp(cfg2, fn, qs)
+    if qs is not None:
+        return out[0], out[1], qs.actual
+    return out
 
 
-def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr):
+def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_state=None, sao=None):
+    if sao is not None:
+        sao.decode(dec, i)
     ctbs_w = cfg.ctbs_w
     c = i % ctbs_w
     r = i // ctbs_w
@@ -736,6 +754,8 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
         inter[i] = True
         ctype[i] = CT_SKIP
         mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs)
+        if qp_state is not None:
+            qp_state.decode(dec, i, False)
         return
     if dec.decode_bin(OFFSETS["pred_mode_flag"]):
         ctype[i] = CT_INTRA
@@ -768,22 +788,26 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
             cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
         else:
             cbf_y = 1
+        if qp_state is not None:
+            qp_state.decode(dec, i, bool(cbf_y or cbf_cb or cbf_cr))
         if cbf_y:
             lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
         if cbf_cb:
             lev_cb[i] = decode_residual(dec, cfg.ctb_log2 - 1, 1)
         if cbf_cr:
             lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
+    elif qp_state is not None:
+        qp_state.decode(dec, i, False)
 
 
-def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True):
-    if use_native:
+def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True, cu_qp_delta: bool = False, sao=None):
+    if use_native and not cu_qp_delta and sao is None:
         from ..native import decode_slice_native
 
         out = decode_slice_native(cfg, 1, True, payload, entry_offsets, slice_qp)
         if out is not None:
             return (out["ctype"], out["intra_modes"], out["mvs"],
-                    out["lev_y"], out["lev_cb"], out["lev_cr"])
+                    out["lev_y"], out["lev_cb"], out["lev_cr"], None)
     nctu = cfg.ctbs_w * cfg.ctbs_h
     n = cfg.ctb_size
     ctype = np.zeros(nctu, np.int32)
@@ -794,12 +818,13 @@ def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: b
     lev_y = np.zeros((nctu, n, n), np.int32)
     lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    qs = QpState(slice_qp, np.zeros(nctu), nctu) if cu_qp_delta else None
 
     def fn(dec, i):
-        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr)
+        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qs, sao)
 
-    decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 1, slice_qp)
-    return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr
+    decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 1, slice_qp, qs)
+    return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, (qs.actual if qs else None)
 
 
 def encode_slice_data_intra_qp(cfg, modes, lev_y, lev_cb, lev_cr, qp_map):
@@ -830,3 +855,125 @@ def decode_slice_data_intra_qp(cfg, payload, slice_qp):
         if end != (1 if i == nctu - 1 else 0):
             raise ValueError(f"end_of_slice mismatch at CTU {i}")
     return modes, lev_y, lev_cb, lev_cr, qs.actual
+
+
+# ---------------------------------------------------------------- SAO
+
+class SaoState:
+    """Per-CTB SAO parameter coding (7.3.8.3): merge flags + explicit
+    params.  Arrays indexed [component][ctb]: component 0 luma, 1 Cb, 2 Cr.
+    typ in {0 off, 1 band, 2 edge}; aux = eo_class (shared for chroma) or
+    band_position; offs: signed offsets (EO: cat 3/4 stored negative)."""
+
+    def __init__(self, cw: int, chh: int, typ=None, aux=None, offs=None,
+                 luma: bool = True, chroma: bool = True):
+        self.cw, self.chh = cw, chh
+        n = cw * chh
+        self.luma, self.chroma = luma, chroma
+        self.typ = np.zeros((3, n), np.int32) if typ is None else np.asarray(typ, np.int32).reshape(3, n)
+        self.aux = np.zeros((3, n), np.int32) if aux is None else np.asarray(aux, np.int32).reshape(3, n)
+        self.offs = np.zeros((3, n, 4), np.int32) if offs is None else np.asarray(offs, np.int32).reshape(3, n, 4)
+
+    def _same(self, i, j) -> bool:
+        return (
+            np.array_equal(self.typ[:, i], self.typ[:, j])
+            and np.array_equal(self.aux[:, i], self.aux[:, j])
+            and np.array_equal(self.offs[:, i], self.offs[:, j])
+        )
+
+    def _copy(self, dst, src) -> None:
+        self.typ[:, dst] = self.typ[:, src]
+        self.aux[:, dst] = self.aux[:, src]
+        self.offs[:, dst] = self.offs[:, src]
+
+    def encode(self, enc, i: int) -> None:
+        c, r = i % self.cw, i // self.cw
+        merge_left = c > 0 and self._same(i, i - 1)
+        if c > 0:
+            enc.encode_bin(OFFSETS["sao_merge_flag"], 1 if merge_left else 0)
+        if not merge_left:
+            merge_up = r > 0 and self._same(i, i - self.cw)
+            if r > 0:
+                enc.encode_bin(OFFSETS["sao_merge_flag"], 1 if merge_up else 0)
+            if not merge_up:
+                self._encode_params(enc, i)
+
+    def _encode_params(self, enc, i: int) -> None:
+        for cidx in range(3):
+            if (cidx == 0 and not self.luma) or (cidx > 0 and not self.chroma):
+                continue
+            t = int(self.typ[cidx, i])
+            if cidx != 2:  # type coded for luma and once for chroma
+                enc.encode_bin(OFFSETS["sao_type_idx"], 1 if t else 0)
+                if t:
+                    enc.encode_bypass(1 if t == 2 else 0)
+            if t == 0:
+                continue
+            offs = self.offs[cidx, i]
+            for k in range(4):
+                enc_tr = abs(int(offs[k]))
+                for b in range(enc_tr):
+                    enc.encode_bypass(1)
+                if enc_tr < 7:
+                    enc.encode_bypass(0)
+            if t == 1:  # band: signs + position
+                for k in range(4):
+                    if offs[k]:
+                        enc.encode_bypass(1 if offs[k] < 0 else 0)
+                enc.encode_bypass_bits(int(self.aux[cidx, i]), 5)
+            elif cidx != 2:  # edge class for luma / once for chroma
+                enc.encode_bypass_bits(int(self.aux[cidx, i]), 2)
+
+    def decode(self, dec, i: int) -> None:
+        c, r = i % self.cw, i // self.cw
+        if c > 0 and dec.decode_bin(OFFSETS["sao_merge_flag"]):
+            self._copy(i, i - 1)
+            return
+        if r > 0 and dec.decode_bin(OFFSETS["sao_merge_flag"]):
+            self._copy(i, i - self.cw)
+            return
+        for cidx in range(3):
+            if (cidx == 0 and not self.luma) or (cidx > 0 and not self.chroma):
+                continue
+            if cidx != 2:
+                t = 0
+                if dec.decode_bin(OFFSETS["sao_type_idx"]):
+                    t = 2 if dec.decode_bypass() else 1
+            else:
+                t = int(self.typ[1, i])  # chroma type shared
+            self.typ[cidx, i] = t
+            if t == 0:
+                continue
+            absv = []
+            for k in range(4):
+                v = 0
+                while v < 7 and dec.decode_bypass():
+                    v += 1
+                absv.append(v)
+            if t == 1:
+                offs = []
+                for k in range(4):
+                    s = dec.decode_bypass() if absv[k] else 0
+                    offs.append(-absv[k] if s else absv[k])
+                self.offs[cidx, i] = offs
+                self.aux[cidx, i] = dec.decode_bypass_bits(5)
+            else:
+                self.offs[cidx, i] = [absv[0], absv[1], -absv[2], -absv[3]]
+                if cidx != 2:
+                    self.aux[cidx, i] = dec.decode_bypass_bits(2)
+                else:
+                    self.aux[2, i] = self.aux[1, i]  # chroma EO class shared
+
+
+def derive_qp_actual(flat_map, any_cbf, cw: int, chh: int, slice_qp: int, wpp: bool):
+    """Actual per-CTU QP under the qPY_PREV chain (8.6.1): CTUs with no
+    coded coefficients inherit the predictor.  Matches QpState exactly."""
+    nctu = cw * chh
+    out = np.zeros(nctu, np.int32)
+    prev = slice_qp
+    for i in range(nctu):
+        if wpp and i % cw == 0:
+            prev = slice_qp
+        out[i] = int(flat_map[i]) if any_cbf[i] else prev
+        prev = out[i]
+    return out

@@ -1,0 +1,226 @@
+"""Sample Adaptive Offset (H.265 8.7.3): estimation + application.
+
+SAO runs after deblocking and reads only the deblocked picture, so both
+halves are dense full-frame ops: the encoder accumulates per-CTB category
+statistics for every edge class and band simultaneously (one pass over the
+picture), picks offsets/classes by the standard RD estimate, and the
+applier adds per-pixel offsets selected by each pixel's CTB parameters.
+
+Counterpart: kvazaar `sao.c` + strategy kernels (Reconstruction group,
+dependencies/kvazaar_CMakeLists.txt:207-218).
+
+Parameter encoding per CTB and component:
+  type: 0 = off, 1 = band (BO), 2 = edge (EO)
+  eo_class: 0 = 0deg, 1 = 90deg, 2 = 135deg, 3 = 45deg
+  offsets[4]: per EO category 1..4 or 4 consecutive bands from band_pos
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+SAO_OFF, SAO_BAND, SAO_EDGE = 0, 1, 2
+_EO_DIRS = [(-1, 0, 1, 0), (0, -1, 0, 1), (-1, -1, 1, 1), (1, -1, -1, 1)]
+# (hPos0, vPos0, hPos1, vPos1) per class: left/right, up/down, diagonals
+
+
+def _shift(img, dy: int, dx: int):
+    """Shifted copy with edge rows/cols marked invalid via a mask."""
+    h, w = img.shape
+    pad = jnp.pad(img, 1, mode="edge")
+    return pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+
+def _edge_index_maps(rec):
+    """Per-class (4, H, W) final edgeIdx in {0..4} (0 = flat / no offset),
+    with picture-boundary samples forced to 0."""
+    h, w = rec.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    maps = []
+    for dx0, dy0, dx1, dy1 in _EO_DIRS:
+        n0 = _shift(rec, dy0, dx0)
+        n1 = _shift(rec, dy1, dx1)
+        raw = 2 + jnp.sign(rec - n0) + jnp.sign(rec - n1)
+        idx = jnp.where(raw == 2, 0, jnp.where(raw < 2, raw + 1, raw)).astype(jnp.int32)
+        # boundary samples whose neighbors fall outside the picture: no EO
+        ok = (
+            (xs + dx0 >= 0) & (xs + dx0 < w) & (xs + dx1 >= 0) & (xs + dx1 < w)
+            & (ys + dy0 >= 0) & (ys + dy0 < h) & (ys + dy1 >= 0) & (ys + dy1 < h)
+        )
+        maps.append(jnp.where(ok, idx, 0))
+    return jnp.stack(maps)  # (4, H, W)
+
+
+def _per_ctb_sums(x, ctb: int):
+    h, w = x.shape[-2], x.shape[-1]
+    lead = x.shape[:-2]
+    return x.reshape(lead + (h // ctb, ctb, w // ctb, ctb)).sum(axis=(-3, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("ctb",))
+def sao_statistics(orig, rec, *, ctb: int):
+    """Per-CTB SAO statistics for one plane.
+
+    orig/rec: (H, W) uint8/int32 (rec = deblocked).  Returns dict:
+      eo_sum/eo_cnt: (4, 4, cb_h, cb_w)  [class, category-1]
+      band_sum/band_cnt: (32, cb_h, cb_w)
+    """
+    o = orig.astype(jnp.int32)
+    r = rec.astype(jnp.int32)
+    diff = o - r
+    emaps = _edge_index_maps(r)  # (4, H, W)
+    eo_sum = []
+    eo_cnt = []
+    for cat in range(1, 5):
+        m = emaps == cat  # (4, H, W)
+        eo_sum.append(_per_ctb_sums(jnp.where(m, diff[None], 0), ctb))
+        eo_cnt.append(_per_ctb_sums(m.astype(jnp.int32), ctb))
+    eo_sum = jnp.stack(eo_sum, axis=1)  # (4, 4, cbh, cbw)
+    eo_cnt = jnp.stack(eo_cnt, axis=1)
+
+    band = r >> 3  # (H, W) in 0..31
+    onehot = band[None] == jnp.arange(32, dtype=jnp.int32)[:, None, None]
+    band_sum = _per_ctb_sums(jnp.where(onehot, diff[None], 0), ctb)
+    band_cnt = _per_ctb_sums(onehot.astype(jnp.int32), ctb)
+    return dict(eo_sum=eo_sum, eo_cnt=eo_cnt, band_sum=band_sum, band_cnt=band_cnt)
+
+
+def _best_offset(ssum, cnt, lo, hi):
+    """Distortion-optimal integer offset in [lo, hi] and its dist delta.
+
+    delta-D for offset o on a category: cnt*o^2 - 2*o*sum (negative good)."""
+    o = jnp.clip(jnp.round(ssum / jnp.maximum(cnt, 1)).astype(jnp.int32), lo, hi)
+    # moving toward zero can only help rate; test o and its toward-zero nbr
+    o2 = o - jnp.sign(o)
+    d1 = cnt * o * o - 2 * o * ssum
+    d2 = cnt * o2 * o2 - 2 * o2 * ssum
+    better = d2 < d1
+    return jnp.where(better, o2, o), jnp.where(better, d2, d1)
+
+
+@functools.partial(jax.jit, static_argnames=("ctb",))
+def sao_decide(orig, rec, lam, *, ctb: int):
+    """Choose per-CTB SAO params for one plane.
+
+    Returns (type (cbh,cbw), class_or_bandpos, offsets (cbh,cbw,4), cost)
+    where cost is the RD delta (<= 0 improves).  lam: scalar f32.
+    """
+    st = sao_statistics(orig, rec, ctb=ctb)
+    # EO: per class, best offsets with inferred signs (+,+,-,-)
+    eo_off_hi = jnp.array([7, 7, 0, 0], jnp.int32)
+    eo_off_lo = jnp.array([0, 0, -7, -7], jnp.int32)
+    eo_o, eo_d = _best_offset(
+        st["eo_sum"], st["eo_cnt"], eo_off_lo[None, :, None, None], eo_off_hi[None, :, None, None]
+    )
+    eo_dist = eo_d.sum(axis=1)  # (4, cbh, cbw)
+    eo_bits = 2.0 + 2.0 + jnp.abs(eo_o).sum(axis=1).astype(jnp.float32)  # type+class+offsets
+    eo_cost = eo_dist.astype(jnp.float32) + lam * eo_bits
+    best_class = jnp.argmin(eo_cost, axis=0)  # (cbh, cbw)
+    best_eo_cost = jnp.min(eo_cost, axis=0)
+    best_eo_off = jnp.take_along_axis(
+        eo_o, best_class[None, None], axis=0
+    )[0].transpose(1, 2, 0)  # (cbh, cbw, 4)
+
+    # BO: best window of 4 consecutive bands
+    bo_o, bo_d = _best_offset(st["band_sum"], st["band_cnt"], -7, 7)  # (32, cbh, cbw)
+    win_d = jnp.stack([
+        bo_d[k : k + 4].sum(axis=0) if k + 4 <= 32 else
+        (bo_d[k:].sum(axis=0) + bo_d[: k + 4 - 32].sum(axis=0))
+        for k in range(29)
+    ])  # (29, cbh, cbw) — non-wrapping windows only (band_position <= 28)
+    bo_pos = jnp.argmin(win_d, axis=0)  # (cbh, cbw)
+    bo_dist = jnp.min(win_d, axis=0)
+    idx = bo_pos[None] + jnp.arange(4)[:, None, None]
+    bo_off = jnp.take_along_axis(bo_o, idx, axis=0).transpose(1, 2, 0)  # (cbh,cbw,4)
+    bo_bits = 2.0 + 5.0 + (jnp.abs(bo_off).sum(axis=-1) + (bo_off != 0).sum(axis=-1)).astype(jnp.float32)
+    bo_cost = bo_dist.astype(jnp.float32) + lam * bo_bits
+
+    off_cost = lam * 1.0  # type bin only
+    t_eo = best_eo_cost < jnp.minimum(bo_cost, off_cost)
+    t_bo = (bo_cost < off_cost) & ~t_eo
+    typ = jnp.where(t_eo, SAO_EDGE, jnp.where(t_bo, SAO_BAND, SAO_OFF)).astype(jnp.int32)
+    aux = jnp.where(t_eo, best_class, bo_pos).astype(jnp.int32)
+    offs = jnp.where(
+        t_eo[..., None], best_eo_off, jnp.where(t_bo[..., None], bo_off, 0)
+    ).astype(jnp.int32)
+    cost = jnp.where(t_eo, best_eo_cost, jnp.where(t_bo, bo_cost, off_cost))
+    return typ, aux, offs, cost
+
+
+@functools.partial(jax.jit, static_argnames=("ctb",))
+def sao_apply(rec, typ, aux, offs, *, ctb: int):
+    """Apply SAO to one plane.  typ/aux: (cbh, cbw); offs: (cbh, cbw, 4)."""
+    r = rec.astype(jnp.int32)
+    h, w = r.shape
+    emaps = _edge_index_maps(r)  # (4, H, W)
+    up = lambda m: jnp.repeat(jnp.repeat(m, ctb, 0), ctb, 1)
+    typ_px = up(typ)
+    aux_px = up(aux)
+    # EO offset per pixel: select class map, then category offset
+    eo_idx = jnp.take_along_axis(emaps, aux_px[None], axis=0)[0]  # (H, W) in 0..4
+    offs_px = jnp.repeat(jnp.repeat(offs, ctb, 0), ctb, 1)  # (H, W, 4)
+    cat_off = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros((h, w, 1), jnp.int32), offs_px], axis=-1),
+        eo_idx[..., None],
+        axis=-1,
+    )[..., 0]
+    # BO offset per pixel (band window wraps modulo 32)
+    band = r >> 3
+    brel = (band - aux_px) & 31
+    in_win = brel < 4
+    bo_off = jnp.take_along_axis(offs_px, jnp.clip(brel, 0, 3)[..., None], axis=-1)[..., 0]
+    bo_val = jnp.where(in_win, bo_off, 0)
+    delta = jnp.where(typ_px == SAO_EDGE, cat_off, jnp.where(typ_px == SAO_BAND, bo_val, 0))
+    return jnp.clip(r + delta, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("ctb",))
+def sao_decide_chroma(orig_cb, rec_cb, orig_cr, rec_cr, lam, *, ctb: int):
+    """Joint chroma decision: type and EO class are shared between Cb and Cr
+    (sao_type_idx_chroma / sao_eo_class_chroma coded once); offsets and band
+    positions stay per-component.  Returns
+    (typ, class_shared, aux_cb, aux_cr, offs_cb, offs_cr)."""
+    st_cb = sao_statistics(orig_cb, rec_cb, ctb=ctb)
+    st_cr = sao_statistics(orig_cr, rec_cr, ctb=ctb)
+
+    eo_off_hi = jnp.array([7, 7, 0, 0], jnp.int32)[None, :, None, None]
+    eo_off_lo = jnp.array([0, 0, -7, -7], jnp.int32)[None, :, None, None]
+    o_cb, d_cb = _best_offset(st_cb["eo_sum"], st_cb["eo_cnt"], eo_off_lo, eo_off_hi)
+    o_cr, d_cr = _best_offset(st_cr["eo_sum"], st_cr["eo_cnt"], eo_off_lo, eo_off_hi)
+    eo_dist = (d_cb + d_cr).sum(axis=1)  # (4, cbh, cbw)
+    eo_bits = 2.0 + 2.0 + (jnp.abs(o_cb) + jnp.abs(o_cr)).sum(axis=1).astype(jnp.float32)
+    eo_cost = eo_dist.astype(jnp.float32) + lam * eo_bits
+    cls = jnp.argmin(eo_cost, axis=0)
+    best_eo_cost = jnp.min(eo_cost, axis=0)
+    take = lambda o: jnp.take_along_axis(o, cls[None, None], axis=0)[0].transpose(1, 2, 0)
+    eo_off_cb, eo_off_cr = take(o_cb), take(o_cr)
+
+    def bo_plane(st):
+        bo_o, bo_d = _best_offset(st["band_sum"], st["band_cnt"], -7, 7)
+        win_d = jnp.stack([bo_d[k : k + 4].sum(axis=0) for k in range(29)])
+        pos = jnp.argmin(win_d, axis=0)
+        dist = jnp.min(win_d, axis=0)
+        idx = pos[None] + jnp.arange(4)[:, None, None]
+        off = jnp.take_along_axis(bo_o, idx, axis=0).transpose(1, 2, 0)
+        bits = 5.0 + (jnp.abs(off).sum(axis=-1) + (off != 0).sum(axis=-1)).astype(jnp.float32)
+        return pos, off, dist.astype(jnp.float32), bits
+
+    pos_cb, boff_cb, bd_cb, bb_cb = bo_plane(st_cb)
+    pos_cr, boff_cr, bd_cr, bb_cr = bo_plane(st_cr)
+    bo_cost = bd_cb + bd_cr + lam * (2.0 + bb_cb + bb_cr)
+
+    off_cost = lam * 1.0
+    t_eo = best_eo_cost < jnp.minimum(bo_cost, off_cost)
+    t_bo = (bo_cost < off_cost) & ~t_eo
+    typ = jnp.where(t_eo, SAO_EDGE, jnp.where(t_bo, SAO_BAND, SAO_OFF)).astype(jnp.int32)
+    aux_cb = jnp.where(t_eo, cls, pos_cb).astype(jnp.int32)
+    aux_cr = jnp.where(t_eo, cls, pos_cr).astype(jnp.int32)
+    z = jnp.zeros_like(eo_off_cb)
+    offs_cb = jnp.where(t_eo[..., None], eo_off_cb, jnp.where(t_bo[..., None], boff_cb, z)).astype(jnp.int32)
+    offs_cr = jnp.where(t_eo[..., None], eo_off_cr, jnp.where(t_bo[..., None], boff_cr, z)).astype(jnp.int32)
+    return typ, cls.astype(jnp.int32), aux_cb, aux_cr, offs_cb, offs_cr

@@ -86,3 +86,39 @@ def test_wpp_ip_stream(tmp_path):
     w, h = 96, 64
     cfg = StreamConfig(width=w, height=h, qp=30, wpp=True, deblocking_enabled=True)
     _run(cfg, _moving_frames(w, h, 4), tmp_path)
+
+
+def test_p_roi_adaptive_qp(tmp_path):
+    """Per-CTU QP maps on the P chain (ROI over WPP streams)."""
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=34, cu_qp_delta=True,
+                       deblocking_enabled=True, wpp=True)
+    enc = Encoder(cfg, intra_period=8)
+    frames = _moving_frames(w, h, 4)
+    qp_map = np.full((cfg.ctbs_h, cfg.ctbs_w), 34, np.int32)
+    qp_map[1:3, 1:5] = 27
+    stream = b""
+    recons = []
+    for (y, u, v) in frames:
+        s, rec = enc.encode_frame(y, u, v, qp_map=qp_map)
+        stream += s
+        recons.append(rec)
+    outs = Decoder().decode(stream)
+    for rec, out in zip(recons, outs):
+        for a, b in zip(rec, out):
+            np.testing.assert_array_equal(a, b)
+    from tests.test_e2e_intra import oracle_decode
+
+    ref, log = oracle_decode(stream, w, h, tmp_path)
+    assert len(ref) == len(frames), log
+    for fi, (rec, rf) in enumerate(zip(recons, ref)):
+        for a, b in zip(rec, rf):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {fi}")
+
+
+def test_sao_ip_stream(tmp_path):
+    """SAO (edge/band offsets) over WPP I+P with deblocking, oracle-exact."""
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=32, wpp=True,
+                       deblocking_enabled=True, sao_enabled=True)
+    _run(cfg, _moving_frames(w, h, 4), tmp_path)
