@@ -166,3 +166,39 @@ def test_ice_loopback_nomination():
     assert 1 in res_a, "controller must nominate a pair"
     assert 1 in res_b, "controlled side must mirror the nomination"
     assert res_a[1].remote.port == b_addr[1]
+
+
+def test_srtp_protect_unprotect():
+    import os as _os
+
+    from kvazzup_tpu.delivery.srtp import SrtpContext
+
+    key, salt = _os.urandom(16), _os.urandom(14)
+    tx = SrtpContext(key, salt)
+    rx = SrtpContext(key, salt)
+    pkt = RtpPacket(97, 100, 1234, 0xAABBCCDD, b"secret payload data")
+    wire = tx.protect(pkt.pack())
+    assert wire != pkt.pack()
+    assert b"secret" not in wire
+    out = rx.unprotect(wire)
+    assert out == pkt.pack()
+    # tamper -> auth failure
+    bad = bytearray(wire)
+    bad[-1] ^= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rx.unprotect(bytes(bad))
+
+
+def test_srtp_sequence_rollover():
+    import os as _os
+
+    from kvazzup_tpu.delivery.srtp import SrtpContext
+
+    key, salt = _os.urandom(16), _os.urandom(14)
+    tx = SrtpContext(key, salt)
+    rx = SrtpContext(key, salt)
+    for seq in (0xFFFE, 0xFFFF, 0x0000, 0x0001):  # wraps ROC
+        pkt = RtpPacket(97, seq, 1234, 0x11, bytes([seq & 0xFF] * 20))
+        assert rx.unprotect(tx.protect(pkt.pack())) == pkt.pack()

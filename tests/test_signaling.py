@@ -133,3 +133,53 @@ def test_dialog_matching():
     for h in ("Via", "From", "To", "Call-ID", "CSeq"):
         resp.add(h, raw.get(h))
     assert d.matches(resp)
+
+
+def test_register_flow_with_digest():
+    from kvazzup_tpu.signaling.registration import Credentials, Registration
+
+    reg = Registration("sip:alice@example.com", "sip.example.com",
+                       Credentials("alice", "secret"))
+    req1 = reg.make_register()
+    assert req1.method == "REGISTER"
+    assert req1.get("Expires") == "600"
+    # registrar challenges
+    challenge = SipMessage(status=401)
+    for h in ("Via", "From", "To", "Call-ID", "CSeq"):
+        challenge.add(h, req1.get(h))
+    challenge.add("WWW-Authenticate",
+                  'Digest realm="example.com", nonce="abc123", qop="auth"')
+    retry = reg.handle_response(challenge)
+    assert retry is not None
+    auth = retry.get("Authorization")
+    assert auth and 'username="alice"' in auth and "response=" in auth
+    ok = SipMessage(status=200)
+    for h in ("Via", "From", "To", "Call-ID", "CSeq"):
+        ok.add(h, retry.get(h))
+    ok.add("Expires", "600")
+    assert reg.handle_response(ok) is None
+    assert reg.registered
+    unreg = reg.make_unregister()
+    assert unreg.get("Expires") == "0"
+
+
+def test_mesh_sdp_synthesis():
+    from kvazzup_tpu.signaling.mesh import MeshType, SdpMeshConference
+
+    mesh = SdpMeshConference(MeshType.PORT_SHIFTED)
+    for sid, host in ((1, "10.0.0.1"), (2, "10.0.0.2"), (3, "10.0.0.3")):
+        mesh.add_remote_sdp(sid, default_sdp(f"peer{sid}", host, 5000, 5002))
+    for_2 = mesh.all_for(2)
+    assert len(for_2) == 2
+    hosts = {s.origin_address for s in for_2}
+    assert hosts == {"10.0.0.1", "10.0.0.3"}
+    # port-shifted: different pairs get different ports
+    p13 = mesh.synthesize(3, 1).media[0].port
+    p12 = mesh.synthesize(2, 1).media[0].port
+    assert p13 != p12
+
+    mux = SdpMeshConference(MeshType.RTP_MULTIPLEX)
+    mux.add_remote_sdp(1, default_sdp("a", "10.0.0.1", 5000, 5002))
+    mux.add_remote_sdp(2, default_sdp("b", "10.0.0.2", 5000, 5002))
+    s = mux.synthesize(2, 1)
+    assert s.media[0].mid == "1-2-0"
