@@ -38,6 +38,7 @@ class StreamConfig:
     amp_enabled: bool = False
     wpp: bool = False  # entropy_coding_sync (WPP substreams)
     cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
+    rdoq: bool = True  # RD-optimized quantization (encoder-only decision)
     level_idc: int = 123  # level 4.1
     max_dec_pic_buffering: int = 2
     num_reorder_pics: int = 0
@@ -222,9 +223,10 @@ class SliceHeader:
     nal_type: int = NalType.IDR_W_RADL
     pic_order_cnt_lsb: int = 0
     segment_address: int = 0
-    # short-term RPS (inline, one negative ref at delta=1 by default for P)
+    # short-term RPS (inline): negative deltas (past refs) + positive (future)
     num_negative_pics: int = 0
     delta_pocs: tuple = ()
+    pos_deltas: tuple = ()
     num_ref_idx_l0: int = 1
     sao_luma: bool = False
     sao_chroma: bool = False
@@ -254,12 +256,17 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
         w.flag(0)  # short_term_ref_pic_set_sps_flag -> coded inline
         # st_ref_pic_set(num_short_term_ref_pic_sets=0 -> idx 0, no inter-rps)
         w.ue(sh.num_negative_pics)
-        w.ue(0)  # num_positive_pics
+        w.ue(len(sh.pos_deltas))  # num_positive_pics
         prev = 0
         for dp in sh.delta_pocs:  # negative pics: delta_poc_s0_minus1, used flag
             w.ue(-dp + prev - 1)
             prev = dp
             w.flag(1)  # used_by_curr_pic_s0_flag
+        prev = 0
+        for dp in sh.pos_deltas:  # positive pics ascending
+            w.ue(dp - prev - 1)
+            prev = dp
+            w.flag(1)  # used_by_curr_pic_s1_flag
         if cfg.temporal_mvp:
             w.flag(1)  # slice_temporal_mvp_enabled_flag
     if cfg.sao_enabled:

@@ -41,10 +41,12 @@ class Decoder:
     def __init__(self) -> None:
         self.sps: ParsedSps | None = None
         self.pps: ParsedPps | None = None
-        self._ref = None  # one-picture DPB
+        self._ref = None  # last decoded picture (low-delay fast path)
+        self._dpb: dict = {}  # poc -> picture (random-access refs)
+        self._period = 0  # IDR period counter for output ordering
 
     def decode(self, stream: bytes):
-        """Decode an Annex-B stream; returns list of (y, u, v) frames."""
+        """Decode an Annex-B stream; returns frames in output (POC) order."""
         frames = []
         for nal in split_annexb(stream):
             if nal.nal_type == NalType.SPS:
@@ -58,11 +60,18 @@ class Decoder:
                     continue  # parameter sets not yet seen (reference behavior:
                     # openhevcfilter.cpp:116-143 discards until VPS/SPS/PPS)
                 frames.append(self._decode_picture(nal))
-        return frames
+        frames.sort(key=lambda t: t[0])
+        return [f for _, f in frames]
 
     def _decode_picture(self, nal):
+        """Returns ((period, poc), frame)."""
         sps, pps = self.sps, self.pps
         sh = parse_slice_header(nal.rbsp, nal.nal_type, sps, pps)
+        from ..core.nal import is_idr as _is_idr
+
+        if _is_idr(nal.nal_type):
+            self._period += 1
+            self._dpb.clear()
         if sps.ctb_log2 != 4 or sps.min_cb_log2 != 4:
             raise NotImplementedError("decoder v1 supports CTB == min CB == 16")
         cfg = StreamConfig(
@@ -99,40 +108,71 @@ class Decoder:
             y, u, v = reconstruct_frame_intra(
                 modes, lev_y, lev_cb, lev_cr, dec_qp, width=sps.width, height=sps.height
             )
-        elif sh.slice_type == 1:
-            if self._ref is None:
-                raise ValueError("P slice without a reference picture")
-            if pps.entropy_sync:
-                ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_actual = (
-                    decode_slice_data_p_wpp(
-                        cfg, payload, sh.entry_points, sh.qp,
-                        cu_qp_delta=pps.cu_qp_delta_enabled,
-                        sao=sao_state,
+        elif sh.slice_type in (0, 1):
+            negs, poss, _used = sh.rps
+            ref0_poc = sh.pic_order_cnt_lsb + (negs[0] if negs else -1)
+            ref = self._dpb.get(ref0_poc, self._ref)
+            if ref is None:
+                raise ValueError("P/B slice without a reference picture")
+            if sh.slice_type == 1:
+                if pps.entropy_sync:
+                    ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_actual = (
+                        decode_slice_data_p_wpp(
+                            cfg, payload, sh.entry_points, sh.qp,
+                            cu_qp_delta=pps.cu_qp_delta_enabled,
+                            sao=sao_state,
+                        )
                     )
+                else:
+                    if pps.cu_qp_delta_enabled:
+                        raise NotImplementedError("P cu_qp_delta requires WPP streams")
+                    ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
+                        cfg, payload, sh.qp
+                    )
+                ry, ru, rv = ref
+                dec_qp = jnp.asarray(qp_actual) if qp_actual is not None else sh.qp
+                y, u, v = reconstruct_frame_p(
+                    jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(mvs),
+                    lev_y, lev_cb, lev_cr,
+                    jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dec_qp,
+                    width=sps.width, height=sps.height,
                 )
-            else:
-                if pps.cu_qp_delta_enabled:
-                    raise NotImplementedError("P cu_qp_delta requires WPP streams")
-                ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
-                    cfg, payload, sh.qp
+                bs_v, bs_h = compute_bs(
+                    jnp.asarray(ctype),
+                    jnp.asarray(np.any(lev_y, axis=(1, 2))),
+                    jnp.asarray(mvs),
+                    cfg.ctbs_w,
+                    cfg.ctbs_h,
                 )
-            ry, ru, rv = self._ref
-            dec_qp = jnp.asarray(qp_actual) if qp_actual is not None else sh.qp
-            y, u, v = reconstruct_frame_p(
-                jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(mvs),
-                lev_y, lev_cb, lev_cr,
-                jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dec_qp,
-                width=sps.width, height=sps.height,
-            )
-            bs_v, bs_h = compute_bs(
-                jnp.asarray(ctype),
-                jnp.asarray(np.any(lev_y, axis=(1, 2))),
-                jnp.asarray(mvs),
-                cfg.ctbs_w,
-                cfg.ctbs_h,
-            )
-        else:
-            raise NotImplementedError("B slices land with the random-access milestone")
+            else:  # B slice
+                from ..entropy.slice_data import decode_slice_data_b_wpp
+                from ..ops.deblock import compute_bs_b
+                from .frame_b import reconstruct_frame_b
+
+                if not pps.entropy_sync:
+                    raise NotImplementedError("B decode currently requires WPP streams")
+                ref1_poc = sh.pic_order_cnt_lsb + (poss[0] if poss else 1)
+                ref1 = self._dpb.get(ref1_poc)
+                if ref1 is None:
+                    raise ValueError(f"missing L1 reference poc {ref1_poc}")
+                poc_diffs = (sh.pic_order_cnt_lsb - ref0_poc, sh.pic_order_cnt_lsb - ref1_poc)
+                ctype, intra_modes, pf, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_b_wpp(
+                    cfg, payload, sh.entry_points, sh.qp, poc_diffs, sao=sao_state
+                )
+                r0, r1 = ref, ref1
+                y, u, v = reconstruct_frame_b(
+                    jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(pf),
+                    jnp.asarray(mvs), lev_y, lev_cb, lev_cr,
+                    jnp.asarray(r0[0]), jnp.asarray(r0[1]), jnp.asarray(r0[2]),
+                    jnp.asarray(r1[0]), jnp.asarray(r1[1]), jnp.asarray(r1[2]),
+                    sh.qp, width=sps.width, height=sps.height,
+                )
+                bs_v, bs_h = compute_bs_b(
+                    jnp.asarray(ctype),
+                    jnp.asarray(np.any(lev_y, axis=(1, 2))),
+                    jnp.asarray(pf), jnp.asarray(mvs),
+                    cfg.ctbs_w, cfg.ctbs_h,
+                )
         if not sh.deblocking_disabled:
             dq_map = (
                 jnp.asarray(np.asarray(qp_actual).reshape(cfg.ctbs_h, cfg.ctbs_w))
@@ -160,4 +200,9 @@ class Decoder:
             v = sao_apply(v, jnp2.asarray(t[2]), jnp2.asarray(a[2]), jnp2.asarray(o[2]), ctb=cfg.ctb_size // 2)
         out = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = out
-        return out
+        poc = sh.pic_order_cnt_lsb if sh.slice_type != 2 else 0
+        self._dpb[poc] = out
+        if len(self._dpb) > 8:
+            for k in sorted(self._dpb)[: len(self._dpb) - 8]:
+                del self._dpb[k]
+        return (self._period, poc), out

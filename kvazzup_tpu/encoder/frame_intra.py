@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import intra as intra_ops
-from ..ops.quant import dequantize, quantize
+from ..ops.quant import dequantize, quantize, quantize_rdoq
 from ..ops.satd import satd_blocks
 from ..ops.transforms import fwd_transform, inv_transform
 
@@ -201,7 +201,11 @@ def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_
     def code_flat(orig, pred, q, log2):
         resid = orig - pred
         coef = ck.fwd_transform_flat(resid, log2)
-        lev = quantize(coef, q, log2, True)
+        if rdoq:
+            lam_q = (lam2 * lam2)[..., None] if coef.ndim == 3 else lam2 * lam2
+            lev = quantize_rdoq(coef, q, log2, lam_q[..., 0] if coef.ndim == 2 else lam_q[..., 0, :] if False else lam_q.squeeze(-1), True)
+        else:
+            lev = quantize(coef, q, log2, True)
         deq = dequantize(lev, q, log2)
         rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
         return lev, rec
@@ -337,8 +341,8 @@ def wave_to_raster(sched, out):
     return out.reshape((nw * ln,) + out.shape[2:])[sched["perm"]]
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def encode_frame_intra(y, u, v, qp, *, width: int, height: int):
+@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
+def encode_frame_intra(y, u, v, qp, *, width: int, height: int, rdoq: bool = True):
     """Wavefront schedule: scan over anti-diagonals d = 2r + c, all CTUs of
     a wave computed as one vmapped batch.  Bit-exact vs the raster schedule
     (the 2:1 skew respects every intra reference dependency).

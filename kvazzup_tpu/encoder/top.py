@@ -211,3 +211,220 @@ class Encoder:
         recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
         self._ref = recon
         return stream, recon
+
+
+class RandomAccessEncoder:
+    """Hierarchical mini-GOP encoder (BASELINE configs[2]).
+
+    Coding order per 4-frame group after an anchor A0: P/I(A0+4) ->
+    B(A0+2: refs A0, A0+4) -> B(A0+1: refs A0, A0+2) -> B(A0+3: refs
+    A0+2, A0+4).  Two temporal B layers; anchors every `gop_size`, IDR
+    every `intra_period` frames.  Frames are emitted in decode order with
+    their POCs (display order) attached.
+    """
+
+    def __init__(self, cfg: StreamConfig, gop_size: int = 4, intra_period: int = 32) -> None:
+        if gop_size != 4:
+            raise NotImplementedError("RA v1 uses gop_size 4")
+        if cfg.sao_enabled and not cfg.wpp:
+            raise NotImplementedError("SAO requires cfg.wpp")
+        if cfg.num_reorder_pics < 2 or cfg.max_dec_pic_buffering < 4:
+            raise ValueError("RA needs cfg.num_reorder_pics >= 2, max_dec_pic_buffering >= 4")
+        self.cfg = cfg
+        self.gop_size = gop_size
+        self.intra_period = intra_period
+        self._pending: list = []
+        self._anchor = None  # (poc, recon)
+        self._frame_idx = 0
+        self._sent_headers = False
+
+    def push_frame(self, y, u, v):
+        """Returns a list of (poc, annexb_bytes, recon) in decode order
+        (empty until a group completes)."""
+        self._pending.append((np.asarray(y), np.asarray(u), np.asarray(v)))
+        out = []
+        if self._anchor is None:
+            # first frame: IDR anchor immediately
+            f = self._pending.pop(0)
+            out.append(self._encode_anchor(f, idr=True))
+            return out
+        if len(self._pending) == self.gop_size:
+            out.extend(self._encode_group())
+        return out
+
+    def flush(self):
+        """Encode any buffered frames as a low-delay P tail."""
+        out = []
+        poc = self._anchor[0]
+        for f in self._pending:
+            poc += 1
+            out.append(self._encode_inter(f, poc, [self._anchor], slice_type=1))
+            self._anchor = (poc, out[-1][2])
+        self._pending = []
+        return out
+
+    # ----------------------------------------------------------- internals
+    def _encode_group(self):
+        cfg = self.cfg
+        a0_poc, a0 = self._anchor
+        f1, f2, f3, f4 = self._pending
+        self._pending = []
+        out = []
+        anchor = self._encode_inter(f4, a0_poc + 4, [self._anchor], slice_type=1)
+        out.append(anchor)
+        a4 = (anchor[0], anchor[2])
+        a0p = (a0_poc, a0)
+        b2 = self._encode_inter(f2, a0p[0] + 2, [a0p, a4], slice_type=0)
+        out.append(b2)
+        p2 = (b2[0], b2[2])
+        out.append(self._encode_inter(f1, a0p[0] + 1, [a0p, p2], slice_type=0))
+        out.append(self._encode_inter(f3, a0p[0] + 3, [p2, a4], slice_type=0))
+        self._anchor = a4
+        return out
+
+    def _encode_anchor(self, f, idr: bool):
+        cfg = self.cfg
+        y, u, v = f
+        qp = cfg.qp
+        out = encode_frame_intra(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+            width=cfg.width, height=cfg.height,
+        )
+        poc = 0 if idr else self._anchor[0] + 4
+        nal_bytes, recon = self._filters_and_entropy(
+            f, out, qp, slice_type=2, poc=poc, refs=None, bs=None
+        )
+        self._frame_idx += 1
+        self._anchor = (poc, recon)
+        return poc, nal_bytes, recon
+
+    def _encode_inter(self, f, poc, refs, slice_type: int):
+        cfg = self.cfg
+        y, u, v = f
+        qp = cfg.qp + (1 if slice_type == 0 else 0)  # mild hierarchical offset
+        if slice_type == 1:
+            (r_poc, r), = refs
+            out = encode_frame_p(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(r[0]), jnp.asarray(r[1]), jnp.asarray(r[2]), qp,
+                width=cfg.width, height=cfg.height,
+            )
+            bs = compute_bs(
+                out["ctype"], jnp.any(out["lev_y"] != 0, axis=(1, 2)), out["mv"],
+                cfg.ctbs_w, cfg.ctbs_h,
+            )
+        else:
+            from ..ops.deblock import compute_bs_b
+            from .frame_b import encode_frame_b
+
+            (p0, r0), (p1, r1) = refs
+            out = encode_frame_b(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                jnp.asarray(r0[0]), jnp.asarray(r0[1]), jnp.asarray(r0[2]),
+                jnp.asarray(r1[0]), jnp.asarray(r1[1]), jnp.asarray(r1[2]),
+                qp, jnp.asarray([poc - p0, poc - p1], jnp.int32),
+                width=cfg.width, height=cfg.height,
+            )
+            bs = compute_bs_b(
+                out["ctype"], jnp.any(out["lev_y"] != 0, axis=(1, 2)),
+                out["pf"], out["mv"], cfg.ctbs_w, cfg.ctbs_h,
+            )
+        nal_bytes, recon = self._filters_and_entropy(
+            f, out, qp, slice_type=slice_type, poc=poc, refs=refs, bs=bs
+        )
+        self._frame_idx += 1
+        return poc, nal_bytes, recon
+
+    def _filters_and_entropy(self, f, out, qp, slice_type, poc, refs, bs):
+        cfg = self.cfg
+        from ..entropy.slice_data import encode_slice_data_b_wpp
+
+        ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+        bs_v, bs_h = bs if bs is not None else (None, None)
+        sao_state = None
+        if cfg.deblocking_enabled:
+            ry, ru, rv = deblock_frame(
+                ry, ru, rv, qp, spacing=cfg.ctb_size, bs_v=bs_v, bs_h=bs_h
+            )
+        if cfg.sao_enabled:
+            y, u, v = f
+            lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+            t_l, aux_l, off_l, _ = sao_decide(jnp.asarray(y), ry, lam, ctb=cfg.ctb_size)
+            t_c, _cls, aux_cb, aux_cr, off_cb, off_cr = sao_decide_chroma(
+                jnp.asarray(u), ru, jnp.asarray(v), rv, lam, ctb=cfg.ctb_size // 2
+            )
+            sao_state = SaoState(
+                cfg.ctbs_w, cfg.ctbs_h,
+                typ=np.stack([np.asarray(t_l), np.asarray(t_c), np.asarray(t_c)]),
+                aux=np.stack([np.asarray(aux_l), np.asarray(aux_cb), np.asarray(aux_cr)]),
+                offs=np.stack([np.asarray(off_l), np.asarray(off_cb), np.asarray(off_cr)]),
+            )
+            ry = sao_apply(ry, t_l, aux_l, off_l, ctb=cfg.ctb_size)
+            ru = sao_apply(ru, t_c, aux_cb, off_cb, ctb=cfg.ctb_size // 2)
+            rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
+
+        entry_offsets = None
+        if slice_type == 2:
+            arrays = (
+                np.asarray(out["mode"]), np.asarray(out["lev_y"]),
+                np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+            )
+            if cfg.wpp:
+                payload, entry_offsets = encode_slice_data_intra_wpp(cfg, *arrays, sao=sao_state)
+            else:
+                payload = encode_slice_data_intra(cfg, *arrays)
+            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
+                             sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled)
+        elif slice_type == 1:
+            (r_poc, _), = refs
+            p_arrays = (
+                np.asarray(out["ctype"]), np.asarray(out["intra_mode"]),
+                np.asarray(out["mv"]), np.asarray(out["mvp_flag"]),
+                np.asarray(out["mvd"]), np.asarray(out["lev_y"]),
+                np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+            )
+            if cfg.wpp:
+                payload, entry_offsets = encode_slice_data_p_wpp(
+                    cfg, *p_arrays, slice_qp=qp, sao=sao_state
+                )
+            else:
+                payload = encode_slice_data_p(cfg, *p_arrays, slice_qp=qp)
+            sh = SliceHeader(
+                slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
+                pic_order_cnt_lsb=poc % (1 << cfg.log2_max_poc_lsb),
+                num_negative_pics=1, delta_pocs=(r_poc - poc,),
+                sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
+            )
+        else:
+            (p0, _), (p1, _) = refs
+            payload, entry_offsets = encode_slice_data_b_wpp(
+                cfg,
+                np.asarray(out["ctype"]), np.asarray(out["intra_mode"]),
+                np.asarray(out["pf"]), np.asarray(out["mv"]),
+                np.asarray(out["inter_dir"]), np.asarray(out["mvp_flag"]),
+                np.asarray(out["mvd"]), np.asarray(out["lev_y"]),
+                np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+                slice_qp=qp, sao=sao_state,
+            )
+            sh = SliceHeader(
+                slice_type=0, qp=qp, nal_type=NalType.TRAIL_R,
+                pic_order_cnt_lsb=poc % (1 << cfg.log2_max_poc_lsb),
+                num_negative_pics=1, delta_pocs=(p0 - poc,),
+                pos_deltas=(p1 - poc,),
+                sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
+            )
+        w = compose_slice_header(cfg, sh, entry_offsets)
+        w.write_bytes(payload)
+        stream = b""
+        if not self._sent_headers:
+            stream += self.headers()
+            self._sent_headers = True
+        stream += compose_nal(NalUnit(sh.nal_type, w.data()))
+        recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+        return stream, recon
+
+    def headers(self) -> bytes:
+        cfg = self.cfg
+        return b"".join(
+            compose_nal(n) for n in (compose_vps(cfg), compose_sps(cfg), compose_pps(cfg))
+        )

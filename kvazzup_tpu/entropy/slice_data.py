@@ -977,3 +977,275 @@ def derive_qp_actual(flat_map, any_cbf, cw: int, chh: int, slice_qp: int, wpp: b
         out[i] = int(flat_map[i]) if any_cbf[i] else prev
         prev = out[i]
     return out
+
+
+# ---------------------------------------------------------------- B slices
+
+def _scale_mv_np(mv, tb, td):
+    """numpy mirror of encoder/frame_b.scale_mv (8.5.3.2.9)."""
+    td = int(np.clip(td, -128, 127))
+    tb = int(np.clip(tb, -128, 127))
+    abs_td = abs(td)
+    tx_mag = (16384 + (abs_td >> 1)) // max(abs_td, 1)
+    tx = -tx_mag if td < 0 else tx_mag
+    dsf = int(np.clip((tb * tx + 32) >> 6, -4096, 4095))
+    prod = dsf * np.asarray(mv, np.int64)
+    out = np.sign(prod) * ((np.abs(prod) + 127) >> 8)
+    return np.clip(out, -32768, 32767).astype(np.int32)
+
+
+def _amvp_list_b_np(nbs, lx, tb, td_other):
+    """numpy mirror of encoder/frame_b._amvp_list_b.
+
+    nbs: [(avail, pf (2,), mv (2,2))] for [left, AR, A, AL]."""
+    (l_av, l_pf, l_mv), b_nbs = nbs[0], nbs[1:]
+    left_inter = l_av and (l_pf[0] or l_pf[1])
+
+    a_avail = False
+    a_mv = np.zeros(2, np.int32)
+    if l_av:
+        if l_pf[lx]:
+            a_avail, a_mv = True, np.array(l_mv[lx])
+        elif l_pf[1 - lx]:
+            a_avail, a_mv = True, _scale_mv_np(l_mv[1 - lx], tb, td_other)
+
+    b_avail_ns = False
+    b_mv_ns = np.zeros(2, np.int32)
+    for av, pf, mv in b_nbs:
+        if av and pf[lx] and not b_avail_ns:
+            b_avail_ns, b_mv_ns = True, np.array(mv[lx])
+
+    b_avail_sc = False
+    b_mv_sc = np.zeros(2, np.int32)
+    for av, pf, mv in b_nbs:
+        if av and (pf[0] or pf[1]) and not b_avail_sc:
+            if pf[lx]:
+                cand = np.array(mv[lx])
+            else:
+                cand = _scale_mv_np(mv[1 - lx], tb, td_other)
+            b_avail_sc, b_mv_sc = True, cand
+
+    if left_inter:
+        fa, fam, fb, fbm = a_avail, a_mv, b_avail_ns, b_mv_ns
+    else:
+        fa, fam, fb, fbm = b_avail_ns, b_mv_ns, b_avail_sc, b_mv_sc
+
+    both = fa and fb
+    same = both and np.array_equal(fam, fbm)
+    mvp0 = fam if fa else (fbm if fb else np.zeros(2, np.int32))
+    mvp1 = fbm if (both and not same) else np.zeros(2, np.int32)
+    return mvp0, mvp1
+
+
+def _merge_full_motion_np(i, cw, pf_arr, mv_arr, inter):
+    """First inter neighbor's full motion (A1,B1,B0,B2) else zero-BI."""
+    c, r = i % cw, i // cw
+    order = []
+    if c > 0:
+        order.append(i - 1)
+    if r > 0:
+        order.append(i - cw)
+    if r > 0 and c + 1 < cw:
+        order.append(i - cw + 1)
+    if r > 0 and c > 0:
+        order.append(i - cw - 1)
+    for j in order:
+        if inter[j]:
+            return pf_arr[j].copy(), mv_arr[j].copy()
+    return np.array([True, True]), np.zeros((2, 2), np.int32)
+
+
+def _amvp_nbs_np(i, cw, pf_arr, mv_arr, inter):
+    c, r = i % cw, i // cw
+
+    def nb(j, av):
+        if av:
+            return (bool(inter[j]), pf_arr[j], mv_arr[j])
+        return (False, np.zeros(2, bool), np.zeros((2, 2), np.int32))
+
+    return [
+        nb(i - 1, c > 0),
+        nb(i - cw + 1, r > 0 and c + 1 < cw),
+        nb(i - cw, r > 0),
+        nb(i - cw - 1, r > 0 and c > 0),
+    ]
+
+
+def _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr, mv_arr,
+                      inter_dirs, mvp_flags, mvds, lev_y, lev_cb, lev_cr,
+                      qp_state=None, sao=None):
+    """One CTU of B-slice syntax."""
+    if sao is not None:
+        sao.encode(enc, i)
+    ctbs_w = cfg.ctbs_w
+    c, r = i % ctbs_w, i // ctbs_w
+    ct = int(ctype[i])
+    ctx = 0
+    if c > 0 and skip[i - 1]:
+        ctx += 1
+    if r > 0 and skip[i - ctbs_w]:
+        ctx += 1
+    is_skip = ct == CT_SKIP
+    enc.encode_bin(OFFSETS["cu_skip_flag"] + ctx, 1 if is_skip else 0)
+    skip[i] = is_skip
+    if is_skip:
+        if qp_state is not None:
+            qp_state.encode(enc, i, False)
+        return
+    enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == CT_INTRA else 0)
+    if ct == CT_INTRA:
+        enc.encode_bin(OFFSETS["part_mode"], 1)
+        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
+        _encode_luma_mode(enc, int(intra_modes[i]), cand_a, 1)
+        enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+    else:
+        enc.encode_bin(OFFSETS["part_mode"], 1)
+        enc.encode_bin(OFFSETS["merge_flag"], 1 if ct == CT_MERGE else 0)
+        if ct == CT_AMVP:
+            d = int(inter_dirs[i])  # 1=L0, 2=L1, 3=BI
+            # inter_pred_idc: bin0 ctx CtDepth(0): BI?; else bin ctx 4: L1?
+            enc.encode_bin(OFFSETS["inter_pred_idc"], 1 if d == 3 else 0)
+            if d != 3:
+                enc.encode_bin(OFFSETS["inter_pred_idc"] + 4, 1 if d == 2 else 0)
+            if d & 1:
+                _encode_mvd(enc, int(mvds[i][0][0]), int(mvds[i][0][1]))
+                enc.encode_bin(OFFSETS["mvp_flag"], int(mvp_flags[i][0]))
+            if d & 2:
+                _encode_mvd(enc, int(mvds[i][1][0]), int(mvds[i][1][1]))
+                enc.encode_bin(OFFSETS["mvp_flag"], int(mvp_flags[i][1]))
+    cbf_cb = 1 if np.any(lev_cb[i]) else 0
+    cbf_cr = 1 if np.any(lev_cr[i]) else 0
+    cbf_y = 1 if np.any(lev_y[i]) else 0
+    root_cbf = cbf_y or cbf_cb or cbf_cr
+    if ct == CT_AMVP:
+        enc.encode_bin(OFFSETS["rqt_root_cbf"], 1 if root_cbf else 0)
+    if ct == CT_MERGE:
+        assert root_cbf, "zero-residual merge must be coded as skip"
+    if ct == CT_INTRA or root_cbf:
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        if ct == CT_INTRA or cbf_cb or cbf_cr:
+            enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+        if qp_state is not None:
+            qp_state.encode(enc, i, bool(root_cbf))
+        if cbf_y:
+            encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
+        if cbf_cb:
+            encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
+        if cbf_cr:
+            encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+    elif qp_state is not None:
+        qp_state.encode(enc, i, False)
+
+
+def encode_slice_data_b_wpp(cfg, ctype, intra_modes, pf_arr, mv_arr, inter_dirs,
+                            mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None,
+                            sao=None):
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    skip = np.zeros(nctu, dtype=bool)
+    cfg2 = cfg if slice_qp is None else __import__("dataclasses").replace(cfg, qp=slice_qp)
+
+    def fn(enc, i):
+        _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr, mv_arr,
+                          inter_dirs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, None, sao)
+
+    fn.init_type = 2  # B slice, cabac_init_flag == 0 -> initType 2
+    return encode_slice_data_wpp(cfg2, fn)
+
+
+def _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_arr,
+                      lev_y, lev_cb, lev_cr, poc_diffs, qp_state=None, sao=None):
+    if sao is not None:
+        sao.decode(dec, i)
+    ctbs_w = cfg.ctbs_w
+    c, r = i % ctbs_w, i // ctbs_w
+    tb0, tb1 = poc_diffs
+    ctx = 0
+    if c > 0 and skip[i - 1]:
+        ctx += 1
+    if r > 0 and skip[i - ctbs_w]:
+        ctx += 1
+    if dec.decode_bin(OFFSETS["cu_skip_flag"] + ctx):
+        skip[i] = True
+        inter[i] = True
+        ctype[i] = CT_SKIP
+        pf_arr[i], mv_arr[i] = _merge_full_motion_np(i, ctbs_w, pf_arr, mv_arr, inter)
+        if qp_state is not None:
+            qp_state.decode(dec, i, False)
+        return
+    if dec.decode_bin(OFFSETS["pred_mode_flag"]):
+        ctype[i] = CT_INTRA
+        if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+            raise NotImplementedError("NxN partition")
+        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
+        intra_modes[i] = _decode_luma_mode(dec, cand_a, 1)
+        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+            raise NotImplementedError("non-DM chroma")
+    else:
+        inter[i] = True
+        if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+            raise NotImplementedError("inter partition != 2Nx2N")
+        if dec.decode_bin(OFFSETS["merge_flag"]):
+            ctype[i] = CT_MERGE
+            pf_arr[i], mv_arr[i] = _merge_full_motion_np(i, ctbs_w, pf_arr, mv_arr, inter)
+        else:
+            ctype[i] = CT_AMVP
+            if dec.decode_bin(OFFSETS["inter_pred_idc"]):
+                d = 3
+            else:
+                d = 2 if dec.decode_bin(OFFSETS["inter_pred_idc"] + 4) else 1
+            nbs = _amvp_nbs_np(i, ctbs_w, pf_arr, mv_arr, inter)
+            pf = np.array([bool(d & 1), bool(d & 2)])
+            mv = np.zeros((2, 2), np.int32)
+            if d & 1:
+                mvd = _decode_mvd(dec)
+                flag = dec.decode_bin(OFFSETS["mvp_flag"])
+                mvp0, mvp1 = _amvp_list_b_np(nbs, 0, tb0, tb1)
+                mv[0] = (mvp1 if flag else mvp0) + np.array(mvd, np.int32)
+            if d & 2:
+                mvd = _decode_mvd(dec)
+                flag = dec.decode_bin(OFFSETS["mvp_flag"])
+                mvp0, mvp1 = _amvp_list_b_np(nbs, 1, tb1, tb0)
+                mv[1] = (mvp1 if flag else mvp0) + np.array(mvd, np.int32)
+            pf_arr[i], mv_arr[i] = pf, mv
+    root_cbf = True
+    if ctype[i] == CT_AMVP:
+        root_cbf = bool(dec.decode_bin(OFFSETS["rqt_root_cbf"]))
+    if ctype[i] == CT_INTRA or root_cbf:
+        cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+        if ctype[i] == CT_INTRA or cbf_cb or cbf_cr:
+            cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+        else:
+            cbf_y = 1
+        if qp_state is not None:
+            qp_state.decode(dec, i, bool(cbf_y or cbf_cb or cbf_cr))
+        if cbf_y:
+            lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
+        if cbf_cb:
+            lev_cb[i] = decode_residual(dec, cfg.ctb_log2 - 1, 1)
+        if cbf_cr:
+            lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
+    elif qp_state is not None:
+        qp_state.decode(dec, i, False)
+
+
+def decode_slice_data_b_wpp(cfg, payload, entry_offsets, slice_qp, poc_diffs, sao=None):
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    ctype = np.zeros(nctu, np.int32)
+    intra_modes = np.zeros(nctu, np.int32)
+    pf_arr = np.zeros((nctu, 2), bool)
+    mv_arr = np.zeros((nctu, 2, 2), np.int32)
+    inter = np.zeros(nctu, bool)
+    skip = np.zeros(nctu, bool)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+
+    def fn(dec, i):
+        _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_arr,
+                          lev_y, lev_cb, lev_cr, poc_diffs, None, sao)
+
+    decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 2, slice_qp, None)
+    return ctype, intra_modes, pf_arr, mv_arr, lev_y, lev_cb, lev_cr

@@ -61,6 +61,33 @@ def compute_bs(ctype, cbf_y, mvs, cw: int, ch: int):
     return bs_v, bs_h
 
 
+def compute_bs_b(ctype, cbf_y, pf, mvs, cw: int, ch: int):
+    """Boundary strengths for B pictures (8.7.2.4 with two lists).
+
+    pf: (nctu, 2) bool; mvs: (nctu, 2, 2).  With distinct L0/L1 reference
+    pictures the MV pairing is fixed; differing prediction-flag patterns
+    (different refs / MV counts) give bS = 1."""
+    is_intra = (ctype == 0).reshape(ch, cw)
+    cbf = cbf_y.reshape(ch, cw)
+    pfm = pf.reshape(ch, cw, 2)
+    mv = mvs.reshape(ch, cw, 2, 2)
+
+    def pair_bs(sl_a, sl_b):
+        ia, ib = is_intra[sl_a], is_intra[sl_b]
+        ca, cb = cbf[sl_a], cbf[sl_b]
+        pa, pb = pfm[sl_a], pfm[sl_b]
+        ma, mb = mv[sl_a], mv[sl_b]
+        diff_refs = jnp.any(pa != pb, axis=-1)
+        used = pa[..., None]  # (..., 2, 1) gate per list
+        mv_edge = jnp.any((jnp.abs(ma - mb) >= 4) & used, axis=(-2, -1))
+        one = diff_refs | ca | cb | mv_edge
+        return jnp.where(ia | ib, 2, jnp.where(one, 1, 0)).astype(jnp.int32)
+
+    bs_v = pair_bs((slice(None), slice(None, -1)), (slice(None), slice(1, None))).T
+    bs_h = pair_bs((slice(None, -1), slice(None)), (slice(1, None), slice(None)))
+    return bs_v, bs_h
+
+
 def _luma_edge_filter(s, beta, tc, gate):
     """Filter one batch of luma edge slabs.
 

@@ -115,3 +115,43 @@ def mc_chroma(ref_pad, x0, y0, mv_x, mv_y, size: int, width: int, height: int, p
     tmp = _filt_h(win, ch)
     val = _filt_v(tmp, cv) >> 6
     return jnp.clip((val + 32) >> 6, 0, 255)
+
+
+def mc_luma_14bit(ref_pad, x0, y0, mv_x, mv_y, size: int, width: int, height: int, pad: int):
+    """Luma prediction in the 14-bit intermediate domain (before the
+    uni-pred rounding) — the operand of bi-prediction (8.5.4.2.3)."""
+    ix = x0 + (mv_x >> 2)
+    iy = y0 + (mv_y >> 2)
+    fx = mv_x & 3
+    fy = mv_y & 3
+    ix = jnp.clip(ix, -pad + LUMA_PAD, width + pad - size - LUMA_PAD)
+    iy = jnp.clip(iy, -pad + LUMA_PAD, height + pad - size - LUMA_PAD)
+    win = jax.lax.dynamic_slice(ref_pad, (pad + iy - 3, pad + ix - 3), (size + 7, size + 7))
+    ch = jnp.asarray(LUMA_FILTERS)[fx]
+    cv = jnp.asarray(LUMA_FILTERS)[fy]
+    tmp = _filt_h(win, ch)
+    return _filt_v(tmp, cv) >> 6  # 14-bit domain
+
+
+def mc_chroma_14bit(ref_pad, x0, y0, mv_x, mv_y, size: int, width: int, height: int, pad: int):
+    ix = x0 + (mv_x >> 3)
+    iy = y0 + (mv_y >> 3)
+    fx = mv_x & 7
+    fy = mv_y & 7
+    ix = jnp.clip(ix, -pad + CHROMA_PAD, width + pad - size - CHROMA_PAD)
+    iy = jnp.clip(iy, -pad + CHROMA_PAD, height + pad - size - CHROMA_PAD)
+    win = jax.lax.dynamic_slice(ref_pad, (pad + iy - 1, pad + ix - 1), (size + 3, size + 3))
+    ch = jnp.asarray(CHROMA_FILTERS)[fx]
+    cv = jnp.asarray(CHROMA_FILTERS)[fy]
+    tmp = _filt_h(win, ch)
+    return _filt_v(tmp, cv) >> 6
+
+
+def uni_round(p14):
+    """14-bit -> sample domain for uni-prediction: (p + 32) >> 6, clip."""
+    return jnp.clip((p14 + 32) >> 6, 0, 255)
+
+
+def bi_round(p14_l0, p14_l1):
+    """Default bi-prediction combine: (L0 + L1 + 64) >> 7, clip (8.5.4.2.3)."""
+    return jnp.clip((p14_l0 + p14_l1 + 64) >> 7, 0, 255)

@@ -56,26 +56,30 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     rh_pad = jnp.pad(rh, r2, mode="edge")
     h2, w2 = height // 2, width // 2
     side = 2 * r2 + 1
-    offs = np.stack(
-        np.meshgrid(np.arange(-r2, r2 + 1), np.arange(-r2, r2 + 1), indexing="ij"), -1
-    ).reshape(-1, 2)  # (side^2, [dy, dx])
 
-    def s1_step(carry, off):
+    def s1_row(carry, dyi):
+        # one traced row of the search grid; the dx sweep reuses a single
+        # horizontal strip with static column shifts (no per-offset slices)
         best_cost, best_mv = carry
-        dy, dx = off[0], off[1]
-        shifted = jax.lax.dynamic_slice(rh_pad, (r2 + dy, r2 + dx), (h2, w2))
-        sad = _block_sums(jnp.abs(oh - shifted), bs // 2)
-        mvb = lam * (_mv_bits(8 * dx) + _mv_bits(8 * dy))
-        cost = sad * 4 + mvb.astype(jnp.int32)  # scale half-res SAD to full
-        better = cost < best_cost
-        best_cost = jnp.where(better, cost, best_cost)
-        best_mv = jnp.where(better[:, None], jnp.stack([2 * dx, 2 * dy])[None, :], best_mv)
+        strip = jax.lax.dynamic_slice(rh_pad, (dyi, 0), (h2, w2 + 2 * r2))
+        dy = dyi - r2
+        for dxi in range(side):
+            shifted = strip[:, dxi : dxi + w2]
+            sad = _block_sums(jnp.abs(oh - shifted), bs // 2)
+            dx = dxi - r2
+            mvb = lam * (_mv_bits(8 * dx) + _mv_bits(8 * dy))
+            cost = sad * 4 + mvb.astype(jnp.int32)  # scale half-res SAD to full
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            best_mv = jnp.where(
+                better[:, None], jnp.stack([jnp.int32(2 * dx), 2 * dy])[None, :], best_mv
+            )
         return (best_cost, best_mv), None
 
     (best_cost, best_mv), _ = jax.lax.scan(
-        s1_step,
+        s1_row,
         (jnp.full((nctu,), 1 << 30, jnp.int32), jnp.zeros((nctu, 2), jnp.int32)),
-        jnp.asarray(offs, dtype=jnp.int32),
+        jnp.arange(side, dtype=jnp.int32),
     )
 
     # ---- stage 2: +-2 full-pel refinement around stage-1 MV, per block

@@ -59,3 +59,47 @@ def dequantize(level: jnp.ndarray, qp, log2: int) -> jnp.ndarray:
     d_left = jnp.left_shift(level * scale, jnp.maximum(-sh, 0))
     d = jnp.where(sh > 0, d_right, d_left)
     return jnp.clip(d, -32768, 32767)
+
+
+def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra: bool = True) -> jnp.ndarray:
+    """Rate-distortion optimized quantization (vectorized RDOQ-lite).
+
+    Per coefficient, compares the deadzone level against level-1 (and 0) by
+    distortion + lambda * rate, in exact num-domain units: with
+    e = |coef|*Q - l*2^qbits, pixel-domain SSE ~ e^2 * 2^(2(log2-7)) / Q^2,
+    so the comparison uses e^2 + lamq * bits with
+    lamq = lam * Q^2 * 2^(14 - 2*log2).  Captures the bulk of trellis RDOQ's
+    gain as one dense pass (the role of kvazaar's rdo.c / fast_coeff path).
+    """
+    qp = _bcast(qp, coef)
+    per, rem = qp // 6, qp % 6
+    qbits = 21 + per - log2
+    scale = _QUANT[rem]
+    lam = jnp.asarray(lam, jnp.float32)
+    while lam.ndim < coef.ndim:
+        lam = lam[..., None]
+
+    num = jnp.abs(coef) * scale  # exact integer
+    offset = jnp.left_shift(jnp.int32(171 if intra else 85), qbits - 9)
+    l_dz = jnp.right_shift(num + offset, qbits)  # deadzone level (upper cand)
+
+    numf = num.astype(jnp.float32)
+    stepf = jnp.exp2(qbits.astype(jnp.float32))
+    scalef = scale.astype(jnp.float32)
+    lamq = lam * scalef * scalef * jnp.exp2(jnp.float32(14 - 2 * log2))
+
+    def bits_of(l):
+        return 2.0 * jnp.log2(l + 1.0) + 1.0
+
+    def cost(l):
+        lf = l.astype(jnp.float32)
+        e = numf - lf * stepf
+        rate = jnp.where(l == 0, 0.0, bits_of(lf) + 1.0)  # + sig flag
+        return e * e + lamq * rate
+
+    l1 = jnp.maximum(l_dz - 1, 0)
+    l2 = jnp.maximum(l_dz - 2, 0)  # allows 1 -> 0 when l_dz == 2? (guarded)
+    best = jnp.where(cost(l1) < cost(l_dz), l1, l_dz)
+    best = jnp.where((l_dz <= 2) & (cost(l2) < cost(best)), l2, best)
+    best = jnp.clip(best, 0, 32767)
+    return jnp.where(coef < 0, -best, best)

@@ -122,3 +122,69 @@ def test_sao_ip_stream(tmp_path):
     cfg = StreamConfig(width=w, height=h, qp=32, wpp=True,
                        deblocking_enabled=True, sao_enabled=True)
     _run(cfg, _moving_frames(w, h, 4), tmp_path)
+
+
+def test_random_access_b_frames(tmp_path):
+    """Hierarchical GOP4 with B pictures (bi-pred, AMVP scaling, reorder):
+    decode order P4,B2,B1,B3; output in POC order; oracle-exact."""
+    from kvazzup_tpu.encoder.top import RandomAccessEncoder
+
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=32, wpp=True, deblocking_enabled=True,
+                       num_reorder_pics=2, max_dec_pic_buffering=5)
+    enc = RandomAccessEncoder(cfg, gop_size=4)
+    frames = _moving_frames(w, h, 5)
+    stream = b""
+    recons = {}
+    for (y, u, v) in frames:
+        for poc, nal, rec in enc.push_frame(y, u, v):
+            stream += nal
+            recons[poc] = rec
+    for poc, nal, rec in enc.flush():
+        stream += nal
+        recons[poc] = rec
+    assert sorted(recons) == [0, 1, 2, 3, 4]
+
+    outs = Decoder().decode(stream)
+    assert len(outs) == 5
+    for k, poc in enumerate(sorted(recons)):
+        for a, b in zip(recons[poc], outs[k]):
+            np.testing.assert_array_equal(a, b, err_msg=f"poc {poc}")
+
+    from tests.test_e2e_intra import oracle_decode
+
+    ref, log = oracle_decode(stream, w, h, tmp_path)
+    assert len(ref) == 5, log
+    for k, poc in enumerate(sorted(recons)):
+        for a, b in zip(recons[poc], ref[k]):
+            np.testing.assert_array_equal(a, b, err_msg=f"poc {poc}")
+
+
+def test_random_access_with_sao(tmp_path):
+    from kvazzup_tpu.encoder.top import RandomAccessEncoder
+
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=32, wpp=True, deblocking_enabled=True,
+                       sao_enabled=True, num_reorder_pics=2, max_dec_pic_buffering=5)
+    enc = RandomAccessEncoder(cfg, gop_size=4)
+    frames = _moving_frames(w, h, 5)
+    stream = b""
+    recons = {}
+    for (y, u, v) in frames:
+        for poc, nal, rec in enc.push_frame(y, u, v):
+            stream += nal
+            recons[poc] = rec
+    for poc, nal, rec in enc.flush():
+        stream += nal
+        recons[poc] = rec
+    outs = Decoder().decode(stream)
+    for k, poc in enumerate(sorted(recons)):
+        for a, b in zip(recons[poc], outs[k]):
+            np.testing.assert_array_equal(a, b, err_msg=f"poc {poc}")
+    from tests.test_e2e_intra import oracle_decode
+
+    ref, log = oracle_decode(stream, w, h, tmp_path)
+    assert len(ref) == 5, log
+    for k, poc in enumerate(sorted(recons)):
+        for a, b in zip(recons[poc], ref[k]):
+            np.testing.assert_array_equal(a, b, err_msg=f"poc {poc}")
