@@ -38,7 +38,8 @@ class StreamConfig:
     amp_enabled: bool = False
     wpp: bool = False  # entropy_coding_sync (WPP substreams)
     cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
-    rdoq: bool = True  # RD-optimized quantization (encoder-only decision)
+    rdoq: bool = False  # RD-optimized quantization (RDOQ-lite; needs lambda
+    # calibration before it beats the tuned deadzone — kept opt-in)
     level_idc: int = 123  # level 4.1
     max_dec_pic_buffering: int = 2
     num_reorder_pics: int = 0

@@ -31,7 +31,7 @@ from ..ops.mc import (
     uni_round,
 )
 from ..ops.me import _mv_bits, motion_search
-from ..ops.quant import dequantize, quantize
+from ..ops.quant import dequantize, quantize, quantize_rdoq
 from .frame_inter import REF_PAD, SEARCH_RANGE, _mvd_bits
 from .frame_intra import (
     _gather_refs_blocks,
@@ -314,8 +314,9 @@ def _wave_b(carry, x, *, cw, ch, nctu, width, height, refp, tb):
 
     def code_flat(orig, pred, q, log2):
         coef = ck.fwd_transform_flat(orig - pred, log2)
-        lev = jnp.where(use_intra[:, None], quantize(coef, q, log2, True),
-                        quantize(coef, q, log2, False))
+        lam_sse = lam * lam
+        lev = jnp.where(use_intra[:, None], quantize_rdoq(coef, q, log2, lam_sse, True),
+                        quantize_rdoq(coef, q, log2, lam_sse, False))
         deq = dequantize(lev, q, log2)
         rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
         return lev, rec

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..ops import intra as intra_ops
 from ..ops.mc import CHROMA_PAD, LUMA_PAD, mc_chroma, mc_luma, pad_reference
 from ..ops.me import _mv_bits, motion_search
-from ..ops.quant import dequantize, quantize
+from ..ops.quant import dequantize, quantize, quantize_rdoq
 from ..ops.satd import satd_blocks
 from .frame_intra import (
     _code_block,
@@ -191,8 +191,8 @@ def _encode_ctu_p(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int):
+@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
+def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int, rdoq: bool = True):
     """Encode one P frame against one reference picture (deblocked).
 
     Returns per-CTU arrays: ctype, intra_mode, mv, mvp_flag, mvd, levels,
@@ -248,7 +248,7 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int)
     )
     carry, outs = jax.lax.scan(
         functools.partial(_wave_impl, cw=cw, ch=ch, nctu=nctu, geom=geom,
-                          refp=(refp_y, refp_u, refp_v)),
+                          refp=(refp_y, refp_u, refp_v), rdoq=rdoq),
         carry0,
         xs,
     )
@@ -271,7 +271,7 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int)
 
 def _encode_ctu_p_wave(
     blk_y, blk_u, blk_v, mvs, inter_flags, refp, oyw, ouw, ovw,
-    rs, cs, cand_a_mode, me_mv, me_preds, qp, qp_c, lam, geom,
+    rs, cs, cand_a_mode, me_mv, me_preds, qp, qp_c, lam, geom, rdoq=True,
 ):
     """Batched P-slice wave compute: per-lane gathers/MC vmapped, all heavy
     kernels (intra sweep, SATD, transforms) as flat MXU batches.  Decision
@@ -352,12 +352,20 @@ def _encode_ctu_p_wave(
 
     def code_flat(orig, pred, q, log2):
         coef = ck.fwd_transform_flat(orig - pred, log2)
-        # deadzone offset is mode-dependent (intra 171/512, inter 85/512)
-        lev = jnp.where(
-            use_intra[:, None],
-            quantize(coef, q, log2, True),
-            quantize(coef, q, log2, False),
-        )
+        if rdoq:
+            lam_sse = lam * lam
+            lev = jnp.where(
+                use_intra[:, None],
+                quantize_rdoq(coef, q, log2, lam_sse, True),
+                quantize_rdoq(coef, q, log2, lam_sse, False),
+            )
+        else:
+            # deadzone offset is mode-dependent (intra 171/512, inter 85/512)
+            lev = jnp.where(
+                use_intra[:, None],
+                quantize(coef, q, log2, True),
+                quantize(coef, q, log2, False),
+            )
         deq = dequantize(lev, q, log2)
         rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
         return lev, rec
@@ -415,7 +423,7 @@ def _encode_ctu_p_wave(
     )
 
 
-def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp):
+def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp, rdoq=True):
     (blk_y, blk_u, blk_v, modes, mvs, inter_flags) = carry
     oyw, ouw, ovw, memvw, pmew, pmecbw, pmecrw, qpw, qpcw, lamw, rs, cs, valid, idx = x
     # 8.4.2: an inter-coded left neighbor contributes DC to the MPM list
@@ -425,7 +433,7 @@ def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp):
     out = _encode_ctu_p_wave(
         blk_y, blk_u, blk_v, mvs, inter_flags, refp,
         oyw, ouw, ovw, rs, cs, cand_a_mode, memvw, (pmew, pmecbw, pmecrw),
-        qpw, qpcw, lamw, geom,
+        qpw, qpcw, lamw, geom, rdoq=rdoq,
     )
 
     out_idx = jnp.where(valid, idx, nctu)

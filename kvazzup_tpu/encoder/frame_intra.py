@@ -175,7 +175,7 @@ def _encode_ctu(blk_y, blk_u, blk_v, oy, ou, ov, r, c, cand_a, qp, qp_c, lam, ge
     return mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr
 
 
-def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_c, lam, geom):
+def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_c, lam, geom, rdoq=True):
     """Batched per-wave CTU compute on flattened blocks (MXU kernels).
 
     oyw: (L, 16, 16); rs/cs/cand_a: (L,).  Bit-identical to vmapped
@@ -202,8 +202,7 @@ def _encode_ctu_wave(blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qp, qp_
         resid = orig - pred
         coef = ck.fwd_transform_flat(resid, log2)
         if rdoq:
-            lam_q = (lam2 * lam2)[..., None] if coef.ndim == 3 else lam2 * lam2
-            lev = quantize_rdoq(coef, q, log2, lam_q[..., 0] if coef.ndim == 2 else lam_q[..., 0, :] if False else lam_q.squeeze(-1), True)
+            lev = quantize_rdoq(coef, q, log2, (lam2 * lam2)[:, 0], True)
         else:
             lev = quantize(coef, q, log2, True)
         deq = dequantize(lev, q, log2)
@@ -385,7 +384,8 @@ def encode_frame_intra(y, u, v, qp, *, width: int, height: int, rdoq: bool = Tru
         cand_a = modes[jnp.maximum(idx - 1, 0)]
 
         mode, lev_y, lev_cb, lev_cr, rec_y, rec_cb, rec_cr = _encode_ctu_wave(
-            blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qpw, qpcw, lamw, geom
+            blk_y, blk_u, blk_v, oyw, ouw, ovw, rs, cs, cand_a, qpw, qpcw, lamw, geom,
+            rdoq=rdoq,
         )
 
         out_idx = jnp.where(valid, idx, nctu)

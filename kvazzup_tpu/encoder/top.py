@@ -81,7 +81,7 @@ class Encoder:
         if is_idr:
             out = encode_frame_intra(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
-                width=cfg.width, height=cfg.height,
+                width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
             )
             bs_v = bs_h = None
         else:
@@ -89,7 +89,7 @@ class Encoder:
             out = encode_frame_p(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                 jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dev_qp,
-                width=cfg.width, height=cfg.height,
+                width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
             )
             bs_v, bs_h = compute_bs(
                 out["ctype"],
