@@ -155,3 +155,64 @@ def uni_round(p14):
 def bi_round(p14_l0, p14_l1):
     """Default bi-prediction combine: (L0 + L1 + 64) >> 7, clip (8.5.4.2.3)."""
     return jnp.clip((p14_l0 + p14_l1 + 64) >> 7, 0, 255)
+
+
+def extract_mc_neighborhoods(ref_pad, n: int, search_range: int, cw: int, ch: int,
+                             pad: int, chroma: bool = False):
+    """Per-CTU reference neighborhoods covering every |MV| <= search_range.
+
+    Hoists the reference reads out of the wavefront: per-lane MC then slices
+    a small private window instead of gathering from the picture-sized
+    buffer (which lowers to a slow path on TPU).  Returns (nctu, W, W)
+    with W = n + 2*range + taps span; offset of integer position (0,0)
+    within a window is `mc_window_origin(search_range, chroma)`.
+    """
+    import jax
+
+    taps_lo, taps_hi = (1, 2) if chroma else (3, 4)
+    rng = search_range // 2 if chroma else search_range
+    win = n + 2 * rng + taps_lo + taps_hi
+    idx = jnp.arange(cw * ch, dtype=jnp.int32)
+    ys = (idx // cw) * n
+    xs = (idx % cw) * n
+
+    def one(x0, y0):
+        return jax.lax.dynamic_slice(
+            ref_pad, (pad + y0 - rng - taps_lo, pad + x0 - rng - taps_lo), (win, win)
+        )
+
+    return jax.vmap(one)(xs, ys)
+
+
+def mc_window_origin(search_range: int, chroma: bool = False) -> int:
+    return (search_range // 2 if chroma else search_range) + (1 if chroma else 3)
+
+
+def mc_luma_window(win, mv_x, mv_y, size: int, search_range: int):
+    """MC from a per-CTU neighborhood window (bit-identical to mc_luma for
+    |MV| <= search_range, which the encoder guarantees)."""
+    org = mc_window_origin(search_range, False)
+    ix = org + (mv_x >> 2)
+    iy = org + (mv_y >> 2)
+    fx = mv_x & 3
+    fy = mv_y & 3
+    w = jax.lax.dynamic_slice(win, (iy - 3, ix - 3), (size + 7, size + 7))
+    ch = jnp.asarray(LUMA_FILTERS)[fx]
+    cv = jnp.asarray(LUMA_FILTERS)[fy]
+    tmp = _filt_h(w, ch)
+    val = _filt_v(tmp, cv) >> 6
+    return jnp.clip((val + 32) >> 6, 0, 255)
+
+
+def mc_chroma_window(win, mv_x, mv_y, size: int, search_range: int):
+    org = mc_window_origin(search_range, True)
+    ix = org + (mv_x >> 3)
+    iy = org + (mv_y >> 3)
+    fx = mv_x & 7
+    fy = mv_y & 7
+    w = jax.lax.dynamic_slice(win, (iy - 1, ix - 1), (size + 3, size + 3))
+    ch = jnp.asarray(CHROMA_FILTERS)[fx]
+    cv = jnp.asarray(CHROMA_FILTERS)[fy]
+    tmp = _filt_h(w, ch)
+    val = _filt_v(tmp, cv) >> 6
+    return jnp.clip((val + 32) >> 6, 0, 255)
