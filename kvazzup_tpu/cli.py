@@ -31,7 +31,7 @@ def _read_input(path: str, size: str | None, max_frames: int | None):
 
 def cmd_encode(args) -> int:
     from .core.params import StreamConfig
-    from .encoder.top import Encoder
+    from .encoder.top import Encoder, RandomAccessEncoder
     from .io.yuv import psnr
     from .utils.cache import enable_compilation_cache
 
@@ -39,15 +39,37 @@ def cmd_encode(args) -> int:
     frames, w, h = _read_input(args.input, args.size, args.frames)
     if not frames:
         raise SystemExit("no frames read")
-    cfg = StreamConfig(width=w, height=h, qp=args.qp, deblocking_enabled=not args.no_deblock)
-    enc = Encoder(cfg, intra_period=args.intra_period)
+    ra = args.gop == "ra"
+    cfg = StreamConfig(
+        width=w, height=h, qp=args.qp,
+        deblocking_enabled=not args.no_deblock,
+        sao_enabled=args.sao, wpp=args.wpp or args.sao,
+        tile_cols=args.tiles,
+        num_reorder_pics=2 if ra else 0,
+        max_dec_pic_buffering=5 if ra else 2,
+    )
+    if args.tiles > 1 and (ra or args.intra_period != 1):
+        raise SystemExit("--tiles currently requires all-intra (--intra-period 1, --gop ld)")
     t0 = time.time()
     total_psnr = 0.0
+    nf = 0
     with open(args.output, "wb") as f:
-        for i, (y, u, v) in enumerate(frames):
-            stream, recon = enc.encode_frame(y, u, v)
-            f.write(stream)
-            total_psnr += psnr(y, recon[0])
+        if ra:
+            enc = RandomAccessEncoder(cfg, gop_size=4, intra_period=args.intra_period)
+            for (y, u, v) in frames:
+                for _poc, nal, recon in enc.push_frame(y, u, v):
+                    f.write(nal)
+                    nf += 1
+            for _poc, nal, recon in enc.flush():
+                f.write(nal)
+                nf += 1
+            total_psnr = float("nan")
+        else:
+            enc = Encoder(cfg, intra_period=args.intra_period)
+            for i, (y, u, v) in enumerate(frames):
+                stream, recon = enc.encode_frame(y, u, v)
+                f.write(stream)
+                total_psnr += psnr(y, recon[0])
     dt = time.time() - t0
     nbytes = sum(1 for _ in open(args.output, "rb").read())
     print(
@@ -99,6 +121,12 @@ def main(argv=None) -> int:
     pe.add_argument("--frames", type=int, default=None)
     pe.add_argument("--intra-period", type=int, default=64)
     pe.add_argument("--no-deblock", action="store_true")
+    pe.add_argument("--sao", action="store_true")
+    pe.add_argument("--wpp", action="store_true")
+    pe.add_argument("--tiles", type=int, default=1, metavar="N",
+                    help="N tile columns (all-intra; the multi-chip shard axis)")
+    pe.add_argument("--gop", choices=["ld", "ra"], default="ld",
+                    help="ld = low-delay P, ra = hierarchical B GOP4")
     pe.set_defaults(fn=cmd_encode)
 
     pd = sub.add_parser("decode")

@@ -37,6 +37,7 @@ class StreamConfig:
     sign_data_hiding: bool = False
     amp_enabled: bool = False
     wpp: bool = False  # entropy_coding_sync (WPP substreams)
+    tile_cols: int = 1  # >1 -> tiles_enabled (uniform tile columns, 1 row)
     cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
     rdoq: bool = False  # RD-optimized quantization (RDOQ-lite; needs lambda
     # calibration before it beats the tuned deadzone — kept opt-in)
@@ -198,8 +199,14 @@ def compose_pps(cfg: StreamConfig) -> NalUnit:
     w.flag(0)  # weighted_pred_flag
     w.flag(0)  # weighted_bipred_flag
     w.flag(0)  # transquant_bypass_enabled_flag
-    w.flag(0)  # tiles_enabled_flag
+    tiles = cfg.tile_cols > 1
+    w.flag(tiles)  # tiles_enabled_flag
     w.flag(cfg.wpp)  # entropy_coding_sync_enabled_flag
+    if tiles:
+        w.ue(cfg.tile_cols - 1)  # num_tile_columns_minus1
+        w.ue(0)  # num_tile_rows_minus1
+        w.flag(1)  # uniform_spacing_flag
+        w.flag(1)  # loop_filter_across_tiles_enabled_flag
     w.flag(1)  # pps_loop_filter_across_slices_enabled_flag
     w.flag(1)  # deblocking_filter_control_present_flag
     w.flag(0)  # deblocking_filter_override_enabled_flag
@@ -286,7 +293,7 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
     # loop_filter_across_slices: condition false when sao+deblock off
     if cfg.sao_enabled or not sh.deblocking_disabled or cfg.deblocking_enabled:
         w.flag(1)  # slice_loop_filter_across_slices_enabled_flag
-    if cfg.wpp:
+    if cfg.wpp or cfg.tile_cols > 1:
         offs = entry_offsets or []
         w.ue(len(offs))
         if offs:

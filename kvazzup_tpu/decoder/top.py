@@ -92,7 +92,19 @@ class Decoder:
                 cfg.ctbs_w, cfg.ctbs_h, luma=sh.sao_luma, chroma=sh.sao_chroma
             )
         if sh.slice_type == 2:
-            if pps.entropy_sync:
+            if pps.tiles_enabled:
+                if pps.num_tile_rows != 1 or not pps.uniform_spacing:
+                    raise NotImplementedError("decoder supports uniform tile columns")
+                from ..encoder.tiled import reconstruct_frame_intra_tiles
+                from ..entropy.slice_data import decode_slice_data_intra_tiles
+
+                modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra_tiles(
+                    cfg, pps.num_tile_cols, payload, sh.entry_points, sh.qp
+                )
+                y, u, v = reconstruct_frame_intra_tiles(
+                    cfg, pps.num_tile_cols, modes, lev_y, lev_cb, lev_cr, sh.qp
+                )
+            elif pps.entropy_sync:
                 modes, lev_y, lev_cb, lev_cr, qp_actual = decode_slice_data_intra_wpp(
                     cfg, payload, sh.entry_points, sh.qp,
                     cu_qp_delta=pps.cu_qp_delta_enabled,
@@ -104,10 +116,11 @@ class Decoder:
                 )
             else:
                 modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra(cfg, payload, sh.qp)
-            dec_qp = jnp.asarray(qp_actual) if qp_actual is not None else sh.qp
-            y, u, v = reconstruct_frame_intra(
-                modes, lev_y, lev_cb, lev_cr, dec_qp, width=sps.width, height=sps.height
-            )
+            if not pps.tiles_enabled:
+                dec_qp = jnp.asarray(qp_actual) if qp_actual is not None else sh.qp
+                y, u, v = reconstruct_frame_intra(
+                    modes, lev_y, lev_cb, lev_cr, dec_qp, width=sps.width, height=sps.height
+                )
         elif sh.slice_type in (0, 1):
             negs, poss, _used = sh.rps
             ref0_poc = sh.pic_order_cnt_lsb + (negs[0] if negs else -1)

@@ -341,7 +341,7 @@ def wave_to_raster(sched, out):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
-def encode_frame_intra(y, u, v, qp, *, width: int, height: int, rdoq: bool = True):
+def encode_frame_intra(y, u, v, qp, *, width: int, height: int, rdoq: bool = False):
     """Wavefront schedule: scan over anti-diagonals d = 2r + c, all CTUs of
     a wave computed as one vmapped batch.  Bit-exact vs the raster schedule
     (the 2:1 skew respects every intra reference dependency).

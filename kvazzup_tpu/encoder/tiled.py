@@ -1,0 +1,104 @@
+"""Tile-column frame encoding: the spatial multi-chip axis, e2e conformant.
+
+HEVC tiles (kvazaar `--tiles`, wired in the reference through
+/root/reference/src/media/processing/kvazaarfilter.cpp:193-202) split the
+picture into independently-predicted, independently-entropy-coded CTU
+rectangles.  That independence is exactly a shard: each tile column is
+encoded as a stand-alone strip by the same wavefront kernel
+(`encode_frame_intra` at strip width — intra prediction never sees across
+the strip edge, which IS the tile-boundary availability rule), so the
+device work maps 1:1 onto a `Mesh` "tile" axis with zero halo exchange.
+
+Host side re-indexes strip-raster CTU arrays into picture raster and
+emits one CABAC substream per tile with entry-point offsets
+(entropy/slice_data.py `encode_slice_data_intra_tiles`).  Deblocking runs
+on the assembled picture: the PPS sets
+loop_filter_across_tiles_enabled_flag = 1, so filtering tile-boundary
+edges is normative (8.7.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..entropy.slice_data import tile_grid
+from .frame_intra import encode_frame_intra
+
+
+def strip_to_raster(per_ctu: np.ndarray, cols, tile_idx: int, cw: int, ch: int,
+                    out: np.ndarray) -> None:
+    """Scatter a strip's CTU-major array into the picture-raster array."""
+    x0, x1 = cols[tile_idx]
+    cwt = x1 - x0
+    for r in range(ch):
+        out[r * cw + x0 : r * cw + x1] = per_ctu[r * cwt : (r + 1) * cwt]
+
+
+def raster_to_strip(per_ctu: np.ndarray, cols, tile_idx: int, cw: int, ch: int) -> np.ndarray:
+    x0, x1 = cols[tile_idx]
+    rows = [per_ctu[r * cw + x0 : r * cw + x1] for r in range(ch)]
+    return np.concatenate(rows, axis=0)
+
+
+def encode_frame_intra_tiles(cfg, y, u, v, qp: int, *, rdoq: bool = False):
+    """Encode one intra frame as `cfg.tile_cols` independent tile columns.
+
+    Returns picture-raster {mode, lev_y, lev_cb, lev_cr, recon_y/u/v}
+    exactly like `encode_frame_intra`, ready for the tile entropy coder.
+    """
+    n = cfg.ctb_size
+    cw, ch = cfg.ctbs_w, cfg.ctbs_h
+    cols = tile_grid(cfg, cfg.tile_cols)
+    nctu = cw * ch
+    mode = np.zeros(nctu, np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    ry_parts, ru_parts, rv_parts = [], [], []
+    for t, (x0, x1) in enumerate(cols):
+        px0, px1 = x0 * n, x1 * n
+        out = encode_frame_intra(
+            jnp.asarray(y[:, px0:px1]), jnp.asarray(u[:, px0 // 2 : px1 // 2]),
+            jnp.asarray(v[:, px0 // 2 : px1 // 2]), qp,
+            width=px1 - px0, height=cfg.height, rdoq=rdoq,
+        )
+        strip_to_raster(np.asarray(out["mode"]), cols, t, cw, ch, mode)
+        strip_to_raster(np.asarray(out["lev_y"]), cols, t, cw, ch, lev_y)
+        strip_to_raster(np.asarray(out["lev_cb"]), cols, t, cw, ch, lev_cb)
+        strip_to_raster(np.asarray(out["lev_cr"]), cols, t, cw, ch, lev_cr)
+        ry_parts.append(out["recon_y"])
+        ru_parts.append(out["recon_u"])
+        rv_parts.append(out["recon_v"])
+    return {
+        "mode": mode, "lev_y": lev_y, "lev_cb": lev_cb, "lev_cr": lev_cr,
+        "recon_y": jnp.concatenate(ry_parts, axis=1),
+        "recon_u": jnp.concatenate(ru_parts, axis=1),
+        "recon_v": jnp.concatenate(rv_parts, axis=1),
+    }
+
+
+def reconstruct_frame_intra_tiles(cfg, n_cols: int, modes, lev_y, lev_cb, lev_cr, qp):
+    """Decoder-side tile reconstruction: strip wavefronts, assembled picture."""
+    from ..decoder.frame_intra import reconstruct_frame_intra
+
+    n = cfg.ctb_size
+    cw, ch = cfg.ctbs_w, cfg.ctbs_h
+    cols = tile_grid(cfg, n_cols)
+    ys, us, vs = [], [], []
+    for t, (x0, x1) in enumerate(cols):
+        sy, su, sv = reconstruct_frame_intra(
+            raster_to_strip(modes, cols, t, cw, ch),
+            raster_to_strip(lev_y, cols, t, cw, ch),
+            raster_to_strip(lev_cb, cols, t, cw, ch),
+            raster_to_strip(lev_cr, cols, t, cw, ch),
+            qp, width=(x1 - x0) * n, height=cfg.height,
+        )
+        ys.append(sy)
+        us.append(su)
+        vs.append(sv)
+    return (
+        jnp.concatenate(ys, axis=1),
+        jnp.concatenate(us, axis=1),
+        jnp.concatenate(vs, axis=1),
+    )

@@ -50,6 +50,13 @@ class Encoder:
             raise ValueError("v1 requires CTB-aligned dimensions (pad input)")
         if cfg.sao_enabled and not cfg.wpp:
             raise NotImplementedError("SAO currently requires cfg.wpp streams")
+        if cfg.tile_cols > 1:
+            if intra_period != 1:
+                raise NotImplementedError("tiles currently require all-intra")
+            if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta:
+                raise NotImplementedError("tiles exclude wpp/sao/cu_qp_delta for now")
+            if cfg.tile_cols > cfg.ctbs_w:
+                raise ValueError("more tile columns than CTB columns")
         self.cfg = cfg
         self.intra_period = max(1, intra_period)
         self._frame_count = 0
@@ -78,6 +85,26 @@ class Encoder:
         is_idr = self._frame_count % self.intra_period == 0 or self._ref is None
 
         # ---- device encode
+        if cfg.tile_cols > 1:
+            from ..entropy.slice_data import encode_slice_data_intra_tiles
+            from .tiled import encode_frame_intra_tiles
+
+            out = encode_frame_intra_tiles(cfg, y, u, v, qp, rdoq=cfg.rdoq)
+            ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+            if cfg.deblocking_enabled:
+                ry, ru, rv = deblock_frame(ry, ru, rv, qp, spacing=cfg.ctb_size)
+            payload, entry_offsets = encode_slice_data_intra_tiles(
+                cfg, cfg.tile_cols, out["mode"], out["lev_y"], out["lev_cb"], out["lev_cr"]
+            )
+            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+            w = compose_slice_header(cfg, sh, entry_offsets)
+            w.write_bytes(payload)
+            stream = self.headers() if self._frame_count == 0 else b""
+            stream += compose_nal(NalUnit(sh.nal_type, w.data()))
+            self._frame_count += 1
+            recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+            self._ref = recon
+            return stream, recon
         if is_idr:
             out = encode_frame_intra(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,

@@ -1249,3 +1249,122 @@ def decode_slice_data_b_wpp(cfg, payload, entry_offsets, slice_qp, poc_diffs, sa
 
     decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 2, slice_qp, None)
     return ctype, intra_modes, pf_arr, mv_arr, lev_y, lev_cb, lev_cr
+
+
+# ---------------------------------------------------------------- tiles
+
+def tile_grid(cfg, n_cols: int):
+    """Uniform tile-column boundaries in CTUs (PPS uniform_spacing rule)."""
+    cw = cfg.ctbs_w
+    return [((i * cw) // n_cols, ((i + 1) * cw) // n_cols) for i in range(n_cols)]
+
+
+def encode_slice_data_tiles(cfg, n_cols: int, ctu_fn) -> tuple:
+    """Tile-column slice data: independent CABAC substream per tile
+    (contexts re-initialized, no inheritance), CTUs in tile-raster order,
+    end_of_subset termination between tiles (7.3.8.1).
+
+    ctu_fn(enc, i, tile_x0, tile_x1): encode CTU with raster index i; the
+    tile bounds let CU syntax treat the tile edge as unavailable.
+    Returns (payload, entry_point_offsets)."""
+    cw, chh = cfg.ctbs_w, cfg.ctbs_h
+    cols = tile_grid(cfg, n_cols)
+    payloads = []
+    last_tile = n_cols - 1
+    for t, (x0, x1) in enumerate(cols):
+        enc = CabacEncoder(init_type=ctu_fn.init_type, slice_qp=cfg.qp)
+        for r in range(chh):
+            for c in range(x0, x1):
+                i = r * cw + c
+                ctu_fn(enc, i, x0, x1)
+                last_in_slice = t == last_tile and r == chh - 1 and c == x1 - 1
+                enc.encode_terminate(1 if last_in_slice else 0)
+                if not last_in_slice and r == chh - 1 and c == x1 - 1:
+                    enc.encode_terminate(1)  # end_of_subset_one_bit
+        payloads.append(enc.data())
+    return b"".join(payloads), [len(p) for p in payloads[:-1]]
+
+
+def decode_slice_data_tiles(cfg, n_cols: int, payload, entry_offsets, ctu_fn, init_type, slice_qp):
+    cw, chh = cfg.ctbs_w, cfg.ctbs_h
+    cols = tile_grid(cfg, n_cols)
+    bounds = [0]
+    for off in entry_offsets:
+        bounds.append(bounds[-1] + off)
+    bounds.append(len(payload))
+    nctu = cw * chh
+    for t, (x0, x1) in enumerate(cols):
+        dec = CabacDecoder(payload[bounds[t] : bounds[t + 1]], init_type=init_type,
+                           slice_qp=slice_qp)
+        for r in range(chh):
+            for c in range(x0, x1):
+                i = r * cw + c
+                ctu_fn(dec, i, x0, x1)
+                last_in_slice = t == len(cols) - 1 and r == chh - 1 and c == x1 - 1
+                end = dec.decode_terminate()
+                if end != (1 if last_in_slice else 0):
+                    raise ValueError(f"end_of_slice mismatch at CTU {i}")
+                if not last_in_slice and r == chh - 1 and c == x1 - 1:
+                    if dec.decode_terminate() != 1:
+                        raise ValueError("missing end_of_subset at tile end")
+
+
+def _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr):
+    """I-slice CTU syntax with tile-left-edge availability."""
+    c = i % cfg.ctbs_w
+    if cfg.ctb_log2 == cfg.min_cb_log2:
+        enc.encode_bin(OFFSETS["part_mode"], 1)
+    cand_a = int(modes[i - 1]) if c > x0t else 1
+    _encode_luma_mode(enc, int(modes[i]), cand_a, 1)
+    enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+    cbf_cb = 1 if np.any(lev_cb[i]) else 0
+    cbf_cr = 1 if np.any(lev_cr[i]) else 0
+    cbf_y = 1 if np.any(lev_y[i]) else 0
+    enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+    enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+    enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+    if cbf_y:
+        encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
+    if cbf_cb:
+        encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
+    if cbf_cr:
+        encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+
+
+def encode_slice_data_intra_tiles(cfg, n_cols, modes, lev_y, lev_cb, lev_cr):
+    def fn(enc, i, x0t, x1t):
+        _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr)
+
+    fn.init_type = 0
+    return encode_slice_data_tiles(cfg, n_cols, fn)
+
+
+def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp):
+    n = cfg.ctb_size
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    modes = np.zeros(nctu, np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+
+    def fn(dec, i, x0t, x1t):
+        c = i % cfg.ctbs_w
+        if cfg.ctb_log2 == cfg.min_cb_log2:
+            if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+                raise NotImplementedError("NxN")
+        cand_a = int(modes[i - 1]) if c > x0t else 1
+        modes[i] = _decode_luma_mode(dec, cand_a, 1)
+        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+            raise NotImplementedError("non-DM chroma")
+        cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+        if cbf_y:
+            lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
+        if cbf_cb:
+            lev_cb[i] = decode_residual(dec, cfg.ctb_log2 - 1, 1)
+        if cbf_cr:
+            lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
+
+    decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 0, slice_qp)
+    return modes, lev_y, lev_cb, lev_cr
