@@ -65,9 +65,20 @@ def cmd_encode(args) -> int:
                 nf += 1
             total_psnr = float("nan")
         else:
+            rc = None
+            if args.bitrate:
+                from .pipeline.rate_control import RateController
+
+                rc = RateController(args.bitrate, args.fps, base_qp=args.qp)
             enc = Encoder(cfg, intra_period=args.intra_period)
             for i, (y, u, v) in enumerate(frames):
-                stream, recon = enc.encode_frame(y, u, v)
+                qp_i = None
+                is_idr = i % args.intra_period == 0
+                if rc is not None:
+                    qp_i = rc.frame_qp(is_idr)
+                stream, recon = enc.encode_frame(y, u, v, qp=qp_i)
+                if rc is not None:
+                    rc.update(qp_i, len(stream) * 8, is_idr)
                 f.write(stream)
                 total_psnr += psnr(y, recon[0])
     dt = time.time() - t0
@@ -117,6 +128,9 @@ def main(argv=None) -> int:
     pe.add_argument("input")
     pe.add_argument("output")
     pe.add_argument("--qp", type=int, default=32)
+    pe.add_argument("--bitrate", type=int, default=0,
+                    help="target bits/s (enables closed-loop rate control)")
+    pe.add_argument("--fps", type=float, default=30.0)
     pe.add_argument("--size", help="WxH for raw .yuv input")
     pe.add_argument("--frames", type=int, default=None)
     pe.add_argument("--intra-period", type=int, default=64)

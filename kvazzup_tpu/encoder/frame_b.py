@@ -203,9 +203,9 @@ def encode_frame_b(
         "inter_dir": w2r(outs["inter_dir"]),
         "mvp_flag": w2r(outs["mvp_flag"]),
         "mvd": w2r(outs["mvd"]),
-        "lev_y": w2r(outs["lev_y"]),
-        "lev_cb": w2r(outs["lev_cb"]),
-        "lev_cr": w2r(outs["lev_cr"]),
+        "lev_y": w2r(outs["lev_y"]).astype(jnp.int16),
+        "lev_cb": w2r(outs["lev_cb"]).astype(jnp.int16),
+        "lev_cr": w2r(outs["lev_cr"]).astype(jnp.int16),
         "recon_y": from_blocks(blk_y, height, width).astype(jnp.uint8),
         "recon_u": from_blocks(blk_u, height // 2, width // 2).astype(jnp.uint8),
         "recon_v": from_blocks(blk_v, height // 2, width // 2).astype(jnp.uint8),

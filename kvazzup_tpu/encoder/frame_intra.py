@@ -283,11 +283,13 @@ def _frame_setup(y, u, v, qp, nctu=None):
 
 
 def _finish(modes, lev_y, lev_cb, lev_cr, blk_y, blk_u, blk_v, width, height):
+    # int16 levels (spec-clipped range): halves device->host traffic, which
+    # is the e2e bottleneck over a thin host link
     return {
         "mode": modes,
-        "lev_y": lev_y,
-        "lev_cb": lev_cb,
-        "lev_cr": lev_cr,
+        "lev_y": lev_y.astype(jnp.int16),
+        "lev_cb": lev_cb.astype(jnp.int16),
+        "lev_cr": lev_cr.astype(jnp.int16),
         "recon_y": from_blocks(blk_y, height, width).astype(jnp.uint8),
         "recon_u": from_blocks(blk_u, height // 2, width // 2).astype(jnp.uint8),
         "recon_v": from_blocks(blk_v, height // 2, width // 2).astype(jnp.uint8),

@@ -1,0 +1,62 @@
+"""Frame-pipelined encoder: device compute overlaps host CABAC.
+
+kvazaar's `--owf` ("open work frames", reference wiring:
+/root/reference/src/media/processing/kvazaarfilter.cpp:203) keeps several
+frames in flight so entropy coding of frame N never blocks the search of
+frame N+1.  The TPU translation: `Encoder.encode_frame_device` is pure
+JAX — dispatch is async and the reference-picture chain stays on-device —
+so successive device stages queue onto the chip back-to-back while a
+single host worker thread drains CABAC + NAL muxing in order (CABAC is
+inherently sequential per frame; WPP already parallelizes inside one).
+
+`depth` bounds frames in flight (device memory for recon + levels).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
+from .top import Encoder
+
+
+class PipelinedEncoder:
+    """Same API shape as Encoder but asynchronous: push() accepts a frame,
+    returns any finished (stream, recon) tuples; flush() drains the rest."""
+
+    def __init__(self, cfg, intra_period: int = 1, depth: int = 3,
+                 materialize_recon: bool = True) -> None:
+        self.enc = Encoder(cfg, intra_period=intra_period)
+        self.depth = max(1, depth)
+        self.materialize_recon = materialize_recon
+        self._pool = ThreadPoolExecutor(max_workers=1)  # in-order CABAC
+        self._pending: deque = deque()
+
+    def push(self, y, u, v, qp=None, qp_map=None):
+        ctx = self.enc.encode_frame_device(y, u, v, qp, qp_map)
+        self._pending.append(
+            self._pool.submit(
+                self.enc.encode_frame_entropy, ctx, self.materialize_recon
+            )
+        )
+        done = []
+        while self._pending and (
+            len(self._pending) > self.depth or self._pending[0].done()
+        ):
+            done.append(self._pending.popleft().result())
+        return done
+
+    def flush(self):
+        out = [f.result() for f in self._pending]
+        self._pending.clear()
+        return out
+
+    def close(self) -> None:
+        self.flush()
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -74,6 +74,16 @@ class Encoder:
         """Returns (annexb_bytes, recon_yuv_tuple).  qp overrides cfg.qp
         (rate control hook); qp_map is a per-CTU (ctbs_h, ctbs_w) QP grid
         (requires cfg.cu_qp_delta — the ROI/RoiMap hook)."""
+        ctx = self.encode_frame_device(y, u, v, qp, qp_map)
+        return self.encode_frame_entropy(ctx)
+
+    def encode_frame_device(self, y, u, v, qp=None, qp_map=None):
+        """Device stage: wavefront encode + in-loop filters, all JAX — no
+        host sync on the fast path (qp_map forces one).  The reference
+        picture chain advances here, so the next frame's device stage can
+        launch while this frame's CABAC still runs on the host
+        (kvazaar's owf/\"frames in flight\" overlap, SURVEY §2.7).
+        Returns an opaque ctx for encode_frame_entropy."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         if qp_map is not None and not cfg.cu_qp_delta:
@@ -86,25 +96,17 @@ class Encoder:
 
         # ---- device encode
         if cfg.tile_cols > 1:
-            from ..entropy.slice_data import encode_slice_data_intra_tiles
             from .tiled import encode_frame_intra_tiles
 
             out = encode_frame_intra_tiles(cfg, y, u, v, qp, rdoq=cfg.rdoq)
             ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
             if cfg.deblocking_enabled:
                 ry, ru, rv = deblock_frame(ry, ru, rv, qp, spacing=cfg.ctb_size)
-            payload, entry_offsets = encode_slice_data_intra_tiles(
-                cfg, cfg.tile_cols, out["mode"], out["lev_y"], out["lev_cb"], out["lev_cr"]
-            )
-            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
-            w = compose_slice_header(cfg, sh, entry_offsets)
-            w.write_bytes(payload)
-            stream = self.headers() if self._frame_count == 0 else b""
-            stream += compose_nal(NalUnit(sh.nal_type, w.data()))
+            first = self._frame_count == 0
             self._frame_count += 1
-            recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-            self._ref = recon
-            return stream, recon
+            self._ref = (ry, ru, rv)
+            return {"kind": "tiles", "out": out, "qp": qp, "first": first,
+                    "recon": (ry, ru, rv)}
         if is_idr:
             out = encode_frame_intra(
                 jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
@@ -165,10 +167,45 @@ class Encoder:
             ru = sao_apply(ru, t_c, aux_cb, off_cb, ctb=cfg.ctb_size // 2)
             rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
 
-        # ---- host entropy
+        first = self._frame_count == 0
+        self._frame_count += 1
+        if is_idr:
+            self._poc = 0
+        else:
+            self._poc += 1
+        self._ref = (ry, ru, rv)  # JAX arrays: the P chain stays on-device
+        return {"kind": "idr" if is_idr else "p", "out": out, "qp": qp,
+                "first": first, "poc": self._poc, "flat_map": flat_map,
+                "sao_state": sao_state, "recon": (ry, ru, rv)}
+
+    def encode_frame_entropy(self, ctx, materialize_recon: bool = True):
+        """Host stage: CABAC + NAL mux for a ctx from encode_frame_device.
+        Safe to run in a worker thread; returns (annexb_bytes, recon).
+        materialize_recon=False keeps recon as device arrays (skips the
+        device->host copy — the serving path only ships the bitstream)."""
+        cfg = self.cfg
+        out, qp, first = ctx["out"], ctx["qp"], ctx["first"]
+        ry, ru, rv = ctx["recon"]
+        if ctx["kind"] == "tiles":
+            from ..entropy.slice_data import encode_slice_data_intra_tiles
+
+            payload, entry_offsets = encode_slice_data_intra_tiles(
+                cfg, cfg.tile_cols,
+                np.asarray(out["mode"]), np.asarray(out["lev_y"]),
+                np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+            )
+            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+            w = compose_slice_header(cfg, sh, entry_offsets)
+            w.write_bytes(payload)
+            stream = self.headers() if first else b""
+            stream += compose_nal(NalUnit(sh.nal_type, w.data()))
+            if materialize_recon:
+                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+            return stream, (ry, ru, rv)
+        flat_map, sao_state = ctx["flat_map"], ctx["sao_state"]
         entry_offsets = None
         qp_actual = None
-        if is_idr:
+        if ctx["kind"] == "idr":
             arrays = (
                 np.asarray(out["mode"]),
                 np.asarray(out["lev_y"]),
@@ -191,7 +228,6 @@ class Encoder:
                 slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
                 sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
             )
-            self._poc = 0
         else:
             p_arrays = (
                 np.asarray(out["ctype"]),
@@ -215,12 +251,11 @@ class Encoder:
                 raise NotImplementedError("P-frame qp_map currently requires cfg.wpp")
             else:
                 payload = encode_slice_data_p(cfg, *p_arrays, slice_qp=qp)
-            self._poc += 1
             sh = SliceHeader(
                 slice_type=1,
                 qp=qp,
                 nal_type=NalType.TRAIL_R,
-                pic_order_cnt_lsb=self._poc % (1 << cfg.log2_max_poc_lsb),
+                pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
                 num_negative_pics=1,
                 delta_pocs=(-1,),
                 sao_luma=cfg.sao_enabled,
@@ -230,14 +265,12 @@ class Encoder:
         w = compose_slice_header(cfg, sh, entry_offsets)
         w.write_bytes(payload)
         stream = b""
-        if self._frame_count == 0:
+        if first:
             stream += self.headers()
         stream += compose_nal(NalUnit(sh.nal_type, w.data()))
-        self._frame_count += 1
-
-        recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-        self._ref = recon
-        return stream, recon
+        if materialize_recon:
+            return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+        return stream, (ry, ru, rv)
 
 
 class RandomAccessEncoder:

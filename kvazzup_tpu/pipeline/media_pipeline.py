@@ -54,6 +54,8 @@ class VideoSendPipeline:
         fps: float = 30.0,
         roi_fn: Callable[[Frame], np.ndarray] | None = None,
     ) -> None:
+        from .rate_control import RateController
+
         self.cfg = cfg
         self.encoder = Encoder(cfg, intra_period=intra_period)
         self.sink = sink
@@ -61,6 +63,11 @@ class VideoSendPipeline:
         self.allocator = allocator or ResourceAllocator()
         self.fps = fps
         self.roi_fn = roi_fn
+        # closed-loop frame-level RC toward the allocator's live bitrate
+        # (RTCP feedback retargets it between frames)
+        self.rate_control = RateController(
+            bitrate=self.allocator.video_bitrate, fps=fps, base_qp=cfg.qp
+        )
         self._q: queue.Queue[Frame] = queue.Queue(maxsize=MAX_QUEUE)
         self._force_intra = False
         self._stop = threading.Event()
@@ -104,7 +111,12 @@ class VideoSendPipeline:
             if self._force_intra:
                 self.encoder._frame_count = 0  # restart intra period
                 self._force_intra = False
-            qp = self.allocator.suggest_qp(self.cfg.width, self.cfg.height, self.fps)
+            is_idr = (
+                self.encoder._frame_count % self.encoder.intra_period == 0
+                or self.encoder._ref is None
+            )
+            self.rate_control.retarget(self.allocator.video_bitrate)
+            qp = self.rate_control.frame_qp(is_idr)
             qp_map = None
             if self.roi_fn is not None and self.cfg.cu_qp_delta:
                 delta = np.asarray(self.roi_fn(frame))  # (ctbs_h, ctbs_w) int8
@@ -112,6 +124,7 @@ class VideoSendPipeline:
             stream, _recon = self.encoder.encode_frame(
                 frame.y, frame.u, frame.v, qp=qp, qp_map=qp_map
             )
+            self.rate_control.update(qp, len(stream) * 8, is_idr)
             dt = time.monotonic() - t0
             self.stats.record_delay("encode", dt)
             self.stats.record_bytes("video_send", len(stream))
