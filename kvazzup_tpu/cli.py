@@ -44,7 +44,7 @@ def cmd_encode(args) -> int:
         width=w, height=h, qp=args.qp,
         deblocking_enabled=not args.no_deblock,
         sao_enabled=args.sao, wpp=args.wpp or args.sao,
-        tile_cols=args.tiles,
+        tile_cols=args.tiles, slices=args.slices,
         num_reorder_pics=2 if ra else 0,
         max_dec_pic_buffering=5 if ra else 2,
     )
@@ -139,6 +139,8 @@ def main(argv=None) -> int:
     pe.add_argument("--wpp", action="store_true")
     pe.add_argument("--tiles", type=int, default=1, metavar="N",
                     help="N tile columns (all-intra; the multi-chip shard axis)")
+    pe.add_argument("--slices", type=int, default=1, metavar="N",
+                    help="N row-aligned slices per picture (all-intra; RTP loss unit)")
     pe.add_argument("--gop", choices=["ld", "ra"], default="ld",
                     help="ld = low-delay P, ra = hierarchical B GOP4")
     pe.set_defaults(fn=cmd_encode)

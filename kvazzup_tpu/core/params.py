@@ -38,6 +38,7 @@ class StreamConfig:
     amp_enabled: bool = False
     wpp: bool = False  # entropy_coding_sync (WPP substreams)
     tile_cols: int = 1  # >1 -> tiles_enabled (uniform tile columns, 1 row)
+    slices: int = 1  # >1 -> row-aligned independent slices per picture
     cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
     rdoq: bool = False  # RD-optimized quantization (RDOQ-lite; needs lambda
     # calibration before it beats the tuned deadzone — kept opt-in)

@@ -48,6 +48,7 @@ class Decoder:
     def decode(self, stream: bytes):
         """Decode an Annex-B stream; returns frames in output (POC) order."""
         frames = []
+        pending = []  # slice NALs of the picture being collected
         for nal in split_annexb(stream):
             if nal.nal_type == NalType.SPS:
                 self.sps = parse_sps(nal.rbsp)
@@ -59,9 +60,77 @@ class Decoder:
                 if self.sps is None or self.pps is None:
                     continue  # parameter sets not yet seen (reference behavior:
                     # openhevcfilter.cpp:116-143 discards until VPS/SPS/PPS)
-                frames.append(self._decode_picture(nal))
+                # first bit of the slice RBSP = first_slice_segment_in_pic_flag
+                # (7.3.6.1): a 1 opens a new picture, a 0 continues the last
+                if nal.rbsp[0] & 0x80 and pending:
+                    frames.append(self._decode_picture_nals(pending))
+                    pending = []
+                pending.append(nal)
+        if pending:
+            frames.append(self._decode_picture_nals(pending))
         frames.sort(key=lambda t: t[0])
         return [f for _, f in frames]
+
+    def _decode_picture_nals(self, nals):
+        if len(nals) == 1:
+            return self._decode_picture(nals[0])
+        return self._decode_multislice_picture(nals)
+
+    def _decode_multislice_picture(self, nals):
+        """Row-aligned independent slices of one intra picture."""
+        from dataclasses import replace as dc_replace
+
+        import jax.numpy as jnp
+
+        from ..entropy.slice_data import decode_slice_data_intra
+        from .frame_intra import reconstruct_frame_intra
+
+        sps, pps = self.sps, self.pps
+        if is_idr(nals[0].nal_type):
+            self._period += 1
+            self._dpb.clear()
+        cfg = StreamConfig(width=sps.width, height=sps.height, qp=26,
+                           ctb_log2=sps.ctb_log2, min_cb_log2=sps.min_cb_log2)
+        cw, chh = cfg.ctbs_w, cfg.ctbs_h
+        n = cfg.ctb_size
+        from ..entropy.slice_data import decode_slice_data_intra_open
+
+        headers = [parse_slice_header(x.rbsp, x.nal_type, sps, pps) for x in nals]
+        if any(sh.slice_type != 2 for sh in headers):
+            raise NotImplementedError("multi-slice pictures are intra-only for now")
+        # each slice signals its own end (end_of_slice_segment_flag), so a
+        # lost neighbor NAL cannot corrupt the survivors; unfilled rows
+        # stay mid-gray (the reference decoder's concealment-free behavior)
+        y = np.full((sps.height, sps.width), 128, np.uint8)
+        u = np.full((sps.height // 2, sps.width // 2), 128, np.uint8)
+        v = np.full((sps.height // 2, sps.width // 2), 128, np.uint8)
+        for sh, x in zip(headers, nals):
+            a0 = sh.segment_address
+            if a0 % cw:
+                raise NotImplementedError("slices must be CTU-row aligned")
+            r0 = a0 // cw
+            payload = x.rbsp[sh.data_offset_bits // 8 :]
+            modes, lev_y, lev_cb, lev_cr, cnt = decode_slice_data_intra_open(
+                dc_replace(cfg, qp=sh.qp), payload, sh.qp, cw * (chh - r0)
+            )
+            rows = cnt // cw
+            if rows == 0:
+                continue
+            m = rows * cw
+            sy, su, sv = reconstruct_frame_intra(
+                modes[:m], lev_y[:m], lev_cb[:m], lev_cr[:m], sh.qp,
+                width=cfg.width, height=rows * n,
+            )
+            y[r0 * n : (r0 + rows) * n] = np.asarray(sy)
+            u[r0 * n // 2 : (r0 + rows) * n // 2] = np.asarray(su)
+            v[r0 * n // 2 : (r0 + rows) * n // 2] = np.asarray(sv)
+        y, u, v = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+        if not pps.deblocking_disabled:
+            y, u, v = deblock_frame(y, u, v, headers[0].qp, spacing=cfg.ctb_size)
+        frame = (np.asarray(y), np.asarray(u), np.asarray(v))
+        self._ref = frame
+        self._dpb[0] = frame
+        return (self._period, 0), frame
 
     def _decode_picture(self, nal):
         """Returns ((period, poc), frame)."""

@@ -29,14 +29,41 @@ class PipelinedEncoder:
         self.enc = Encoder(cfg, intra_period=intra_period)
         self.depth = max(1, depth)
         self.materialize_recon = materialize_recon
+        # three stages in flight: device compute | device->host fetch | CABAC.
+        # The fetch stage exists because the host link can be slower than
+        # CABAC itself (remote-attached TPU); overlapping them bounds the
+        # steady-state frame cost by max(transfer, cabac), not their sum.
+        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         self._pool = ThreadPoolExecutor(max_workers=1)  # in-order CABAC
         self._pending: deque = deque()
 
+    @staticmethod
+    def _materialize(ctx):
+        import numpy as np
+
+        # entropy never reads out["recon_*"] (ctx["recon"] holds the
+        # loop-filtered picture) — don't pay their transfer
+        ctx["out"] = {
+            k: (v if k.startswith("recon") else np.asarray(v))
+            for k, v in ctx["out"].items()
+        }
+        if "dev" in ctx:  # multi-slice: materialize each strip's arrays
+            ctx["dev"]["strips"] = [
+                {k: (v if k.startswith("recon") else np.asarray(v))
+                 for k, v in s.items()}
+                for s in ctx["dev"]["strips"]
+            ]
+        return ctx
+
     def push(self, y, u, v, qp=None, qp_map=None):
         ctx = self.enc.encode_frame_device(y, u, v, qp, qp_map)
+        fetched = self._fetch_pool.submit(self._materialize, ctx)
         self._pending.append(
             self._pool.submit(
-                self.enc.encode_frame_entropy, ctx, self.materialize_recon
+                lambda f: self.enc.encode_frame_entropy(
+                    f.result(), self.materialize_recon
+                ),
+                fetched,
             )
         )
         done = []

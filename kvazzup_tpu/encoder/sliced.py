@@ -1,0 +1,84 @@
+"""Multi-slice frame encoding: independent row-aligned slice segments.
+
+Kvazaar's `slices` option (reference wiring
+/root/reference/src/media/processing/kvazaarfilter.cpp:204-215) splits a
+picture into independently decodable slices — the packetization unit RTP
+loss-resilience wants (one slice ≈ one NAL ≈ one recoverable loss).
+
+TPU shape: each slice is a horizontal strip of CTU rows encoded by the
+same wavefront kernel at strip height (the strip's top edge IS the
+slice-boundary availability rule, 6.4.1), with its own slice header
+(first_slice_segment_in_pic_flag / slice_segment_address, 7.3.6.1) and a
+fresh CABAC stream (9.3.1).  Deblocking runs on the assembled picture —
+pps_loop_filter_across_slices_enabled_flag is 1 in our PPS.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.nal import NalType, NalUnit, compose_nal
+from ..core.params import SliceHeader, compose_slice_header
+from ..entropy.slice_data import encode_slice_data_intra
+from ..ops.deblock import deblock_frame
+from .frame_intra import encode_frame_intra
+
+
+def slice_rows(ctbs_h: int, n_slices: int):
+    """Row ranges per slice (uniform split, same rule as tile columns)."""
+    return [((i * ctbs_h) // n_slices, ((i + 1) * ctbs_h) // n_slices)
+            for i in range(n_slices)]
+
+
+def encode_frame_intra_slices_device(cfg, y, u, v, qp: int, n_slices: int, *,
+                                     rdoq: bool = False):
+    """Device stage: per-slice strip encodes + assembled loop-filtered recon."""
+    n = cfg.ctb_size
+    rows = slice_rows(cfg.ctbs_h, n_slices)
+    strips = []
+    for r0, r1 in rows:
+        py0, py1 = r0 * n, r1 * n
+        strips.append(encode_frame_intra(
+            jnp.asarray(y[py0:py1]), jnp.asarray(u[py0 // 2 : py1 // 2]),
+            jnp.asarray(v[py0 // 2 : py1 // 2]), qp,
+            width=cfg.width, height=py1 - py0, rdoq=rdoq,
+        ))
+    ry = jnp.concatenate([s["recon_y"] for s in strips], axis=0)
+    ru = jnp.concatenate([s["recon_u"] for s in strips], axis=0)
+    rv = jnp.concatenate([s["recon_v"] for s in strips], axis=0)
+    if cfg.deblocking_enabled:
+        ry, ru, rv = deblock_frame(ry, ru, rv, qp, spacing=cfg.ctb_size)
+    return {"strips": strips, "rows": rows, "recon": (ry, ru, rv)}
+
+
+def entropy_frame_intra_slices(cfg, dev, qp: int) -> bytes:
+    """Host stage: one IDR NAL per slice (first carries first_slice flag)."""
+    n = cfg.ctb_size
+    cw = cfg.ctbs_w
+    nals = []
+    for si, ((r0, r1), out) in enumerate(zip(dev["rows"], dev["strips"])):
+        strip_cfg = replace(cfg, height=(r1 - r0) * n)
+        payload = encode_slice_data_intra(
+            strip_cfg, np.asarray(out["mode"]), np.asarray(out["lev_y"]),
+            np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+        )
+        sh = SliceHeader(
+            slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
+            first_slice=si == 0, segment_address=r0 * cw,
+        )
+        w = compose_slice_header(cfg, sh)
+        w.write_bytes(payload)
+        nals.append(compose_nal(NalUnit(sh.nal_type, w.data())))
+    return b"".join(nals)
+
+
+def encode_frame_intra_slices(cfg, y, u, v, qp: int, n_slices: int, *,
+                              rdoq: bool = False, include_headers: bytes = b""):
+    """Encode one intra picture as `n_slices` independent slices.
+
+    Returns (annexb_bytes, (recon_y, recon_u, recon_v) device arrays)."""
+    dev = encode_frame_intra_slices_device(cfg, y, u, v, qp, n_slices, rdoq=rdoq)
+    return include_headers + entropy_frame_intra_slices(cfg, dev, qp), dev["recon"]

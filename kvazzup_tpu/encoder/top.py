@@ -57,6 +57,13 @@ class Encoder:
                 raise NotImplementedError("tiles exclude wpp/sao/cu_qp_delta for now")
             if cfg.tile_cols > cfg.ctbs_w:
                 raise ValueError("more tile columns than CTB columns")
+        if cfg.slices > 1:
+            if intra_period != 1:
+                raise NotImplementedError("slices currently require all-intra")
+            if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1:
+                raise NotImplementedError("slices exclude wpp/sao/qp_map/tiles for now")
+            if cfg.slices > cfg.ctbs_h:
+                raise ValueError("more slices than CTB rows")
         self.cfg = cfg
         self.intra_period = max(1, intra_period)
         self._frame_count = 0
@@ -95,6 +102,17 @@ class Encoder:
         is_idr = self._frame_count % self.intra_period == 0 or self._ref is None
 
         # ---- device encode
+        if cfg.slices > 1:
+            from .sliced import encode_frame_intra_slices_device
+
+            dev = encode_frame_intra_slices_device(
+                cfg, y, u, v, qp, cfg.slices, rdoq=cfg.rdoq
+            )
+            first = self._frame_count == 0
+            self._frame_count += 1
+            self._ref = dev["recon"]
+            return {"kind": "slices", "dev": dev, "out": {}, "qp": qp,
+                    "first": first, "recon": dev["recon"]}
         if cfg.tile_cols > 1:
             from .tiled import encode_frame_intra_tiles
 
@@ -186,6 +204,14 @@ class Encoder:
         cfg = self.cfg
         out, qp, first = ctx["out"], ctx["qp"], ctx["first"]
         ry, ru, rv = ctx["recon"]
+        if ctx["kind"] == "slices":
+            from .sliced import entropy_frame_intra_slices
+
+            stream = self.headers() if first else b""
+            stream += entropy_frame_intra_slices(cfg, ctx["dev"], qp)
+            if materialize_recon:
+                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+            return stream, (ry, ru, rv)
         if ctx["kind"] == "tiles":
             from ..entropy.slice_data import encode_slice_data_intra_tiles
 

@@ -1368,3 +1368,43 @@ def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp)
 
     decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 0, slice_qp)
     return modes, lev_y, lev_cb, lev_cr
+
+
+def decode_slice_data_intra_open(cfg: StreamConfig, payload: bytes, slice_qp: int,
+                                 max_ctus: int):
+    """Decode I-CTUs until end_of_slice_segment_flag == 1 (7.3.8.1) — the
+    slice's own length signal — instead of a caller-assumed count.  This is
+    the loss-tolerant path for multi-slice pictures: when a neighbor slice
+    NAL is missing, each surviving slice still knows where it ends.
+
+    Returns (modes, lev_y, lev_cb, lev_cr, n_decoded), arrays sized for
+    max_ctus."""
+    dec = CabacDecoder(payload, init_type=0, slice_qp=slice_qp)
+    n = cfg.ctb_size
+    at_min_cb = cfg.ctb_log2 == cfg.min_cb_log2
+    cw = cfg.ctbs_w
+    modes = np.zeros(max_ctus, dtype=np.int32)
+    lev_y = np.zeros((max_ctus, n, n), dtype=np.int32)
+    lev_cb = np.zeros((max_ctus, n // 2, n // 2), dtype=np.int32)
+    lev_cr = np.zeros((max_ctus, n // 2, n // 2), dtype=np.int32)
+    for i in range(max_ctus):
+        c = i % cw
+        if at_min_cb:
+            if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+                raise NotImplementedError("NxN")
+        cand_a = int(modes[i - 1]) if c > 0 else 1
+        modes[i] = _decode_luma_mode(dec, cand_a, 1)
+        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+            raise NotImplementedError("non-DM chroma")
+        cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+        if cbf_y:
+            lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
+        if cbf_cb:
+            lev_cb[i] = decode_residual(dec, cfg.ctb_log2 - 1, 1)
+        if cbf_cr:
+            lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
+        if dec.decode_terminate():
+            return modes, lev_y, lev_cb, lev_cr, i + 1
+    return modes, lev_y, lev_cb, lev_cr, max_ctus
