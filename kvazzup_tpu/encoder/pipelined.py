@@ -42,10 +42,29 @@ class PipelinedEncoder:
         import numpy as np
 
         # entropy never reads out["recon_*"] (ctx["recon"] holds the
-        # loop-filtered picture) — don't pay their transfer
+        # loop-filtered picture) — don't pay their transfer.  Coefficient
+        # levels almost never exceed |127| at streaming QPs: fetch one
+        # scalar to check, then ship int8 instead of int16 when safe
+        # (halves the dominant device->host transfer again).
+        out = dict(ctx["out"])
+        lev_keys = [k for k in out if k.startswith("lev_")]
+        if lev_keys:
+            import jax.numpy as jnp
+
+            maxabs = int(
+                jnp.maximum(
+                    jnp.abs(out["lev_y"]).max(),
+                    jnp.maximum(
+                        jnp.abs(out["lev_cb"]).max(), jnp.abs(out["lev_cr"]).max()
+                    ),
+                )
+            )
+            if maxabs <= 127:
+                for k in lev_keys:
+                    out[k] = out[k].astype(jnp.int8)
         ctx["out"] = {
             k: (v if k.startswith("recon") else np.asarray(v))
-            for k, v in ctx["out"].items()
+            for k, v in out.items()
         }
         if "dev" in ctx:  # multi-slice: materialize each strip's arrays
             ctx["dev"]["strips"] = [

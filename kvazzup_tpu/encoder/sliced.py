@@ -63,7 +63,7 @@ def entropy_frame_intra_slices(cfg, dev, qp: int) -> bytes:
         strip_cfg = replace(cfg, height=(r1 - r0) * n)
         payload = encode_slice_data_intra(
             strip_cfg, np.asarray(out["mode"]), np.asarray(out["lev_y"]),
-            np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+            np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]), slice_qp=qp,
         )
         sh = SliceHeader(
             slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,

@@ -219,6 +219,7 @@ class Encoder:
                 cfg, cfg.tile_cols,
                 np.asarray(out["mode"]), np.asarray(out["lev_y"]),
                 np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+                slice_qp=qp,
             )
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
             w = compose_slice_header(cfg, sh, entry_offsets)
@@ -240,16 +241,18 @@ class Encoder:
             )
             if cfg.wpp:
                 res = encode_slice_data_intra_wpp(
-                    cfg, *arrays, qp_map=flat_map, sao=sao_state
+                    cfg, *arrays, qp_map=flat_map, sao=sao_state, slice_qp=qp
                 )
                 if flat_map is not None:
                     payload, entry_offsets, qp_actual = res
                 else:
                     payload, entry_offsets = res
             elif flat_map is not None:
-                payload, qp_actual = encode_slice_data_intra_qp(cfg, *arrays, qp_map=flat_map)
+                payload, qp_actual = encode_slice_data_intra_qp(
+                    cfg, *arrays, qp_map=flat_map, slice_qp=qp
+                )
             else:
-                payload = encode_slice_data_intra(cfg, *arrays)
+                payload = encode_slice_data_intra(cfg, *arrays, slice_qp=qp)
             sh = SliceHeader(
                 slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
                 sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,

@@ -65,19 +65,23 @@ def encode_slice_data_intra(
     lev_cb: np.ndarray,
     lev_cr: np.ndarray,
     use_native: bool = True,
+    slice_qp: int | None = None,
 ) -> bytes:
     """CTU raster scan -> CABAC slice payload (v1: CU == CTB == 16).
 
     Dispatches to the native C codec (kvazzup_tpu/native) when available;
     this Python path is the behavioral reference (tests assert equality).
+    slice_qp (default cfg.qp) MUST be the slice header's SliceQpY — CABAC
+    context init depends on it (9.3.2.2).
     """
+    sq = cfg.qp if slice_qp is None else slice_qp
     if use_native:
         from ..native import encode_slice_data_intra_native
 
-        out = encode_slice_data_intra_native(cfg, modes, lev_y, lev_cb, lev_cr)
+        out = encode_slice_data_intra_native(cfg, modes, lev_y, lev_cb, lev_cr, sq)
         if out is not None:
             return out
-    enc = CabacEncoder(init_type=0, slice_qp=cfg.qp)
+    enc = CabacEncoder(init_type=0, slice_qp=sq)
     ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
     nctu = ctbs_w * ctbs_h
     at_min_cb = cfg.ctb_log2 == cfg.min_cb_log2
@@ -546,7 +550,8 @@ def _decode_ctu_i(dec, cfg, i, modes, lev_y, lev_cb, lev_cr, qp_state=None, sao=
         lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
 
 
-def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn, qp_state=None) -> tuple:
+def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn, qp_state=None,
+                          slice_qp=None) -> tuple:
     """Generic WPP slice-data encoder (entropy_coding_sync, 9.3.1/9.3.2.3).
 
     ctu_fn(enc, i): encode one CTU's syntax.  Per-row CABAC engines with
@@ -560,7 +565,7 @@ def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn, qp_state=None) -> tuple:
     saved_state = None  # ctx after CTU index 1 of the previous row
     for row in range(chh):
         enc = CabacEncoder(init_type=0 if ctu_fn.init_type == 0 else ctu_fn.init_type,
-                           slice_qp=cfg.qp)
+                           slice_qp=cfg.qp if slice_qp is None else slice_qp)
         if row > 0 and cw > 1 and saved_state is not None:
             enc.ctx = saved_state.copy()
         if qp_state is not None:
@@ -609,23 +614,24 @@ def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_
                     raise ValueError("missing end_of_subset_one_bit")
 
 
-def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: bool = True, qp_map=None, sao=None):
+def encode_slice_data_intra_wpp(cfg, modes, lev_y, lev_cb, lev_cr, use_native: bool = True, qp_map=None, sao=None, slice_qp=None):
+    sq = cfg.qp if slice_qp is None else slice_qp
     if use_native and qp_map is None and sao is None:
         from ..native import encode_slice_native
 
         out = encode_slice_native(
-            cfg, 2, True, dict(modes=modes, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr), cfg.qp
+            cfg, 2, True, dict(modes=modes, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr), sq
         )
         if out is not None:
             return out
     nctu = cfg.ctbs_w * cfg.ctbs_h
-    qs = QpState(cfg.qp, qp_map, nctu) if qp_map is not None else None
+    qs = QpState(sq, qp_map, nctu) if qp_map is not None else None
 
     def fn(enc, i):
         _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qs, sao)
 
     fn.init_type = 0
-    out = encode_slice_data_wpp(cfg, fn, qs)
+    out = encode_slice_data_wpp(cfg, fn, qs, slice_qp=sq)
     if qs is not None:
         return out[0], out[1], qs.actual
     return out
@@ -827,12 +833,13 @@ def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: b
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, (qs.actual if qs else None)
 
 
-def encode_slice_data_intra_qp(cfg, modes, lev_y, lev_cb, lev_cr, qp_map):
+def encode_slice_data_intra_qp(cfg, modes, lev_y, lev_cb, lev_cr, qp_map, slice_qp=None):
     """Non-WPP I-slice encode with per-CTB cu_qp_delta; returns
     (payload, actual_qp array)."""
+    sq = cfg.qp if slice_qp is None else slice_qp
     nctu = cfg.ctbs_w * cfg.ctbs_h
-    qs = QpState(cfg.qp, qp_map, nctu)
-    enc = CabacEncoder(init_type=0, slice_qp=cfg.qp)
+    qs = QpState(sq, qp_map, nctu)
+    enc = CabacEncoder(init_type=0, slice_qp=sq)
     for i in range(nctu):
         _encode_ctu_i(enc, cfg, i, modes, lev_y, lev_cb, lev_cr, qs)
         enc.encode_terminate(1 if i == nctu - 1 else 0)
@@ -1259,7 +1266,7 @@ def tile_grid(cfg, n_cols: int):
     return [((i * cw) // n_cols, ((i + 1) * cw) // n_cols) for i in range(n_cols)]
 
 
-def encode_slice_data_tiles(cfg, n_cols: int, ctu_fn) -> tuple:
+def encode_slice_data_tiles(cfg, n_cols: int, ctu_fn, slice_qp=None) -> tuple:
     """Tile-column slice data: independent CABAC substream per tile
     (contexts re-initialized, no inheritance), CTUs in tile-raster order,
     end_of_subset termination between tiles (7.3.8.1).
@@ -1272,7 +1279,8 @@ def encode_slice_data_tiles(cfg, n_cols: int, ctu_fn) -> tuple:
     payloads = []
     last_tile = n_cols - 1
     for t, (x0, x1) in enumerate(cols):
-        enc = CabacEncoder(init_type=ctu_fn.init_type, slice_qp=cfg.qp)
+        enc = CabacEncoder(init_type=ctu_fn.init_type,
+                           slice_qp=cfg.qp if slice_qp is None else slice_qp)
         for r in range(chh):
             for c in range(x0, x1):
                 i = r * cw + c
@@ -1331,12 +1339,13 @@ def _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr):
         encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
 
 
-def encode_slice_data_intra_tiles(cfg, n_cols, modes, lev_y, lev_cb, lev_cr):
+def encode_slice_data_intra_tiles(cfg, n_cols, modes, lev_y, lev_cb, lev_cr,
+                                  slice_qp=None):
     def fn(enc, i, x0t, x1t):
         _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr)
 
     fn.init_type = 0
-    return encode_slice_data_tiles(cfg, n_cols, fn)
+    return encode_slice_data_tiles(cfg, n_cols, fn, slice_qp)
 
 
 def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp):

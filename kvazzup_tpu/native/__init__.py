@@ -69,10 +69,12 @@ def _as_i32(a: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(a, dtype=np.int32)
 
 
-def encode_slice_data_intra_native(cfg, modes, lev_y, lev_cb, lev_cr) -> bytes | None:
+def encode_slice_data_intra_native(cfg, modes, lev_y, lev_cb, lev_cr,
+                                   slice_qp=None) -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
+    sq = cfg.qp if slice_qp is None else slice_qp
     nctu = len(modes)
     modes = _as_i32(modes)
     lev_y = _as_i32(lev_y)
@@ -82,7 +84,7 @@ def encode_slice_data_intra_native(cfg, modes, lev_y, lev_cb, lev_cr) -> bytes |
     out = np.empty(cap, dtype=np.uint8)
     n = lib.encode_slice_data_intra_c(
         modes.ctypes.data, lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
-        nctu, cfg.ctbs_w, cfg.ctb_log2, int(cfg.ctb_log2 == cfg.min_cb_log2), cfg.qp,
+        nctu, cfg.ctbs_w, cfg.ctb_log2, int(cfg.ctb_log2 == cfg.min_cb_log2), sq,
         out.ctypes.data, cap,
     )
     if n < 0:

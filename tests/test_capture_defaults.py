@@ -1,0 +1,79 @@
+"""Capture sources + hardware auto-tune (reference: camerafilter /
+screensharefilter / defaultsettings)."""
+
+import time
+
+import numpy as np
+
+from kvazzup_tpu.io.capture import FileSource, SyntheticSource
+from kvazzup_tpu.utils.defaults import (
+    complexity_points,
+    default_operating_point,
+)
+
+
+def test_synthetic_source_paces_frames():
+    got = []
+    src = SyntheticSource(got.append, width=64, height=32, fps=100.0)
+    src.start()
+    time.sleep(0.25)
+    src.stop()
+    assert 10 <= len(got) <= 40  # ~25 expected; generous CI bounds
+    f = got[0]
+    assert f.y.shape == (32, 64) and f.u.shape == (16, 32)
+    # deterministic content progresses
+    assert not np.array_equal(got[0].y, got[-1].y)
+
+
+def test_file_source_loops(tmp_path):
+    from kvazzup_tpu.io.yuv import write_yuv420
+
+    frames = [(np.full((32, 64), i * 40, np.uint8),
+               np.full((16, 32), 128, np.uint8),
+               np.full((16, 32), 128, np.uint8)) for i in range(3)]
+    p = tmp_path / "clip.yuv"
+    write_yuv420(str(p), frames)
+    got = []
+    src = FileSource(got.append, str(p), fps=200.0, size="64x32")
+    src.start()
+    time.sleep(0.15)
+    src.stop()
+    assert len(got) > 4  # looped past the 3 source frames
+    assert got[0].y[0, 0] == 0 and got[1].y[0, 0] == 40
+
+
+def test_default_operating_point_scales():
+    low = default_operating_point(points=1)
+    mid = default_operating_point(points=8)
+    high = default_operating_point(points=48)
+    assert low.width < mid.width <= high.width
+    assert high.tiles >= 4
+    assert complexity_points(n_devices=8, host_threads=16) == 40
+
+
+def test_capture_feeds_send_pipeline():
+    """End-to-end: synthetic camera -> VideoSendPipeline -> NALs."""
+    from kvazzup_tpu.core.params import StreamConfig
+    from kvazzup_tpu.pipeline.media_pipeline import VideoSendPipeline
+
+    w, h = 128, 64
+    chunks = []
+    pipe = VideoSendPipeline(
+        StreamConfig(width=w, height=h, qp=34),
+        sink=lambda s, f: chunks.append(s),
+        intra_period=4,
+        fps=30.0,
+    )
+    pipe.start()
+    src = SyntheticSource(pipe.put_frame, width=w, height=h, fps=60.0)
+    src.start()
+    deadline = time.monotonic() + 20
+    while len(chunks) < 3 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    src.stop()
+    pipe.stop()
+    assert len(chunks) >= 3
+    from kvazzup_tpu.decoder.top import Decoder
+
+    frames = Decoder().decode(b"".join(chunks))
+    assert len(frames) >= 3
