@@ -141,8 +141,8 @@ class Decoder:
         if _is_idr(nal.nal_type):
             self._period += 1
             self._dpb.clear()
-        if sps.ctb_log2 != 4 or sps.min_cb_log2 != 4:
-            raise NotImplementedError("decoder v1 supports CTB == min CB == 16")
+        if sps.ctb_log2 != 4 or sps.min_cb_log2 not in (3, 4):
+            raise NotImplementedError("decoder supports CTB 16, min CB 8 or 16")
         cfg = StreamConfig(
             width=sps.width,
             height=sps.height,
@@ -150,6 +150,32 @@ class Decoder:
             ctb_log2=sps.ctb_log2,
             min_cb_log2=sps.min_cb_log2,
         )
+        if sps.min_cb_log2 == 3:
+            if sh.slice_type != 2:
+                raise NotImplementedError("CU8 streams are intra-only for now")
+            from ..encoder.cu8 import reconstruct_frame_intra_cu8_ref
+            from ..entropy.slice_data import decode_slice_data_intra_cu8
+
+            payload = nal.rbsp[sh.data_offset_bits // 8 :]
+            split, modes8, lev_y, lev_cb, lev_cr = decode_slice_data_intra_cu8(
+                cfg, payload, sh.qp
+            )
+            y, u, v = reconstruct_frame_intra_cu8_ref(
+                split, modes8, lev_y, lev_cb, lev_cr, sh.qp,
+                width=sps.width, height=sps.height,
+            )
+            y, u, v = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+            if not pps.deblocking_disabled:
+                from ..ops.deblock import bs_maps_cu8
+
+                bv, bh = bs_maps_cu8(split, cfg.ctbs_w, cfg.ctbs_h)
+                y, u, v = deblock_frame(
+                    y, u, v, sh.qp, spacing=8, bs_v=bv, bs_h=bh, chroma_every=2
+                )
+            frame = (np.asarray(y), np.asarray(u), np.asarray(v))
+            self._ref = frame
+            self._dpb[sh.pic_order_cnt_lsb] = frame
+            return (self._period, sh.pic_order_cnt_lsb), frame
         payload = nal.rbsp[sh.data_offset_bits // 8 :]
         bs_v = bs_h = None
         qp_actual = None

@@ -57,6 +57,12 @@ class Encoder:
                 raise NotImplementedError("tiles exclude wpp/sao/cu_qp_delta for now")
             if cfg.tile_cols > cfg.ctbs_w:
                 raise ValueError("more tile columns than CTB columns")
+        if cfg.min_cb_log2 == 3:
+            if intra_period != 1:
+                raise NotImplementedError("CU8 quadtree currently requires all-intra")
+            if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
+                    or cfg.slices > 1:
+                raise NotImplementedError("CU8 excludes wpp/sao/qp_map/tiles/slices for now")
         if cfg.slices > 1:
             if intra_period != 1:
                 raise NotImplementedError("slices currently require all-intra")
@@ -102,6 +108,28 @@ class Encoder:
         is_idr = self._frame_count % self.intra_period == 0 or self._ref is None
 
         # ---- device encode
+        if cfg.min_cb_log2 == 3:
+            from .cu8 import encode_frame_intra_cu8_ref
+
+            if not is_idr:
+                raise NotImplementedError("CU8 quadtree is intra-only for now")
+            out = encode_frame_intra_cu8_ref(
+                y, u, v, qp, width=cfg.width, height=cfg.height
+            )
+            ry, ru, rv = (jnp.asarray(out["recon_y"]), jnp.asarray(out["recon_u"]),
+                          jnp.asarray(out["recon_v"]))
+            if cfg.deblocking_enabled:
+                from ..ops.deblock import bs_maps_cu8
+
+                bv, bh = bs_maps_cu8(out["split"], cfg.ctbs_w, cfg.ctbs_h)
+                ry, ru, rv = deblock_frame(
+                    ry, ru, rv, qp, spacing=8, bs_v=bv, bs_h=bh, chroma_every=2
+                )
+            first = self._frame_count == 0
+            self._frame_count += 1
+            self._ref = (ry, ru, rv)
+            return {"kind": "cu8", "out": out, "qp": qp, "first": first,
+                    "recon": (ry, ru, rv)}
         if cfg.slices > 1:
             from .sliced import encode_frame_intra_slices_device
 
@@ -204,6 +232,21 @@ class Encoder:
         cfg = self.cfg
         out, qp, first = ctx["out"], ctx["qp"], ctx["first"]
         ry, ru, rv = ctx["recon"]
+        if ctx["kind"] == "cu8":
+            from ..entropy.slice_data import encode_slice_data_intra_cu8
+
+            payload = encode_slice_data_intra_cu8(
+                cfg, out["split"], out["modes8"], np.asarray(out["lev_y"]),
+                np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]), slice_qp=qp,
+            )
+            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+            w = compose_slice_header(cfg, sh)
+            w.write_bytes(payload)
+            stream = self.headers() if first else b""
+            stream += compose_nal(NalUnit(sh.nal_type, w.data()))
+            if materialize_recon:
+                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+            return stream, (ry, ru, rv)
         if ctx["kind"] == "slices":
             from .sliced import entropy_frame_intra_slices
 

@@ -1417,3 +1417,153 @@ def decode_slice_data_intra_open(cfg: StreamConfig, payload: bytes, slice_qp: in
         if dec.decode_terminate():
             return modes, lev_y, lev_cb, lev_cr, i + 1
     return modes, lev_y, lev_cb, lev_cr, max_ctus
+
+
+# ------------------------------------------------------- CU quadtree (CU8)
+
+def _quad(a: np.ndarray, k: int) -> np.ndarray:
+    """Z-order quadrant k of a square block array."""
+    h = a.shape[0] // 2
+    r, c = (0, 0) if k == 0 else (0, h) if k == 1 else (h, 0) if k == 2 else (h, h)
+    return a[r : r + h, c : c + h]
+
+
+# per-sub-CU MPM neighbors inside a CTB (z-order): (left source, above source)
+# where 'L1'/'L3' = left CTB sub 1/3, 'S<k>' = this CTB's sub k, None = DC
+_CU8_NEIGH = [("L1", None), ("S0", None), ("L3", "S0"), ("S2", "S1")]
+
+
+def _cu8_cands(modes8: np.ndarray, i: int, k: int, c: int) -> tuple:
+    ls, as_ = _CU8_NEIGH[k]
+    if ls.startswith("L"):
+        cand_a = int(modes8[i - 1][int(ls[1])]) if c > 0 else 1
+    else:
+        cand_a = int(modes8[i][int(ls[1])])
+    cand_b = 1 if as_ is None else int(modes8[i][int(as_[1])])
+    return cand_a, cand_b
+
+
+def _encode_ctu_i_cu8(enc, cfg, i, split, modes8, lev_y, lev_cb, lev_cr) -> None:
+    """I-CTU with one quadtree level: CTB16 either one CU16 or four CU8s
+    (coding_quadtree 7.3.8.4 with MinCbLog2SizeY = 3).
+
+    modes8: (nctu, 4) z-order luma modes (non-split CTBs replicate their
+    single mode); lev_y (nctu,16,16) holds four 8x8 quadrants when split;
+    lev_cb/lev_cr (nctu,8,8) hold four 4x4 quadrants when split."""
+    from ..core.tables import residual_scan_idx
+
+    cw = cfg.ctbs_w
+    r, c = divmod(i, cw)
+    ctx = (1 if (c > 0 and split[i - 1]) else 0) + (
+        1 if (r > 0 and split[i - cw]) else 0
+    )
+    enc.encode_bin(OFFSETS["split_cu_flag"] + ctx, int(split[i]))
+    if not split[i]:
+        cand_a = int(modes8[i - 1][1]) if c > 0 else 1
+        _encode_luma_mode(enc, int(modes8[i][0]), cand_a, 1)
+        enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+        cbf_cb = 1 if np.any(lev_cb[i]) else 0
+        cbf_cr = 1 if np.any(lev_cr[i]) else 0
+        cbf_y = 1 if np.any(lev_y[i]) else 0
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+        if cbf_y:
+            encode_residual(enc, lev_y[i], 4, 0)
+        if cbf_cb:
+            encode_residual(enc, lev_cb[i], 3, 1)
+        if cbf_cr:
+            encode_residual(enc, lev_cr[i], 3, 2)
+        return
+    for k in range(4):
+        mode = int(modes8[i][k])
+        cand_a, cand_b = _cu8_cands(modes8, i, k, c)
+        enc.encode_bin(OFFSETS["part_mode"], 1)  # PART_2Nx2N at min CB
+        _encode_luma_mode(enc, mode, cand_a, cand_b)
+        enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+        qy = _quad(lev_y[i], k)
+        qcb = _quad(lev_cb[i], k)
+        qcr = _quad(lev_cr[i], k)
+        cbf_cb = 1 if np.any(qcb) else 0
+        cbf_cr = 1 if np.any(qcr) else 0
+        cbf_y = 1 if np.any(qy) else 0
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+        if cbf_y:
+            encode_residual(enc, qy, 3, 0, residual_scan_idx(mode, 3, 0))
+        if cbf_cb:
+            encode_residual(enc, qcb, 2, 1, residual_scan_idx(mode, 2, 1))
+        if cbf_cr:
+            encode_residual(enc, qcr, 2, 2, residual_scan_idx(mode, 2, 2))
+
+
+def _decode_ctu_i_cu8(dec, cfg, i, split, modes8, lev_y, lev_cb, lev_cr) -> None:
+    from ..core.tables import residual_scan_idx
+
+    cw = cfg.ctbs_w
+    r, c = divmod(i, cw)
+    ctx = (1 if (c > 0 and split[i - 1]) else 0) + (
+        1 if (r > 0 and split[i - cw]) else 0
+    )
+    split[i] = dec.decode_bin(OFFSETS["split_cu_flag"] + ctx)
+    if not split[i]:
+        cand_a = int(modes8[i - 1][1]) if c > 0 else 1
+        modes8[i][:] = _decode_luma_mode(dec, cand_a, 1)
+        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+            raise NotImplementedError("non-DM chroma")
+        cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+        if cbf_y:
+            lev_y[i] = decode_residual(dec, 4, 0)
+        if cbf_cb:
+            lev_cb[i] = decode_residual(dec, 3, 1)
+        if cbf_cr:
+            lev_cr[i] = decode_residual(dec, 3, 2)
+        return
+    for k in range(4):
+        if dec.decode_bin(OFFSETS["part_mode"]) != 1:
+            raise NotImplementedError("NxN")
+        cand_a, cand_b = _cu8_cands(modes8, i, k, c)
+        mode = _decode_luma_mode(dec, cand_a, cand_b)
+        modes8[i][k] = mode
+        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+            raise NotImplementedError("non-DM chroma")
+        cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+        if cbf_y:
+            _quad(lev_y[i], k)[:] = decode_residual(dec, 3, 0, residual_scan_idx(mode, 3, 0))
+        if cbf_cb:
+            _quad(lev_cb[i], k)[:] = decode_residual(dec, 2, 1, residual_scan_idx(mode, 2, 1))
+        if cbf_cr:
+            _quad(lev_cr[i], k)[:] = decode_residual(dec, 2, 2, residual_scan_idx(mode, 2, 2))
+
+
+def encode_slice_data_intra_cu8(cfg, split, modes8, lev_y, lev_cb, lev_cr,
+                                slice_qp=None) -> bytes:
+    sq = cfg.qp if slice_qp is None else slice_qp
+    enc = CabacEncoder(init_type=0, slice_qp=sq)
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    for i in range(nctu):
+        _encode_ctu_i_cu8(enc, cfg, i, split, modes8, lev_y, lev_cb, lev_cr)
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    return enc.data()
+
+
+def decode_slice_data_intra_cu8(cfg, payload: bytes, slice_qp: int):
+    dec = CabacDecoder(payload, init_type=0, slice_qp=slice_qp)
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    split = np.zeros(nctu, np.int32)
+    modes8 = np.zeros((nctu, 4), np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    for i in range(nctu):
+        _decode_ctu_i_cu8(dec, cfg, i, split, modes8, lev_y, lev_cb, lev_cr)
+        end = dec.decode_terminate()
+        if end != (1 if i == nctu - 1 else 0):
+            raise ValueError(f"end_of_slice mismatch at CTU {i}")
+    return split, modes8, lev_y, lev_cb, lev_cr

@@ -185,7 +185,7 @@ def _edge_positions(size: int, spacing: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("spacing", "beta_offset", "tc_offset"))
 def deblock_frame(
     y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_offset: int = 0,
-    bs_v=None, bs_h=None, qp_map=None,
+    bs_v=None, bs_h=None, qp_map=None, chroma_every: int = 1,
 ):
     """Deblock one picture (per-edge bS maps, default all-2).
 
@@ -261,10 +261,14 @@ def deblock_frame(
         c32 = c.astype(jnp.int32)
         ch_, cw_ = c32.shape
         sp = spacing // 2
+        # chroma filters only edges on the chroma 8-sample grid (8.7.2.5.5):
+        # with spacing 8 (CU8 frames) that is every SECOND luma-8 edge
+        def on_grid(n_edges):
+            return jnp.asarray((np.arange(n_edges) + 1) % chroma_every == 0)[:, None]
         xe = _edge_positions(cw_, sp)
         if len(xe):
             bs = bs_v if bs_v is not None else jnp.full((len(xe), ch_ // sp), 2, jnp.int32)
-            gate = jnp.repeat(bs == 2, sp, axis=1)
+            gate = jnp.repeat((bs == 2) & on_grid(len(xe)), sp, axis=1)
             cols = (xe[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[:, cols].reshape(ch_, len(xe), 4).transpose(1, 0, 2)
             out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(True), sp), gate)
@@ -273,7 +277,7 @@ def deblock_frame(
         ye = _edge_positions(ch_, sp)
         if len(ye):
             bs = bs_h if bs_h is not None else jnp.full((len(ye), cw_ // sp), 2, jnp.int32)
-            gate = jnp.repeat(bs == 2, sp, axis=1)
+            gate = jnp.repeat((bs == 2) & on_grid(len(ye)), sp, axis=1)
             rows = (ye[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[rows, :].reshape(len(ye), 4, cw_).transpose(0, 2, 1)
             out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(False), sp), gate)
@@ -282,3 +286,28 @@ def deblock_frame(
         return c32.astype(jnp.uint8)
 
     return y32.astype(jnp.uint8), chroma_plane(u), chroma_plane(v)
+
+
+def bs_maps_cu8(split, cw: int, ch: int):
+    """bS maps at 8-pel spacing for an intra CU8-quadtree picture.
+
+    Edges on the 16 (CTB) grid are always CU boundaries (bS 2, 8.7.2.4);
+    the interior 8-edges of a CTB are boundaries only when it is split.
+    split: (nctu,) 0/1.  Returns (bs_v (2cw-1, 2ch), bs_h (2ch-1, 2cw)).
+    """
+    sp = np.asarray(split, np.int32).reshape(ch, cw)
+    bs_v = np.zeros((2 * cw - 1, 2 * ch), np.int32)
+    for e in range(2 * cw - 1):
+        if e % 2 == 1:  # x = 16, 32, ... : CTB boundary
+            bs_v[e, :] = 2
+        else:  # x = 8, 24, ... inside CTB column e // 2
+            col = sp[:, e // 2]  # (ch,)
+            bs_v[e, :] = 2 * np.repeat(col, 2)
+    bs_h = np.zeros((2 * ch - 1, 2 * cw), np.int32)
+    for e in range(2 * ch - 1):
+        if e % 2 == 1:
+            bs_h[e, :] = 2
+        else:
+            row = sp[e // 2, :]
+            bs_h[e, :] = 2 * np.repeat(row, 2)
+    return jnp.asarray(bs_v), jnp.asarray(bs_h)
