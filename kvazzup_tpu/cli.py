@@ -45,6 +45,7 @@ def cmd_encode(args) -> int:
         deblocking_enabled=not args.no_deblock,
         sao_enabled=args.sao, wpp=args.wpp or args.sao,
         tile_cols=args.tiles, slices=args.slices,
+        min_cb_log2=3 if args.cu8 else 4,
         num_reorder_pics=2 if ra else 0,
         max_dec_pic_buffering=5 if ra else 2,
     )
@@ -141,6 +142,8 @@ def main(argv=None) -> int:
                     help="N tile columns (all-intra; the multi-chip shard axis)")
     pe.add_argument("--slices", type=int, default=1, metavar="N",
                     help="N row-aligned slices per picture (all-intra; RTP loss unit)")
+    pe.add_argument("--cu8", action="store_true",
+                    help="CU quadtree: allow 8x8 CUs (all-intra; better detail)")
     pe.add_argument("--gop", choices=["ld", "ra"], default="ld",
                     help="ld = low-delay P, ra = hierarchical B GOP4")
     pe.set_defaults(fn=cmd_encode)

@@ -153,18 +153,17 @@ class Decoder:
         if sps.min_cb_log2 == 3:
             if sh.slice_type != 2:
                 raise NotImplementedError("CU8 streams are intra-only for now")
-            from ..encoder.cu8 import reconstruct_frame_intra_cu8_ref
+            from ..encoder.frame_intra_cu8 import reconstruct_frame_intra_cu8
             from ..entropy.slice_data import decode_slice_data_intra_cu8
 
             payload = nal.rbsp[sh.data_offset_bits // 8 :]
             split, modes8, lev_y, lev_cb, lev_cr = decode_slice_data_intra_cu8(
                 cfg, payload, sh.qp
             )
-            y, u, v = reconstruct_frame_intra_cu8_ref(
+            y, u, v = reconstruct_frame_intra_cu8(
                 split, modes8, lev_y, lev_cb, lev_cr, sh.qp,
                 width=sps.width, height=sps.height,
             )
-            y, u, v = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
             if not pps.deblocking_disabled:
                 from ..ops.deblock import bs_maps_cu8
 

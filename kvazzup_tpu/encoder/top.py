@@ -109,15 +109,15 @@ class Encoder:
 
         # ---- device encode
         if cfg.min_cb_log2 == 3:
-            from .cu8 import encode_frame_intra_cu8_ref
+            from .frame_intra_cu8 import encode_frame_intra_cu8
 
             if not is_idr:
                 raise NotImplementedError("CU8 quadtree is intra-only for now")
-            out = encode_frame_intra_cu8_ref(
-                y, u, v, qp, width=cfg.width, height=cfg.height
+            out = encode_frame_intra_cu8(
+                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+                width=cfg.width, height=cfg.height,
             )
-            ry, ru, rv = (jnp.asarray(out["recon_y"]), jnp.asarray(out["recon_u"]),
-                          jnp.asarray(out["recon_v"]))
+            ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
             if cfg.deblocking_enabled:
                 from ..ops.deblock import bs_maps_cu8
 

@@ -89,3 +89,22 @@ def test_cu8_scan_coverage():
         for m in out["modes8"][i]
     }
     assert scans == {0, 1, 2}
+
+
+def test_cu8_device_matches_reference():
+    """Wavefront device encoder == sequential reference, bit for bit."""
+    import jax.numpy as jnp
+
+    from kvazzup_tpu.encoder.cu8 import encode_frame_intra_cu8_ref
+    from kvazzup_tpu.encoder.frame_intra_cu8 import encode_frame_intra_cu8
+
+    w, h = 64, 48
+    for seed, qp in ((1, 24), (2, 32), (3, 40)):
+        y, u, v = synthetic_frames(w, h, 1, seed=seed)[0]
+        dev = encode_frame_intra_cu8(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp, width=w, height=h
+        )
+        ref = encode_frame_intra_cu8_ref(y, u, v, qp, width=w, height=h)
+        for k in ("split", "modes8", "lev_y", "lev_cb", "lev_cr",
+                  "recon_y", "recon_u", "recon_v"):
+            assert np.array_equal(np.asarray(dev[k]), np.asarray(ref[k])), (seed, qp, k)
