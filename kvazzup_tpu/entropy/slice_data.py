@@ -1542,8 +1542,16 @@ def _decode_ctu_i_cu8(dec, cfg, i, split, modes8, lev_y, lev_cb, lev_cr) -> None
 
 
 def encode_slice_data_intra_cu8(cfg, split, modes8, lev_y, lev_cb, lev_cr,
-                                slice_qp=None) -> bytes:
+                                slice_qp=None, use_native: bool = True) -> bytes:
     sq = cfg.qp if slice_qp is None else slice_qp
+    if use_native:
+        from ..native import encode_slice_data_intra_cu8_native
+
+        out = encode_slice_data_intra_cu8_native(
+            cfg, split, modes8, lev_y, lev_cb, lev_cr, sq
+        )
+        if out is not None:
+            return out
     enc = CabacEncoder(init_type=0, slice_qp=sq)
     nctu = cfg.ctbs_w * cfg.ctbs_h
     for i in range(nctu):
@@ -1552,7 +1560,14 @@ def encode_slice_data_intra_cu8(cfg, split, modes8, lev_y, lev_cb, lev_cr,
     return enc.data()
 
 
-def decode_slice_data_intra_cu8(cfg, payload: bytes, slice_qp: int):
+def decode_slice_data_intra_cu8(cfg, payload: bytes, slice_qp: int,
+                                use_native: bool = True):
+    if use_native:
+        from ..native import decode_slice_data_intra_cu8_native
+
+        out = decode_slice_data_intra_cu8_native(cfg, payload, slice_qp)
+        if out is not None:
+            return out
     dec = CabacDecoder(payload, init_type=0, slice_qp=slice_qp)
     nctu = cfg.ctbs_w * cfg.ctbs_h
     n = cfg.ctb_size

@@ -59,6 +59,20 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.encode_slice_data_intra_cu8_c.restype = ctypes.c_long
+            lib.encode_slice_data_intra_cu8_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib.decode_slice_data_intra_cu8_c.restype = ctypes.c_int
+            lib.decode_slice_data_intra_cu8_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _LIB = lib
         except Exception:
             _LOAD_FAILED = True
@@ -207,3 +221,47 @@ def decode_slice_native(cfg, slice_type, wpp, payload, entry_offsets, slice_qp):
     if rc != 0:
         raise ValueError(f"native slice decode failed: {rc}")
     return dict(ctype=ctype, intra_modes=modes, mvs=mvs, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr)
+
+
+def encode_slice_data_intra_cu8_native(cfg, split, modes8, lev_y, lev_cb, lev_cr,
+                                       slice_qp) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    nctu = len(split)
+    split = _as_i32(split)
+    modes8 = _as_i32(modes8)
+    lev_y = _as_i32(lev_y)
+    lev_cb = _as_i32(lev_cb)
+    lev_cr = _as_i32(lev_cr)
+    cap = max(65536, lev_y.nbytes + lev_cb.nbytes + lev_cr.nbytes + 4096)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.encode_slice_data_intra_cu8_c(
+        split.ctypes.data, modes8.ctypes.data,
+        lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
+        nctu, cfg.ctbs_w, slice_qp, out.ctypes.data, cap,
+    )
+    if n < 0:
+        raise RuntimeError(f"native cu8 slice encode failed: {n}")
+    return out[:n].tobytes()
+
+
+def decode_slice_data_intra_cu8_native(cfg, payload: bytes, slice_qp: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    split = np.zeros(nctu, np.int32)
+    modes8 = np.zeros((nctu, 4), np.int32)
+    lev_y = np.zeros((nctu, 16, 16), np.int32)
+    lev_cb = np.zeros((nctu, 8, 8), np.int32)
+    lev_cr = np.zeros((nctu, 8, 8), np.int32)
+    buf = np.frombuffer(payload, np.uint8)
+    rc = lib.decode_slice_data_intra_cu8_c(
+        buf.ctypes.data, len(payload), nctu, cfg.ctbs_w, slice_qp,
+        split.ctypes.data, modes8.ctypes.data,
+        lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
+    )
+    if rc != 0:
+        raise ValueError(f"native cu8 slice decode failed: {rc}")
+    return split, modes8, lev_y, lev_cb, lev_cr

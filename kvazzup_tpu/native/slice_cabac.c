@@ -1086,3 +1086,175 @@ int decode_slice_c(
     free(skip);
     return rc;
 }
+
+/* ==================================================================== */
+/* CU quadtree (CTB16 -> 4x CU8) intra slice data                       */
+/* Mirrors entropy/slice_data.py _encode/_decode_ctu_i_cu8 exactly.     */
+
+static int resid_scan_intra(int mode, int log2, int c_idx) {
+    /* 7.4.9.11: mode-dependent scan for small intra TBs
+       (log2 == 2, or log2 == 3 luma): 6..14 -> vertical, 22..30 -> horiz */
+    if (log2 == 2 || (log2 == 3 && c_idx == 0)) {
+        if (mode >= 6 && mode <= 14) return 2;
+        if (mode >= 22 && mode <= 30) return 1;
+    }
+    return 0;
+}
+
+/* copy z-quadrant k of an n x n array into dst ((n/2)^2) */
+static void get_quad(const int32_t *src, int n, int k, int32_t *dst) {
+    int h = n / 2;
+    int r0 = (k >> 1) * h, c0 = (k & 1) * h;
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < h; c++) dst[r * h + c] = src[(r0 + r) * n + c0 + c];
+}
+
+static void put_quad(int32_t *dst, int n, int k, const int32_t *src) {
+    int h = n / 2;
+    int r0 = (k >> 1) * h, c0 = (k & 1) * h;
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < h; c++) dst[(r0 + r) * n + c0 + c] = src[r * h + c];
+}
+
+/* MPM candidates for sub-CU k of CTB i (z-order), matching _cu8_cands */
+static void cu8_cands(const int32_t *modes8, int i, int k, int c, int *ca, int *cb) {
+    switch (k) {
+    case 0:
+        *ca = c > 0 ? modes8[(i - 1) * 4 + 1] : 1;
+        *cb = 1;
+        break;
+    case 1:
+        *ca = modes8[i * 4 + 0];
+        *cb = 1;
+        break;
+    case 2:
+        *ca = c > 0 ? modes8[(i - 1) * 4 + 3] : 1;
+        *cb = modes8[i * 4 + 0];
+        break;
+    default:
+        *ca = modes8[i * 4 + 2];
+        *cb = modes8[i * 4 + 1];
+    }
+}
+
+long encode_slice_data_intra_cu8_c(
+    const int32_t *split, const int32_t *modes8,
+    const int32_t *lev_y, const int32_t *lev_cb, const int32_t *lev_cr,
+    int nctu, int ctbs_w, int slice_qp, uint8_t *out, long out_cap) {
+    CabacEnc e;
+    enc_init(&e, 0, slice_qp, out, out_cap);
+    int32_t q64[64], q16[16];
+    for (int i = 0; i < nctu; i++) {
+        int r = i / ctbs_w, c = i % ctbs_w;
+        int ctx = (c > 0 && split[i - 1] ? 1 : 0) + (r > 0 && split[i - ctbs_w] ? 1 : 0);
+        enc_bin(&e, CTX_SPLIT_CU_FLAG + ctx, split[i] ? 1 : 0);
+        const int32_t *ly = lev_y + (long)i * 256;
+        const int32_t *lcb = lev_cb + (long)i * 64;
+        const int32_t *lcr = lev_cr + (long)i * 64;
+        if (!split[i]) {
+            int cand_a = c > 0 ? modes8[(i - 1) * 4 + 1] : 1;
+            enc_luma_mode(&e, modes8[i * 4], cand_a, 1);
+            enc_bin(&e, CTX_INTRA_CHROMA_PRED_MODE, 0);
+            int cbf_cb = any_nonzero(lcb, 64), cbf_cr = any_nonzero(lcr, 64);
+            int cbf_y = any_nonzero(ly, 256);
+            enc_bin(&e, CTX_CBF_CHROMA, cbf_cb);
+            enc_bin(&e, CTX_CBF_CHROMA, cbf_cr);
+            enc_bin(&e, CTX_CBF_LUMA + 1, cbf_y);
+            if (cbf_y && encode_residual(&e, ly, 4, 0, 0)) return -2;
+            if (cbf_cb && encode_residual(&e, lcb, 3, 1, 0)) return -2;
+            if (cbf_cr && encode_residual(&e, lcr, 3, 2, 0)) return -2;
+        } else {
+            for (int k = 0; k < 4; k++) {
+                int mode = modes8[i * 4 + k];
+                int ca, cb;
+                cu8_cands(modes8, i, k, c, &ca, &cb);
+                enc_bin(&e, CTX_PART_MODE, 1);
+                enc_luma_mode(&e, mode, ca, cb);
+                enc_bin(&e, CTX_INTRA_CHROMA_PRED_MODE, 0);
+                get_quad(ly, 16, k, q64);
+                int cbf_y = any_nonzero(q64, 64);
+                get_quad(lcb, 8, k, q16);
+                int cbf_cb = any_nonzero(q16, 16);
+                int32_t q16r[16];
+                get_quad(lcr, 8, k, q16r);
+                int cbf_cr = any_nonzero(q16r, 16);
+                enc_bin(&e, CTX_CBF_CHROMA, cbf_cb);
+                enc_bin(&e, CTX_CBF_CHROMA, cbf_cr);
+                enc_bin(&e, CTX_CBF_LUMA + 1, cbf_y);
+                if (cbf_y && encode_residual(&e, q64, 3, 0, resid_scan_intra(mode, 3, 0)))
+                    return -2;
+                if (cbf_cb && encode_residual(&e, q16, 2, 1, resid_scan_intra(mode, 2, 1)))
+                    return -2;
+                if (cbf_cr && encode_residual(&e, q16r, 2, 2, resid_scan_intra(mode, 2, 2)))
+                    return -2;
+            }
+        }
+        enc_terminate(&e, i == nctu - 1);
+        if (e.out.error) return -1;
+    }
+    while (e.out.nbits & 7) put_bit_raw(&e.out, 0);
+    return e.out.nbits >> 3;
+}
+
+int decode_slice_data_intra_cu8_c(
+    const uint8_t *payload, long payload_len,
+    int nctu, int ctbs_w, int slice_qp,
+    int32_t *split, int32_t *modes8,
+    int32_t *lev_y, int32_t *lev_cb, int32_t *lev_cr) {
+    CabacDec d;
+    dec_init(&d, payload, payload_len, 0, slice_qp);
+    memset(lev_y, 0, sizeof(int32_t) * (long)nctu * 256);
+    memset(lev_cb, 0, sizeof(int32_t) * (long)nctu * 64);
+    memset(lev_cr, 0, sizeof(int32_t) * (long)nctu * 64);
+    int32_t q64[64], q16[16];
+    for (int i = 0; i < nctu; i++) {
+        int r = i / ctbs_w, c = i % ctbs_w;
+        int ctx = (c > 0 && split[i - 1] ? 1 : 0) + (r > 0 && split[i - ctbs_w] ? 1 : 0);
+        split[i] = dec_bin(&d, CTX_SPLIT_CU_FLAG + ctx);
+        int32_t *ly = lev_y + (long)i * 256;
+        int32_t *lcb = lev_cb + (long)i * 64;
+        int32_t *lcr = lev_cr + (long)i * 64;
+        if (!split[i]) {
+            int cand_a = c > 0 ? modes8[(i - 1) * 4 + 1] : 1;
+            int m = dec_luma_mode(&d, cand_a, 1);
+            for (int k = 0; k < 4; k++) modes8[i * 4 + k] = m;
+            if (dec_bin(&d, CTX_INTRA_CHROMA_PRED_MODE) != 0) return -11;
+            int cbf_cb = dec_bin(&d, CTX_CBF_CHROMA);
+            int cbf_cr = dec_bin(&d, CTX_CBF_CHROMA);
+            int cbf_y = dec_bin(&d, CTX_CBF_LUMA + 1);
+            if (cbf_y && decode_residual(&d, ly, 4, 0, 0)) return -12;
+            if (cbf_cb && decode_residual(&d, lcb, 3, 1, 0)) return -12;
+            if (cbf_cr && decode_residual(&d, lcr, 3, 2, 0)) return -12;
+        } else {
+            for (int k = 0; k < 4; k++) {
+                if (dec_bin(&d, CTX_PART_MODE) != 1) return -10;
+                int ca, cb;
+                cu8_cands(modes8, i, k, c, &ca, &cb);
+                int mode = dec_luma_mode(&d, ca, cb);
+                modes8[i * 4 + k] = mode;
+                if (dec_bin(&d, CTX_INTRA_CHROMA_PRED_MODE) != 0) return -11;
+                int cbf_cb = dec_bin(&d, CTX_CBF_CHROMA);
+                int cbf_cr = dec_bin(&d, CTX_CBF_CHROMA);
+                int cbf_y = dec_bin(&d, CTX_CBF_LUMA + 1);
+                if (cbf_y) {
+                    memset(q64, 0, sizeof(q64));
+                    if (decode_residual(&d, q64, 3, 0, resid_scan_intra(mode, 3, 0))) return -12;
+                    put_quad(ly, 16, k, q64);
+                }
+                if (cbf_cb) {
+                    memset(q16, 0, sizeof(q16));
+                    if (decode_residual(&d, q16, 2, 1, resid_scan_intra(mode, 2, 1))) return -12;
+                    put_quad(lcb, 8, k, q16);
+                }
+                if (cbf_cr) {
+                    memset(q16, 0, sizeof(q16));
+                    if (decode_residual(&d, q16, 2, 2, resid_scan_intra(mode, 2, 2))) return -12;
+                    put_quad(lcr, 8, k, q16);
+                }
+            }
+        }
+        int end = dec_terminate(&d);
+        if (end != ((i == nctu - 1) ? 1 : 0)) return -13;
+    }
+    return 0;
+}
