@@ -155,3 +155,46 @@ class FileSource(_TimedSource):
         y, u, v = self.frames[self._i]
         self._i += 1
         return Frame(y, u, v)
+
+
+class ScreenSource(_TimedSource):
+    """Screen capture at a timer-driven fps (screensharefilter.cpp:44-66).
+
+    X11 grab via OpenCV/mss when a display exists; deterministic synthetic
+    desktop otherwise (headless pods have no screen to share)."""
+
+    def __init__(self, callback, width: int = 1280, height: int = 720,
+                 fps: float = 15.0) -> None:
+        super().__init__(callback, fps)
+        self.width, self.height = width & ~15, height & ~15
+        self._grabber = None
+        if os.environ.get("DISPLAY"):  # pragma: no cover - needs X11
+            try:
+                import mss
+
+                self._grabber = mss.mss()
+            except Exception:
+                pass
+        self._i = 0
+
+    def _grab(self) -> Frame:
+        w, h = self.width, self.height
+        if self._grabber is not None:  # pragma: no cover - needs X11
+            import numpy as _np
+
+            shot = self._grabber.grab(self._grabber.monitors[1])
+            rgb = _np.asarray(shot)[:h, :w, 2::-1]
+            from .convert import convert_to_i420
+
+            return Frame(*convert_to_i420("RGB24", _np.ascontiguousarray(rgb)))
+        # synthetic "desktop": window rectangles + moving cursor block
+        self._i += 1
+        y = np.full((h, w), 235, np.uint8)
+        y[: h // 12, :] = 60  # title bar
+        y[h // 3 : h // 3 + h // 2, w // 8 : w // 8 + w // 2] = 180
+        cx = (self._i * 7) % (w - 8)
+        cy = (self._i * 3) % (h - 8)
+        y[cy : cy + 8, cx : cx + 8] = 0
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        return Frame(y, u, v)

@@ -101,3 +101,54 @@ class Statistics:
                 "counters": dict(self._counters),
                 "values": dict(self._values),
             }
+
+
+def _spark(values, width: int = 24) -> str:
+    """chartpainter.cpp's line chart, reduced to a terminal sparkline."""
+    if not values:
+        return ""
+    vals = list(values)[-width:]
+    lo, hi = min(vals), max(vals)
+    span = (hi - lo) or 1.0
+    blocks = "▁▂▃▄▅▆▇█"
+    return "".join(blocks[int((v - lo) / span * 7)] for v in vals)
+
+
+def render_dashboard(stats: "Statistics") -> str:
+    """Text rendering of the reference's StatisticsWindow tabs
+    (statisticswindow.h:18-234): sessions, per-stage delays, stream
+    bitrates, buffer levels, counters, recent SIP log."""
+    with stats._lock:
+        sessions = list(stats._sessions.values())
+        delays = {k: list(v) for k, v in stats._delays.items() if v}
+        streams = list(stats._bitrate_samples.keys())
+        buffers = dict(stats._buffer_levels)
+        counters = dict(stats._counters)
+        sip_log = list(stats._sip_log)[-8:]
+    lines = ["=== kvazzup_tpu statistics ==="]
+    if sessions:
+        lines.append("-- sessions")
+        for s in sessions:
+            lines.append(f"  #{s.session_id} {getattr(s, 'address', '')}")
+    if delays:
+        lines.append("-- stage delays (ms, mean | recent)")
+        for stage, hist in delays.items():
+            mean = 1e3 * sum(hist) / len(hist)
+            lines.append(f"  {stage:<12} {mean:7.1f}  {_spark([v * 1000 for v in hist])}")
+    if streams:
+        lines.append("-- streams (kbit/s)")
+        for stream in streams:
+            lines.append(f"  {stream:<12} {stats.bitrate(stream) / 1000:9.1f}")
+    if buffers:
+        lines.append("-- buffer levels")
+        for name, (level, size) in buffers.items():
+            lines.append(f"  {name:<12} {level}/{size}")
+    if counters:
+        lines.append("-- counters")
+        for k, v in sorted(counters.items()):
+            lines.append(f"  {k:<28} {v}")
+    if sip_log:
+        lines.append("-- SIP (last 8)")
+        for _t, d, first, _body in sip_log:
+            lines.append(f"  {d:<3} {first}")
+    return "\n".join(lines)
