@@ -32,7 +32,8 @@ class StreamConfig:
     max_transform_hierarchy_depth_inter: int = 0
     bit_depth: int = 8
     sao_enabled: bool = False
-    deblocking_enabled: bool = False
+    deblocking_enabled: bool = True  # production default; tests that need
+    # the no-filter path set it explicitly
     strong_intra_smoothing: bool = False
     sign_data_hiding: bool = False
     amp_enabled: bool = False

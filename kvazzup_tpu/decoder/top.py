@@ -154,14 +154,14 @@ class Decoder:
             if sh.slice_type != 2:
                 raise NotImplementedError("CU8 streams are intra-only for now")
             from ..encoder.frame_intra_cu8 import reconstruct_frame_intra_cu8
-            from ..entropy.slice_data import decode_slice_data_intra_cu8
+            from ..entropy.slice_data import decode_slice_data_intra_cu8x
 
             payload = nal.rbsp[sh.data_offset_bits // 8 :]
-            split, modes8, lev_y, lev_cb, lev_cr = decode_slice_data_intra_cu8(
+            split, part, modes4, lev_y, lev_cb, lev_cr = decode_slice_data_intra_cu8x(
                 cfg, payload, sh.qp
             )
             y, u, v = reconstruct_frame_intra_cu8(
-                split, modes8, lev_y, lev_cb, lev_cr, sh.qp,
+                split, part, modes4, lev_y, lev_cb, lev_cr, sh.qp,
                 width=sps.width, height=sps.height,
             )
             if not pps.deblocking_disabled:

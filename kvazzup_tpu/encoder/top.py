@@ -233,10 +233,11 @@ class Encoder:
         out, qp, first = ctx["out"], ctx["qp"], ctx["first"]
         ry, ru, rv = ctx["recon"]
         if ctx["kind"] == "cu8":
-            from ..entropy.slice_data import encode_slice_data_intra_cu8
+            from ..entropy.slice_data import encode_slice_data_intra_cu8x
 
-            payload = encode_slice_data_intra_cu8(
-                cfg, out["split"], out["modes8"], np.asarray(out["lev_y"]),
+            payload = encode_slice_data_intra_cu8x(
+                cfg, np.asarray(out["split"]), np.asarray(out["part"]),
+                np.asarray(out["modes4"]), np.asarray(out["lev_y"]),
                 np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]), slice_qp=qp,
             )
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)

@@ -1582,3 +1582,263 @@ def decode_slice_data_intra_cu8(cfg, payload: bytes, slice_qp: int,
         if end != (1 if i == nctu - 1 else 0):
             raise ValueError(f"end_of_slice mismatch at CTU {i}")
     return split, modes8, lev_y, lev_cb, lev_cr
+
+
+# ----------------------------------------------- CU8 + NxN (4x4 PUs, DST)
+
+def _mode4_at(modes4: np.ndarray, i: int, r4: int, c4: int) -> int:
+    """Mode of the 4x4 cell (r4, c4) in CTB i (z-order storage)."""
+    k = (r4 >> 1) * 2 + (c4 >> 1)
+    j = (r4 & 1) * 2 + (c4 & 1)
+    return int(modes4[i][k * 4 + j])
+
+
+def _cands4(modes4: np.ndarray, i: int, r4: int, c4: int, c_ctb: int) -> tuple:
+    """MPM candidates (8.4.2) for a PU whose top-left 4x4 cell is (r4, c4):
+    A = left neighbor (z-scan precedes -> always coded), B = above within
+    the same CTB, else DC (above-CTB-row rule)."""
+    if c4 > 0:
+        a = _mode4_at(modes4, i, r4, c4 - 1)
+    elif c_ctb > 0:
+        a = _mode4_at(modes4, i - 1, r4, 3)
+    else:
+        a = 1
+    b = _mode4_at(modes4, i, r4 - 1, c4) if r4 > 0 else 1
+    return a, b
+
+
+def _encode_ctu_i_cu8x(enc, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr) -> None:
+    """I-CTU quadtree syntax with optional NxN (4x4 luma PUs + DST TUs).
+
+    part: (nctu, 4) — sub-CU k uses PART_NxN; modes4: (nctu, 16) z-order
+    4x4-cell modes (replicated within larger PUs)."""
+    from ..core.tables import residual_scan_idx
+
+    cw = cfg.ctbs_w
+    r, c = divmod(i, cw)
+    ctx = (1 if (c > 0 and split[i - 1]) else 0) + (
+        1 if (r > 0 and split[i - cw]) else 0
+    )
+    enc.encode_bin(OFFSETS["split_cu_flag"] + ctx, int(split[i]))
+    if not split[i]:
+        ca, cb = _cands4(modes4, i, 0, 0, c)
+        _encode_luma_mode(enc, int(modes4[i][0]), ca, cb)
+        enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+        cbf_cb = 1 if np.any(lev_cb[i]) else 0
+        cbf_cr = 1 if np.any(lev_cr[i]) else 0
+        cbf_y = 1 if np.any(lev_y[i]) else 0
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+        if cbf_y:
+            encode_residual(enc, lev_y[i], 4, 0)
+        if cbf_cb:
+            encode_residual(enc, lev_cb[i], 3, 1)
+        if cbf_cr:
+            encode_residual(enc, lev_cr[i], 3, 2)
+        return
+    for k in range(4):
+        kr, kc = (k >> 1) * 2, (k & 1) * 2  # 4x4-cell coords of the sub-CU
+        qy = _quad(lev_y[i], k)
+        qcb = _quad(lev_cb[i], k)
+        qcr = _quad(lev_cr[i], k)
+        cbf_cb = 1 if np.any(qcb) else 0
+        cbf_cr = 1 if np.any(qcr) else 0
+        if not part[i][k]:  # PART_2Nx2N
+            mode = int(modes4[i][k * 4])
+            ca, cb = _cands4(modes4, i, kr, kc, c)
+            enc.encode_bin(OFFSETS["part_mode"], 1)
+            _encode_luma_mode(enc, mode, ca, cb)
+            enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+            cbf_y = 1 if np.any(qy) else 0
+            enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+            enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+            enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+            if cbf_y:
+                encode_residual(enc, qy, 3, 0, residual_scan_idx(mode, 3, 0))
+            if cbf_cb:
+                encode_residual(enc, qcb, 2, 1, residual_scan_idx(mode, 2, 1))
+            if cbf_cr:
+                encode_residual(enc, qcr, 2, 2, residual_scan_idx(mode, 2, 2))
+            continue
+        # ---- PART_NxN (7.3.8.5): four 4x4 luma PUs
+        enc.encode_bin(OFFSETS["part_mode"], 0)
+        pus = [(kr, kc), (kr, kc + 1), (kr + 1, kc), (kr + 1, kc + 1)]
+        modes = [_mode4_at(modes4, i, pr, pc) for pr, pc in pus]
+        cands = []
+        flags = []
+        for j, (pr, pc) in enumerate(pus):
+            ca, cb = _cands4(modes4, i, pr, pc, c)
+            cands.append((ca, cb))
+            mpm = _mpm_list_np(ca, cb)
+            flags.append(modes[j] in mpm)
+        for f in flags:  # the four prev_intra_luma_pred_flags come first
+            enc.encode_bin(OFFSETS["prev_intra_luma_pred_flag"], 1 if f else 0)
+        for j in range(4):  # then mpm_idx / rem_intra per PU
+            _encode_luma_mode_tail(enc, modes[j], *cands[j], flags[j])
+        enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+        # transform_tree: forced split (IntraSplitFlag), chroma cbf at depth 0
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        dm = modes[0]  # chroma DM mode = PU0 (8.4.3)
+        for j in range(4):
+            t = _quad(qy, j)  # 4x4 luma TU (z-order)
+            cbf_t = 1 if np.any(t) else 0
+            enc.encode_bin(OFFSETS["cbf_luma"], cbf_t)  # trafoDepth 1 -> ctx 0
+            if cbf_t:
+                encode_residual(enc, t, 2, 0, residual_scan_idx(modes[j], 2, 0))
+        if cbf_cb:
+            encode_residual(enc, qcb, 2, 1, residual_scan_idx(dm, 2, 1))
+        if cbf_cr:
+            encode_residual(enc, qcr, 2, 2, residual_scan_idx(dm, 2, 2))
+
+
+def _mpm_list_np(a: int, b: int) -> list:
+    if a == b:
+        if a < 2:
+            return [0, 1, 26]
+        return [a, 2 + ((a + 29) % 32), 2 + ((a - 1) % 32)]
+    m2 = 0 if (a != 0 and b != 0) else (1 if (a != 1 and b != 1) else 26)
+    return [a, b, m2]
+
+
+def _encode_luma_mode_tail(enc, mode, a, b, in_mpm) -> None:
+    """mpm_idx / rem_intra_luma_pred_mode (the part after the prev flag)."""
+    mpm = _mpm_list_np(a, b)
+    if in_mpm:
+        idx = mpm.index(mode)
+        enc.encode_bypass(1 if idx else 0)
+        if idx:
+            enc.encode_bypass(idx - 1)
+    else:
+        s = sorted(mpm, reverse=True)
+        rem = mode
+        for m in s:
+            if mode > m:
+                rem -= 1
+        enc.encode_bypass_bits(rem, 5)
+
+
+def _decode_luma_mode_tail(dec, a, b, prev_flag) -> int:
+    mpm = _mpm_list_np(a, b)
+    if prev_flag:
+        idx = 0
+        if dec.decode_bypass():
+            idx = 1 + dec.decode_bypass()
+        return mpm[idx]
+    rem = dec.decode_bypass_bits(5)
+    for m in sorted(mpm):
+        if rem >= m:
+            rem += 1
+    return rem
+
+
+def _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr) -> None:
+    from ..core.tables import residual_scan_idx
+
+    cw = cfg.ctbs_w
+    r, c = divmod(i, cw)
+    ctx = (1 if (c > 0 and split[i - 1]) else 0) + (
+        1 if (r > 0 and split[i - cw]) else 0
+    )
+    split[i] = dec.decode_bin(OFFSETS["split_cu_flag"] + ctx)
+    if not split[i]:
+        ca, cb = _cands4(modes4, i, 0, 0, c)
+        m = _decode_luma_mode(dec, ca, cb)
+        modes4[i][:] = m
+        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+            raise NotImplementedError("non-DM chroma")
+        cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+        if cbf_y:
+            lev_y[i] = decode_residual(dec, 4, 0)
+        if cbf_cb:
+            lev_cb[i] = decode_residual(dec, 3, 1)
+        if cbf_cr:
+            lev_cr[i] = decode_residual(dec, 3, 2)
+        return
+    for k in range(4):
+        kr, kc = (k >> 1) * 2, (k & 1) * 2
+        pm = dec.decode_bin(OFFSETS["part_mode"])
+        if pm:  # 2Nx2N
+            part[i][k] = 0
+            ca, cb = _cands4(modes4, i, kr, kc, c)
+            mode = _decode_luma_mode(dec, ca, cb)
+            for j in range(4):
+                modes4[i][k * 4 + j] = mode
+            if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+                raise NotImplementedError("non-DM chroma")
+            cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+            cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+            cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+            if cbf_y:
+                _quad(lev_y[i], k)[:] = decode_residual(dec, 3, 0, residual_scan_idx(mode, 3, 0))
+            if cbf_cb:
+                _quad(lev_cb[i], k)[:] = decode_residual(dec, 2, 1, residual_scan_idx(mode, 2, 1))
+            if cbf_cr:
+                _quad(lev_cr[i], k)[:] = decode_residual(dec, 2, 2, residual_scan_idx(mode, 2, 2))
+            continue
+        part[i][k] = 1
+        pus = [(kr, kc), (kr, kc + 1), (kr + 1, kc), (kr + 1, kc + 1)]
+        flags = [dec.decode_bin(OFFSETS["prev_intra_luma_pred_flag"]) for _ in range(4)]
+        modes = []
+        for j, (pr, pc) in enumerate(pus):
+            ca, cb = _cands4(modes4, i, pr, pc, c)
+            mode = _decode_luma_mode_tail(dec, ca, cb, flags[j])
+            modes.append(mode)
+            modes4[i][k * 4 + j] = mode
+        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
+            raise NotImplementedError("non-DM chroma")
+        cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
+        cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
+        qy = np.zeros((8, 8), np.int32)
+        for j in range(4):
+            if dec.decode_bin(OFFSETS["cbf_luma"]):
+                _quad(qy, j)[:] = decode_residual(dec, 2, 0, residual_scan_idx(modes[j], 2, 0))
+        _quad(lev_y[i], k)[:] = qy
+        dm = modes[0]
+        if cbf_cb:
+            _quad(lev_cb[i], k)[:] = decode_residual(dec, 2, 1, residual_scan_idx(dm, 2, 1))
+        if cbf_cr:
+            _quad(lev_cr[i], k)[:] = decode_residual(dec, 2, 2, residual_scan_idx(dm, 2, 2))
+
+
+def encode_slice_data_intra_cu8x(cfg, split, part, modes4, lev_y, lev_cb, lev_cr,
+                                 slice_qp=None, use_native: bool = True) -> bytes:
+    """CU8 quadtree slice data with NxN support.  Dispatches to the native
+    codec when no CTB uses NxN (identical bitstream in that case)."""
+    sq = cfg.qp if slice_qp is None else slice_qp
+    if use_native and not np.any(part):
+        from ..native import encode_slice_data_intra_cu8_native
+
+        modes8 = np.ascontiguousarray(np.asarray(modes4).reshape(-1, 4, 4)[:, :, 0])
+        out = encode_slice_data_intra_cu8_native(
+            cfg, split, modes8, lev_y, lev_cb, lev_cr, sq
+        )
+        if out is not None:
+            return out
+    enc = CabacEncoder(init_type=0, slice_qp=sq)
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    for i in range(nctu):
+        _encode_ctu_i_cu8x(enc, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr)
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    return enc.data()
+
+
+def decode_slice_data_intra_cu8x(cfg, payload: bytes, slice_qp: int):
+    dec = CabacDecoder(payload, init_type=0, slice_qp=slice_qp)
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    split = np.zeros(nctu, np.int32)
+    part = np.zeros((nctu, 4), np.int32)
+    modes4 = np.zeros((nctu, 16), np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    for i in range(nctu):
+        _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr)
+        end = dec.decode_terminate()
+        if end != (1 if i == nctu - 1 else 0):
+            raise ValueError(f"end_of_slice mismatch at CTU {i}")
+    return split, part, modes4, lev_y, lev_cb, lev_cr

@@ -108,3 +108,42 @@ def test_cu8_device_matches_reference():
         for k in ("split", "modes8", "lev_y", "lev_cb", "lev_cr",
                   "recon_y", "recon_u", "recon_v"):
             assert np.array_equal(np.asarray(dev[k]), np.asarray(ref[k])), (seed, qp, k)
+
+
+def test_nxn_engages_and_oracle(tmp_path):
+    """PART_NxN (4x4 PUs + DST-VII) engages on fine detail and stays
+    libavcodec-exact through the full Encoder/Decoder."""
+    rng = np.random.default_rng(7)
+    w, h = 128, 64
+    y = np.full((h, w), 200, np.uint8)
+    for _ in range(50):
+        x0, y0 = rng.integers(0, w - 8), rng.integers(0, h - 8)
+        y[y0 : y0 + rng.integers(2, 6), x0 : x0 + rng.integers(2, 6)] = rng.integers(0, 80)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 136, np.uint8)
+    cfg = StreamConfig(width=w, height=h, qp=27, min_cb_log2=3)
+    stream, recon = Encoder(cfg, intra_period=1).encode_frame(y, u, v)
+
+    from kvazzup_tpu.core.nal import split_annexb
+    from kvazzup_tpu.core.params import parse_pps, parse_slice_header, parse_sps
+    from kvazzup_tpu.entropy.slice_data import decode_slice_data_intra_cu8x
+
+    sps = pps = None
+    for nal_ in split_annexb(stream):
+        if nal_.nal_type == 33:
+            sps = parse_sps(nal_.rbsp)
+        elif nal_.nal_type == 34:
+            pps = parse_pps(nal_.rbsp)
+        elif nal_.nal_type <= 31:
+            sh = parse_slice_header(nal_.rbsp, nal_.nal_type, sps, pps)
+            scfg = StreamConfig(width=w, height=h, qp=sh.qp, min_cb_log2=3)
+            d = decode_slice_data_intra_cu8x(scfg, nal_.rbsp[sh.data_offset_bits // 8 :], sh.qp)
+            assert d[1].sum() >= 8  # NxN partitions present in the stream
+
+    frames = Decoder().decode(stream)
+    for p in range(3):
+        assert np.array_equal(np.asarray(recon[p]), np.asarray(frames[0][p]))
+    oracle, err = oracle_decode(stream, w, h, tmp_path)
+    assert len(oracle) == 1, err
+    for p in range(3):
+        assert np.array_equal(oracle[0][p], np.asarray(frames[0][p]))
