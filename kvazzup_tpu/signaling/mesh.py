@@ -55,11 +55,18 @@ class SdpMeshConference:
         return out
 
     def _pair_index(self, a: int, b: int) -> int:
+        """Combinatorial index of the unordered pair {a, b}: every pair of
+        participants gets its own port offset, so all directed streams in
+        the conference land on distinct ports (the reference's port-shifted
+        strategy, sdpmeshconference.h)."""
+        from itertools import combinations
+
         ids = sorted(self.templates)
-        try:
-            return ids.index(a if a != b else b)
-        except ValueError:
-            return 0
+        pair = tuple(sorted((a, b)))
+        for i, p in enumerate(combinations(ids, 2)):
+            if p == pair:
+                return i
+        return 0
 
     def all_for(self, for_session: int) -> list:
         """All other participants' synthesized SDPs for one participant."""
