@@ -51,7 +51,10 @@ def saliency_roi(y, prev_y, *, ctb_size: int = 16, qp_delta: int = -6):
         ch, ctb_size, cw, ctb_size
     ).mean(axis=(1, 3))
     thresh = jnp.percentile(per_ctu, 75.0)
-    return jnp.where(per_ctu >= thresh, jnp.int8(qp_delta), jnp.int8(0))
+    # a flat/static frame has an all-zero score surface; >= alone would then
+    # mark every CTU salient
+    salient = (per_ctu >= thresh) & (per_ctu > 0)
+    return jnp.where(salient, jnp.int8(qp_delta), jnp.int8(0))
 
 
 def roi_map_from_boxes(boxes, scores, width: int, height: int, ctb_size: int = 16,
