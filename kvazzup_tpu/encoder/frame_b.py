@@ -120,12 +120,12 @@ def _amvp_list_b(nbs, lx: int, tb, td_other):
     return mvp0, mvp1
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
 def encode_frame_b(
     y, u, v,
     ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     qp, poc_diffs,
-    *, width: int, height: int,
+    *, width: int, height: int, rdoq: bool = False,
 ):
     """Encode one B frame.  poc_diffs: (2,) int32 = (poc_cur - poc_ref0,
     poc_cur - poc_ref1), used by AMVP scaling.
@@ -190,7 +190,7 @@ def encode_frame_b(
 
     wave_fn = functools.partial(
         _wave_b, cw=cw, ch=ch, nctu=nctu, width=width, height=height,
-        refp=refp, tb=(tb0, tb1),
+        refp=refp, tb=(tb0, tb1), rdoq=rdoq,
     )
     carry, outs = jax.lax.scan(wave_fn, carry0, tuple(xs))
     blk_y, blk_u, blk_v, modes, mvs, pfs = carry
@@ -212,7 +212,7 @@ def encode_frame_b(
     }
 
 
-def _wave_b(carry, x, *, cw, ch, nctu, width, height, refp, tb):
+def _wave_b(carry, x, *, cw, ch, nctu, width, height, refp, tb, rdoq=False):
     (blk_y, blk_u, blk_v, modes, mvs, pfs) = carry
     (oyw, ouw, ovw, me0w, me1w, p14_0w, cb14_0w, cr14_0w, p14_1w, cb14_1w, cr14_1w,
      qpw, qpcw, lamw, rs, cs, valid, idx) = x
@@ -314,9 +314,14 @@ def _wave_b(carry, x, *, cw, ch, nctu, width, height, refp, tb):
 
     def code_flat(orig, pred, q, log2):
         coef = ck.fwd_transform_flat(orig - pred, log2)
-        lam_sse = lam * lam
-        lev = jnp.where(use_intra[:, None], quantize_rdoq(coef, q, log2, lam_sse, True),
-                        quantize_rdoq(coef, q, log2, lam_sse, False))
+        if rdoq:
+            lam_sse = lam * lam
+            lev = jnp.where(use_intra[:, None],
+                            quantize_rdoq(coef, q, log2, lam_sse, True),
+                            quantize_rdoq(coef, q, log2, lam_sse, False))
+        else:
+            lev = jnp.where(use_intra[:, None], quantize(coef, q, log2, True),
+                            quantize(coef, q, log2, False))
         deq = dequantize(lev, q, log2)
         rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
         return lev, rec

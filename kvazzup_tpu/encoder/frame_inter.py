@@ -192,7 +192,7 @@ def _encode_ctu_p(
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
-def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int, rdoq: bool = True):
+def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int, rdoq: bool = False):
     """Encode one P frame against one reference picture (deblocked).
 
     Returns per-CTU arrays: ctype, intra_mode, mv, mvp_flag, mvd, levels,
