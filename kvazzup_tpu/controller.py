@@ -88,6 +88,15 @@ class Controller:
         self._send(sess.invite.end_call())
         self._teardown_media(sess)
 
+    def renegotiate(self, sess: CallSession, video_cfg: StreamConfig | None = None) -> None:
+        """Mid-call media change (settings update -> re-INVITE, the
+        reference's live-reconfiguration flow, SURVEY §3.5).  The media
+        session is rebuilt when the peer's 200 arrives."""
+        if video_cfg is not None:
+            self.video_cfg = video_cfg
+        offer = sess.negotiation.make_offer()
+        self._send(sess.invite.reinvite(compose_sdp(offer)))
+
     # --------------------------------------------------------- transport
     def receive(self, data: bytes) -> None:
         """Feed one SIP message from the transport."""
@@ -114,6 +123,12 @@ class Controller:
             sess.negotiation.handle_offer(parse_sdp(msg.body.decode()))
             if self.on_incoming_call:
                 self.on_incoming_call(sess)
+        elif event == "reinvite":
+            # auto-accept the renegotiation and rebuild media with it
+            sess.negotiation.handle_offer(parse_sdp(msg.body.decode()))
+            answer = sess.negotiation.make_answer()
+            self._send(sess.invite.accept(compose_sdp(answer)))
+            self._rebuild_media(sess)
         elif event == "ack":
             pass
         elif event in ("ended", "cancelled"):
@@ -133,6 +148,9 @@ class Controller:
             self._create_media(sess)
             if self.on_call_connected:
                 self.on_call_connected(sess)
+        elif event == "renegotiated":
+            sess.negotiation.handle_answer(parse_sdp(msg.body.decode()))
+            self._rebuild_media(sess)
         elif event in ("rejected", "ended"):
             self._teardown_media(sess)
             if self.on_call_ended:
@@ -160,6 +178,15 @@ class Controller:
         )
         sess.media.start()
         Logger.get().debug("Controller", "media session created", session=sess.session_id)
+
+    def _rebuild_media(self, sess: CallSession) -> None:
+        if sess.media:
+            sess.media.stop()
+        sess.media = MediaSession(
+            sess.session_id, self.video_cfg, self.media_sink, self.display
+        )
+        sess.media.start()
+        Logger.get().debug("Controller", "media session rebuilt", session=sess.session_id)
 
     def _teardown_media(self, sess: CallSession) -> None:
         if sess.media:

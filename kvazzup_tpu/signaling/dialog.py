@@ -130,19 +130,36 @@ class InviteSession:
         self._invite_time = time.monotonic()
         return msg
 
+    def reinvite(self, sdp_offer: str) -> SipMessage:
+        """Mid-call re-INVITE (renegotiation / live reconfiguration —
+        the reference's settings-update path, controller.cpp:208-218)."""
+        if self.state != CallState.CONNECTED:
+            raise RuntimeError("re-INVITE requires a connected call")
+        msg = self.dialog.make_request("INVITE")
+        msg.add("Content-Type", "application/sdp")
+        msg.body = sdp_offer.encode()
+        self._renegotiating = True
+        return msg
+
     def handle_response(self, msg: SipMessage):
         """Returns (event, optional request to send)."""
         self.dialog.register_response(msg)
         num, method = msg.cseq
         if method == "INVITE":
             if msg.status == 180:
-                self.state = CallState.RINGING
-                return "ringing", None
+                if self.state != CallState.CONNECTED:
+                    self.state = CallState.RINGING
+                    return "ringing", None
+                return None, None
             if 200 <= msg.status < 300:
+                renegotiated = self.state == CallState.CONNECTED and getattr(
+                    self, "_renegotiating", False
+                )
+                self._renegotiating = False
                 self.state = CallState.CONNECTED
                 ack = self.dialog.make_request("ACK")
                 ack.set("CSeq", f"{num} ACK")
-                return "connected", ack
+                return ("renegotiated" if renegotiated else "connected"), ack
             if msg.status >= 300:
                 self.state = CallState.ENDED
                 ack = self.dialog.make_request("ACK")
@@ -164,8 +181,11 @@ class InviteSession:
         """Returns (event, [responses to send])."""
         if msg.method == "INVITE":
             self.dialog.register_incoming_request(msg)
-            self.state = CallState.INVITE_RECEIVED
             self._pending_invite = msg
+            if self.state == CallState.CONNECTED:
+                # mid-call re-INVITE: the caller renegotiates media
+                return "reinvite", []
+            self.state = CallState.INVITE_RECEIVED
             return "incoming_call", [self.dialog.make_response(msg, 180)]
         if msg.method == "ACK":
             if self.state == CallState.CONNECTED:
@@ -183,7 +203,7 @@ class InviteSession:
         return None, [self.dialog.make_response(msg, 501 if msg.method else 400)]
 
     def accept(self, sdp_answer: str) -> SipMessage:
-        if self.state != CallState.INVITE_RECEIVED:
+        if self.state not in (CallState.INVITE_RECEIVED, CallState.CONNECTED):
             raise RuntimeError("no call to accept")
         resp = self.dialog.make_response(self._pending_invite, 200)
         resp.add("Content-Type", "application/sdp")

@@ -89,7 +89,10 @@ _DEFAULTS: dict[str, Any] = {
 class Settings:
     """INI-backed settings store (thread-safe)."""
 
+    _subscribers: list
+
     def __init__(self, path: str | None = None) -> None:
+        self._subscribers = []
         self._path = path
         self._lock = threading.Lock()
         self._values: dict[str, Any] = dict(_DEFAULTS)
@@ -104,9 +107,17 @@ class Settings:
         v = self.value(key, 0)
         return str(v) not in ("0", "false", "False", "", "None")
 
+    def subscribe(self, callback) -> None:
+        """Change notification (the reference's settingsChanged signal wiring
+        that triggers filter-graph rebuilds, SURVEY §3.5)."""
+        self._subscribers.append(callback)
+
     def set(self, key: str, value: Any) -> None:
         with self._lock:
             self._values[key] = value
+            subs = list(self._subscribers)
+        for cb in subs:
+            cb(key, value)
 
     def load(self) -> None:
         cp = configparser.ConfigParser()
