@@ -149,6 +149,7 @@ class Decoder:
             qp=sh.qp,
             ctb_log2=sps.ctb_log2,
             min_cb_log2=sps.min_cb_log2,
+            sign_data_hiding=pps.sign_data_hiding,
         )
         if sps.min_cb_log2 == 3:
             if sh.slice_type != 2:
@@ -157,12 +158,12 @@ class Decoder:
             from ..entropy.slice_data import decode_slice_data_intra_cu8x
 
             payload = nal.rbsp[sh.data_offset_bits // 8 :]
-            split, part, modes4, lev_y, lev_cb, lev_cr = decode_slice_data_intra_cu8x(
-                cfg, payload, sh.qp
+            split, part, modes4, cmode4, lev_y, lev_cb, lev_cr = (
+                decode_slice_data_intra_cu8x(cfg, payload, sh.qp, return_cmode=True)
             )
             y, u, v = reconstruct_frame_intra_cu8(
                 split, part, modes4, lev_y, lev_cb, lev_cr, sh.qp,
-                width=sps.width, height=sps.height,
+                width=sps.width, height=sps.height, cmode4=cmode4,
             )
             if not pps.deblocking_disabled:
                 from ..ops.deblock import bs_maps_cu8

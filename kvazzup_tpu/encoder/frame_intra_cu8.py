@@ -365,8 +365,10 @@ def encode_frame_intra_cu8(y, u, v, qp, *, width: int, height: int, nxn: bool = 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def reconstruct_frame_intra_cu8(split, part, modes4, lev_y, lev_cb, lev_cr, qp,
-                                *, width: int, height: int):
-    """Decoder-side wavefront reconstruction for CU8 streams (incl. NxN)."""
+                                *, width: int, height: int, cmode4=None):
+    """Decoder-side wavefront reconstruction for CU8 streams (incl. NxN and
+    explicit chroma modes — cmode4 (nctu, 4) per-sub-CU resolved chroma
+    prediction modes, defaulting to DM)."""
     from ..core.tables import CHROMA_QP_TABLE
 
     n = 16
@@ -382,9 +384,13 @@ def reconstruct_frame_intra_cu8(split, part, modes4, lev_y, lev_cb, lev_cr, qp,
     blk_u4 = jnp.zeros((nblk8, 4, 4), jnp.int32)
     blk_v4 = jnp.zeros((nblk8, 4, 4), jnp.int32)
 
+    if cmode4 is None:
+        m4 = jnp.asarray(modes4)
+        cmode4 = m4.reshape(-1, 4, 4)[:, :, 0]
     ins = wave_inputs(
         sched, nctu,
         [jnp.asarray(split), jnp.asarray(part), jnp.asarray(modes4),
+         jnp.asarray(cmode4),
          jnp.asarray(lev_y, jnp.int32), jnp.asarray(lev_cb, jnp.int32),
          jnp.asarray(lev_cr, jnp.int32), qp, qp_c],
     )
@@ -404,7 +410,7 @@ def reconstruct_frame_intra_cu8(split, part, modes4, lev_y, lev_cb, lev_cr, qp,
 
     def wave(carry, x):
         blk_y8, blk_u4, blk_v4 = carry
-        spw, paw, m4w, lyw, lcbw, lcrw, qpw, qpcw, rs, cs, valid, idx = x
+        spw, paw, m4w, cm4w, lyw, lcbw, lcrw, qpw, qpcw, rs, cs, valid, idx = x
         L = rs.shape[0]
         r8 = 2 * rs
         c8 = 2 * cs
@@ -415,8 +421,8 @@ def reconstruct_frame_intra_cu8(split, part, modes4, lev_y, lev_cb, lev_cr, qp,
         rec16 = rec_one(a16, m4w[:, 0], lyw.reshape(L, 256), qpw, 4, True)
         a16cb = _boundary_batch(blk_u4, r8, c8, 2, cw8, ch8, width // 2, height // 2, cw, 2)
         a16cr = _boundary_batch(blk_v4, r8, c8, 2, cw8, ch8, width // 2, height // 2, cw, 2)
-        rcb16 = rec_one(a16cb, m4w[:, 0], lcbw.reshape(L, 64), qpcw, 3, False)
-        rcr16 = rec_one(a16cr, m4w[:, 0], lcrw.reshape(L, 64), qpcw, 3, False)
+        rcb16 = rec_one(a16cb, cm4w[:, 0], lcbw.reshape(L, 64), qpcw, 3, False)
+        rcr16 = rec_one(a16cr, cm4w[:, 0], lcrw.reshape(L, 64), qpcw, 3, False)
 
         lyq = lyw.reshape(L, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4).reshape(L, 4, 64)
         lcbq = lcbw.reshape(L, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4).reshape(L, 4, 16)
@@ -446,7 +452,7 @@ def reconstruct_frame_intra_cu8(split, part, modes4, lev_y, lev_cb, lev_cr, qp,
             rec8 = jnp.where(pk[:, None], recN, rec2n)
             tgt = jnp.where(valid & sp, rk * cw8 + ck_, nblk8)
             wy8 = wy8.at[tgt].set(rec8.reshape(L, 8, 8), mode="drop")
-            dm = m4w[:, k * 4]
+            dm = cm4w[:, k]
             a4b = _boundary_batch(wu4, rk, ck_, 1, cw8, ch8, width // 2, height // 2, cw, 2)
             a4r = _boundary_batch(wv4, rk, ck_, 1, cw8, ch8, width // 2, height // 2, cw, 2)
             rcb8 = rec_one(a4b, dm, lcbq[:, k], qpcw, 2, False)

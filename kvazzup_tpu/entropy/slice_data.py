@@ -1733,7 +1733,23 @@ def _decode_luma_mode_tail(dec, a, b, prev_flag) -> int:
     return rem
 
 
-def _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr) -> None:
+_CHROMA_CAND = (0, 26, 10, 1)  # planar, vertical, horizontal, DC (8.4.3)
+
+
+def _decode_chroma_mode(dec, luma_mode: int) -> int:
+    """intra_chroma_pred_mode -> resolved chroma prediction mode (8.4.3):
+    one context bin (0 = DM), else 2 bypass bins index the candidate list
+    with the luma-duplicate replaced by angular 34."""
+    if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) == 0:
+        return luma_mode
+    idx = (dec.decode_bypass() << 1) | dec.decode_bypass()
+    cand = _CHROMA_CAND[idx]
+    return 34 if cand == luma_mode else cand
+
+
+def _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr,
+                       cmode4=None) -> None:
+    sdh = bool(getattr(cfg, "sign_data_hiding", False))
     from ..core.tables import residual_scan_idx
 
     cw = cfg.ctbs_w
@@ -1742,21 +1758,23 @@ def _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr) 
         1 if (r > 0 and split[i - cw]) else 0
     )
     split[i] = dec.decode_bin(OFFSETS["split_cu_flag"] + ctx)
+    if cmode4 is None:
+        cmode4 = np.zeros((len(split), 4), np.int32)
     if not split[i]:
         ca, cb = _cands4(modes4, i, 0, 0, c)
         m = _decode_luma_mode(dec, ca, cb)
         modes4[i][:] = m
-        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
-            raise NotImplementedError("non-DM chroma")
+        cm = _decode_chroma_mode(dec, m)
+        cmode4[i][:] = cm
         cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
         cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
         cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
         if cbf_y:
-            lev_y[i] = decode_residual(dec, 4, 0)
+            lev_y[i] = decode_residual(dec, 4, 0, sdh=sdh)
         if cbf_cb:
-            lev_cb[i] = decode_residual(dec, 3, 1)
+            lev_cb[i] = decode_residual(dec, 3, 1, sdh=sdh)
         if cbf_cr:
-            lev_cr[i] = decode_residual(dec, 3, 2)
+            lev_cr[i] = decode_residual(dec, 3, 2, sdh=sdh)
         return
     for k in range(4):
         kr, kc = (k >> 1) * 2, (k & 1) * 2
@@ -1767,17 +1785,17 @@ def _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr) 
             mode = _decode_luma_mode(dec, ca, cb)
             for j in range(4):
                 modes4[i][k * 4 + j] = mode
-            if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
-                raise NotImplementedError("non-DM chroma")
+            cm = _decode_chroma_mode(dec, mode)
+            cmode4[i][k] = cm
             cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
             cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
             cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
             if cbf_y:
-                _quad(lev_y[i], k)[:] = decode_residual(dec, 3, 0, residual_scan_idx(mode, 3, 0))
+                _quad(lev_y[i], k)[:] = decode_residual(dec, 3, 0, residual_scan_idx(mode, 3, 0), sdh=sdh)
             if cbf_cb:
-                _quad(lev_cb[i], k)[:] = decode_residual(dec, 2, 1, residual_scan_idx(mode, 2, 1))
+                _quad(lev_cb[i], k)[:] = decode_residual(dec, 2, 1, residual_scan_idx(cm, 2, 1), sdh=sdh)
             if cbf_cr:
-                _quad(lev_cr[i], k)[:] = decode_residual(dec, 2, 2, residual_scan_idx(mode, 2, 2))
+                _quad(lev_cr[i], k)[:] = decode_residual(dec, 2, 2, residual_scan_idx(cm, 2, 2), sdh=sdh)
             continue
         part[i][k] = 1
         pus = [(kr, kc), (kr, kc + 1), (kr + 1, kc), (kr + 1, kc + 1)]
@@ -1788,20 +1806,19 @@ def _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr) 
             mode = _decode_luma_mode_tail(dec, ca, cb, flags[j])
             modes.append(mode)
             modes4[i][k * 4 + j] = mode
-        if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
-            raise NotImplementedError("non-DM chroma")
+        cm = _decode_chroma_mode(dec, modes[0])
+        cmode4[i][k] = cm
         cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
         cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
         qy = np.zeros((8, 8), np.int32)
         for j in range(4):
             if dec.decode_bin(OFFSETS["cbf_luma"]):
-                _quad(qy, j)[:] = decode_residual(dec, 2, 0, residual_scan_idx(modes[j], 2, 0))
+                _quad(qy, j)[:] = decode_residual(dec, 2, 0, residual_scan_idx(modes[j], 2, 0), sdh=sdh)
         _quad(lev_y[i], k)[:] = qy
-        dm = modes[0]
         if cbf_cb:
-            _quad(lev_cb[i], k)[:] = decode_residual(dec, 2, 1, residual_scan_idx(dm, 2, 1))
+            _quad(lev_cb[i], k)[:] = decode_residual(dec, 2, 1, residual_scan_idx(cm, 2, 1), sdh=sdh)
         if cbf_cr:
-            _quad(lev_cr[i], k)[:] = decode_residual(dec, 2, 2, residual_scan_idx(dm, 2, 2))
+            _quad(lev_cr[i], k)[:] = decode_residual(dec, 2, 2, residual_scan_idx(cm, 2, 2), sdh=sdh)
 
 
 def encode_slice_data_intra_cu8x(cfg, split, part, modes4, lev_y, lev_cb, lev_cr,
@@ -1826,19 +1843,24 @@ def encode_slice_data_intra_cu8x(cfg, split, part, modes4, lev_y, lev_cb, lev_cr
     return enc.data()
 
 
-def decode_slice_data_intra_cu8x(cfg, payload: bytes, slice_qp: int):
+def decode_slice_data_intra_cu8x(cfg, payload: bytes, slice_qp: int,
+                                 return_cmode: bool = False):
     dec = CabacDecoder(payload, init_type=0, slice_qp=slice_qp)
     nctu = cfg.ctbs_w * cfg.ctbs_h
     n = cfg.ctb_size
     split = np.zeros(nctu, np.int32)
     part = np.zeros((nctu, 4), np.int32)
     modes4 = np.zeros((nctu, 16), np.int32)
+    cmode4 = np.zeros((nctu, 4), np.int32)
     lev_y = np.zeros((nctu, n, n), np.int32)
     lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
     for i in range(nctu):
-        _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr)
+        _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr,
+                           cmode4)
         end = dec.decode_terminate()
         if end != (1 if i == nctu - 1 else 0):
             raise ValueError(f"end_of_slice mismatch at CTU {i}")
+    if return_cmode:
+        return split, part, modes4, cmode4, lev_y, lev_cb, lev_cr
     return split, part, modes4, lev_y, lev_cb, lev_cr

@@ -258,6 +258,7 @@ def decode_residual(
     log2: int,
     c_idx: int,
     scan_idx: int = SCAN_DIAG,
+    sdh: bool = False,
 ) -> np.ndarray:
     """residual_coding — decode side; returns (N, N) int32 [y][x]."""
     n = 1 << log2
@@ -333,13 +334,15 @@ def decode_residual(
             else:
                 sig[0] = 1  # inferred
         prev_c1 = _decode_sb_levels(
-            dec, sig, coeffs, pos_scan, sx, sy, i, last_sb, last_scan, c_idx, prev_c1
+            dec, sig, coeffs, pos_scan, sx, sy, i, last_sb, last_scan, c_idx, prev_c1,
+            sdh,
         )
     return coeffs
 
 
 def _decode_sb_levels(
-    dec, sig, coeffs, pos_scan, sx, sy, i, last_sb, last_scan, c_idx, prev_c1
+    dec, sig, coeffs, pos_scan, sx, sy, i, last_sb, last_scan, c_idx, prev_c1,
+    sdh: bool = False,
 ) -> int:
     sig_pos = [k for k in range(15, -1, -1) if sig[k]]
     if i == last_sb:
@@ -365,8 +368,14 @@ def _decode_sb_levels(
     g2_flag = {}
     if first_g1_pos >= 0:
         g2_flag[first_g1_pos] = dec.decode_bin(g2_base + ctx_set)
-    signs = {k: dec.decode_bypass() for k in sig_pos}
+    # sign data hiding (7.3.8.11): when enabled and the sub-block spans
+    # more than 3 scan positions, the sign of the coefficient at
+    # firstSigScanPos is inferred from the parity of the level sum
+    sign_hidden = sdh and (sig_pos[0] - sig_pos[-1] > 3)
+    coded_signs = sig_pos[:-1] if sign_hidden else sig_pos
+    signs = {k: dec.decode_bypass() for k in coded_signs}
     rice = 0
+    abs_levels = {}
     for idx, k in enumerate(sig_pos):
         base_level = 1 + g1_flags.get(k, 0) + g2_flag.get(k, 0)
         saturated = (
@@ -379,6 +388,11 @@ def _decode_sb_levels(
             absl = base_level + decode_coeff_remaining(dec, rice)
             if absl > (3 << rice):
                 rice = min(rice + 1, 4)
+        abs_levels[k] = absl
+    if sign_hidden:
+        signs[sig_pos[-1]] = sum(abs_levels.values()) & 1
+    for k in sig_pos:
         px, py = pos_scan[k]
+        absl = abs_levels[k]
         coeffs[(sy << 2) + py, (sx << 2) + px] = -absl if signs[k] else absl
     return c1

@@ -1,0 +1,67 @@
+"""Alien-stream decoding: bit-exact decode of libx265-produced bitstreams.
+
+This is the openHEVC-replacement claim (SURVEY §2.6): the decoder accepts
+streams from an independent encoder, not just our own.  x265 is run at
+the CTB-16 operating point with the tools we implement (no SAO/signhide/
+tskip); within that envelope decode must match libavcodec exactly —
+including x265's quadtree/NxN choices, explicit chroma modes, and its
+deblocking decisions.
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from kvazzup_tpu.decoder.top import Decoder
+from kvazzup_tpu.io.yuv import synthetic_frames, write_yuv420
+
+from test_e2e_intra import _ensure_oracle
+
+BASE = ("ctu=16:min-cu-size=8:no-sao=1:no-signhide=1:keyint=1:"
+        "no-strong-intra-smoothing=1:tu-intra-depth=1:no-tskip=1:"
+        "frame-threads=1:no-wpp=1:no-info=1:bframes=0:ref=1:rd=2:"
+        "no-scenecut=1:repeat-headers=1")
+
+
+def _x265(tmp_path, qp, extra=""):
+    tool = _ensure_oracle()
+    w, h = 128, 64
+    frames = synthetic_frames(w, h, 3, seed=9)
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold = tmp_path / "gold.yuv"
+    params = BASE + (":" + extra if extra else "")
+    r = subprocess.run(
+        [tool, "encode", str(src), f"{w}x{h}", str(qp), str(out), params],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0 or not out.exists():
+        pytest.skip(f"libx265 unavailable: {r.stderr[-200:]}")
+    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
+    return out.read_bytes(), gold.read_bytes(), w, h
+
+
+@pytest.mark.parametrize("qp,extra", [
+    (30, "no-deblock=1"),
+    (22, "no-deblock=1"),
+    (30, ""),           # x265's own deblocking decisions
+    (38, ""),
+    (30, "strong-intra-smoothing=1"),
+    (30, "signhide=1"),  # sign data hiding (parity-inferred signs)
+    (22, "signhide=1"),
+])
+def test_decode_x265_stream_bit_exact(tmp_path, qp, extra):
+    stream, gold, w, h = _x265(tmp_path, qp, extra)
+    fsz = w * h * 3 // 2
+    nf = len(gold) // fsz
+    frames = Decoder().decode(stream)
+    assert len(frames) == nf
+    for i in range(nf):
+        c = np.frombuffer(gold[i * fsz : (i + 1) * fsz], np.uint8)
+        planes = (c[: w * h].reshape(h, w),
+                  c[w * h : w * h + w * h // 4].reshape(h // 2, w // 2),
+                  c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
+        for p in range(3):
+            assert np.array_equal(planes[p], np.asarray(frames[i][p])), (i, p)
