@@ -154,12 +154,18 @@ class Decoder:
         if sps.min_cb_log2 == 3:
             if sh.slice_type != 2:
                 raise NotImplementedError("CU8 streams are intra-only for now")
+            sao_state = None
+            if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
+                sao_state = SaoState(
+                    cfg.ctbs_w, cfg.ctbs_h, luma=sh.sao_luma, chroma=sh.sao_chroma
+                )
             from ..encoder.frame_intra_cu8 import reconstruct_frame_intra_cu8
             from ..entropy.slice_data import decode_slice_data_intra_cu8x
 
             payload = nal.rbsp[sh.data_offset_bits // 8 :]
             split, part, modes4, cmode4, lev_y, lev_cb, lev_cr = (
-                decode_slice_data_intra_cu8x(cfg, payload, sh.qp, return_cmode=True)
+                decode_slice_data_intra_cu8x(cfg, payload, sh.qp, return_cmode=True,
+                                             sao=sao_state)
             )
             y, u, v = reconstruct_frame_intra_cu8(
                 split, part, modes4, lev_y, lev_cb, lev_cr, sh.qp,
@@ -172,6 +178,14 @@ class Decoder:
                 y, u, v = deblock_frame(
                     y, u, v, sh.qp, spacing=8, bs_v=bv, bs_h=bh, chroma_every=2
                 )
+            if sao_state is not None:
+                sh2 = (cfg.ctbs_h, cfg.ctbs_w)
+                t = sao_state.typ.reshape(3, *sh2)
+                a = sao_state.aux.reshape(3, *sh2)
+                o = sao_state.offs.reshape(3, *sh2, 4)
+                y = sao_apply(y, jnp.asarray(t[0]), jnp.asarray(a[0]), jnp.asarray(o[0]), ctb=cfg.ctb_size)
+                u = sao_apply(u, jnp.asarray(t[1]), jnp.asarray(a[1]), jnp.asarray(o[1]), ctb=cfg.ctb_size // 2)
+                v = sao_apply(v, jnp.asarray(t[2]), jnp.asarray(a[2]), jnp.asarray(o[2]), ctb=cfg.ctb_size // 2)
             frame = (np.asarray(y), np.asarray(u), np.asarray(v))
             self._ref = frame
             self._dpb[sh.pic_order_cnt_lsb] = frame
@@ -181,8 +195,8 @@ class Decoder:
         qp_actual = None
         sao_state = None
         if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
-            if not pps.entropy_sync:
-                raise NotImplementedError("SAO decode currently requires WPP streams")
+            if not pps.entropy_sync and sps.min_cb_log2 != 3:
+                raise NotImplementedError("SAO decode needs WPP or CU8 streams")
             sao_state = SaoState(
                 cfg.ctbs_w, cfg.ctbs_h, luma=sh.sao_luma, chroma=sh.sao_chroma
             )

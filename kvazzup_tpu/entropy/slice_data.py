@@ -1844,7 +1844,7 @@ def encode_slice_data_intra_cu8x(cfg, split, part, modes4, lev_y, lev_cb, lev_cr
 
 
 def decode_slice_data_intra_cu8x(cfg, payload: bytes, slice_qp: int,
-                                 return_cmode: bool = False):
+                                 return_cmode: bool = False, sao=None):
     dec = CabacDecoder(payload, init_type=0, slice_qp=slice_qp)
     nctu = cfg.ctbs_w * cfg.ctbs_h
     n = cfg.ctb_size
@@ -1856,6 +1856,8 @@ def decode_slice_data_intra_cu8x(cfg, payload: bytes, slice_qp: int,
     lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
     for i in range(nctu):
+        if sao is not None:
+            sao.decode(dec, i)
         _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr,
                            cmode4)
         end = dec.decode_terminate()

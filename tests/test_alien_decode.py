@@ -22,6 +22,8 @@ BASE = ("ctu=16:min-cu-size=8:no-sao=1:no-signhide=1:keyint=1:"
         "no-strong-intra-smoothing=1:tu-intra-depth=1:no-tskip=1:"
         "frame-threads=1:no-wpp=1:no-info=1:bframes=0:ref=1:rd=2:"
         "no-scenecut=1:repeat-headers=1")
+# remaining envelope gaps (round 2): wpp=1, tu-intra-depth>1, ctu 32/64,
+# inter pictures (keyint > 1, TMVP/merge-idx/partitions)
 
 
 def _x265(tmp_path, qp, extra=""):
@@ -51,6 +53,9 @@ def _x265(tmp_path, qp, extra=""):
     (30, "strong-intra-smoothing=1"),
     (30, "signhide=1"),  # sign data hiding (parity-inferred signs)
     (22, "signhide=1"),
+    (30, "sao=1"),       # x265's SAO decisions (merge flags, EO/BO)
+    (30, "sao=1:signhide=1"),  # the full x265 intra default toolset
+    (34, "sao=1:no-deblock=1"),
 ])
 def test_decode_x265_stream_bit_exact(tmp_path, qp, extra):
     stream, gold, w, h = _x265(tmp_path, qp, extra)
