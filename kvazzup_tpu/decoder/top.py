@@ -163,10 +163,19 @@ class Decoder:
             from ..entropy.slice_data import decode_slice_data_intra_cu8x
 
             payload = nal.rbsp[sh.data_offset_bits // 8 :]
-            split, part, modes4, cmode4, lev_y, lev_cb, lev_cr = (
-                decode_slice_data_intra_cu8x(cfg, payload, sh.qp, return_cmode=True,
-                                             sao=sao_state)
-            )
+            if pps.entropy_sync:
+                from ..entropy.slice_data import decode_slice_data_intra_cu8x_wpp
+
+                split, part, modes4, cmode4, lev_y, lev_cb, lev_cr = (
+                    decode_slice_data_intra_cu8x_wpp(
+                        cfg, payload, sh.entry_points, sh.qp, sao=sao_state
+                    )
+                )
+            else:
+                split, part, modes4, cmode4, lev_y, lev_cb, lev_cr = (
+                    decode_slice_data_intra_cu8x(cfg, payload, sh.qp,
+                                                 return_cmode=True, sao=sao_state)
+                )
             y, u, v = reconstruct_frame_intra_cu8(
                 split, part, modes4, lev_y, lev_cb, lev_cr, sh.qp,
                 width=sps.width, height=sps.height, cmode4=cmode4,
@@ -197,6 +206,7 @@ class Decoder:
         if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
             if not pps.entropy_sync and sps.min_cb_log2 != 3:
                 raise NotImplementedError("SAO decode needs WPP or CU8 streams")
+            # (the CU8 branch builds its own state before this point)
             sao_state = SaoState(
                 cfg.ctbs_w, cfg.ctbs_h, luma=sh.sao_luma, chroma=sh.sao_chroma
             )

@@ -60,9 +60,9 @@ class Encoder:
         if cfg.min_cb_log2 == 3:
             if intra_period != 1:
                 raise NotImplementedError("CU8 quadtree currently requires all-intra")
-            if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
+            if cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
                     or cfg.slices > 1:
-                raise NotImplementedError("CU8 excludes wpp/sao/qp_map/tiles/slices for now")
+                raise NotImplementedError("CU8 excludes sao/qp_map/tiles/slices for now")
         if cfg.slices > 1:
             if intra_period != 1:
                 raise NotImplementedError("slices currently require all-intra")
@@ -233,15 +233,25 @@ class Encoder:
         out, qp, first = ctx["out"], ctx["qp"], ctx["first"]
         ry, ru, rv = ctx["recon"]
         if ctx["kind"] == "cu8":
-            from ..entropy.slice_data import encode_slice_data_intra_cu8x
-
-            payload = encode_slice_data_intra_cu8x(
-                cfg, np.asarray(out["split"]), np.asarray(out["part"]),
-                np.asarray(out["modes4"]), np.asarray(out["lev_y"]),
-                np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]), slice_qp=qp,
+            from ..entropy.slice_data import (
+                encode_slice_data_intra_cu8x,
+                encode_slice_data_intra_cu8x_wpp,
             )
+
+            entry_offsets = None
+            args8 = (
+                np.asarray(out["split"]), np.asarray(out["part"]),
+                np.asarray(out["modes4"]), np.asarray(out["lev_y"]),
+                np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+            )
+            if cfg.wpp:
+                payload, entry_offsets = encode_slice_data_intra_cu8x_wpp(
+                    cfg, *args8, slice_qp=qp
+                )
+            else:
+                payload = encode_slice_data_intra_cu8x(cfg, *args8, slice_qp=qp)
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
-            w = compose_slice_header(cfg, sh)
+            w = compose_slice_header(cfg, sh, entry_offsets)
             w.write_bytes(payload)
             stream = self.headers() if first else b""
             stream += compose_nal(NalUnit(sh.nal_type, w.data()))

@@ -1866,3 +1866,40 @@ def decode_slice_data_intra_cu8x(cfg, payload: bytes, slice_qp: int,
     if return_cmode:
         return split, part, modes4, cmode4, lev_y, lev_cb, lev_cr
     return split, part, modes4, lev_y, lev_cb, lev_cr
+
+
+def encode_slice_data_intra_cu8x_wpp(cfg, split, part, modes4, lev_y, lev_cb,
+                                     lev_cr, slice_qp=None, sao=None):
+    """CU8-quadtree I-slice with WPP substreams (entropy_coding_sync)."""
+    sq = cfg.qp if slice_qp is None else slice_qp
+
+    def fn(enc, i):
+        if sao is not None:
+            sao.encode(enc, i)
+        _encode_ctu_i_cu8x(enc, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr)
+
+    fn.init_type = 0
+    return encode_slice_data_wpp(cfg, fn, slice_qp=sq)
+
+
+def decode_slice_data_intra_cu8x_wpp(cfg, payload, entry_offsets, slice_qp,
+                                     sao=None):
+    """WPP inverse; returns (split, part, modes4, cmode4, lev_y, lev_cb, lev_cr)."""
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    split = np.zeros(nctu, np.int32)
+    part = np.zeros((nctu, 4), np.int32)
+    modes4 = np.zeros((nctu, 16), np.int32)
+    cmode4 = np.zeros((nctu, 4), np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+
+    def fn(dec, i):
+        if sao is not None:
+            sao.decode(dec, i)
+        _decode_ctu_i_cu8x(dec, cfg, i, split, part, modes4, lev_y, lev_cb, lev_cr,
+                           cmode4)
+
+    decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 0, slice_qp)
+    return split, part, modes4, cmode4, lev_y, lev_cb, lev_cr

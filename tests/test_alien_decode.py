@@ -34,7 +34,9 @@ def _x265(tmp_path, qp, extra=""):
     write_yuv420(str(src), frames)
     out = tmp_path / "out.265"
     gold = tmp_path / "gold.yuv"
-    params = BASE + (":" + extra if extra else "")
+    base = BASE.replace("no-wpp=1", "wpp=0") if "wpp=1" not in extra else \
+        BASE.replace("no-wpp=1:", "")
+    params = base + (":" + extra if extra else "")
     r = subprocess.run(
         [tool, "encode", str(src), f"{w}x{h}", str(qp), str(out), params],
         capture_output=True, text=True,
@@ -56,6 +58,8 @@ def _x265(tmp_path, qp, extra=""):
     (30, "sao=1"),       # x265's SAO decisions (merge flags, EO/BO)
     (30, "sao=1:signhide=1"),  # the full x265 intra default toolset
     (34, "sao=1:no-deblock=1"),
+    (30, "wpp=1:sao=1:signhide=1"),  # + entropy_coding_sync substreams
+    (26, "wpp=1"),
 ])
 def test_decode_x265_stream_bit_exact(tmp_path, qp, extra):
     stream, gold, w, h = _x265(tmp_path, qp, extra)

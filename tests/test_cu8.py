@@ -147,3 +147,18 @@ def test_nxn_engages_and_oracle(tmp_path):
     assert len(oracle) == 1, err
     for p in range(3):
         assert np.array_equal(oracle[0][p], np.asarray(frames[0][p]))
+
+
+def test_cu8_wpp_self_and_oracle(tmp_path):
+    """Our own CU8 + WPP substreams: conformant entry points + ctx chains."""
+    w, h = 128, 64
+    y, u, v = synthetic_frames(w, h, 1, seed=22)[0]
+    cfg = StreamConfig(width=w, height=h, qp=27, min_cb_log2=3, wpp=True)
+    stream, recon = Encoder(cfg, intra_period=1).encode_frame(y, u, v)
+    frames = Decoder().decode(stream)
+    for p in range(3):
+        assert np.array_equal(np.asarray(recon[p]), np.asarray(frames[0][p]))
+    oracle, err = oracle_decode(stream, w, h, tmp_path)
+    assert len(oracle) == 1, err
+    for p in range(3):
+        assert np.array_equal(oracle[0][p], np.asarray(frames[0][p]))
