@@ -1,0 +1,318 @@
+"""Generic recursive intra decoder: any CTB size, full CU/TU quadtrees.
+
+The alien-stream workhorse (openHEVC-replacement scope, SURVEY §2.6):
+decodes intra pictures from independent encoders at their DEFAULT
+operating points — x265's ctu=64 with deep CU quadtrees, residual
+quadtrees (split_transform_flag), PART_NxN, explicit chroma modes,
+strong intra smoothing, SDH, SAO — bit-exactly.
+
+This is the sequential reference engine (numpy canvases + per-block JAX
+prediction); the wavefront device engines (frame_intra*.py) cover the
+high-throughput CTB-16 operating point.  Spec references:
+coding_quadtree 7.3.8.4, coding_unit 7.3.8.5, transform_tree 7.3.8.8,
+transform_unit 7.3.8.10, intra sample prediction 8.4.4, z-scan 6.4.1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..entropy.cabac import CabacDecoder
+from ..entropy.cabac_tables import OFFSETS
+from ..entropy.slice_data import (
+    _decode_chroma_mode,
+    _decode_luma_mode_tail,
+    _decode_qp_delta,
+    _mpm_list_np,
+)
+from ..entropy.syntax import decode_residual
+from ..core.tables import residual_scan_idx
+from ..ops import intra as intra_ops
+from ..ops.quant import dequantize
+from ..ops.transforms import inv_transform
+
+
+def _morton(r: int, c: int, bits: int) -> int:
+    z = 0
+    for b in range(bits - 1, -1, -1):
+        z = (z << 2) | (((r >> b) & 1) << 1) | ((c >> b) & 1)
+    return z
+
+
+class GenericIntraDecoder:
+    """Stateful per-picture decoder over numpy canvases."""
+
+    def __init__(self, sps, pps, slice_qp: int):
+        from ..core.tables import CHROMA_QP_TABLE
+
+        self.sps, self.pps = sps, pps
+        self.qp = slice_qp
+        self.qp_c = int(CHROMA_QP_TABLE[min(max(slice_qp, 0), 57)])
+        self.ctb_log2 = sps.ctb_log2
+        self.min_cb_log2 = sps.min_cb_log2
+        self.min_tb_log2 = getattr(sps, "min_tb_log2", 2)
+        self.max_tb_log2 = getattr(sps, "max_tb_log2", 5)
+        self.max_td_intra = getattr(sps, "max_td_intra", 0)
+        self.strong_smoothing = bool(getattr(sps, "strong_intra_smoothing", False))
+        self.sdh = bool(pps.sign_data_hiding)
+        self.cu_qp_delta = bool(getattr(pps, "cu_qp_delta_enabled", False))
+        self.qg_log2 = self.ctb_log2 - int(getattr(pps, "diff_cu_qp_delta_depth", 0))
+        self.w, self.h = sps.width, sps.height
+        n = 1 << self.ctb_log2
+        self.cw = -(-self.w // n)
+        self.ch = -(-self.h // n)
+        self.y = np.zeros((self.h, self.w), np.int32)
+        self.u = np.zeros((self.h // 2, self.w // 2), np.int32)
+        self.v = np.zeros((self.h // 2, self.w // 2), np.int32)
+        # 4x4-cell maps over the picture: luma mode (MPM), CU depth (split
+        # ctx), coded flag (z-scan availability is tracked positionally)
+        self.mode4 = np.full((self.h // 4, self.w // 4), 1, np.int32)
+        self.depth4 = np.zeros((self.h // 4, self.w // 4), np.int32)
+        # per-8-pel-edge boundary masks (CU/TU edges) for deblocking
+        self.edge_v = np.zeros((self.h // 8, self.w // 8), bool)  # left edges
+        self.edge_h = np.zeros((self.h // 8, self.w // 8), bool)  # top edges
+        self._cells_bits = self.ctb_log2 - 2  # morton bits at 4x4 cells
+        # adaptive QP (8.6.1): per-4x4-cell QpY map + decoding-order chain
+        self.qp4 = np.full((self.h // 4, self.w // 4), slice_qp, np.int32)
+        self.qp_prev = slice_qp  # qPY_PREV: last decoded CU's QpY
+        self._qg_key = None
+        self._qg_pred = slice_qp
+        self._delta_pending = False
+
+    # --------------------------------------------------------- availability
+    def _zaddr(self, x: int, y: int, chroma: bool) -> int:
+        """z-scan order of the 4x4 cell holding pixel (x, y) of a plane."""
+        if chroma:
+            x, y = 2 * x, 2 * y  # co-located luma position
+        cl = self.ctb_log2
+        ctb = (y >> cl) * self.cw + (x >> cl)
+        r4 = (y & ((1 << cl) - 1)) >> 2
+        c4 = (x & ((1 << cl) - 1)) >> 2
+        return (ctb << (2 * self._cells_bits)) + _morton(r4, c4, self._cells_bits)
+
+    def _boundary(self, canvas, x0, y0, n, chroma: bool):
+        h, w = canvas.shape
+        cur = self._zaddr(x0, y0, chroma)
+
+        def ok(x, y):
+            return 0 <= x < w and 0 <= y < h and self._zaddr(x, y, chroma) < cur
+
+        a = np.zeros(4 * n + 1, np.int32)
+        av = np.zeros(4 * n + 1, bool)
+        for j in range(2 * n):  # below-left + left, bottom-up
+            x, y = x0 - 1, y0 + 2 * n - 1 - j
+            if ok(x, y):
+                a[j], av[j] = canvas[y, x], True
+        if ok(x0 - 1, y0 - 1):
+            a[2 * n], av[2 * n] = canvas[y0 - 1, x0 - 1], True
+        for j in range(2 * n):  # top + top-right
+            x, y = x0 + j, y0 - 1
+            if ok(x, y):
+                a[2 * n + 1 + j], av[2 * n + 1 + j] = canvas[y, x], True
+        return a, av
+
+    def _predict(self, canvas, x0, y0, log2, is_luma, mode, chroma: bool):
+        n = 1 << log2
+        a_raw, av = self._boundary(canvas, x0, y0, n, chroma)
+        a = np.asarray(intra_ops.substitute_refs(jnp.asarray(a_raw), jnp.asarray(av)))
+        strong = False
+        if is_luma and self.strong_smoothing and log2 == 5:
+            thr = 1 << 3  # 1 << (BitDepth - 5)
+            strong = (
+                abs(int(a[2 * n]) + int(a[4 * n]) - 2 * int(a[3 * n])) < thr
+                and abs(int(a[2 * n]) + int(a[0]) - 2 * int(a[n])) < thr
+            )
+        return np.asarray(
+            intra_ops.predict_mode(jnp.asarray(a), log2, is_luma, mode, strong)
+        )
+
+    # ------------------------------------------------------------- QP (8.6.1)
+    def _enter_qg(self, x0, y0) -> None:
+        from ..core.tables import CHROMA_QP_TABLE
+
+        key = (y0 >> self.qg_log2, x0 >> self.qg_log2)
+        if key == self._qg_key:
+            return
+        self._qg_key = key
+        xqg = (x0 >> self.qg_log2) << self.qg_log2
+        yqg = (y0 >> self.qg_log2) << self.qg_log2
+        cl = 1 << self.ctb_log2
+        same_ctb_l = xqg > 0 and (xqg - 1) // cl == xqg // cl and yqg // cl == yqg // cl
+        qp_a = int(self.qp4[yqg >> 2, (xqg - 1) >> 2]) if xqg % cl != 0 else self.qp_prev
+        qp_b = int(self.qp4[(yqg - 1) >> 2, xqg >> 2]) if yqg % cl != 0 else self.qp_prev
+        self._qg_pred = (qp_a + qp_b + 1) >> 1
+        self._delta_pending = True
+        self._set_qp(self._qg_pred)
+
+    def _set_qp(self, qp: int) -> None:
+        from ..core.tables import CHROMA_QP_TABLE
+
+        self.qp = qp
+        self.qp_c = int(CHROMA_QP_TABLE[min(max(qp, 0), 57)])
+
+    def _maybe_qp_delta(self, dec) -> None:
+        if self.cu_qp_delta and self._delta_pending:
+            self._delta_pending = False
+            delta = _decode_qp_delta(dec)
+            self._set_qp((self._qg_pred + delta + 52) % 52)
+
+    # ------------------------------------------------------------ MPM cands
+    def _cands(self, x0: int, y0: int):
+        cl = 1 << self.ctb_log2
+        if x0 == 0:
+            a = 1
+        else:
+            a = int(self.mode4[y0 >> 2, (x0 - 1) >> 2])
+        if y0 == 0 or ((y0 - 1) // cl) != (y0 // cl):
+            b = 1  # above row is in another CTB -> DC (8.4.2)
+        else:
+            b = int(self.mode4[(y0 - 1) >> 2, x0 >> 2])
+        return a, b
+
+    def _decode_luma_mode(self, dec, x0, y0):
+        a, b = self._cands(x0, y0)
+        prev = dec.decode_bin(OFFSETS["prev_intra_luma_pred_flag"])
+        return _decode_luma_mode_tail(dec, a, b, prev)
+
+    # --------------------------------------------------------------- edges
+    def _mark_edges(self, x0, y0, n):
+        """Record CU/TU boundary edges on the 8-grid for deblocking."""
+        if n < 8:
+            return
+        e8 = 8
+        if x0 % e8 == 0:
+            self.edge_v[y0 // e8 : (y0 + n) // e8, x0 // e8] = True
+        if y0 % e8 == 0:
+            self.edge_h[y0 // e8, x0 // e8 : (x0 + n) // e8] = True
+
+    # ------------------------------------------------------------ quadtree
+    def decode_ctu(self, dec, i: int) -> None:
+        n = 1 << self.ctb_log2
+        x0 = (i % self.cw) * n
+        y0 = (i // self.cw) * n
+        self._coding_quadtree(dec, x0, y0, self.ctb_log2, 0)
+
+    def _split_ctx(self, x0, y0, depth) -> int:
+        ctx = 0
+        if x0 > 0 and int(self.depth4[y0 >> 2, (x0 - 1) >> 2]) > depth:
+            ctx += 1
+        if y0 > 0 and int(self.depth4[(y0 - 1) >> 2, x0 >> 2]) > depth:
+            ctx += 1
+        return ctx
+
+    def _coding_quadtree(self, dec, x0, y0, log2, depth) -> None:
+        n = 1 << log2
+        inside = x0 + n <= self.w and y0 + n <= self.h
+        if log2 > self.min_cb_log2 and inside:
+            split = dec.decode_bin(OFFSETS["split_cu_flag"] + self._split_ctx(x0, y0, depth))
+        else:
+            split = log2 > self.min_cb_log2  # forced split at picture edge
+        if split:
+            h = n >> 1
+            for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
+                if x0 + dx < self.w and y0 + dy < self.h:
+                    self._coding_quadtree(dec, x0 + dx, y0 + dy, log2 - 1, depth + 1)
+            return
+        self.depth4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = depth
+        if self.cu_qp_delta:
+            self._enter_qg(x0, y0)
+        self._coding_unit(dec, x0, y0, log2)
+        if self.cu_qp_delta:  # the CU's final QpY feeds the chain + maps
+            self.qp_prev = self.qp
+            self.qp4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = self.qp
+
+    def _coding_unit(self, dec, x0, y0, log2) -> None:
+        n = 1 << log2
+        nxn = False
+        if log2 == self.min_cb_log2:
+            nxn = dec.decode_bin(OFFSETS["part_mode"]) == 0
+        self._mark_edges(x0, y0, n)
+        if not nxn:
+            mode = self._decode_luma_mode(dec, x0, y0)
+            self.mode4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = mode
+            modes = [mode]
+        else:
+            h = n >> 1
+            flags = [dec.decode_bin(OFFSETS["prev_intra_luma_pred_flag"]) for _ in range(4)]
+            modes = []
+            for j, (dy, dx) in enumerate(((0, 0), (0, h), (h, 0), (h, h))):
+                a, b = self._cands(x0 + dx, y0 + dy)
+                m = _decode_luma_mode_tail(dec, a, b, flags[j])
+                modes.append(m)
+                self.mode4[(y0 + dy) >> 2 : (y0 + dy + h) >> 2,
+                           (x0 + dx) >> 2 : (x0 + dx + h) >> 2] = m
+        cmode = _decode_chroma_mode(dec, modes[0])
+        # transform tree (root at the CU; IntraSplitFlag = nxn)
+        self._transform_tree(dec, x0, y0, log2, 0, nxn, modes, cmode,
+                             cbf_cb_parent=True, cbf_cr_parent=True)
+
+    # ------------------------------------------------------ transform tree
+    def _transform_tree(self, dec, x0, y0, log2, depth, intra_split, modes,
+                        cmode, cbf_cb_parent, cbf_cr_parent) -> None:
+        # 7.3.8.8: explicit split_transform_flag vs inferred splits
+        max_depth = self.max_td_intra + (1 if intra_split else 0)
+        if log2 <= self.max_tb_log2 and log2 > self.min_tb_log2 \
+                and depth < max_depth and not (intra_split and depth == 0):
+            split = bool(dec.decode_bin(OFFSETS["split_transform_flag"] + 5 - log2))
+        else:
+            split = (log2 > self.max_tb_log2) or (intra_split and depth == 0)
+        cbf_cb = cbf_cr = False
+        if log2 > 2:
+            if cbf_cb_parent:
+                cbf_cb = bool(dec.decode_bin(OFFSETS["cbf_chroma"] + depth))
+            if cbf_cr_parent:
+                cbf_cr = bool(dec.decode_bin(OFFSETS["cbf_chroma"] + depth))
+        else:
+            cbf_cb, cbf_cr = cbf_cb_parent, cbf_cr_parent
+        if split:
+            h = 1 << (log2 - 1)
+            for j, (dy, dx) in enumerate(((0, 0), (0, h), (h, 0), (h, h))):
+                self._transform_tree(dec, x0 + dx, y0 + dy, log2 - 1, depth + 1,
+                                     intra_split, modes, cmode, cbf_cb, cbf_cr)
+                if log2 - 1 == 2 and j == 3:
+                    # chroma of the four 4x4 luma TUs coded at the parent size
+                    self._chroma_unit(dec, x0, y0, log2 - 1, cmode, cbf_cb, cbf_cr)
+            return
+        # leaf: cbf_luma, luma TU (+chroma at this node when size > 4x4)
+        cbf_luma = bool(dec.decode_bin(OFFSETS["cbf_luma"] + (1 if depth == 0 else 0)))
+        mode = modes[0]
+        if intra_split and len(modes) == 4:
+            j = ((y0 >> log2) & 1) * 2 + ((x0 >> log2) & 1)
+            mode = modes[j]
+        chroma_here = log2 > 2 and (cbf_cb or cbf_cr)
+        last4 = log2 == 2 and ((y0 >> 2) & 1) and ((x0 >> 2) & 1)
+        if cbf_luma or chroma_here or (last4 and (cbf_cb or cbf_cr)):
+            self._maybe_qp_delta(dec)
+        self._luma_unit(dec, x0, y0, log2, mode, cbf_luma)
+        if log2 > 2:
+            self._chroma_unit(dec, x0, y0, log2 - 1, cmode, cbf_cb, cbf_cr)
+
+    def _luma_unit(self, dec, x0, y0, log2, mode, cbf) -> None:
+        self._mark_edges(x0, y0, 1 << log2)
+        pred = self._predict(self.y, x0, y0, log2, True, mode, False)
+        n = 1 << log2
+        if cbf:
+            scan = residual_scan_idx(mode, log2, 0)
+            lev = decode_residual(dec, log2, 0, scan, sdh=self.sdh)
+            resid = np.asarray(inv_transform(
+                dequantize(jnp.asarray(lev), self.qp, log2), log2, dst=(log2 == 2)
+            ))
+        else:
+            resid = 0
+        self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(pred + resid, 0, 255)
+
+    def _chroma_unit(self, dec, x0, y0, log2c, cmode, cbf_cb, cbf_cr) -> None:
+        xc, yc = x0 >> 1, y0 >> 1
+        n = 1 << log2c
+        scan = residual_scan_idx(cmode, log2c, 1)
+        for canvas, cbf, cidx in ((self.u, cbf_cb, 1), (self.v, cbf_cr, 2)):
+            pred = self._predict(canvas, xc, yc, log2c, False, cmode, True)
+            if cbf:
+                lev = decode_residual(dec, log2c, cidx, scan, sdh=self.sdh)
+                resid = np.asarray(inv_transform(
+                    dequantize(jnp.asarray(lev), self.qp_c, log2c), log2c
+                ))
+            else:
+                resid = 0
+            canvas[yc : yc + n, xc : xc + n] = np.clip(pred + resid, 0, 255)

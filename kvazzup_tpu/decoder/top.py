@@ -132,6 +132,77 @@ class Decoder:
         self._dpb[0] = frame
         return (self._period, 0), frame
 
+    def _decode_picture_generic(self, nal, sh):
+        """Any-CTB-size intra pictures via the recursive reference engine
+        (decoder/generic_intra.py): x265-default ctu=64 streams etc."""
+        from ..entropy.cabac import CabacDecoder
+        from .generic_intra import GenericIntraDecoder
+
+        sps, pps = self.sps, self.pps
+        gd = GenericIntraDecoder(sps, pps, sh.qp)
+        payload = nal.rbsp[sh.data_offset_bits // 8 :]
+        sao_state = None
+        if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
+            sao_state = SaoState(gd.cw, gd.ch, luma=sh.sao_luma, chroma=sh.sao_chroma)
+        nctu = gd.cw * gd.ch
+
+        def ctu_fn(dec, i):
+            if sao_state is not None:
+                sao_state.decode(dec, i)
+            gd.decode_ctu(dec, i)
+
+        if pps.entropy_sync:
+            from ..entropy.slice_data import decode_slice_data_wpp
+
+            decode_slice_data_wpp(
+                StreamConfig(width=sps.width, height=sps.height, qp=sh.qp,
+                             ctb_log2=sps.ctb_log2, min_cb_log2=sps.min_cb_log2),
+                payload, sh.entry_points, ctu_fn, 0, sh.qp,
+            )
+        else:
+            dec = CabacDecoder(payload, init_type=0, slice_qp=sh.qp)
+            for i in range(nctu):
+                ctu_fn(dec, i)
+                end = dec.decode_terminate()
+                if end != (1 if i == nctu - 1 else 0):
+                    raise ValueError(f"end_of_slice mismatch at CTU {i}")
+
+        y = jnp.asarray(gd.y.astype(np.uint8))
+        u = jnp.asarray(gd.u.astype(np.uint8))
+        v = jnp.asarray(gd.v.astype(np.uint8))
+        if not pps.deblocking_disabled:
+            # bS maps from the recorded CU/TU edge masks (all intra -> bS 2)
+            h8, w8 = gd.edge_v.shape
+            bs_v = np.zeros((w8 - 1, h8), np.int32)
+            for e in range(1, w8):
+                bs_v[e - 1, :] = 2 * gd.edge_v[:, e]
+            bs_h = np.zeros((h8 - 1, w8), np.int32)
+            for e in range(1, h8):
+                bs_h[e - 1, :] = 2 * gd.edge_h[e, :]
+            qp_map8 = None
+            if gd.cu_qp_delta:
+                qp_map8 = jnp.asarray(gd.qp4[::2, ::2])
+            y, u, v = deblock_frame(
+                y, u, v, sh.qp, spacing=8,
+                bs_v=jnp.asarray(bs_v), bs_h=jnp.asarray(bs_h), chroma_every=2,
+                qp_map=qp_map8,
+            )
+        if sao_state is not None:
+            from ..ops.sao import sao_apply as _sao_apply
+
+            sh2 = (gd.ch, gd.cw)
+            t = sao_state.typ.reshape(3, *sh2)
+            a = sao_state.aux.reshape(3, *sh2)
+            o = sao_state.offs.reshape(3, *sh2, 4)
+            ctb = 1 << sps.ctb_log2
+            y = _sao_apply(y, jnp.asarray(t[0]), jnp.asarray(a[0]), jnp.asarray(o[0]), ctb=ctb)
+            u = _sao_apply(u, jnp.asarray(t[1]), jnp.asarray(a[1]), jnp.asarray(o[1]), ctb=ctb // 2)
+            v = _sao_apply(v, jnp.asarray(t[2]), jnp.asarray(a[2]), jnp.asarray(o[2]), ctb=ctb // 2)
+        frame = (np.asarray(y), np.asarray(u), np.asarray(v))
+        self._ref = frame
+        self._dpb[sh.pic_order_cnt_lsb] = frame
+        return (self._period, sh.pic_order_cnt_lsb), frame
+
     def _decode_picture(self, nal):
         """Returns ((period, poc), frame)."""
         sps, pps = self.sps, self.pps
@@ -141,8 +212,17 @@ class Decoder:
         if _is_idr(nal.nal_type):
             self._period += 1
             self._dpb.clear()
+        generic = (
+            sh.slice_type == 2
+            and (sps.ctb_log2 != 4
+                 or getattr(sps, "max_td_intra", 0) > 0)
+        )
+        if generic:
+            return self._decode_picture_generic(nal, sh)
         if sps.ctb_log2 != 4 or sps.min_cb_log2 not in (3, 4):
-            raise NotImplementedError("decoder supports CTB 16, min CB 8 or 16")
+            raise NotImplementedError(
+                "inter decoding supports CTB 16 streams (intra: any CTB size)"
+            )
         cfg = StreamConfig(
             width=sps.width,
             height=sps.height,

@@ -118,14 +118,29 @@ def filter_refs(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([a[..., :1], f, a[..., -1:]], axis=-1)
 
 
-def predict_all_modes(a: jnp.ndarray, log2: int, is_luma: bool) -> jnp.ndarray:
+def strong_filter_refs(a: jnp.ndarray, log2: int) -> jnp.ndarray:
+    """Strong intra smoothing (8.4.4.2.3 bilinear): the 32x32 filtered walk
+    becomes linear interpolations corner->corner along each side."""
+    n = 1 << log2
+    j = jnp.arange(2 * n + 1)
+    # side A: A[0..2n] from A[0] to A[2n] (left run incl. corner)
+    left = (a[0] * (2 * n - j) + a[2 * n] * j + n) >> (log2 + 1)
+    # side B: A[2n..4n] from A[2n] to A[4n]
+    top = (a[2 * n] * (2 * n - j) + a[4 * n] * j + n) >> (log2 + 1)
+    return jnp.concatenate([left[:-1], top])
+
+
+def predict_all_modes(a: jnp.ndarray, log2: int, is_luma: bool,
+                      strong: bool = False) -> jnp.ndarray:
     """All 35 intra predictions from a substituted boundary walk.
 
     a: (4N+1,) int32.  Returns (35, N, N) int32 in [0, 255]; planar=0, DC=1,
-    angular 2..34 (spec mode numbering).
+    angular 2..34 (spec mode numbering).  strong: use the bilinear 32x32
+    smoothing for the filtered walk (caller evaluates 8.4.4.2.3's
+    bilIntFlag conditions).
     """
     n = 1 << log2
-    af = filter_refs(a) if is_luma else a
+    af = (strong_filter_refs(a, log2) if strong else filter_refs(a)) if is_luma else a
     i1_np, i2_np, fr_np, filt_np = _angular_tables(log2, is_luma)
     i1, i2, fr = jnp.asarray(i1_np), jnp.asarray(i2_np), jnp.asarray(fr_np)
     src = jnp.stack([a, af])  # (2, 4N+1)
@@ -177,12 +192,13 @@ def predict_all_modes(a: jnp.ndarray, log2: int, is_luma: bool) -> jnp.ndarray:
     return jnp.concatenate([planar[None], dcpred[None], angular], axis=0)
 
 
-def predict_mode(a: jnp.ndarray, log2: int, is_luma: bool, mode) -> jnp.ndarray:
+def predict_mode(a: jnp.ndarray, log2: int, is_luma: bool, mode,
+                 strong: bool = False) -> jnp.ndarray:
     """Prediction for a single (traced scalar) mode: evaluate-all + select.
 
     The dense all-modes path is what the encoder needs anyway; the decoder
     reuses it and selects.  (A dedicated single-mode kernel is a later
     optimization.)
     """
-    allp = predict_all_modes(a, log2, is_luma)
+    allp = predict_all_modes(a, log2, is_luma, strong)
     return allp[mode]

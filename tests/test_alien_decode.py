@@ -74,3 +74,45 @@ def test_decode_x265_stream_bit_exact(tmp_path, qp, extra):
                   c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
         for p in range(3):
             assert np.array_equal(planes[p], np.asarray(frames[i][p])), (i, p)
+
+
+@pytest.mark.parametrize("tag,qp,params", [
+    ("ctu32", 30, "ctu=32:min-cu-size=8:tu-intra-depth=1:no-sao=1:no-signhide=1:"
+                  "no-strong-intra-smoothing=1:no-deblock=1:aq-mode=0:no-wpp=1"),
+    ("ctu64-tutree", 30, "ctu=64:min-cu-size=8:tu-intra-depth=3:no-sao=1:"
+                         "no-signhide=1:no-strong-intra-smoothing=1:aq-mode=0:no-wpp=1"),
+    ("ctu64-true-defaults", 30,
+     "ctu=64:tu-intra-depth=1:sao=1:signhide=1:strong-intra-smoothing=1:"
+     "aq-mode=2:wpp=1"),
+    ("ctu64-aq3-full", 26,
+     "ctu=64:tu-intra-depth=2:sao=1:signhide=1:strong-intra-smoothing=1:"
+     "aq-mode=3:wpp=1"),
+])
+def test_decode_x265_any_ctb(tmp_path, tag, qp, params):
+    """The generic recursive decoder: x265 at its DEFAULT operating point
+    (ctu 64, deep CU/TU quadtrees, adaptive QP, SAO, SDH, strong
+    smoothing, WPP) decodes byte-identically to libavcodec."""
+    tool = _ensure_oracle()
+    w, h = 128, 64
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), synthetic_frames(w, h, 2, seed=9))
+    out = tmp_path / "out.265"
+    gold_p = tmp_path / "gold.yuv"
+    full = "keyint=1:frame-threads=1:no-info=1:rd=2:repeat-headers=1:" + params
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", str(qp), str(out), full],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold_p)], capture_output=True)
+    gold = gold_p.read_bytes()
+    fsz = w * h * 3 // 2
+    nf = len(gold) // fsz
+    frames = Decoder().decode(out.read_bytes())
+    assert len(frames) == nf
+    for i in range(nf):
+        c = np.frombuffer(gold[i * fsz : (i + 1) * fsz], np.uint8)
+        planes = (c[: w * h].reshape(h, w),
+                  c[w * h : w * h + w * h // 4].reshape(h // 2, w // 2),
+                  c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
+        for p in range(3):
+            assert np.array_equal(planes[p], np.asarray(frames[i][p])), (tag, i, p)
