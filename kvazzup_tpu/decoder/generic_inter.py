@@ -1,0 +1,279 @@
+"""Generic recursive P-slice decoder: alien inter streams (restricted set).
+
+Extends the any-CTB intra engine (generic_intra.py) with the P-slice CU
+toolset: cu_skip_flag, pred_mode, PART_2Nx2N inter PUs, spatial merge
+(8.5.3.2.3, pruned candidate list), AMVP (8.5.3.2.6), MVD (7.3.8.9),
+exact per-sample-clipped MC (8.5.4.2, the DCT-IF taps from ops/mc.py),
+rqt_root_cbf + inter transform trees, and inter bS derivation for
+deblocking (8.7.2.4).
+
+Current envelope (checked against libx265): one reference, spatial merge
+only (SPS temporal_mvp off), square partitions (no rect/AMP).  Decodes
+x265 `bframes=0 ref=1 max-merge=N no-rect no-amp no-temporal-mvp`
+streams bit-exactly; wider inter tool coverage is the round-2 track.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..entropy.cabac_tables import OFFSETS
+from ..entropy.slice_data import _decode_mvd
+from ..entropy.syntax import decode_residual
+from ..ops.mc import CHROMA_FILTERS, LUMA_FILTERS
+from ..ops.quant import dequantize
+from ..ops.transforms import inv_transform
+from .generic_intra import GenericIntraDecoder
+
+
+def _mc_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+           mvx: int, mvy: int, luma: bool) -> np.ndarray:
+    """Exact MC for one block: per-sample coordinate clipping (8.5.4.2.2),
+    two-stage DCT-IF, uni-pred rounding.  mv in luma quarter-pel units."""
+    H, W = ref.shape
+    if luma:
+        ix, iy = x0 + (mvx >> 2), y0 + (mvy >> 2)
+        fx, fy = mvx & 3, mvy & 3
+        taps_h = LUMA_FILTERS[fx].astype(np.int64)
+        taps_v = LUMA_FILTERS[fy].astype(np.int64)
+        reach = 3
+        ntap = 8
+    else:
+        ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
+        fx, fy = mvx & 7, mvy & 7
+        taps_h = CHROMA_FILTERS[fx].astype(np.int64)
+        taps_v = CHROMA_FILTERS[fy].astype(np.int64)
+        reach = 1
+        ntap = 4
+    xs = np.clip(np.arange(ix - reach, ix - reach + w + ntap - 1), 0, W - 1)
+    ys = np.clip(np.arange(iy - reach, iy - reach + h + ntap - 1), 0, H - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    tmp = np.zeros((win.shape[0], w), np.int64)
+    for k in range(ntap):
+        tmp += taps_h[k] * win[:, k : k + w]
+    out = np.zeros((h, w), np.int64)
+    for k in range(ntap):
+        out += taps_v[k] * tmp[k : k + h, :]
+    out >>= 6
+    return np.clip((out + 32) >> 6, 0, 255).astype(np.int32)
+
+
+class GenericInterDecoder(GenericIntraDecoder):
+    """Adds P-slice decoding over the intra engine.  `refs` is the list of
+    reference pictures (y, u, v) uint8 in RefPicList0 order."""
+
+    def __init__(self, sps, pps, sh, refs):
+        super().__init__(sps, pps, sh.qp)
+        self.refs = refs
+        self.max_merge = getattr(sh, "max_num_merge_cand", 5) or 5
+        # inter state maps at 4x4 cells
+        h4, w4 = self.h // 4, self.w // 4
+        self.inter4 = np.zeros((h4, w4), np.int32)  # 1 = inter-coded cell
+        self.mv4 = np.zeros((h4, w4, 2), np.int32)
+        self.skip4 = np.zeros((h4, w4), np.int32)
+        self.cbf4 = np.zeros((h4, w4), np.int32)  # luma TU cbf (for bS 1)
+
+    # --------------------------------------------------------- CU dispatch
+    def _coding_unit(self, dec, x0, y0, log2) -> None:
+        n = 1 << log2
+        # cu_skip_flag (ctx from neighbor skip flags, 9.3.4.2.2)
+        ctx = 0
+        if x0 > 0 and self.skip4[y0 >> 2, (x0 - 1) >> 2]:
+            ctx += 1
+        if y0 > 0 and self.skip4[(y0 - 1) >> 2, x0 >> 2]:
+            ctx += 1
+        if dec.decode_bin(OFFSETS["cu_skip_flag"] + ctx):
+            self._inter_pu_merge(dec, x0, y0, n, skip=True)
+            self._mark_edges(x0, y0, n)
+            return
+        if dec.decode_bin(OFFSETS["pred_mode_flag"]):
+            # intra CU in a P slice: inter neighbors contribute DC to MPM
+            super()._coding_unit(dec, x0, y0, log2)
+            return
+        # inter CU: part_mode (square-only envelope)
+        pm = dec.decode_bin(OFFSETS["part_mode"])
+        if pm != 1:
+            raise NotImplementedError("rect/AMP inter partitions (round 2)")
+        self._mark_edges(x0, y0, n)
+        if dec.decode_bin(OFFSETS["merge_flag"]):
+            self._inter_pu_merge(dec, x0, y0, n, skip=False)
+        else:
+            mvd = _decode_mvd(dec)
+            mvp0, mvp1 = self._amvp(x0, y0, n)
+            use1 = dec.decode_bin(OFFSETS["mvp_flag"])
+            mvp = mvp1 if use1 else mvp0
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            self._commit_inter(x0, y0, n, mv, skip=False)
+            self._inter_residual(dec, x0, y0, log2, root_cbf_coded=True)
+
+    # ------------------------------------------------------------- motion
+    def _nb_mv(self, x, y):
+        """(available-and-inter, mv) at sample position (x, y)."""
+        if x < 0 or y < 0 or x >= self.w or y >= self.h:
+            return None
+        if self._zaddr(x, y, False) >= self._zaddr(self._cur_x, self._cur_y, False):
+            return None
+        if not self.inter4[y >> 2, x >> 2]:
+            return None
+        return tuple(int(v) for v in self.mv4[y >> 2, x >> 2])
+
+    def _merge_list(self, x0, y0, n):
+        """Spatial merge candidates with spec pruning (8.5.3.2.3)."""
+        self._cur_x, self._cur_y = x0, y0
+        a1 = self._nb_mv(x0 - 1, y0 + n - 1)
+        b1 = self._nb_mv(x0 + n - 1, y0 - 1)
+        b0 = self._nb_mv(x0 + n, y0 - 1)
+        a0 = self._nb_mv(x0 - 1, y0 + n)
+        cands = []
+        if a1 is not None:
+            cands.append(a1)
+        if b1 is not None and b1 != a1:
+            cands.append(b1)
+        if b0 is not None and b0 != b1:
+            cands.append(b0)
+        if a0 is not None and a0 != a1:
+            cands.append(a0)
+        if len(cands) < 4:
+            b2 = self._nb_mv(x0 - 1, y0 - 1)
+            if b2 is not None and b2 != a1 and b2 != b1:
+                cands.append(b2)
+        while len(cands) < self.max_merge:
+            cands.append((0, 0))
+        return cands[: self.max_merge]
+
+    def _inter_pu_merge(self, dec, x0, y0, n, skip: bool) -> None:
+        idx = 0
+        if self.max_merge > 1:
+            # merge_idx: first bin ctx-coded, rest bypass TR (9.3.3.9)
+            if dec.decode_bin(OFFSETS["merge_idx"]):
+                idx = 1
+                while idx < self.max_merge - 1 and dec.decode_bypass():
+                    idx += 1
+        mv = self._merge_list(x0, y0, n)[idx]
+        self._commit_inter(x0, y0, n, mv, skip)
+        if not skip:
+            # 2Nx2N merge: rqt_root_cbf is inferred 1 (7.3.8.5)
+            self._inter_residual(dec, x0, y0, n.bit_length() - 1, root_cbf_coded=False)
+
+    def _amvp(self, x0, y0, n):
+        """AMVP (8.5.3.2.6), single same-ref list: A from A0/A1, B from
+        B0/B1/B2, dedupe, zero-fill."""
+        self._cur_x, self._cur_y = x0, y0
+        a = None
+        for pos in ((x0 - 1, y0 + n), (x0 - 1, y0 + n - 1)):
+            a = self._nb_mv(*pos)
+            if a is not None:
+                break
+        b = None
+        for pos in ((x0 + n, y0 - 1), (x0 + n - 1, y0 - 1), (x0 - 1, y0 - 1)):
+            b = self._nb_mv(*pos)
+            if b is not None:
+                break
+        cands = []
+        if a is not None:
+            cands.append(a)
+        if b is not None and b != a:
+            cands.append(b)
+        while len(cands) < 2:
+            cands.append((0, 0))
+        return cands[0], cands[1]
+
+    def _commit_inter(self, x0, y0, n, mv, skip: bool) -> None:
+        ry, ru, rv = self.refs[0]
+        self.y[y0 : y0 + n, x0 : x0 + n] = _mc_np(ry, x0, y0, n, n, mv[0], mv[1], True)
+        xc, yc, nc = x0 >> 1, y0 >> 1, n >> 1
+        self.u[yc : yc + nc, xc : xc + nc] = _mc_np(ru, xc, yc, nc, nc, mv[0], mv[1], False)
+        self.v[yc : yc + nc, xc : xc + nc] = _mc_np(rv, xc, yc, nc, nc, mv[0], mv[1], False)
+        s = slice(y0 >> 2, (y0 + n) >> 2), slice(x0 >> 2, (x0 + n) >> 2)
+        self.inter4[s] = 1
+        self.mv4[s] = mv
+        self.skip4[s] = 1 if skip else 0
+        self.mode4[s] = 1  # inter cells contribute DC to intra MPM (8.4.2)
+
+    # ----------------------------------------------------------- residual
+    def _inter_residual(self, dec, x0, y0, log2, root_cbf_coded: bool) -> None:
+        if root_cbf_coded and not dec.decode_bin(OFFSETS["rqt_root_cbf"]):
+            return
+        self._inter_tt(dec, x0, y0, log2, 0, cbf_cb_parent=True, cbf_cr_parent=True)
+
+    def _inter_tt(self, dec, x0, y0, log2, depth, cbf_cb_parent, cbf_cr_parent) -> None:
+        max_depth = getattr(self.sps, "max_td_inter", 0)
+        if log2 <= self.max_tb_log2 and log2 > self.min_tb_log2 and depth < max_depth:
+            split = bool(dec.decode_bin(OFFSETS["split_transform_flag"] + 5 - log2))
+        else:
+            split = log2 > self.max_tb_log2
+        cbf_cb = cbf_cr = False
+        if log2 > 2:
+            if cbf_cb_parent:
+                cbf_cb = bool(dec.decode_bin(OFFSETS["cbf_chroma"] + depth))
+            if cbf_cr_parent:
+                cbf_cr = bool(dec.decode_bin(OFFSETS["cbf_chroma"] + depth))
+        else:
+            cbf_cb, cbf_cr = cbf_cb_parent, cbf_cr_parent
+        if split:
+            h = 1 << (log2 - 1)
+            for j, (dy, dx) in enumerate(((0, 0), (0, h), (h, 0), (h, h))):
+                self._inter_tt(dec, x0 + dx, y0 + dy, log2 - 1, depth + 1, cbf_cb, cbf_cr)
+                if log2 - 1 == 2 and j == 3:
+                    self._add_chroma_resid(dec, x0, y0, 2, cbf_cb, cbf_cr)
+            return
+        # leaf: inter cbf_luma coded only if depth > 0 or any chroma cbf
+        if depth == 0 and not (cbf_cb or cbf_cr):
+            cbf_luma = True  # inferred (rqt_root_cbf was 1)
+        else:
+            cbf_luma = bool(dec.decode_bin(OFFSETS["cbf_luma"] + (1 if depth == 0 else 0)))
+        if cbf_luma or ((cbf_cb or cbf_cr) and log2 > 2) or (
+            log2 == 2 and ((y0 >> 2) & 1) and ((x0 >> 2) & 1) and (cbf_cb or cbf_cr)
+        ):
+            self._maybe_qp_delta(dec)
+        n = 1 << log2
+        self._mark_edges(x0, y0, n)
+        if cbf_luma:
+            lev = decode_residual(dec, log2, 0, 0, sdh=self.sdh)
+            resid = np.asarray(inv_transform(
+                dequantize(jnp.asarray(lev), self.qp, log2), log2
+            ))
+            reg = self.y[y0 : y0 + n, x0 : x0 + n]
+            self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(reg + resid, 0, 255)
+            self.cbf4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = 1
+        if log2 > 2:
+            self._add_chroma_resid(dec, x0, y0, log2 - 1, cbf_cb, cbf_cr)
+
+    def _add_chroma_resid(self, dec, x0, y0, log2c, cbf_cb, cbf_cr) -> None:
+        xc, yc = x0 >> 1, y0 >> 1
+        n = 1 << log2c
+        for canvas, cbf, cidx in ((self.u, cbf_cb, 1), (self.v, cbf_cr, 2)):
+            if not cbf:
+                continue
+            lev = decode_residual(dec, log2c, cidx, 0, sdh=self.sdh)
+            resid = np.asarray(inv_transform(
+                dequantize(jnp.asarray(lev), self.qp_c, log2c), log2c
+            ))
+            reg = canvas[yc : yc + n, xc : xc + n]
+            canvas[yc : yc + n, xc : xc + n] = np.clip(reg + resid, 0, 255)
+
+    # ------------------------------------------------------------ deblock
+    def bs_maps(self):
+        """bS per 8-pel edge at 4-sample-segment granularity (8.7.2.4):
+        derived from the 4x4 cells ADJACENT to each edge (p side / q side),
+        so TU-split cbf and per-PU MVs resolve exactly."""
+        h8, w8 = self.edge_v.shape
+        intra4 = self.inter4 == 0
+        bs_v = np.zeros((w8 - 1, 2 * h8), np.int32)
+        for e in range(1, w8):
+            c4 = 2 * e  # 4-cell column right of the edge
+            on = np.repeat(self.edge_v[:, e], 2)
+            p_i, q_i = intra4[:, c4 - 1], intra4[:, c4]
+            mvdiff = np.any(np.abs(self.mv4[:, c4 - 1] - self.mv4[:, c4]) >= 4, axis=-1)
+            one = (self.cbf4[:, c4 - 1] | self.cbf4[:, c4] | mvdiff) > 0
+            bs_v[e - 1] = np.where(on, np.where(p_i | q_i, 2, one.astype(int)), 0)
+        bs_h = np.zeros((h8 - 1, 2 * w8), np.int32)
+        for e in range(1, h8):
+            r4 = 2 * e
+            on = np.repeat(self.edge_h[e, :], 2)
+            p_i, q_i = intra4[r4 - 1, :], intra4[r4, :]
+            mvdiff = np.any(np.abs(self.mv4[r4 - 1] - self.mv4[r4]) >= 4, axis=-1)
+            one = (self.cbf4[r4 - 1] | self.cbf4[r4] | mvdiff) > 0
+            bs_h[e - 1] = np.where(on, np.where(p_i | q_i, 2, one.astype(int)), 0)
+        return bs_v, bs_h

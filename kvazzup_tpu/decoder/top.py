@@ -139,7 +139,20 @@ class Decoder:
         from .generic_intra import GenericIntraDecoder
 
         sps, pps = self.sps, self.pps
-        gd = GenericIntraDecoder(sps, pps, sh.qp)
+        init_type = 0
+        if sh.slice_type == 1:
+            from .generic_inter import GenericInterDecoder
+
+            negs, _poss, _u = sh.rps
+            ref_poc = sh.pic_order_cnt_lsb + (negs[0] if negs else -1)
+            ref = self._dpb.get(ref_poc, self._ref)
+            if ref is None:
+                raise ValueError("P slice without reference picture")
+            refs = [tuple(np.asarray(p, np.int32) for p in ref)]
+            gd = GenericInterDecoder(sps, pps, sh, refs)
+            init_type = 1
+        else:
+            gd = GenericIntraDecoder(sps, pps, sh.qp)
         payload = nal.rbsp[sh.data_offset_bits // 8 :]
         sao_state = None
         if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
@@ -157,10 +170,10 @@ class Decoder:
             decode_slice_data_wpp(
                 StreamConfig(width=sps.width, height=sps.height, qp=sh.qp,
                              ctb_log2=sps.ctb_log2, min_cb_log2=sps.min_cb_log2),
-                payload, sh.entry_points, ctu_fn, 0, sh.qp,
+                payload, sh.entry_points, ctu_fn, init_type, sh.qp,
             )
         else:
-            dec = CabacDecoder(payload, init_type=0, slice_qp=sh.qp)
+            dec = CabacDecoder(payload, init_type=init_type, slice_qp=sh.qp)
             for i in range(nctu):
                 ctu_fn(dec, i)
                 end = dec.decode_terminate()
@@ -171,21 +184,26 @@ class Decoder:
         u = jnp.asarray(gd.u.astype(np.uint8))
         v = jnp.asarray(gd.v.astype(np.uint8))
         if not pps.deblocking_disabled:
-            # bS maps from the recorded CU/TU edge masks (all intra -> bS 2)
-            h8, w8 = gd.edge_v.shape
-            bs_v = np.zeros((w8 - 1, h8), np.int32)
-            for e in range(1, w8):
-                bs_v[e - 1, :] = 2 * gd.edge_v[:, e]
-            bs_h = np.zeros((h8 - 1, w8), np.int32)
-            for e in range(1, h8):
-                bs_h[e - 1, :] = 2 * gd.edge_h[e, :]
+            bs_rep = 0
+            if hasattr(gd, "bs_maps"):
+                bs_v, bs_h = gd.bs_maps()
+                bs_rep = 4
+            else:
+                # all-intra: every recorded CU/TU edge is bS 2
+                h8, w8 = gd.edge_v.shape
+                bs_v = np.zeros((w8 - 1, h8), np.int32)
+                for e in range(1, w8):
+                    bs_v[e - 1, :] = 2 * gd.edge_v[:, e]
+                bs_h = np.zeros((h8 - 1, w8), np.int32)
+                for e in range(1, h8):
+                    bs_h[e - 1, :] = 2 * gd.edge_h[e, :]
             qp_map8 = None
             if gd.cu_qp_delta:
                 qp_map8 = jnp.asarray(gd.qp4[::2, ::2])
             y, u, v = deblock_frame(
                 y, u, v, sh.qp, spacing=8,
                 bs_v=jnp.asarray(bs_v), bs_h=jnp.asarray(bs_h), chroma_every=2,
-                qp_map=qp_map8,
+                qp_map=qp_map8, bs_rep=bs_rep,
             )
         if sao_state is not None:
             from ..ops.sao import sao_apply as _sao_apply
@@ -212,12 +230,13 @@ class Decoder:
         if _is_idr(nal.nal_type):
             self._period += 1
             self._dpb.clear()
-        generic = (
-            sh.slice_type == 2
-            and (sps.ctb_log2 != 4
-                 or getattr(sps, "max_td_intra", 0) > 0)
+        alien_shape = (
+            sps.ctb_log2 != 4
+            or getattr(sps, "max_td_intra", 0) > 0
+            or (sh.slice_type != 2 and sps.min_cb_log2 == 3)
+            or (sh.slice_type != 2 and getattr(sps, "max_td_inter", 0) > 0)
         )
-        if generic:
+        if alien_shape and sh.slice_type in (1, 2):
             return self._decode_picture_generic(nal, sh)
         if sps.ctb_log2 != 4 or sps.min_cb_log2 not in (3, 4):
             raise NotImplementedError(

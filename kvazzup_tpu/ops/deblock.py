@@ -182,10 +182,10 @@ def _edge_positions(size: int, spacing: int) -> np.ndarray:
     return np.arange(spacing, size, spacing, dtype=np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("spacing", "beta_offset", "tc_offset"))
+@functools.partial(jax.jit, static_argnames=("spacing", "beta_offset", "tc_offset", "chroma_every", "bs_rep"))
 def deblock_frame(
     y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_offset: int = 0,
-    bs_v=None, bs_h=None, qp_map=None, chroma_every: int = 1,
+    bs_v=None, bs_h=None, qp_map=None, chroma_every: int = 1, bs_rep: int = 0,
 ):
     """Deblock one picture (per-edge bS maps, default all-2).
 
@@ -214,9 +214,11 @@ def deblock_frame(
             return ((qm[:, :-1] + qm[:, 1:] + 1) >> 1).T
         return (qm[:-1, :] + qm[1:, :] + 1) >> 1  # (ch-1, cw)
 
+    rep = bs_rep or spacing  # bS granularity along the edge (4 = spec segments)
+
     def luma_tc_gate(bs, eqp):
-        """bs: (E, nblocks) -> per-line (E, L) beta, tc and gate."""
-        bs_l = jnp.repeat(bs, spacing, axis=1)
+        """bs: (E, L/rep) -> per-line (E, L) beta, tc and gate."""
+        bs_l = jnp.repeat(bs, rep, axis=1)
         q = qp if eqp is None else jnp.repeat(eqp, spacing, axis=1)
         beta_l = beta_tab[jnp.clip(q + (beta_offset << 1), 0, 51)]
         tc = tc_tab[jnp.clip(q + 2 * (jnp.maximum(bs_l, 1) - 1) + (tc_offset << 1), 0, 53)]
@@ -268,6 +270,8 @@ def deblock_frame(
         xe = _edge_positions(cw_, sp)
         if len(xe):
             bs = bs_v if bs_v is not None else jnp.full((len(xe), ch_ // sp), 2, jnp.int32)
+            if rep != spacing:  # 4-granular bS: max over the luma pair per sp
+                bs = jnp.maximum(bs[:, 0::2], bs[:, 1::2])
             gate = jnp.repeat((bs == 2) & on_grid(len(xe)), sp, axis=1)
             cols = (xe[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[:, cols].reshape(ch_, len(xe), 4).transpose(1, 0, 2)
@@ -277,6 +281,8 @@ def deblock_frame(
         ye = _edge_positions(ch_, sp)
         if len(ye):
             bs = bs_h if bs_h is not None else jnp.full((len(ye), cw_ // sp), 2, jnp.int32)
+            if rep != spacing:
+                bs = jnp.maximum(bs[:, 0::2], bs[:, 1::2])
             gate = jnp.repeat((bs == 2) & on_grid(len(ye)), sp, axis=1)
             rows = (ye[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[rows, :].reshape(len(ye), 4, cw_).transpose(0, 2, 1)

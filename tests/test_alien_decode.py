@@ -116,3 +116,56 @@ def test_decode_x265_any_ctb(tmp_path, tag, qp, params):
                   c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
         for p in range(3):
             assert np.array_equal(planes[p], np.asarray(frames[i][p])), (tag, i, p)
+
+
+INTER_CORE = ("min-cu-size=8:keyint=64:bframes=0:ref=1:no-rect=1:no-amp=1:"
+              "no-strong-intra-smoothing=1:tu-intra-depth=1:no-tskip=1:no-wpp=1:"
+              "frame-threads=1:no-info=1:rd=2:no-scenecut=1:repeat-headers=1:"
+              "no-temporal-mvp=1:rc-lookahead=0:no-cutree=1:no-open-gop=1:weightp=0")
+
+
+@pytest.mark.parametrize("tag,params", [
+    ("p-mm1", "ctu=16:max-merge=1:tu-inter-depth=1:no-sao=1:no-signhide=1:aq-mode=0"),
+    ("p-mm5-tutree", "ctu=16:max-merge=5:tu-inter-depth=2:no-sao=1:no-signhide=1:aq-mode=0"),
+    ("p-full", "ctu=16:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=2"),
+    ("p-ctu64", "ctu=64:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=0"),
+])
+def test_decode_x265_inter(tmp_path, tag, params):
+    """Alien P slices (generic_inter.py): spatial merge with pruning,
+    AMVP/MVD, exact clipped MC, inter TU trees, inter bS deblocking —
+    x265 low-delay streams decode byte-identically to libavcodec.
+
+    Envelope: ref=1, square partitions, no TMVP (round 2: rect/AMP,
+    multi-ref, temporal candidates, B slices)."""
+    tool = _ensure_oracle()
+    w, h = 128, 64
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = [
+        (np.roll(base[0], (i * 2, i * 3), axis=(0, 1)),
+         np.roll(base[1], i, axis=1), np.roll(base[2], i, axis=0))
+        for i in range(6)
+    ]
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold_p = tmp_path / "gold.yuv"
+    r = subprocess.run(
+        [tool, "encode", str(src), f"{w}x{h}", "30", str(out),
+         INTER_CORE + ":" + params],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold_p)], capture_output=True)
+    gold = gold_p.read_bytes()
+    fsz = w * h * 3 // 2
+    nf = len(gold) // fsz
+    decoded = Decoder().decode(out.read_bytes())
+    assert len(decoded) == nf
+    for i in range(nf):
+        c = np.frombuffer(gold[i * fsz : (i + 1) * fsz], np.uint8)
+        planes = (c[: w * h].reshape(h, w),
+                  c[w * h : w * h + w * h // 4].reshape(h // 2, w // 2),
+                  c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
+        for p in range(3):
+            assert np.array_equal(planes[p], np.asarray(decoded[i][p])), (tag, i, p)
