@@ -45,7 +45,11 @@ from .frame_intra import encode_frame_intra
 class Encoder:
     """HEVC encoder: all-intra or low-delay P (see frame_intra/frame_inter)."""
 
-    def __init__(self, cfg: StreamConfig, intra_period: int = 1) -> None:
+    def __init__(self, cfg: StreamConfig, intra_period: int = 1,
+                 vps_period: int = 0) -> None:
+        """vps_period: re-send VPS/SPS/PPS every N IDR pictures (0 = only
+        once) so late joiners can resume decode — the reference's videoVPS
+        setting (kvazaarfilter.cpp:221)."""
         if cfg.width % cfg.ctb_size or cfg.height % cfg.ctb_size:
             raise ValueError("v1 requires CTB-aligned dimensions (pad input)")
         if cfg.sao_enabled and not cfg.wpp:
@@ -72,9 +76,26 @@ class Encoder:
                 raise ValueError("more slices than CTB rows")
         self.cfg = cfg
         self.intra_period = max(1, intra_period)
+        self.vps_period = vps_period
+        self._idr_count = 0
         self._frame_count = 0
         self._poc = 0
         self._ref = None  # DPB: one (y, u, v) uint8 tuple (post-loop-filter)
+
+    # ---- checkpoint/resume (SURVEY §5: encoder state snapshot = DPB +
+    # chain counters; CABAC state is per-slice and never crosses frames)
+    def snapshot(self) -> dict:
+        ref = None
+        if self._ref is not None:
+            ref = tuple(np.asarray(p) for p in self._ref)
+        return {"frame_count": self._frame_count, "poc": self._poc,
+                "idr_count": self._idr_count, "ref": ref}
+
+    def restore(self, snap: dict) -> None:
+        self._frame_count = snap["frame_count"]
+        self._poc = snap["poc"]
+        self._idr_count = snap.get("idr_count", 0)
+        self._ref = snap["ref"]
 
     def headers(self) -> bytes:
         cfg = self.cfg
@@ -106,6 +127,8 @@ class Encoder:
             flat_map = np.clip(np.asarray(qp_map, np.int32).reshape(-1), 0, 51)
         dev_qp = jnp.asarray(flat_map) if flat_map is not None else qp
         is_idr = self._frame_count % self.intra_period == 0 or self._ref is None
+        if is_idr:
+            self._idr_count += 1
 
         # ---- device encode
         if cfg.min_cb_log2 == 3:
@@ -213,7 +236,9 @@ class Encoder:
             ru = sao_apply(ru, t_c, aux_cb, off_cb, ctb=cfg.ctb_size // 2)
             rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
 
-        first = self._frame_count == 0
+        first = self._frame_count == 0 or (
+            is_idr and self.vps_period and (self._idr_count - 1) % self.vps_period == 0
+        )
         self._frame_count += 1
         if is_idr:
             self._poc = 0

@@ -68,3 +68,41 @@ def test_reinvite_rebuilds_media():
     alice.end_call(sess)
     _pump(alice, bob, wires)
     assert not alice.sessions and not bob.sessions
+
+
+def test_encoder_snapshot_resume():
+    """Checkpoint/resume (SURVEY §5): a restored encoder continues the P
+    chain byte-identically."""
+    from kvazzup_tpu.encoder.top import Encoder
+    from kvazzup_tpu.io.yuv import synthetic_frames
+
+    w, h = 96, 64
+    frames = synthetic_frames(w, h, 4, seed=4)
+    enc = Encoder(StreamConfig(width=w, height=h, qp=32), intra_period=4)
+    for f in frames[:3]:
+        enc.encode_frame(*f)
+    snap = enc.snapshot()
+    want = enc.encode_frame(*frames[3])[0]
+    enc2 = Encoder(StreamConfig(width=w, height=h, qp=32), intra_period=4)
+    enc2.restore(snap)
+    assert enc2.encode_frame(*frames[3])[0] == want
+
+
+def test_vps_resend_period():
+    """Parameter sets re-sent every N IDRs (videoVPS parity) so late
+    joiners can start decoding mid-stream."""
+    from kvazzup_tpu.decoder.top import Decoder
+    from kvazzup_tpu.encoder.top import Encoder
+    from kvazzup_tpu.io.yuv import synthetic_frames
+
+    w, h = 96, 64
+    frames = synthetic_frames(w, h, 6, seed=4)
+    enc = Encoder(StreamConfig(width=w, height=h, qp=32), intra_period=2,
+                  vps_period=2)
+    streams = [enc.encode_frame(*f)[0] for f in frames]
+    has_vps = [s.startswith(b"\x00\x00\x00\x01\x40") for s in streams]
+    assert has_vps == [True, False, False, False, True, False]
+    # a late joiner picking up at the re-sent parameter sets can decode
+    late = b"".join(streams[4:])
+    got = Decoder().decode(late)
+    assert len(got) >= 1
