@@ -27,6 +27,23 @@ from ..ops.transforms import inv_transform
 from .generic_intra import GenericIntraDecoder
 
 
+def _scale_mv_np(mv, tb: int, td: int):
+    """Temporal MV scaling (8.5.3.2.9) in exact integer arithmetic."""
+    tb = max(-128, min(127, tb))
+    td = max(-128, min(127, td))
+    abs_td = abs(td)
+    tx = (16384 + (abs_td >> 1)) // max(abs_td, 1)
+    if td < 0:
+        tx = -tx
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+    out = []
+    for v in mv:
+        prod = dsf * v
+        sign = -1 if prod < 0 else 1
+        out.append(max(-32768, min(32767, sign * ((abs(prod) + 127) >> 8))))
+    return tuple(out)
+
+
 def _mc_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
            mvx: int, mvy: int, luma: bool) -> np.ndarray:
     """Exact MC for one block: per-sample coordinate clipping (8.5.4.2.2),
@@ -63,10 +80,13 @@ class GenericInterDecoder(GenericIntraDecoder):
     """Adds P-slice decoding over the intra engine.  `refs` is the list of
     reference pictures (y, u, v) uint8 in RefPicList0 order."""
 
-    def __init__(self, sps, pps, sh, refs):
+    def __init__(self, sps, pps, sh, refs, col=None):
+        """col: optional TMVP source = (inter4, mv4, col_poc, col_ref_poc,
+        cur_poc, cur_ref_poc) from the collocated (previous) picture."""
         super().__init__(sps, pps, sh.qp)
         self.refs = refs
         self.max_merge = getattr(sh, "max_num_merge_cand", 5) or 5
+        self.col = col if getattr(sh, "temporal_mvp", False) else None
         # inter state maps at 4x4 cells
         h4, w4 = self.h // 4, self.w // 4
         self.inter4 = np.zeros((h4, w4), np.int32)  # 1 = inter-coded cell
@@ -138,9 +158,43 @@ class GenericInterDecoder(GenericIntraDecoder):
             b2 = self._nb_mv(x0 - 1, y0 - 1)
             if b2 is not None and b2 != a1 and b2 != b1:
                 cands.append(b2)
+        t = self._tmvp(x0, y0, n)
+        if t is not None:
+            cands.append(t)  # temporal candidate: appended, never pruned
         while len(cands) < self.max_merge:
             cands.append((0, 0))
         return cands[: self.max_merge]
+
+    def _tmvp(self, x0, y0, n):
+        """Temporal MV candidate (8.5.3.2.8): bottom-right col position if
+        inside the picture and the same CTB row, else the center; sampled
+        at the 16x16 compression grid; scaled by POC distances."""
+        if self.col is None:
+            return None
+        c_inter4, c_mv4, col_poc, col_ref_poc, cur_poc, cur_ref_poc = self.col
+        cl = 1 << self.ctb_log2
+
+        def probe(x, y):
+            if x >= self.w or y >= self.h:
+                return None
+            xg, yg = (x >> 4) << 4, (y >> 4) << 4
+            if not c_inter4[yg >> 2, xg >> 2]:
+                return None
+            return tuple(int(v) for v in c_mv4[yg >> 2, xg >> 2])
+
+        mv = None
+        xbr, ybr = x0 + n, y0 + n
+        if (ybr >> self.ctb_log2) == (y0 >> self.ctb_log2):
+            mv = probe(xbr, ybr)
+        if mv is None:
+            mv = probe(x0 + (n >> 1), y0 + (n >> 1))
+        if mv is None:
+            return None
+        tb = cur_poc - cur_ref_poc
+        td = col_poc - col_ref_poc
+        if tb == td:
+            return mv
+        return _scale_mv_np(mv, tb, td)
 
     def _inter_pu_merge(self, dec, x0, y0, n, skip: bool) -> None:
         idx = 0
@@ -175,6 +229,10 @@ class GenericInterDecoder(GenericIntraDecoder):
             cands.append(a)
         if b is not None and b != a:
             cands.append(b)
+        if len(cands) < 2:
+            t = self._tmvp(x0, y0, n)
+            if t is not None:
+                cands.append(t)
         while len(cands) < 2:
             cands.append((0, 0))
         return cands[0], cands[1]

@@ -149,7 +149,11 @@ class Decoder:
             if ref is None:
                 raise ValueError("P slice without reference picture")
             refs = [tuple(np.asarray(p, np.int32) for p in ref)]
-            gd = GenericInterDecoder(sps, pps, sh, refs)
+            col = None
+            mt = getattr(self, "_motion", {}).get(ref_poc)
+            if mt is not None:
+                col = (mt[0], mt[1], ref_poc, mt[2], sh.pic_order_cnt_lsb, ref_poc)
+            gd = GenericInterDecoder(sps, pps, sh, refs, col=col)
             init_type = 1
         else:
             gd = GenericIntraDecoder(sps, pps, sh.qp)
@@ -219,6 +223,17 @@ class Decoder:
         frame = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = frame
         self._dpb[sh.pic_order_cnt_lsb] = frame
+        # retain the motion field for TMVP from pictures that follow
+        if not hasattr(self, "_motion"):
+            self._motion = {}
+        if sh.slice_type == 1:
+            negs, _p, _u = sh.rps
+            ref_poc = sh.pic_order_cnt_lsb + (negs[0] if negs else -1)
+            self._motion[sh.pic_order_cnt_lsb] = (gd.inter4.copy(), gd.mv4.copy(), ref_poc)
+        else:
+            self._motion[sh.pic_order_cnt_lsb] = (
+                np.zeros((sps.height // 4, sps.width // 4), np.int32),
+                np.zeros((sps.height // 4, sps.width // 4, 2), np.int32), 0)
         return (self._period, sh.pic_order_cnt_lsb), frame
 
     def _decode_picture(self, nal):

@@ -122,6 +122,7 @@ INTER_CORE = ("min-cu-size=8:keyint=64:bframes=0:ref=1:no-rect=1:no-amp=1:"
               "no-strong-intra-smoothing=1:tu-intra-depth=1:no-tskip=1:no-wpp=1:"
               "frame-threads=1:no-info=1:rd=2:no-scenecut=1:repeat-headers=1:"
               "no-temporal-mvp=1:rc-lookahead=0:no-cutree=1:no-open-gop=1:weightp=0")
+INTER_TMVP = INTER_CORE.replace("no-temporal-mvp=1:", "")
 
 
 @pytest.mark.parametrize("tag,params", [
@@ -129,6 +130,8 @@ INTER_CORE = ("min-cu-size=8:keyint=64:bframes=0:ref=1:no-rect=1:no-amp=1:"
     ("p-mm5-tutree", "ctu=16:max-merge=5:tu-inter-depth=2:no-sao=1:no-signhide=1:aq-mode=0"),
     ("p-full", "ctu=16:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=2"),
     ("p-ctu64", "ctu=64:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=0"),
+    ("p-tmvp", "TMVP:ctu=16:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=2"),
+    ("p-tmvp-ctu64", "TMVP:ctu=64:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=0"),
 ])
 def test_decode_x265_inter(tmp_path, tag, params):
     """Alien P slices (generic_inter.py): spatial merge with pruning,
@@ -149,9 +152,12 @@ def test_decode_x265_inter(tmp_path, tag, params):
     write_yuv420(str(src), frames)
     out = tmp_path / "out.265"
     gold_p = tmp_path / "gold.yuv"
+    core = INTER_CORE
+    if params.startswith("TMVP:"):
+        core, params = INTER_TMVP, params[5:]
     r = subprocess.run(
         [tool, "encode", str(src), f"{w}x{h}", "30", str(out),
-         INTER_CORE + ":" + params],
+         core + ":" + params],
         capture_output=True, text=True,
     )
     if r.returncode != 0 or not out.exists():
