@@ -77,20 +77,25 @@ def _mc_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
 
 
 class GenericInterDecoder(GenericIntraDecoder):
-    """Adds P-slice decoding over the intra engine.  `refs` is the list of
-    reference pictures (y, u, v) uint8 in RefPicList0 order."""
+    """Adds P-slice decoding over the intra engine.
 
-    def __init__(self, sps, pps, sh, refs, col=None):
-        """col: optional TMVP source = (inter4, mv4, col_poc, col_ref_poc,
-        cur_poc, cur_ref_poc) from the collocated (previous) picture."""
+    refs: RefPicList0 as [((y, u, v) int32 planes, poc), ...];
+    col: optional TMVP source = (inter4, mv4, refpoc4, col_poc) from the
+    collocated picture; cur_poc: this picture's POC."""
+
+    def __init__(self, sps, pps, sh, refs, col=None, cur_poc=0):
         super().__init__(sps, pps, sh.qp)
         self.refs = refs
+        self.cur_poc = cur_poc
+        self.nref = len(refs)
         self.max_merge = getattr(sh, "max_num_merge_cand", 5) or 5
         self.col = col if getattr(sh, "temporal_mvp", False) else None
         # inter state maps at 4x4 cells
         h4, w4 = self.h // 4, self.w // 4
         self.inter4 = np.zeros((h4, w4), np.int32)  # 1 = inter-coded cell
         self.mv4 = np.zeros((h4, w4, 2), np.int32)
+        self.ref4 = np.zeros((h4, w4), np.int32)  # ref_idx per cell
+        self.refpoc4 = np.zeros((h4, w4), np.int32)  # its ref picture POC
         self.skip4 = np.zeros((h4, w4), np.int32)
         self.cbf4 = np.zeros((h4, w4), np.int32)  # luma TU cbf (for bS 1)
 
@@ -119,24 +124,40 @@ class GenericInterDecoder(GenericIntraDecoder):
         if dec.decode_bin(OFFSETS["merge_flag"]):
             self._inter_pu_merge(dec, x0, y0, n, skip=False)
         else:
+            ridx = self._decode_ref_idx(dec)
             mvd = _decode_mvd(dec)
-            mvp0, mvp1 = self._amvp(x0, y0, n)
+            mvp0, mvp1 = self._amvp(x0, y0, n, ridx)
             use1 = dec.decode_bin(OFFSETS["mvp_flag"])
             mvp = mvp1 if use1 else mvp0
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-            self._commit_inter(x0, y0, n, mv, skip=False)
+            self._commit_inter(x0, y0, n, mv, ridx, skip=False)
             self._inter_residual(dec, x0, y0, log2, root_cbf_coded=True)
+
+    def _decode_ref_idx(self, dec) -> int:
+        """ref_idx_l0 TR coding (9.3.3.x): two context bins then bypass."""
+        if self.nref <= 1:
+            return 0
+        if not dec.decode_bin(OFFSETS["ref_idx"]):
+            return 0
+        idx = 1
+        if self.nref > 2:
+            if dec.decode_bin(OFFSETS["ref_idx"] + 1):
+                idx = 2
+                while idx < self.nref - 1 and dec.decode_bypass():
+                    idx += 1
+        return idx
 
     # ------------------------------------------------------------- motion
     def _nb_mv(self, x, y):
-        """(available-and-inter, mv) at sample position (x, y)."""
+        """((mvx, mvy), ref_idx) at sample position (x, y), or None."""
         if x < 0 or y < 0 or x >= self.w or y >= self.h:
             return None
         if self._zaddr(x, y, False) >= self._zaddr(self._cur_x, self._cur_y, False):
             return None
         if not self.inter4[y >> 2, x >> 2]:
             return None
-        return tuple(int(v) for v in self.mv4[y >> 2, x >> 2])
+        return (tuple(int(v) for v in self.mv4[y >> 2, x >> 2]),
+                int(self.ref4[y >> 2, x >> 2]))
 
     def _merge_list(self, x0, y0, n):
         """Spatial merge candidates with spec pruning (8.5.3.2.3)."""
@@ -158,21 +179,23 @@ class GenericInterDecoder(GenericIntraDecoder):
             b2 = self._nb_mv(x0 - 1, y0 - 1)
             if b2 is not None and b2 != a1 and b2 != b1:
                 cands.append(b2)
-        t = self._tmvp(x0, y0, n)
+        t = self._tmvp(x0, y0, n, 0)
         if t is not None:
-            cands.append(t)  # temporal candidate: appended, never pruned
+            cands.append((t, 0))  # temporal candidate: appended, never pruned
+        # zero candidates cycle through the reference indices (8.5.3.2.4)
+        zr = 0
         while len(cands) < self.max_merge:
-            cands.append((0, 0))
+            cands.append(((0, 0), min(zr, self.nref - 1)))
+            zr += 1
         return cands[: self.max_merge]
 
-    def _tmvp(self, x0, y0, n):
+    def _tmvp(self, x0, y0, n, target_ref):
         """Temporal MV candidate (8.5.3.2.8): bottom-right col position if
         inside the picture and the same CTB row, else the center; sampled
         at the 16x16 compression grid; scaled by POC distances."""
         if self.col is None:
             return None
-        c_inter4, c_mv4, col_poc, col_ref_poc, cur_poc, cur_ref_poc = self.col
-        cl = 1 << self.ctb_log2
+        c_inter4, c_mv4, c_refpoc4, col_poc = self.col
 
         def probe(x, y):
             if x >= self.w or y >= self.h:
@@ -180,17 +203,19 @@ class GenericInterDecoder(GenericIntraDecoder):
             xg, yg = (x >> 4) << 4, (y >> 4) << 4
             if not c_inter4[yg >> 2, xg >> 2]:
                 return None
-            return tuple(int(v) for v in c_mv4[yg >> 2, xg >> 2])
+            return (tuple(int(v) for v in c_mv4[yg >> 2, xg >> 2]),
+                    int(c_refpoc4[yg >> 2, xg >> 2]))
 
-        mv = None
+        got = None
         xbr, ybr = x0 + n, y0 + n
         if (ybr >> self.ctb_log2) == (y0 >> self.ctb_log2):
-            mv = probe(xbr, ybr)
-        if mv is None:
-            mv = probe(x0 + (n >> 1), y0 + (n >> 1))
-        if mv is None:
+            got = probe(xbr, ybr)
+        if got is None:
+            got = probe(x0 + (n >> 1), y0 + (n >> 1))
+        if got is None:
             return None
-        tb = cur_poc - cur_ref_poc
+        mv, col_ref_poc = got
+        tb = self.cur_poc - self.refs[target_ref][1]
         td = col_poc - col_ref_poc
         if tb == td:
             return mv
@@ -204,41 +229,68 @@ class GenericInterDecoder(GenericIntraDecoder):
                 idx = 1
                 while idx < self.max_merge - 1 and dec.decode_bypass():
                     idx += 1
-        mv = self._merge_list(x0, y0, n)[idx]
-        self._commit_inter(x0, y0, n, mv, skip)
+        mv, ridx = self._merge_list(x0, y0, n)[idx]
+        self._commit_inter(x0, y0, n, mv, ridx, skip)
         if not skip:
             # 2Nx2N merge: rqt_root_cbf is inferred 1 (7.3.8.5)
             self._inter_residual(dec, x0, y0, n.bit_length() - 1, root_cbf_coded=False)
 
-    def _amvp(self, x0, y0, n):
-        """AMVP (8.5.3.2.6), single same-ref list: A from A0/A1, B from
-        B0/B1/B2, dedupe, zero-fill."""
+    def _amvp(self, x0, y0, n, target_ref):
+        """AMVP (8.5.3.2.7): same-ref pass then POC-scaled pass per side,
+        with the B->A promotion when no left neighbor is inter."""
         self._cur_x, self._cur_y = x0, y0
-        a = None
-        for pos in ((x0 - 1, y0 + n), (x0 - 1, y0 + n - 1)):
-            a = self._nb_mv(*pos)
-            if a is not None:
-                break
-        b = None
-        for pos in ((x0 + n, y0 - 1), (x0 + n - 1, y0 - 1), (x0 - 1, y0 - 1)):
-            b = self._nb_mv(*pos)
-            if b is not None:
-                break
+        tpoc = self.refs[target_ref][1]
+        a_pos = ((x0 - 1, y0 + n), (x0 - 1, y0 + n - 1))
+        b_pos = ((x0 + n, y0 - 1), (x0 + n - 1, y0 - 1), (x0 - 1, y0 - 1))
+
+        def ref_poc(r):
+            return self.refs[r][1]
+
+        def same_ref_pass(positions):
+            for pos in positions:
+                nb = self._nb_mv(*pos)
+                if nb is not None and ref_poc(nb[1]) == tpoc:
+                    return nb[0]
+            return None
+
+        def scaled_pass(positions):
+            for pos in positions:
+                nb = self._nb_mv(*pos)
+                if nb is not None:
+                    mv, r = nb
+                    if ref_poc(r) == tpoc:
+                        return mv
+                    return _scale_mv_np(
+                        mv, self.cur_poc - tpoc, self.cur_poc - ref_poc(r)
+                    )
+            return None
+
+        is_scaled = any(self._nb_mv(*p) is not None for p in a_pos)
+        a = same_ref_pass(a_pos)
+        if a is None and is_scaled:
+            a = scaled_pass(a_pos)
+        b = same_ref_pass(b_pos)
+        if not is_scaled:
+            # promotion (8.5.3.2.7): B's no-scale result becomes A, and B is
+            # re-derived with scaling allowed
+            if a is None:
+                a = b
+            b = scaled_pass(b_pos)
         cands = []
         if a is not None:
             cands.append(a)
         if b is not None and b != a:
             cands.append(b)
         if len(cands) < 2:
-            t = self._tmvp(x0, y0, n)
+            t = self._tmvp(x0, y0, n, target_ref)
             if t is not None:
                 cands.append(t)
         while len(cands) < 2:
             cands.append((0, 0))
         return cands[0], cands[1]
 
-    def _commit_inter(self, x0, y0, n, mv, skip: bool) -> None:
-        ry, ru, rv = self.refs[0]
+    def _commit_inter(self, x0, y0, n, mv, ridx, skip: bool) -> None:
+        (ry, ru, rv), rpoc = self.refs[ridx]
         self.y[y0 : y0 + n, x0 : x0 + n] = _mc_np(ry, x0, y0, n, n, mv[0], mv[1], True)
         xc, yc, nc = x0 >> 1, y0 >> 1, n >> 1
         self.u[yc : yc + nc, xc : xc + nc] = _mc_np(ru, xc, yc, nc, nc, mv[0], mv[1], False)
@@ -246,6 +298,8 @@ class GenericInterDecoder(GenericIntraDecoder):
         s = slice(y0 >> 2, (y0 + n) >> 2), slice(x0 >> 2, (x0 + n) >> 2)
         self.inter4[s] = 1
         self.mv4[s] = mv
+        self.ref4[s] = ridx
+        self.refpoc4[s] = rpoc
         self.skip4[s] = 1 if skip else 0
         self.mode4[s] = 1  # inter cells contribute DC to intra MPM (8.4.2)
 
@@ -324,7 +378,8 @@ class GenericInterDecoder(GenericIntraDecoder):
             on = np.repeat(self.edge_v[:, e], 2)
             p_i, q_i = intra4[:, c4 - 1], intra4[:, c4]
             mvdiff = np.any(np.abs(self.mv4[:, c4 - 1] - self.mv4[:, c4]) >= 4, axis=-1)
-            one = (self.cbf4[:, c4 - 1] | self.cbf4[:, c4] | mvdiff) > 0
+            refdiff = self.refpoc4[:, c4 - 1] != self.refpoc4[:, c4]
+            one = (self.cbf4[:, c4 - 1] | self.cbf4[:, c4] | mvdiff | refdiff) > 0
             bs_v[e - 1] = np.where(on, np.where(p_i | q_i, 2, one.astype(int)), 0)
         bs_h = np.zeros((h8 - 1, 2 * w8), np.int32)
         for e in range(1, h8):
@@ -332,6 +387,7 @@ class GenericInterDecoder(GenericIntraDecoder):
             on = np.repeat(self.edge_h[e, :], 2)
             p_i, q_i = intra4[r4 - 1, :], intra4[r4, :]
             mvdiff = np.any(np.abs(self.mv4[r4 - 1] - self.mv4[r4]) >= 4, axis=-1)
-            one = (self.cbf4[r4 - 1] | self.cbf4[r4] | mvdiff) > 0
+            refdiff = self.refpoc4[r4 - 1] != self.refpoc4[r4]
+            one = (self.cbf4[r4 - 1] | self.cbf4[r4] | mvdiff | refdiff) > 0
             bs_h[e - 1] = np.where(on, np.where(p_i | q_i, 2, one.astype(int)), 0)
         return bs_v, bs_h

@@ -143,17 +143,30 @@ class Decoder:
         if sh.slice_type == 1:
             from .generic_inter import GenericInterDecoder
 
-            negs, _poss, _u = sh.rps
-            ref_poc = sh.pic_order_cnt_lsb + (negs[0] if negs else -1)
-            ref = self._dpb.get(ref_poc, self._ref)
-            if ref is None:
+            negs, _poss, used = sh.rps
+            cur_poc = sh.pic_order_cnt_lsb
+            nref = max(1, getattr(sh, "num_ref_idx_l0", 1))
+            refs = []
+            for j, d in enumerate(negs or [-1]):
+                if used and j < len(used) and not used[j]:
+                    continue
+                poc = cur_poc + d
+                pic = self._dpb.get(poc, self._ref)
+                if pic is None:
+                    continue
+                refs.append((tuple(np.asarray(p, np.int32) for p in pic), poc))
+                if len(refs) == nref:
+                    break
+            if not refs:
                 raise ValueError("P slice without reference picture")
-            refs = [tuple(np.asarray(p, np.int32) for p in ref)]
+            while len(refs) < nref:  # list wraps when RPS is shorter
+                refs.append(refs[-1])
             col = None
-            mt = getattr(self, "_motion", {}).get(ref_poc)
+            col_poc = refs[0][1]
+            mt = getattr(self, "_motion", {}).get(col_poc)
             if mt is not None:
-                col = (mt[0], mt[1], ref_poc, mt[2], sh.pic_order_cnt_lsb, ref_poc)
-            gd = GenericInterDecoder(sps, pps, sh, refs, col=col)
+                col = (mt[0], mt[1], mt[2], col_poc)
+            gd = GenericInterDecoder(sps, pps, sh, refs, col=col, cur_poc=cur_poc)
             init_type = 1
         else:
             gd = GenericIntraDecoder(sps, pps, sh.qp)
@@ -227,13 +240,13 @@ class Decoder:
         if not hasattr(self, "_motion"):
             self._motion = {}
         if sh.slice_type == 1:
-            negs, _p, _u = sh.rps
-            ref_poc = sh.pic_order_cnt_lsb + (negs[0] if negs else -1)
-            self._motion[sh.pic_order_cnt_lsb] = (gd.inter4.copy(), gd.mv4.copy(), ref_poc)
+            self._motion[sh.pic_order_cnt_lsb] = (
+                gd.inter4.copy(), gd.mv4.copy(), gd.refpoc4.copy())
         else:
             self._motion[sh.pic_order_cnt_lsb] = (
                 np.zeros((sps.height // 4, sps.width // 4), np.int32),
-                np.zeros((sps.height // 4, sps.width // 4, 2), np.int32), 0)
+                np.zeros((sps.height // 4, sps.width // 4, 2), np.int32),
+                np.zeros((sps.height // 4, sps.width // 4), np.int32))
         return (self._period, sh.pic_order_cnt_lsb), frame
 
     def _decode_picture(self, nal):

@@ -132,6 +132,8 @@ INTER_TMVP = INTER_CORE.replace("no-temporal-mvp=1:", "")
     ("p-ctu64", "ctu=64:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=0"),
     ("p-tmvp", "TMVP:ctu=16:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=2"),
     ("p-tmvp-ctu64", "TMVP:ctu=64:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=0"),
+    ("p-ref3", "TMVP:ctu=16:ref=3:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=2"),
+    ("p-ref3-ctu64", "TMVP:ctu=64:ref=3:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=0"),
 ])
 def test_decode_x265_inter(tmp_path, tag, params):
     """Alien P slices (generic_inter.py): spatial merge with pruning,
@@ -155,6 +157,8 @@ def test_decode_x265_inter(tmp_path, tag, params):
     core = INTER_CORE
     if params.startswith("TMVP:"):
         core, params = INTER_TMVP, params[5:]
+    if "ref=" in params:
+        core = core.replace("ref=1:", "")
     r = subprocess.run(
         [tool, "encode", str(src), f"{w}x{h}", "30", str(out),
          core + ":" + params],
