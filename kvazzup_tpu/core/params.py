@@ -538,7 +538,41 @@ class ParsedSliceHeader:
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
     entry_points: list = field(default_factory=list)
+    weights: dict | None = None  # pred_weight_table (7.3.6.3), parsed
     data_offset_bits: int = 0  # bit offset of slice data within RBSP
+
+
+def _parse_pred_weight_table(r: BitReader, sh) -> dict:
+    """pred_weight_table (7.3.6.3) for L0 (P slices; L1 unsupported).
+
+    Returns dict(luma_denom, chroma_denom, luma: [(w, o)]*nref,
+    chroma: [((wcb, ocb), (wcr, ocr))]*nref) with spec weight/offset
+    derivation applied."""
+    ld = r.ue()  # luma_log2_weight_denom
+    cd = ld + r.se()  # + delta_chroma_log2_weight_denom
+    nref = sh.num_ref_idx_l0
+    lflags = [r.flag() for _ in range(nref)]
+    cflags = [r.flag() for _ in range(nref)]
+    luma = []
+    chroma = []
+    for i in range(nref):
+        if lflags[i]:
+            w = (1 << ld) + r.se()
+            o = r.se()
+        else:
+            w, o = 1 << ld, 0
+        luma.append((w, o))
+        if cflags[i]:
+            pair = []
+            for _ in range(2):
+                cw = (1 << cd) + r.se()
+                doff = r.se()
+                co = max(-128, min(127, doff - (((128 * cw) >> cd) - 128)))
+                pair.append((cw, co))
+            chroma.append(tuple(pair))
+        else:
+            chroma.append((((1 << cd), 0), ((1 << cd), 0)))
+    return {"luma_denom": ld, "chroma_denom": cd, "luma": luma, "chroma": chroma}
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPps) -> ParsedSliceHeader:
@@ -588,8 +622,10 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
             nref = sh.num_ref_idx_l0 if sh.collocated_from_l0 else sh.num_ref_idx_l1
             if nref > 1:
                 r.ue()  # collocated_ref_idx
-        if pps.weighted_pred or pps.weighted_bipred:
-            raise NotImplementedError("weighted prediction not supported")
+        if (pps.weighted_pred and sh.slice_type == 1) or (
+            pps.weighted_bipred and sh.slice_type == 0
+        ):
+            sh.weights = _parse_pred_weight_table(r, sh)
         sh.max_num_merge_cand = 5 - r.ue()
     sh.qp = pps.init_qp + r.se()
     if pps.slice_chroma_qp_offsets:

@@ -45,7 +45,7 @@ def _scale_mv_np(mv, tb: int, td: int):
 
 
 def _mc_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
-           mvx: int, mvy: int, luma: bool) -> np.ndarray:
+           mvx: int, mvy: int, luma: bool, weight=None) -> np.ndarray:
     """Exact MC for one block: per-sample coordinate clipping (8.5.4.2.2),
     two-stage DCT-IF, uni-pred rounding.  mv in luma quarter-pel units."""
     H, W = ref.shape
@@ -72,8 +72,15 @@ def _mc_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
     out = np.zeros((h, w), np.int64)
     for k in range(ntap):
         out += taps_v[k] * tmp[k : k + h, :]
-    out >>= 6
-    return np.clip((out + 32) >> 6, 0, 255).astype(np.int32)
+    out >>= 6  # 14-bit intermediate domain (shift2; shift1 = 0 at 8 bit)
+    if weight is None:
+        return np.clip((out + 32) >> 6, 0, 255).astype(np.int32)
+    # explicit weighted uni-prediction (8.5.3.3.4.3): operands in the
+    # 14-bit domain, log2Wd = denom + (14 - bitDepth)
+    wgt, off, denom = weight
+    log2wd = denom + 6
+    val = ((out * wgt + (1 << (log2wd - 1))) >> log2wd) + off
+    return np.clip(val, 0, 255).astype(np.int32)
 
 
 class GenericInterDecoder(GenericIntraDecoder):
@@ -86,6 +93,7 @@ class GenericInterDecoder(GenericIntraDecoder):
     def __init__(self, sps, pps, sh, refs, col=None, cur_poc=0):
         super().__init__(sps, pps, sh.qp)
         self.refs = refs
+        self.weights = getattr(sh, "weights", None)
         self.cur_poc = cur_poc
         self.nref = len(refs)
         self.max_merge = getattr(sh, "max_num_merge_cand", 5) or 5
@@ -291,10 +299,18 @@ class GenericInterDecoder(GenericIntraDecoder):
 
     def _commit_inter(self, x0, y0, n, mv, ridx, skip: bool) -> None:
         (ry, ru, rv), rpoc = self.refs[ridx]
-        self.y[y0 : y0 + n, x0 : x0 + n] = _mc_np(ry, x0, y0, n, n, mv[0], mv[1], True)
+        wl = wcb = wcr = None
+        if self.weights is not None:
+            ld, cd = self.weights["luma_denom"], self.weights["chroma_denom"]
+            lw, lo = self.weights["luma"][ridx]
+            (cbw, cbo), (crw, cro) = self.weights["chroma"][ridx]
+            wl = (lw, lo, ld)
+            wcb = (cbw, cbo, cd)
+            wcr = (crw, cro, cd)
+        self.y[y0 : y0 + n, x0 : x0 + n] = _mc_np(ry, x0, y0, n, n, mv[0], mv[1], True, wl)
         xc, yc, nc = x0 >> 1, y0 >> 1, n >> 1
-        self.u[yc : yc + nc, xc : xc + nc] = _mc_np(ru, xc, yc, nc, nc, mv[0], mv[1], False)
-        self.v[yc : yc + nc, xc : xc + nc] = _mc_np(rv, xc, yc, nc, nc, mv[0], mv[1], False)
+        self.u[yc : yc + nc, xc : xc + nc] = _mc_np(ru, xc, yc, nc, nc, mv[0], mv[1], False, wcb)
+        self.v[yc : yc + nc, xc : xc + nc] = _mc_np(rv, xc, yc, nc, nc, mv[0], mv[1], False, wcr)
         s = slice(y0 >> 2, (y0 + n) >> 2), slice(x0 >> 2, (x0 + n) >> 2)
         self.inter4[s] = 1
         self.mv4[s] = mv

@@ -179,3 +179,43 @@ def test_decode_x265_inter(tmp_path, tag, params):
                   c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
         for p in range(3):
             assert np.array_equal(planes[p], np.asarray(decoded[i][p])), (tag, i, p)
+
+
+def test_decode_x265_medium_preset_low_delay(tmp_path):
+    """THE headline claim: libx265 at its production default preset
+    (medium; only B frames disabled) — ctu 64, ref 3, TMVP, weighted
+    prediction, SAO, SDH, strong smoothing, aq-mode 2, deep quadtrees —
+    decodes byte-identically to libavcodec.  openHEVC replacement for
+    intra + low-delay-P streams."""
+    tool = _ensure_oracle()
+    w, h = 128, 64
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = []
+    for i in range(10):
+        fade = 1.0 - 0.05 * i
+        y = np.clip(np.roll(base[0], (i, 2 * i), axis=(0, 1)).astype(np.float32)
+                    * fade, 0, 255).astype(np.uint8)
+        frames.append((y, np.roll(base[1], i, axis=1), base[2]))
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold_p = tmp_path / "gold.yuv"
+    params = ("bframes=0:no-open-gop=1:repeat-headers=1:frame-threads=1:"
+              "no-info=1:no-scenecut=1:rc-lookahead=0:no-cutree=1")
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "30", str(out), params],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold_p)], capture_output=True)
+    gold = gold_p.read_bytes()
+    fsz = w * h * 3 // 2
+    nf = len(gold) // fsz
+    decoded = Decoder().decode(out.read_bytes())
+    assert len(decoded) == nf
+    for i in range(nf):
+        c = np.frombuffer(gold[i * fsz : (i + 1) * fsz], np.uint8)
+        planes = (c[: w * h].reshape(h, w),
+                  c[w * h : w * h + w * h // 4].reshape(h // 2, w // 2),
+                  c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
+        for p in range(3):
+            assert np.array_equal(planes[p], np.asarray(decoded[i][p])), (i, p)
