@@ -2,15 +2,16 @@
 
 Extends the any-CTB intra engine (generic_intra.py) with the P-slice CU
 toolset: cu_skip_flag, pred_mode, PART_2Nx2N inter PUs, spatial merge
-(8.5.3.2.3, pruned candidate list), AMVP (8.5.3.2.6), MVD (7.3.8.9),
+(8.5.3.2.3, pruned candidate list), AMVP (8.5.3.2.7), MVD (7.3.8.9),
 exact per-sample-clipped MC (8.5.4.2, the DCT-IF taps from ops/mc.py),
 rqt_root_cbf + inter transform trees, and inter bS derivation for
 deblocking (8.7.2.4).
 
-Current envelope (checked against libx265): one reference, spatial merge
-only (SPS temporal_mvp off), square partitions (no rect/AMP).  Decodes
-x265 `bframes=0 ref=1 max-merge=N no-rect no-amp no-temporal-mvp`
-streams bit-exactly; wider inter tool coverage is the round-2 track.
+Current envelope (checked against libx265): P slices with square AND
+rectangular (2NxN / Nx2N) partitions, up to 5 merge candidates, multiple
+references, temporal MVP, weighted prediction, inter TU trees, adaptive
+QP — i.e. beyond x265's default medium preset (which keeps rect off).
+Remaining for round 2: AMP partitions and B slices.
 """
 
 from __future__ import annotations
@@ -124,14 +125,21 @@ class GenericInterDecoder(GenericIntraDecoder):
             # intra CU in a P slice: inter neighbors contribute DC to MPM
             super()._coding_unit(dec, x0, y0, log2)
             return
-        # inter CU: part_mode (square-only envelope)
-        pm = dec.decode_bin(OFFSETS["part_mode"])
-        if pm != 1:
-            raise NotImplementedError("rect/AMP inter partitions (round 2)")
-        self._mark_edges(x0, y0, n)
-        if dec.decode_bin(OFFSETS["merge_flag"]):
-            self._inter_pu_merge(dec, x0, y0, n, skip=False)
+        # inter CU: part_mode (7.3.8.5; AMP suffix not in the envelope)
+        if dec.decode_bin(OFFSETS["part_mode"]):
+            part = "2Nx2N"
+        elif dec.decode_bin(OFFSETS["part_mode"] + 1):
+            part = "2NxN"
         else:
+            if getattr(self.sps, "amp_enabled", False) and log2 > self.min_cb_log2:
+                if not dec.decode_bin(OFFSETS["part_mode"] + 3):
+                    raise NotImplementedError("AMP partitions (round 2)")
+            part = "Nx2N"
+        self._mark_edges(x0, y0, n)
+        if part == "2Nx2N":
+            if dec.decode_bin(OFFSETS["merge_flag"]):
+                self._inter_pu_merge(dec, x0, y0, n, skip=False)
+                return
             ridx = self._decode_ref_idx(dec)
             mvd = _decode_mvd(dec)
             mvp0, mvp1 = self._amvp(x0, y0, n, ridx)
@@ -140,6 +148,33 @@ class GenericInterDecoder(GenericIntraDecoder):
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             self._commit_inter(x0, y0, n, mv, ridx, skip=False)
             self._inter_residual(dec, x0, y0, log2, root_cbf_coded=True)
+            return
+        # rect partitions: two PUs, each merge or AMVP
+        if part == "2NxN":
+            pus = [(x0, y0, n, n >> 1), (x0, y0 + (n >> 1), n, n >> 1)]
+            self._mark_edges(x0, y0 + (n >> 1), n)
+        else:
+            pus = [(x0, y0, n >> 1, n), (x0 + (n >> 1), y0, n >> 1, n)]
+            self._mark_edges(x0 + (n >> 1), y0, n)
+        for pi, (px, py, pw, ph) in enumerate(pus):
+            if dec.decode_bin(OFFSETS["merge_flag"]):
+                idx = 0
+                if self.max_merge > 1:
+                    if dec.decode_bin(OFFSETS["merge_idx"]):
+                        idx = 1
+                        while idx < self.max_merge - 1 and dec.decode_bypass():
+                            idx += 1
+                mv, ridx = self._merge_list(px, py, pw, ph, part, pi)[idx]
+            else:
+                ridx = self._decode_ref_idx(dec)
+                mvd = _decode_mvd(dec)
+                mvp0, mvp1 = self._amvp_rect(px, py, pw, ph, ridx)
+                use1 = dec.decode_bin(OFFSETS["mvp_flag"])
+                mvp = mvp1 if use1 else mvp0
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            self._commit_inter_rect(px, py, pw, ph, mv, ridx, skip=False)
+        self._inter_residual(dec, x0, y0, log2, root_cbf_coded=True,
+                             part_2nx2n=False)
 
     def _decode_ref_idx(self, dec) -> int:
         """ref_idx_l0 TR coding (9.3.3.x): two context bins then bypass."""
@@ -157,23 +192,36 @@ class GenericInterDecoder(GenericIntraDecoder):
 
     # ------------------------------------------------------------- motion
     def _nb_mv(self, x, y):
-        """((mvx, mvy), ref_idx) at sample position (x, y), or None."""
+        """((mvx, mvy), ref_idx) at sample position (x, y), or None.
+
+        Availability is commit order: inter4 is set exactly when a PU's
+        motion is decoded, which IS the spec decoding order — including
+        PU0 of the current CU being available to PU1's AMVP (the merge
+        derivation's extra partIdx-1 exclusions are applied by the
+        caller, 8.5.3.2.3)."""
         if x < 0 or y < 0 or x >= self.w or y >= self.h:
-            return None
-        if self._zaddr(x, y, False) >= self._zaddr(self._cur_x, self._cur_y, False):
             return None
         if not self.inter4[y >> 2, x >> 2]:
             return None
         return (tuple(int(v) for v in self.mv4[y >> 2, x >> 2]),
                 int(self.ref4[y >> 2, x >> 2]))
 
-    def _merge_list(self, x0, y0, n):
-        """Spatial merge candidates with spec pruning (8.5.3.2.3)."""
+    def _merge_list(self, x0, y0, nw, nh=None, part="2Nx2N", part_idx=0):
+        """Spatial merge candidates with spec pruning (8.5.3.2.3); the
+        second PU of a rect partition excludes the candidate inside its
+        own CU (A1 for Nx2N, B1 for 2NxN)."""
+        if nh is None:
+            nh = nw
+        n = nw  # TMVP uses the PU extent below
         self._cur_x, self._cur_y = x0, y0
-        a1 = self._nb_mv(x0 - 1, y0 + n - 1)
-        b1 = self._nb_mv(x0 + n - 1, y0 - 1)
-        b0 = self._nb_mv(x0 + n, y0 - 1)
-        a0 = self._nb_mv(x0 - 1, y0 + n)
+        a1 = self._nb_mv(x0 - 1, y0 + nh - 1)
+        b1 = self._nb_mv(x0 + nw - 1, y0 - 1)
+        b0 = self._nb_mv(x0 + nw, y0 - 1)
+        a0 = self._nb_mv(x0 - 1, y0 + nh)
+        if part_idx == 1 and part == "Nx2N":
+            a1 = None
+        if part_idx == 1 and part == "2NxN":
+            b1 = None
         cands = []
         if a1 is not None:
             cands.append(a1)
@@ -187,7 +235,7 @@ class GenericInterDecoder(GenericIntraDecoder):
             b2 = self._nb_mv(x0 - 1, y0 - 1)
             if b2 is not None and b2 != a1 and b2 != b1:
                 cands.append(b2)
-        t = self._tmvp(x0, y0, n, 0)
+        t = self._tmvp_pu(x0, y0, nw, nh, 0)
         if t is not None:
             cands.append((t, 0))  # temporal candidate: appended, never pruned
         # zero candidates cycle through the reference indices (8.5.3.2.4)
@@ -198,6 +246,9 @@ class GenericInterDecoder(GenericIntraDecoder):
         return cands[: self.max_merge]
 
     def _tmvp(self, x0, y0, n, target_ref):
+        return self._tmvp_pu(x0, y0, n, n, target_ref)
+
+    def _tmvp_pu(self, x0, y0, nw, nh, target_ref):
         """Temporal MV candidate (8.5.3.2.8): bottom-right col position if
         inside the picture and the same CTB row, else the center; sampled
         at the 16x16 compression grid; scaled by POC distances."""
@@ -215,11 +266,11 @@ class GenericInterDecoder(GenericIntraDecoder):
                     int(c_refpoc4[yg >> 2, xg >> 2]))
 
         got = None
-        xbr, ybr = x0 + n, y0 + n
+        xbr, ybr = x0 + nw, y0 + nh
         if (ybr >> self.ctb_log2) == (y0 >> self.ctb_log2):
             got = probe(xbr, ybr)
         if got is None:
-            got = probe(x0 + (n >> 1), y0 + (n >> 1))
+            got = probe(x0 + (nw >> 1), y0 + (nh >> 1))
         if got is None:
             return None
         mv, col_ref_poc = got
@@ -237,19 +288,23 @@ class GenericInterDecoder(GenericIntraDecoder):
                 idx = 1
                 while idx < self.max_merge - 1 and dec.decode_bypass():
                     idx += 1
-        mv, ridx = self._merge_list(x0, y0, n)[idx]
+        mv, ridx = self._merge_list(x0, y0, n, n, "2Nx2N", 0)[idx]
         self._commit_inter(x0, y0, n, mv, ridx, skip)
         if not skip:
             # 2Nx2N merge: rqt_root_cbf is inferred 1 (7.3.8.5)
             self._inter_residual(dec, x0, y0, n.bit_length() - 1, root_cbf_coded=False)
 
     def _amvp(self, x0, y0, n, target_ref):
+        return self._amvp_rect(x0, y0, n, n, target_ref)
+
+    def _amvp_rect(self, x0, y0, nw, nh, target_ref):
         """AMVP (8.5.3.2.7): same-ref pass then POC-scaled pass per side,
         with the B->A promotion when no left neighbor is inter."""
         self._cur_x, self._cur_y = x0, y0
+        n = nw
         tpoc = self.refs[target_ref][1]
-        a_pos = ((x0 - 1, y0 + n), (x0 - 1, y0 + n - 1))
-        b_pos = ((x0 + n, y0 - 1), (x0 + n - 1, y0 - 1), (x0 - 1, y0 - 1))
+        a_pos = ((x0 - 1, y0 + nh), (x0 - 1, y0 + nh - 1))
+        b_pos = ((x0 + nw, y0 - 1), (x0 + nw - 1, y0 - 1), (x0 - 1, y0 - 1))
 
         def ref_poc(r):
             return self.refs[r][1]
@@ -290,12 +345,35 @@ class GenericInterDecoder(GenericIntraDecoder):
         if b is not None and b != a:
             cands.append(b)
         if len(cands) < 2:
-            t = self._tmvp(x0, y0, n, target_ref)
+            t = self._tmvp_pu(x0, y0, nw, nh, target_ref)
             if t is not None:
                 cands.append(t)
         while len(cands) < 2:
             cands.append((0, 0))
         return cands[0], cands[1]
+
+    def _commit_inter_rect(self, x0, y0, nw, nh, mv, ridx, skip: bool) -> None:
+        (ry, ru, rv), rpoc = self.refs[ridx]
+        wl = wcb = wcr = None
+        if self.weights is not None:
+            ld, cd = self.weights["luma_denom"], self.weights["chroma_denom"]
+            lw, lo = self.weights["luma"][ridx]
+            (cbw, cbo), (crw, cro) = self.weights["chroma"][ridx]
+            wl = (lw, lo, ld)
+            wcb = (cbw, cbo, cd)
+            wcr = (crw, cro, cd)
+        self.y[y0 : y0 + nh, x0 : x0 + nw] = _mc_np(ry, x0, y0, nw, nh, mv[0], mv[1], True, wl)
+        xc, yc = x0 >> 1, y0 >> 1
+        wc, hc = nw >> 1, nh >> 1
+        self.u[yc : yc + hc, xc : xc + wc] = _mc_np(ru, xc, yc, wc, hc, mv[0], mv[1], False, wcb)
+        self.v[yc : yc + hc, xc : xc + wc] = _mc_np(rv, xc, yc, wc, hc, mv[0], mv[1], False, wcr)
+        s = slice(y0 >> 2, (y0 + nh) >> 2), slice(x0 >> 2, (x0 + nw) >> 2)
+        self.inter4[s] = 1
+        self.mv4[s] = mv
+        self.ref4[s] = ridx
+        self.refpoc4[s] = rpoc
+        self.skip4[s] = 1 if skip else 0
+        self.mode4[s] = 1
 
     def _commit_inter(self, x0, y0, n, mv, ridx, skip: bool) -> None:
         (ry, ru, rv), rpoc = self.refs[ridx]
@@ -320,17 +398,24 @@ class GenericInterDecoder(GenericIntraDecoder):
         self.mode4[s] = 1  # inter cells contribute DC to intra MPM (8.4.2)
 
     # ----------------------------------------------------------- residual
-    def _inter_residual(self, dec, x0, y0, log2, root_cbf_coded: bool) -> None:
+    def _inter_residual(self, dec, x0, y0, log2, root_cbf_coded: bool,
+                        part_2nx2n: bool = True) -> None:
         if root_cbf_coded and not dec.decode_bin(OFFSETS["rqt_root_cbf"]):
             return
-        self._inter_tt(dec, x0, y0, log2, 0, cbf_cb_parent=True, cbf_cr_parent=True)
+        self._inter_tt(dec, x0, y0, log2, 0, cbf_cb_parent=True,
+                       cbf_cr_parent=True, inter_split=not part_2nx2n)
 
-    def _inter_tt(self, dec, x0, y0, log2, depth, cbf_cb_parent, cbf_cr_parent) -> None:
-        max_depth = getattr(self.sps, "max_td_inter", 0)
-        if log2 <= self.max_tb_log2 and log2 > self.min_tb_log2 and depth < max_depth:
+    def _inter_tt(self, dec, x0, y0, log2, depth, cbf_cb_parent, cbf_cr_parent,
+                  inter_split=False) -> None:
+        # interSplitFlag (7.3.8.8): rect/AMP CUs with max_td_inter == 0
+        # force a TU split at depth 0
+        max_depth = getattr(self.sps, "max_td_inter", 0) + (1 if inter_split else 0)
+        forced = inter_split and depth == 0 and getattr(self.sps, "max_td_inter", 0) == 0
+        if log2 <= self.max_tb_log2 and log2 > self.min_tb_log2 \
+                and depth < max_depth and not forced:
             split = bool(dec.decode_bin(OFFSETS["split_transform_flag"] + 5 - log2))
         else:
-            split = log2 > self.max_tb_log2
+            split = log2 > self.max_tb_log2 or forced
         cbf_cb = cbf_cr = False
         if log2 > 2:
             if cbf_cb_parent:
@@ -342,7 +427,8 @@ class GenericInterDecoder(GenericIntraDecoder):
         if split:
             h = 1 << (log2 - 1)
             for j, (dy, dx) in enumerate(((0, 0), (0, h), (h, 0), (h, h))):
-                self._inter_tt(dec, x0 + dx, y0 + dy, log2 - 1, depth + 1, cbf_cb, cbf_cr)
+                self._inter_tt(dec, x0 + dx, y0 + dy, log2 - 1, depth + 1,
+                               cbf_cb, cbf_cr, inter_split)
                 if log2 - 1 == 2 and j == 3:
                     self._add_chroma_resid(dec, x0, y0, 2, cbf_cb, cbf_cr)
             return

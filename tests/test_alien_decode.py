@@ -134,6 +134,10 @@ INTER_TMVP = INTER_CORE.replace("no-temporal-mvp=1:", "")
     ("p-tmvp-ctu64", "TMVP:ctu=64:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=0"),
     ("p-ref3", "TMVP:ctu=16:ref=3:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=2"),
     ("p-ref3-ctu64", "TMVP:ctu=64:ref=3:max-merge=5:tu-inter-depth=2:sao=1:signhide=1:aq-mode=0"),
+    ("p-rect", "ctu=16:ref=1:rect=1:max-merge=5:tu-inter-depth=1:no-sao=1:"
+               "no-signhide=1:aq-mode=0:rd=3"),
+    ("p-rect-full", "TMVP:ctu=64:ref=3:rect=1:max-merge=5:tu-inter-depth=2:"
+                    "sao=1:signhide=1:aq-mode=2:rd=3"),
 ])
 def test_decode_x265_inter(tmp_path, tag, params):
     """Alien P slices (generic_inter.py): spatial merge with pruning,
@@ -159,6 +163,8 @@ def test_decode_x265_inter(tmp_path, tag, params):
         core, params = INTER_TMVP, params[5:]
     if "ref=" in params:
         core = core.replace("ref=1:", "")
+    if "rect=1" in params:
+        core = core.replace("no-rect=1:", "")
     r = subprocess.run(
         [tool, "encode", str(src), f"{w}x{h}", "30", str(out),
          core + ":" + params],
