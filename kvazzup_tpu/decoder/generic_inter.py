@@ -7,11 +7,12 @@ exact per-sample-clipped MC (8.5.4.2, the DCT-IF taps from ops/mc.py),
 rqt_root_cbf + inter transform trees, and inter bS derivation for
 deblocking (8.7.2.4).
 
-Current envelope (checked against libx265): P slices with square AND
-rectangular (2NxN / Nx2N) partitions, up to 5 merge candidates, multiple
-references, temporal MVP, weighted prediction, inter TU trees, adaptive
-QP — i.e. beyond x265's default medium preset (which keeps rect off).
-Remaining for round 2: AMP partitions and B slices.
+Current envelope (checked against libx265): P slices with the COMPLETE
+partition set (2Nx2N, 2NxN, Nx2N, and all four AMP shapes), up to 5
+merge candidates, multiple references, temporal MVP, weighted
+prediction, inter TU trees, adaptive QP — beyond x265's default medium
+preset and its slow presets' partition tools.  Remaining for round 2:
+B slices.
 """
 
 from __future__ import annotations
@@ -125,16 +126,21 @@ class GenericInterDecoder(GenericIntraDecoder):
             # intra CU in a P slice: inter neighbors contribute DC to MPM
             super()._coding_unit(dec, x0, y0, log2)
             return
-        # inter CU: part_mode (7.3.8.5; AMP suffix not in the envelope)
+        # inter CU: part_mode binarization (9.3.3.7 incl. the AMP suffix)
+        amp = getattr(self.sps, "amp_enabled", False) and log2 > self.min_cb_log2
         if dec.decode_bin(OFFSETS["part_mode"]):
             part = "2Nx2N"
-        elif dec.decode_bin(OFFSETS["part_mode"] + 1):
-            part = "2NxN"
         else:
-            if getattr(self.sps, "amp_enabled", False) and log2 > self.min_cb_log2:
-                if not dec.decode_bin(OFFSETS["part_mode"] + 3):
-                    raise NotImplementedError("AMP partitions (round 2)")
-            part = "Nx2N"
+            horiz = bool(dec.decode_bin(OFFSETS["part_mode"] + 1))
+            if amp:
+                if dec.decode_bin(OFFSETS["part_mode"] + 3):
+                    part = "2NxN" if horiz else "Nx2N"
+                elif dec.decode_bypass():
+                    part = "2NxnD" if horiz else "nRx2N"
+                else:
+                    part = "2NxnU" if horiz else "nLx2N"
+            else:
+                part = "2NxN" if horiz else "Nx2N"
         self._mark_edges(x0, y0, n)
         if part == "2Nx2N":
             if dec.decode_bin(OFFSETS["merge_flag"]):
@@ -149,13 +155,26 @@ class GenericInterDecoder(GenericIntraDecoder):
             self._commit_inter(x0, y0, n, mv, ridx, skip=False)
             self._inter_residual(dec, x0, y0, log2, root_cbf_coded=True)
             return
-        # rect partitions: two PUs, each merge or AMVP
-        if part == "2NxN":
-            pus = [(x0, y0, n, n >> 1), (x0, y0 + (n >> 1), n, n >> 1)]
-            self._mark_edges(x0, y0 + (n >> 1), n)
+        # rect / AMP partitions: two PUs, each merge or AMVP
+        q = n >> 2
+        geom = {
+            "2NxN": ((n, n >> 1), (0, n >> 1)),
+            "2NxnU": ((n, q), (0, q)),
+            "2NxnD": ((n, 3 * q), (0, 3 * q)),
+            "Nx2N": ((n >> 1, n), (n >> 1, 0)),
+            "nLx2N": ((q, n), (q, 0)),
+            "nRx2N": ((3 * q, n), (3 * q, 0)),
+        }
+        (w0, h0), (dx1, dy1) = geom[part]
+        pus = [(x0, y0, w0, h0),
+               (x0 + dx1, y0 + dy1, n - dx1 if dx1 else n, n - dy1 if dy1 else n)]
+        # the split edge (marked only when it lands on the 8-pel grid)
+        if dy1:
+            pus[1] = (x0, y0 + dy1, n, n - dy1)
+            self._mark_edges(x0, y0 + dy1, n)
         else:
-            pus = [(x0, y0, n >> 1, n), (x0 + (n >> 1), y0, n >> 1, n)]
-            self._mark_edges(x0 + (n >> 1), y0, n)
+            pus[1] = (x0 + dx1, y0, n - dx1, n)
+            self._mark_edges(x0 + dx1, y0, n)
         for pi, (px, py, pw, ph) in enumerate(pus):
             if dec.decode_bin(OFFSETS["merge_flag"]):
                 idx = 0
@@ -218,10 +237,10 @@ class GenericInterDecoder(GenericIntraDecoder):
         b1 = self._nb_mv(x0 + nw - 1, y0 - 1)
         b0 = self._nb_mv(x0 + nw, y0 - 1)
         a0 = self._nb_mv(x0 - 1, y0 + nh)
-        if part_idx == 1 and part == "Nx2N":
-            a1 = None
-        if part_idx == 1 and part == "2NxN":
-            b1 = None
+        if part_idx == 1 and part in ("Nx2N", "nLx2N", "nRx2N"):
+            a1 = None  # vertical splits: A1 lies in PU0 (8.5.3.2.3)
+        if part_idx == 1 and part in ("2NxN", "2NxnU", "2NxnD"):
+            b1 = None  # horizontal splits: B1 lies in PU0
         cands = []
         if a1 is not None:
             cands.append(a1)

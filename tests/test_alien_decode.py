@@ -138,6 +138,10 @@ INTER_TMVP = INTER_CORE.replace("no-temporal-mvp=1:", "")
                "no-signhide=1:aq-mode=0:rd=3"),
     ("p-rect-full", "TMVP:ctu=64:ref=3:rect=1:max-merge=5:tu-inter-depth=2:"
                     "sao=1:signhide=1:aq-mode=2:rd=3"),
+    ("p-amp", "ctu=16:ref=1:rect=1:amp=1:max-merge=5:tu-inter-depth=1:"
+              "no-sao=1:no-signhide=1:aq-mode=0:rd=5"),
+    ("p-amp-full", "TMVP:ctu=64:ref=3:rect=1:amp=1:max-merge=5:"
+                   "tu-inter-depth=2:sao=1:signhide=1:aq-mode=2:rd=5"),
 ])
 def test_decode_x265_inter(tmp_path, tag, params):
     """Alien P slices (generic_inter.py): spatial merge with pruning,
@@ -165,6 +169,8 @@ def test_decode_x265_inter(tmp_path, tag, params):
         core = core.replace("ref=1:", "")
     if "rect=1" in params:
         core = core.replace("no-rect=1:", "")
+    if "amp=1" in params:
+        core = core.replace("no-amp=1:", "")
     r = subprocess.run(
         [tool, "encode", str(src), f"{w}x{h}", "30", str(out),
          core + ":" + params],
