@@ -108,6 +108,48 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Stream inspector: NAL/SPS/PPS/slice summary (bitstream tooling
+    parity -- the reference relies on external analyzers)."""
+    from .core.nal import NalType, split_annexb
+    from .core.params import parse_pps, parse_slice_header, parse_sps
+
+    stream = open(args.input, "rb").read()
+    sps = pps = None
+    counts: dict = {}
+    for nal in split_annexb(stream):
+        counts[nal.nal_type] = counts.get(nal.nal_type, 0) + 1
+        if nal.nal_type == NalType.SPS:
+            sps = parse_sps(nal.rbsp)
+            print(f"SPS: {sps.width}x{sps.height} ctb={1 << sps.ctb_log2} "
+                  f"min_cb={1 << sps.min_cb_log2} tb={1 << sps.min_tb_log2}.."
+                  f"{1 << sps.max_tb_log2} td_i={getattr(sps, 'max_td_intra', 0)} "
+                  f"td_p={getattr(sps, 'max_td_inter', 0)} sao={sps.sao_enabled} "
+                  f"tmvp={sps.temporal_mvp} amp={getattr(sps, 'amp_enabled', False)} "
+                  f"strong_smooth={getattr(sps, 'strong_intra_smoothing', False)}")
+        elif nal.nal_type == NalType.PPS:
+            pps = parse_pps(nal.rbsp)
+            print(f"PPS: init_qp={pps.init_qp} wpp={pps.entropy_sync} "
+                  f"tiles={pps.tiles_enabled} sdh={pps.sign_data_hiding} "
+                  f"cu_qp_delta={pps.cu_qp_delta_enabled} "
+                  f"weightp={pps.weighted_pred} deblock="
+                  f"{'off' if pps.deblocking_disabled else 'on'}")
+        elif nal.nal_type <= 31 and sps is not None and pps is not None:
+            sh = parse_slice_header(nal.rbsp, nal.nal_type, sps, pps)
+            kind = {0: "B", 1: "P", 2: "I"}[sh.slice_type]
+            extra = ""
+            if sh.slice_type != 2:
+                negs, poss, _ = sh.rps
+                extra = (f" refs={negs}+{poss} nref={sh.num_ref_idx_l0}"
+                         f" merge<={getattr(sh, 'max_num_merge_cand', 1)}")
+            print(f"{kind}-slice nal={nal.nal_type} poc={sh.pic_order_cnt_lsb} "
+                  f"qp={sh.qp}{extra}")
+    total = sum(counts.values())
+    print(f"{total} NAL units: " + ", ".join(
+        f"{k}:{v}" for k, v in sorted(counts.items())))
+    return 0
+
+
 def cmd_psnr(args) -> int:
     from .io.yuv import psnr, read_yuv420
 
@@ -147,6 +189,10 @@ def main(argv=None) -> int:
     pe.add_argument("--gop", choices=["ld", "ra"], default="ld",
                     help="ld = low-delay P, ra = hierarchical B GOP4")
     pe.set_defaults(fn=cmd_encode)
+
+    pi = sub.add_parser("info")
+    pi.add_argument("input")
+    pi.set_defaults(fn=cmd_info)
 
     pd = sub.add_parser("decode")
     pd.add_argument("input")
