@@ -539,6 +539,8 @@ class ParsedSliceHeader:
     tc_offset_div2: int = 0
     entry_points: list = field(default_factory=list)
     weights: dict | None = None  # pred_weight_table (7.3.6.3), parsed
+    mvd_l1_zero: bool = False
+    collocated_ref_idx: int = 0
     data_offset_bits: int = 0  # bit offset of slice data within RBSP
 
 
@@ -613,7 +615,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
             if sh.slice_type == 0:
                 sh.num_ref_idx_l1 = r.ue() + 1
         if sh.slice_type == 0:
-            r.flag()  # mvd_l1_zero_flag
+            sh.mvd_l1_zero = bool(r.flag())
         if pps.cabac_init_present:
             r.flag()
         if sh.temporal_mvp:
@@ -621,7 +623,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
                 sh.collocated_from_l0 = bool(r.flag())
             nref = sh.num_ref_idx_l0 if sh.collocated_from_l0 else sh.num_ref_idx_l1
             if nref > 1:
-                r.ue()  # collocated_ref_idx
+                sh.collocated_ref_idx = r.ue()
         if (pps.weighted_pred and sh.slice_type == 1) or (
             pps.weighted_bipred and sh.slice_type == 0
         ):
