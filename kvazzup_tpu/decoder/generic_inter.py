@@ -75,6 +75,8 @@ def _mc_np(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
     for k in range(ntap):
         out += taps_v[k] * tmp[k : k + h, :]
     out >>= 6  # 14-bit intermediate domain (shift2; shift1 = 0 at 8 bit)
+    if weight == "raw14":
+        return out
     if weight is None:
         return np.clip((out + 32) >> 6, 0, 255).astype(np.int32)
     # explicit weighted uni-prediction (8.5.3.3.4.3): operands in the
@@ -426,10 +428,13 @@ class GenericInterDecoder(GenericIntraDecoder):
 
     def _inter_tt(self, dec, x0, y0, log2, depth, cbf_cb_parent, cbf_cr_parent,
                   inter_split=False) -> None:
-        # interSplitFlag (7.3.8.8): rect/AMP CUs with max_td_inter == 0
-        # force a TU split at depth 0
-        max_depth = getattr(self.sps, "max_td_inter", 0) + (1 if inter_split else 0)
-        forced = inter_split and depth == 0 and getattr(self.sps, "max_td_inter", 0) == 0
+        # interSplitFlag (7.3.8.8) = 1 only when max_td_inter == 0 and the
+        # CU is not 2Nx2N; it both forces the depth-0 split and extends
+        # MaxTrafoDepth by one.  With max_td_inter > 0 nothing changes.
+        td = getattr(self.sps, "max_td_inter", 0)
+        isf = 1 if (inter_split and td == 0) else 0
+        max_depth = td + isf
+        forced = isf == 1 and depth == 0
         if log2 <= self.max_tb_log2 and log2 > self.min_tb_log2 \
                 and depth < max_depth and not forced:
             split = bool(dec.decode_bin(OFFSETS["split_transform_flag"] + 5 - log2))

@@ -177,14 +177,16 @@ class GenericIntraDecoder:
 
     # --------------------------------------------------------------- edges
     def _mark_edges(self, x0, y0, n):
-        """Record CU/TU boundary edges on the 8-grid for deblocking."""
-        if n < 8:
-            return
+        """Record CU/TU boundary edges on the 8-pel grid for deblocking.
+
+        4x4 TUs also mark (a TU line on the 8-grid is a boundary along the
+        whole 8-segment: any larger TU crossing it would contain both
+        sides, contradicting the 4x4 split)."""
         e8 = 8
-        if x0 % e8 == 0:
-            self.edge_v[y0 // e8 : (y0 + n) // e8, x0 // e8] = True
-        if y0 % e8 == 0:
-            self.edge_h[y0 // e8, x0 // e8 : (x0 + n) // e8] = True
+        if x0 % e8 == 0 and x0 // e8 < self.edge_v.shape[1]:
+            self.edge_v[y0 // e8 : -(-(y0 + n) // e8), x0 // e8] = True
+        if y0 % e8 == 0 and y0 // e8 < self.edge_h.shape[0]:
+            self.edge_h[y0 // e8, x0 // e8 : -(-(x0 + n) // e8)] = True
 
     # ------------------------------------------------------------ quadtree
     def decode_ctu(self, dec, i: int) -> None:

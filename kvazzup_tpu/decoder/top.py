@@ -140,7 +140,37 @@ class Decoder:
 
         sps, pps = self.sps, self.pps
         init_type = 0
-        if sh.slice_type == 1:
+        if sh.slice_type == 0:
+            from .generic_b import GenericBDecoder
+
+            negs, poss, used = sh.rps
+            cur_poc = sh.pic_order_cnt_lsb
+
+            def build(deltas, nref):
+                out = []
+                for d in deltas:
+                    pic = self._dpb.get(cur_poc + d, self._ref)
+                    if pic is not None:
+                        out.append(
+                            (tuple(np.asarray(p, np.int32) for p in pic), cur_poc + d)
+                        )
+                if not out:
+                    raise ValueError("B slice without references")
+                while len(out) < nref:
+                    out.append(out[-1])
+                return out[:nref] if nref else out
+
+            refs0 = build(negs or [-1], max(1, getattr(sh, "num_ref_idx_l0", 1)))
+            l1_src = poss if poss else (negs or [-1])
+            refs1 = build(l1_src, max(1, getattr(sh, "num_ref_idx_l1", 1)))
+            col_list = refs0 if getattr(sh, "collocated_from_l0", True) else refs1
+            col_poc = col_list[min(getattr(sh, "collocated_ref_idx", 0),
+                                   len(col_list) - 1)][1]
+            mt = getattr(self, "_motion", {}).get(col_poc)
+            col = (mt[0], mt[1], mt[2], col_poc) if mt is not None else None
+            gd = GenericBDecoder(sps, pps, sh, refs0, refs1, col=col, cur_poc=cur_poc)
+            init_type = 2
+        elif sh.slice_type == 1:
             from .generic_inter import GenericInterDecoder
 
             negs, _poss, used = sh.rps
@@ -239,7 +269,7 @@ class Decoder:
         # retain the motion field for TMVP from pictures that follow
         if not hasattr(self, "_motion"):
             self._motion = {}
-        if sh.slice_type == 1:
+        if sh.slice_type in (0, 1):
             self._motion[sh.pic_order_cnt_lsb] = (
                 gd.inter4.copy(), gd.mv4.copy(), gd.refpoc4.copy())
         else:
@@ -264,7 +294,7 @@ class Decoder:
             or (sh.slice_type != 2 and sps.min_cb_log2 == 3)
             or (sh.slice_type != 2 and getattr(sps, "max_td_inter", 0) > 0)
         )
-        if alien_shape and sh.slice_type in (1, 2):
+        if alien_shape and sh.slice_type in (0, 1, 2):
             return self._decode_picture_generic(nal, sh)
         if sps.ctb_log2 != 4 or sps.min_cb_log2 not in (3, 4):
             raise NotImplementedError(
