@@ -545,36 +545,44 @@ class ParsedSliceHeader:
 
 
 def _parse_pred_weight_table(r: BitReader, sh) -> dict:
-    """pred_weight_table (7.3.6.3) for L0 (P slices; L1 unsupported).
+    """pred_weight_table (7.3.6.3), L0 and (for B slices) L1.
 
-    Returns dict(luma_denom, chroma_denom, luma: [(w, o)]*nref,
-    chroma: [((wcb, ocb), (wcr, ocr))]*nref) with spec weight/offset
-    derivation applied."""
+    Returns dict(luma_denom, chroma_denom, luma/chroma per list) with the
+    spec weight/offset derivation applied."""
     ld = r.ue()  # luma_log2_weight_denom
     cd = ld + r.se()  # + delta_chroma_log2_weight_denom
-    nref = sh.num_ref_idx_l0
-    lflags = [r.flag() for _ in range(nref)]
-    cflags = [r.flag() for _ in range(nref)]
-    luma = []
-    chroma = []
-    for i in range(nref):
-        if lflags[i]:
-            w = (1 << ld) + r.se()
-            o = r.se()
-        else:
-            w, o = 1 << ld, 0
-        luma.append((w, o))
-        if cflags[i]:
-            pair = []
-            for _ in range(2):
-                cw = (1 << cd) + r.se()
-                doff = r.se()
-                co = max(-128, min(127, doff - (((128 * cw) >> cd) - 128)))
-                pair.append((cw, co))
-            chroma.append(tuple(pair))
-        else:
-            chroma.append((((1 << cd), 0), ((1 << cd), 0)))
-    return {"luma_denom": ld, "chroma_denom": cd, "luma": luma, "chroma": chroma}
+
+    def one_list(nref):
+        lflags = [r.flag() for _ in range(nref)]
+        cflags = [r.flag() for _ in range(nref)]
+        luma = []
+        chroma = []
+        for i in range(nref):
+            if lflags[i]:
+                w = (1 << ld) + r.se()
+                o = r.se()
+            else:
+                w, o = 1 << ld, 0
+            luma.append((w, o))
+            if cflags[i]:
+                pair = []
+                for _ in range(2):
+                    cw = (1 << cd) + r.se()
+                    doff = r.se()
+                    co = max(-128, min(127, doff - (((128 * cw) >> cd) - 128)))
+                    pair.append((cw, co))
+                chroma.append(tuple(pair))
+            else:
+                chroma.append((((1 << cd), 0), ((1 << cd), 0)))
+        return luma, chroma
+
+    luma, chroma = one_list(sh.num_ref_idx_l0)
+    out = {"luma_denom": ld, "chroma_denom": cd, "luma": luma, "chroma": chroma}
+    if sh.slice_type == 0:
+        luma1, chroma1 = one_list(sh.num_ref_idx_l1)
+        out["luma1"] = luma1
+        out["chroma1"] = chroma1
+    return out
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPps) -> ParsedSliceHeader:

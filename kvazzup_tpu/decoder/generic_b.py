@@ -25,6 +25,19 @@ def _bi_round(a14, b14):
     return np.clip((a14 + b14 + 64) >> 7, 0, 255).astype(np.int32)
 
 
+def _bi_weighted(a14, b14, w0, o0, w1, o1, denom):
+    """Explicit weighted bi-prediction (8.5.3.3.4.3), log2Wd = denom + 6."""
+    log2wd = denom + 6
+    val = (a14 * w0 + b14 * w1 + ((o0 + o1 + 1) << log2wd)) >> (log2wd + 1)
+    return np.clip(val, 0, 255).astype(np.int32)
+
+
+def _uni_weighted(p14, w, o, denom):
+    log2wd = denom + 6
+    val = ((p14 * w + (1 << (log2wd - 1))) >> log2wd) + o
+    return np.clip(val, 0, 255).astype(np.int32)
+
+
 class GenericBDecoder(GenericInterDecoder):
     """refs_l: (refs0, refs1) each [((y,u,v) planes, poc), ...]."""
 
@@ -310,8 +323,9 @@ class GenericBDecoder(GenericInterDecoder):
     # ------------------------------------------------------------- commit
     def _commit_b(self, x0, y0, nw, nh, mot, skip: bool) -> None:
         pf, mvs, rps = mot
-        planes = [self.y, self.u, self.v]
+        wtab = self.weights
         preds = []
+        ridxs = [0, 0]
         for l, (refl, active) in enumerate(((self.refs, pf[0]), (self.refs1, pf[1]))):
             if not active:
                 preds.append(None)
@@ -321,22 +335,49 @@ class GenericBDecoder(GenericInterDecoder):
                 if poc == rps[l]:
                     ridx = k
                     break
+            ridxs[l] = ridx
             (ry, ru, rv), _poc = refl[ridx]
             mvx, mvy = mvs[l]
-            if pf[0] and pf[1]:
-                py14 = _mc_np(ry, x0, y0, nw, nh, mvx, mvy, True, "raw14")
-                pu14 = _mc_np(ru, x0 >> 1, y0 >> 1, nw >> 1, nh >> 1, mvx, mvy, False, "raw14")
-                pv14 = _mc_np(rv, x0 >> 1, y0 >> 1, nw >> 1, nh >> 1, mvx, mvy, False, "raw14")
-                preds.append((py14, pu14, pv14))
-            else:
-                py_ = _mc_np(ry, x0, y0, nw, nh, mvx, mvy, True)
-                pu_ = _mc_np(ru, x0 >> 1, y0 >> 1, nw >> 1, nh >> 1, mvx, mvy, False)
-                pv_ = _mc_np(rv, x0 >> 1, y0 >> 1, nw >> 1, nh >> 1, mvx, mvy, False)
-                preds.append((py_, pu_, pv_))
+            raw = "raw14" if (pf[0] and pf[1]) or wtab is not None else None
+            py_ = _mc_np(ry, x0, y0, nw, nh, mvx, mvy, True, raw)
+            pu_ = _mc_np(ru, x0 >> 1, y0 >> 1, nw >> 1, nh >> 1, mvx, mvy, False, raw)
+            pv_ = _mc_np(rv, x0 >> 1, y0 >> 1, nw >> 1, nh >> 1, mvx, mvy, False, raw)
+            preds.append((py_, pu_, pv_))
+
+        def lw(l, r):
+            key = "luma" if l == 0 else "luma1"
+            return wtab[key][r]
+
+        def cw(l, r):
+            key = "chroma" if l == 0 else "chroma1"
+            return wtab[key][r]
+
         if pf[0] and pf[1]:
-            out = [_bi_round(a, b) for a, b in zip(preds[0], preds[1])]
+            if wtab is None:
+                out = [_bi_round(a, b) for a, b in zip(preds[0], preds[1])]
+            else:
+                ld, cd = wtab["luma_denom"], wtab["chroma_denom"]
+                (w0, o0), (w1, o1) = lw(0, ridxs[0]), lw(1, ridxs[1])
+                (cb0, cbo0), (cr0, cro0) = cw(0, ridxs[0])
+                (cb1, cbo1), (cr1, cro1) = cw(1, ridxs[1])
+                out = [
+                    _bi_weighted(preds[0][0], preds[1][0], w0, o0, w1, o1, ld),
+                    _bi_weighted(preds[0][1], preds[1][1], cb0, cbo0, cb1, cbo1, cd),
+                    _bi_weighted(preds[0][2], preds[1][2], cr0, cro0, cr1, cro1, cd),
+                ]
         else:
-            out = preds[0] if pf[0] else preds[1]
+            l = 0 if pf[0] else 1
+            if wtab is None:
+                out = preds[l]
+            else:
+                ld, cd = wtab["luma_denom"], wtab["chroma_denom"]
+                w_, o_ = lw(l, ridxs[l])
+                (cbw, cbo), (crw, cro) = cw(l, ridxs[l])
+                out = [
+                    _uni_weighted(preds[l][0], w_, o_, ld),
+                    _uni_weighted(preds[l][1], cbw, cbo, cd),
+                    _uni_weighted(preds[l][2], crw, cro, cd),
+                ]
         self.y[y0 : y0 + nh, x0 : x0 + nw] = out[0]
         self.u[y0 >> 1 : (y0 + nh) >> 1, x0 >> 1 : (x0 + nw) >> 1] = out[1]
         self.v[y0 >> 1 : (y0 + nh) >> 1, x0 >> 1 : (x0 + nw) >> 1] = out[2]

@@ -1,0 +1,239 @@
+"""CTB-32 CU quadtree (CU32 -> CU16 -> CU8/NxN) intra coding — reference path.
+
+Extends the two-level cu8.py quadtree to kvazaar's deeper CTU recursion
+(`search.c` depth 0..3, SURVEY §2.6 Compression group): each 32x32 CTB
+recursively chooses leaf-CU coding (one intra PU + one TU, DM chroma) or
+a 4-way split, with PART_NxN (4x4 DST-VII PUs) available at CU8.  RD =
+true SSE + lambda^2 * estimated rate at every node, exactly the cu8.py
+decision shape.
+
+Sequential numpy implementation on full-frame canvases with exact
+generic z-scan availability (6.4.1, arbitrary CTB size); the entropy
+pair lives in entropy/quad.py and the produced stream is validated
+against libavcodec (tests/test_cu32.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import intra as intra_ops
+from ..ops.satd import satd_blocks
+from .cu8 import _code_np, _lev_bits, _mode_bits
+
+_ZO = ((0, 0), (0, 1), (1, 0), (1, 1))  # (dy, dx) halves in z-order
+
+
+def _zaddr_g(x: int, y: int, cw_ctb: int, ctb_log2: int) -> int:
+    """Generic z-scan (6.4.1) index of the 4x4 cell containing pixel
+    (x, y): CTB raster order, Morton order within the CTB."""
+    lvl = ctb_log2 - 2
+    cx = (x >> 2) & ((1 << lvl) - 1)
+    cy = (y >> 2) & ((1 << lvl) - 1)
+    m = 0
+    for k in range(lvl):
+        m |= ((cx >> k) & 1) << (2 * k)
+        m |= ((cy >> k) & 1) << (2 * k + 1)
+    return (((y >> ctb_log2) * cw_ctb + (x >> ctb_log2)) << (2 * lvl)) + m
+
+
+def boundary_g(canvas: np.ndarray, x0: int, y0: int, n: int, cw_ctb: int,
+               ctb_log2: int):
+    """(a_raw, avail) of length 4n+1, frame_intra layout (below-left(n)
+    bottom-up | left(n) bottom-up | corner | top(n) | top-right(n)) with
+    availability = inside picture and earlier in z-scan order."""
+    h, w = canvas.shape
+    cur = _zaddr_g(x0, y0, cw_ctb, ctb_log2)
+
+    def ok(x, y):
+        return 0 <= x < w and 0 <= y < h and _zaddr_g(x, y, cw_ctb, ctb_log2) < cur
+
+    a = np.zeros(4 * n + 1, np.int32)
+    av = np.zeros(4 * n + 1, bool)
+    for j in range(n):  # below-left, bottom-up
+        x, y = x0 - 1, y0 + 2 * n - 1 - j
+        if ok(x, y):
+            a[j], av[j] = canvas[y, x], True
+    for j in range(n):  # left, bottom-up
+        x, y = x0 - 1, y0 + n - 1 - j
+        if ok(x, y):
+            a[n + j], av[n + j] = canvas[y, x], True
+    if ok(x0 - 1, y0 - 1):
+        a[2 * n], av[2 * n] = canvas[y0 - 1, x0 - 1], True
+    for j in range(2 * n):  # top + top-right
+        x, y = x0 + j, y0 - 1
+        if ok(x, y):
+            a[2 * n + 1 + j], av[2 * n + 1 + j] = canvas[y, x], True
+    return a, av
+
+
+def _refs_g(canvas, x0, y0, log2, cw_ctb, ctb_log2):
+    n = 1 << log2
+    a_raw, av = boundary_g(canvas, x0, y0, n, cw_ctb, ctb_log2)
+    return intra_ops.substitute_refs(jnp.asarray(a_raw), jnp.asarray(av))
+
+
+def predict_g(canvas, x0, y0, log2, is_luma, mode, cw_ctb, ctb_log2):
+    a = _refs_g(canvas, x0, y0, log2, cw_ctb, ctb_log2)
+    return np.asarray(intra_ops.predict_mode(a, log2, is_luma, mode))
+
+
+class _QuadEncoder:
+    """One frame's worth of state for the recursive CU search."""
+
+    def __init__(self, y, u, v, qp, width, height, ctb_log2, nxn):
+        from ..core.tables import CHROMA_QP_TABLE
+
+        self.oy = np.asarray(y, np.int32)
+        self.ou = np.asarray(u, np.int32)
+        self.ov = np.asarray(v, np.int32)
+        self.w, self.h = width, height
+        self.ctb_log2 = ctb_log2
+        self.cw = width >> ctb_log2
+        self.nxn = nxn
+        self.qp = qp
+        self.qp_c = int(CHROMA_QP_TABLE[min(max(qp, 0), 57)])
+        self.lam = float(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
+        # committed state (forked per candidate): recon canvases + 4x4 mode map
+        self.st = {
+            "y": np.zeros((height, width), np.int32),
+            "u": np.zeros((height // 2, width // 2), np.int32),
+            "v": np.zeros((height // 2, width // 2), np.int32),
+            "m4": np.ones((height // 4, width // 4), np.int32),
+        }
+
+    # ------------------------------------------------------------- helpers
+    def _cands(self, st, x0, y0):
+        """MPM neighbor modes (8.4.2): left, above; above-CTB row -> DC."""
+        cl = 1 << self.ctb_log2
+        a = 1 if x0 == 0 else int(st["m4"][y0 >> 2, (x0 - 1) >> 2])
+        if y0 == 0 or ((y0 - 1) // cl) != (y0 // cl):
+            b = 1
+        else:
+            b = int(st["m4"][(y0 - 1) >> 2, x0 >> 2])
+        return a, b
+
+    def _best_mode(self, st, x0, y0, log2, K=3, dst=False):
+        """SATD top-K -> SSE + lambda^2*rate, cu8.py shape."""
+        n = 1 << log2
+        orig = self.oy[y0 : y0 + n, x0 : x0 + n]
+        a = _refs_g(st["y"], x0, y0, log2, self.cw, self.ctb_log2)
+        preds = intra_ops.predict_all_modes(a, log2, True)
+        satd = np.asarray(satd_blocks(preds, jnp.asarray(orig)[None])).astype(np.float64)
+        ca, cb = self._cands(st, x0, y0)
+        bits = np.array([_mode_bits(m, ca, cb) for m in range(35)])
+        order = np.argsort(satd + self.lam * bits, kind="stable")[:K]
+        preds_np = np.asarray(preds)
+        best = None
+        for m in order:
+            lev, rec = _code_np(orig, preds_np[m], self.qp, log2, dst)
+            sse = float(np.sum((rec.astype(np.int64) - orig) ** 2))
+            rd = sse + self.lam * self.lam * (_lev_bits(lev) + bits[m])
+            if best is None or rd < best[3]:
+                best = (int(m), lev, rec, rd)
+        return best
+
+    def _chroma(self, st, plane, xc, yc, log2c, mode):
+        canvas = st[plane]
+        orig = (self.ou if plane == "u" else self.ov)[
+            yc : yc + (1 << log2c), xc : xc + (1 << log2c)
+        ]
+        pred = predict_g(canvas, xc, yc, log2c, False, mode, self.cw,
+                         self.ctb_log2 - 1)
+        lev, rec = _code_np(orig, pred, self.qp_c, log2c)
+        sse = float(np.sum((rec.astype(np.int64) - orig) ** 2))
+        canvas[yc : yc + (1 << log2c), xc : xc + (1 << log2c)] = rec
+        return lev, sse + self.lam * self.lam * _lev_bits(lev)
+
+    # --------------------------------------------------------------- leafs
+    def _leaf(self, st, x0, y0, log2):
+        """Code one leaf CU (committing into st); returns (node, rd)."""
+        lam2 = self.lam * self.lam
+        n = 1 << log2
+        if log2 == 3 and self.nxn:
+            # PART_2Nx2N candidate on a fork
+            st2 = {k: v.copy() for k, v in st.items()}
+            m, lev, rec, rd = self._best_mode(st2, x0, y0, 3)
+            st2["y"][y0 : y0 + 8, x0 : x0 + 8] = rec
+            st2["m4"][y0 >> 2 : (y0 + 8) >> 2, x0 >> 2 : (x0 + 8) >> 2] = m
+            cand2 = (st2, dict(part=0, modes=[m], lev_y=lev), rd + lam2 * 5.0, m)
+            # PART_NxN candidate: 4 sequential DST-VII PUs
+            stn = {k: v.copy() for k, v in st.items()}
+            m4l, rdn = [], lam2 * 9.0
+            lq = np.zeros((8, 8), np.int32)
+            for jr, jc in _ZO:
+                xp, yp = x0 + jc * 4, y0 + jr * 4
+                mj, lj, rj, rdj = self._best_mode(stn, xp, yp, 2, dst=True)
+                stn["y"][yp : yp + 4, xp : xp + 4] = rj
+                stn["m4"][yp >> 2, xp >> 2] = mj
+                m4l.append(mj)
+                lq[jr * 4 : jr * 4 + 4, jc * 4 : jc * 4 + 4] = lj
+                rdn += rdj
+            candn = (stn, dict(part=1, modes=m4l, lev_y=lq), rdn, m4l[0])
+            stw, node, rd, dm = candn if rdn < cand2[2] else cand2
+            for k in st:
+                st[k][...] = stw[k]
+        else:
+            m, lev, rec, rd = self._best_mode(st, x0, y0, log2)
+            st["y"][y0 : y0 + n, x0 : x0 + n] = rec
+            st["m4"][y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = m
+            node = dict(part=0, modes=[m], lev_y=lev)
+            rd += self.lam * self.lam * 5.0
+            dm = m
+        lcb, rdb = self._chroma(st, "u", x0 >> 1, y0 >> 1, log2 - 1, dm)
+        lcr, rdr = self._chroma(st, "v", x0 >> 1, y0 >> 1, log2 - 1, dm)
+        node.update(size=n, lev_cb=lcb, lev_cr=lcr)
+        return node, rd + rdb + rdr
+
+    # ------------------------------------------------------------ quadtree
+    def _cu(self, st, x0, y0, log2):
+        """Recursive CU decision committing into st; returns (node, rd)."""
+        lam2 = self.lam * self.lam
+        if log2 == 3:
+            node, rd = self._leaf(st, x0, y0, log2)
+            return node, rd + lam2  # split_cu_flag bin
+        stl = {k: v.copy() for k, v in st.items()}
+        leaf_node, leaf_rd = self._leaf(stl, x0, y0, log2)
+        leaf_rd += lam2
+        sts = {k: v.copy() for k, v in st.items()}
+        h = 1 << (log2 - 1)
+        sub, split_rd = [], lam2
+        for dy, dx in _ZO:
+            nd, rd = self._cu(sts, x0 + dx * h, y0 + dy * h, log2 - 1)
+            sub.append(nd)
+            split_rd += rd
+        if split_rd < leaf_rd:
+            for k in st:
+                st[k][...] = sts[k]
+            return dict(size=1 << log2, split=sub), split_rd
+        for k in st:
+            st[k][...] = stl[k]
+        return leaf_node, leaf_rd
+
+    def run(self):
+        trees = []
+        n = 1 << self.ctb_log2
+        for r in range(self.h >> self.ctb_log2):
+            for c in range(self.w >> self.ctb_log2):
+                node, _ = self._cu(self.st, c * n, r * n, self.ctb_log2)
+                trees.append(node)
+        return trees
+
+
+def encode_frame_intra_quad_ref(y, u, v, qp: int, *, width: int, height: int,
+                                ctb_log2: int = 5, nxn: bool = True):
+    """Sequential CTB-`2^ctb_log2` quadtree intra encoder.
+
+    Returns dict(trees: list of per-CTB decision trees in raster order,
+    recon planes).  A tree node is either {"size", "split": [4 nodes]}
+    (z-order) or a leaf {"size", "part", "modes", "lev_y", "lev_cb",
+    "lev_cr"} (part=1 only at size 8: PART_NxN with 4 luma modes)."""
+    qe = _QuadEncoder(y, u, v, qp, width, height, ctb_log2, nxn)
+    trees = qe.run()
+    return {
+        "trees": trees,
+        "recon_y": qe.st["y"].astype(np.uint8),
+        "recon_u": qe.st["u"].astype(np.uint8),
+        "recon_v": qe.st["v"].astype(np.uint8),
+    }

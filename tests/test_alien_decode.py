@@ -323,3 +323,35 @@ def test_decode_x265_medium_preset_full(tmp_path):
                   c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
         for p in range(3):
             assert np.array_equal(planes[p], np.asarray(decoded[i][p])), (i, p)
+
+
+def test_decode_x265_weighted_bipred(tmp_path):
+    """Explicit weighted prediction on BOTH lists (pred_weight_table
+    7.3.6.3 L0+L1, weighted bi combine 8.5.3.3.4.3): x265 weightb=1 on
+    fading content decodes byte-identically."""
+    tool = _ensure_oracle()
+    w, h = 128, 64
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = []
+    for i in range(8):
+        fade = max(0.0, 1.0 - 0.12 * i)
+        y = np.clip(np.roll(base[0], i * 2, axis=1) * fade, 0, 255).astype(np.uint8)
+        u = np.clip(base[1] * fade, 0, 255).astype(np.uint8)
+        v = np.clip(base[2] * fade, 0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold = tmp_path / "gold.yuv"
+    params = ("ctu=16:min-cu-size=8:no-sao=1:no-signhide=1:keyint=8:"
+              "no-strong-intra-smoothing=1:tu-intra-depth=1:no-tskip=1:"
+              "frame-threads=1:wpp=0:no-info=1:rd=2:rc-lookahead=8:"
+              "no-scenecut=1:repeat-headers=1:weightb=1:weightp=1:bframes=2")
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "30", str(out), params],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
+    got = Decoder().decode(out.read_bytes())
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
+    assert mine == gold.read_bytes()
