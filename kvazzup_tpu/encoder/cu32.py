@@ -221,6 +221,38 @@ class _QuadEncoder:
         return trees
 
 
+def quad_bs_maps(trees, width: int, height: int, ctb_log2: int):
+    """Intra boundary-strength maps from the decision trees — the mirror
+    of GenericIntraDecoder._mark_edges + decoder/top.py's all-intra bS=2
+    derivation, so encoder and decoder deblock identically."""
+    h8, w8 = height // 8, width // 8
+    ev = np.zeros((h8, w8), bool)
+    eh = np.zeros((h8, w8), bool)
+
+    def walk(node, x0, y0, n):
+        if "split" in node:
+            h = n >> 1
+            for (dy, dx), s in zip(_ZO, node["split"]):
+                walk(s, x0 + dx * h, y0 + dy * h, h)
+            return
+        if x0 % 8 == 0 and x0 // 8 < w8:
+            ev[y0 // 8 : -(-(y0 + n) // 8), x0 // 8] = True
+        if y0 % 8 == 0 and y0 // 8 < h8:
+            eh[y0 // 8, x0 // 8 : -(-(x0 + n) // 8)] = True
+
+    cw = width >> ctb_log2
+    nctb = 1 << ctb_log2
+    for i, t in enumerate(trees):
+        walk(t, (i % cw) * nctb, (i // cw) * nctb, nctb)
+    bs_v = np.zeros((w8 - 1, h8), np.int32)
+    for e in range(1, w8):
+        bs_v[e - 1, :] = 2 * ev[:, e]
+    bs_h = np.zeros((h8 - 1, w8), np.int32)
+    for e in range(1, h8):
+        bs_h[e - 1, :] = 2 * eh[e, :]
+    return bs_v, bs_h
+
+
 def encode_frame_intra_quad_ref(y, u, v, qp: int, *, width: int, height: int,
                                 ctb_log2: int = 5, nxn: bool = True):
     """Sequential CTB-`2^ctb_log2` quadtree intra encoder.

@@ -61,7 +61,15 @@ class Encoder:
                 raise NotImplementedError("tiles exclude wpp/sao/cu_qp_delta for now")
             if cfg.tile_cols > cfg.ctbs_w:
                 raise ValueError("more tile columns than CTB columns")
-        if cfg.min_cb_log2 == 3:
+        if cfg.ctb_log2 == 5:
+            if cfg.min_cb_log2 != 3 or cfg.max_tb_log2 != 5:
+                raise ValueError("CTB32 coding uses min_cb_log2=3 / max_tb_log2=5")
+            if intra_period != 1:
+                raise NotImplementedError("CTB32 quadtree currently requires all-intra")
+            if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
+                    or cfg.slices > 1:
+                raise NotImplementedError("CTB32 excludes wpp/sao/qp_map/tiles/slices for now")
+        elif cfg.min_cb_log2 == 3:
             if intra_period != 1:
                 raise NotImplementedError("CU8 quadtree currently requires all-intra")
             if cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
@@ -131,6 +139,29 @@ class Encoder:
             self._idr_count += 1
 
         # ---- device encode
+        if cfg.ctb_log2 == 5:
+            from .cu32 import encode_frame_intra_quad_ref, quad_bs_maps
+
+            if not is_idr:
+                raise NotImplementedError("CTB32 quadtree is intra-only for now")
+            out = encode_frame_intra_quad_ref(
+                np.asarray(y), np.asarray(u), np.asarray(v), qp,
+                width=cfg.width, height=cfg.height, ctb_log2=5,
+            )
+            ry = jnp.asarray(out["recon_y"])
+            ru = jnp.asarray(out["recon_u"])
+            rv = jnp.asarray(out["recon_v"])
+            if cfg.deblocking_enabled:
+                bv, bh = quad_bs_maps(out["trees"], cfg.width, cfg.height, 5)
+                ry, ru, rv = deblock_frame(
+                    ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
+                    bs_h=jnp.asarray(bh), chroma_every=2,
+                )
+            first = self._frame_count == 0
+            self._frame_count += 1
+            self._ref = (ry, ru, rv)
+            return {"kind": "quad", "out": out, "qp": qp, "first": first,
+                    "recon": (ry, ru, rv)}
         if cfg.min_cb_log2 == 3:
             from .frame_intra_cu8 import encode_frame_intra_cu8
 
@@ -257,6 +288,18 @@ class Encoder:
         cfg = self.cfg
         out, qp, first = ctx["out"], ctx["qp"], ctx["first"]
         ry, ru, rv = ctx["recon"]
+        if ctx["kind"] == "quad":
+            from ..entropy.quad import encode_slice_data_intra_quad
+
+            payload = encode_slice_data_intra_quad(cfg, out["trees"], slice_qp=qp)
+            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+            w = compose_slice_header(cfg, sh)
+            w.write_bytes(payload)
+            stream = self.headers() if first else b""
+            stream += compose_nal(NalUnit(sh.nal_type, w.data()))
+            if materialize_recon:
+                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+            return stream, (ry, ru, rv)
         if ctx["kind"] == "cu8":
             from ..entropy.slice_data import (
                 encode_slice_data_intra_cu8x,

@@ -1,0 +1,146 @@
+"""Generic CU-quadtree I-slice entropy coding (any CTB size).
+
+Walks the decision trees produced by encoder/cu32.py and emits exact
+7.3.8.4/7.3.8.5/7.3.8.8 syntax: split_cu_flag with the depth-map context
+(9.3.4.2.2), per-leaf intra PU syntax (PART_NxN at min CB), DM chroma,
+and transform-unit residuals with mode-dependent scans (7.4.9.11).  The
+inverse is the generic decoder (decoder/generic_intra.py), which this
+mirrors map-for-map; streams are validated against libavcodec in
+tests/test_cu32.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.tables import residual_scan_idx
+from .cabac import CabacEncoder
+from .cabac_tables import OFFSETS
+from .slice_data import _encode_luma_mode, _encode_luma_mode_tail, _mpm_list_np
+from .syntax import encode_residual
+
+_ZO = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+class _QuadWriter:
+    """Frame-level maps mirroring GenericIntraDecoder (depth4/mode4)."""
+
+    def __init__(self, cfg, slice_qp):
+        self.cfg = cfg
+        self.w, self.h = cfg.width, cfg.height
+        self.ctb_log2 = cfg.ctb_size.bit_length() - 1
+        self.min_cb_log2 = cfg.min_cb_log2
+        self.depth4 = np.zeros((self.h // 4, self.w // 4), np.int32)
+        self.mode4 = np.ones((self.h // 4, self.w // 4), np.int32)
+
+    def _split_ctx(self, x0, y0, depth):
+        ctx = 0
+        if x0 > 0 and int(self.depth4[y0 >> 2, (x0 - 1) >> 2]) > depth:
+            ctx += 1
+        if y0 > 0 and int(self.depth4[(y0 - 1) >> 2, x0 >> 2]) > depth:
+            ctx += 1
+        return ctx
+
+    def _cands(self, x0, y0):
+        cl = 1 << self.ctb_log2
+        a = 1 if x0 == 0 else int(self.mode4[y0 >> 2, (x0 - 1) >> 2])
+        if y0 == 0 or ((y0 - 1) // cl) != (y0 // cl):
+            b = 1
+        else:
+            b = int(self.mode4[(y0 - 1) >> 2, x0 >> 2])
+        return a, b
+
+    def ctu(self, enc, node, x0, y0):
+        self._quadtree(enc, node, x0, y0, self.ctb_log2, 0)
+
+    def _quadtree(self, enc, node, x0, y0, log2, depth):
+        n = 1 << log2
+        split = "split" in node
+        if log2 > self.min_cb_log2:
+            enc.encode_bin(OFFSETS["split_cu_flag"] + self._split_ctx(x0, y0, depth),
+                           1 if split else 0)
+        if split:
+            h = n >> 1
+            for (dy, dx), sub in zip(_ZO, node["split"]):
+                self._quadtree(enc, sub, x0 + dx * h, y0 + dy * h, log2 - 1,
+                               depth + 1)
+            return
+        self.depth4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = depth
+        self._coding_unit(enc, node, x0, y0, log2)
+
+    def _coding_unit(self, enc, node, x0, y0, log2):
+        n = 1 << log2
+        nxn = bool(node.get("part"))
+        if log2 == self.min_cb_log2:
+            enc.encode_bin(OFFSETS["part_mode"], 0 if nxn else 1)
+        modes = node["modes"]
+        if not nxn:
+            ca, cb = self._cands(x0, y0)
+            _encode_luma_mode(enc, modes[0], ca, cb)
+            self.mode4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = modes[0]
+        else:
+            h = n >> 1
+            cands, flags = [], []
+            for j, (dy, dx) in enumerate(_ZO):
+                a, b = self._cands(x0 + dx * h, y0 + dy * h)
+                cands.append((a, b))
+                flags.append(modes[j] in _mpm_list_np(a, b))
+                # the decoder reads all 4 prev flags before any tail, so
+                # candidate modes come from the already-written map only
+                self.mode4[(y0 + dy * h) >> 2 : (y0 + (dy + 1) * h) >> 2,
+                           (x0 + dx * h) >> 2 : (x0 + (dx + 1) * h) >> 2] = modes[j]
+            for f in flags:
+                enc.encode_bin(OFFSETS["prev_intra_luma_pred_flag"], 1 if f else 0)
+            for j in range(4):
+                _encode_luma_mode_tail(enc, modes[j], *cands[j], flags[j])
+        enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)  # DM chroma
+        # transform tree: leaf TU at the CU (max_td_intra 0), NxN forces
+        # one split to four quarter TUs (7.3.8.8 IntraSplitFlag)
+        lev_y, lev_cb, lev_cr = node["lev_y"], node["lev_cb"], node["lev_cr"]
+        cbf_cb = 1 if np.any(lev_cb) else 0
+        cbf_cr = 1 if np.any(lev_cr) else 0
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        if not nxn:
+            cbf_y = 1 if np.any(lev_y) else 0
+            enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+            if cbf_y:
+                encode_residual(enc, lev_y, log2, 0,
+                                residual_scan_idx(modes[0], log2, 0))
+            if cbf_cb:
+                encode_residual(enc, lev_cb, log2 - 1, 1,
+                                residual_scan_idx(modes[0], log2 - 1, 1))
+            if cbf_cr:
+                encode_residual(enc, lev_cr, log2 - 1, 2,
+                                residual_scan_idx(modes[0], log2 - 1, 2))
+            return
+        h = n >> 1
+        for j, (dy, dx) in enumerate(_ZO):
+            t = lev_y[dy * h : (dy + 1) * h, dx * h : (dx + 1) * h]
+            cbf_t = 1 if np.any(t) else 0
+            enc.encode_bin(OFFSETS["cbf_luma"], cbf_t)  # trafoDepth 1
+            if cbf_t:
+                encode_residual(enc, t, log2 - 1, 0,
+                                residual_scan_idx(modes[j], log2 - 1, 0))
+        dm = modes[0]
+        if cbf_cb:
+            encode_residual(enc, lev_cb, log2 - 1, 1,
+                            residual_scan_idx(dm, log2 - 1, 1))
+        if cbf_cr:
+            encode_residual(enc, lev_cr, log2 - 1, 2,
+                            residual_scan_idx(dm, log2 - 1, 2))
+
+
+def encode_slice_data_intra_quad(cfg, trees, slice_qp=None) -> bytes:
+    """I-slice data for the cu32.py tree representation (single slice,
+    no WPP/tiles); CTBs in raster order with end_of_slice flags."""
+    sq = cfg.qp if slice_qp is None else slice_qp
+    enc = CabacEncoder(init_type=0, slice_qp=sq)
+    wr = _QuadWriter(cfg, sq)
+    cw = cfg.ctbs_w
+    nctu = cw * cfg.ctbs_h
+    n = cfg.ctb_size
+    for i, node in enumerate(trees):
+        wr.ctu(enc, node, (i % cw) * n, (i // cw) * n)
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    return enc.data()

@@ -37,3 +37,10 @@ import jax.extend.backend as _jeb
 _jeb.clear_backends()
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8, "virtual 8-device CPU mesh required for tests"
+
+# Persistent XLA compilation cache: first-compiles of the larger kernels
+# (32x32 intra sweep / transforms) take tens of seconds; cache them across
+# test sessions like cli.py/bench.py do.
+from kvazzup_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()

@@ -1,0 +1,62 @@
+"""CTB-32 quadtree intra coding (encoder/cu32.py + entropy/quad.py).
+
+The deeper CTU recursion of kvazaar's search (SURVEY §2.6 Compression:
+`search.c` CU depth 0..3).  Streams must decode bit-exactly in our own
+decoder AND in libavcodec (openHEVC-replacement bar, SURVEY §2.6).
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from kvazzup_tpu.core.params import StreamConfig
+from kvazzup_tpu.decoder.top import Decoder
+from kvazzup_tpu.encoder.top import Encoder
+from kvazzup_tpu.io.yuv import synthetic_frames, write_yuv420
+
+from test_e2e_intra import _ensure_oracle
+
+
+def _cfg(w, h, qp, deblock=True):
+    return StreamConfig(width=w, height=h, qp=qp, ctb_log2=5, min_cb_log2=3,
+                        max_tb_log2=5, deblocking_enabled=deblock)
+
+
+@pytest.mark.parametrize("qp,deblock", [(31, True), (26, False)])
+def test_cu32_self_decode(qp, deblock):
+    w, h = 64, 64
+    y, u, v = synthetic_frames(w, h, 1, seed=5)[0]
+    enc = Encoder(_cfg(w, h, qp, deblock))
+    stream, recon = enc.encode_frame(y, u, v)
+    dec = Decoder().decode(stream)
+    for p in range(3):
+        assert np.array_equal(np.asarray(dec[0][p]), np.asarray(recon[p])), p
+
+
+def test_cu32_oracle_decode(tmp_path):
+    tool = _ensure_oracle()
+    w, h = 64, 64
+    y, u, v = synthetic_frames(w, h, 1, seed=7)[0]
+    enc = Encoder(_cfg(w, h, 30, deblock=True))
+    stream, recon = enc.encode_frame(y, u, v)
+    f = tmp_path / "s.265"
+    f.write_bytes(stream)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([tool, "decode", str(f), str(out)], capture_output=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libavcodec oracle unavailable")
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for p in recon)
+    assert out.read_bytes() == mine
+
+
+def test_cu32_saves_bits_vs_ctb16():
+    """Larger CTBs must not cost bits on smooth content (the point of the
+    deeper quadtree: one CU32 replaces 4 split flags + 4 modes)."""
+    w, h = 64, 64
+    y, u, v = synthetic_frames(w, h, 1, seed=5)[0]
+    s32, _ = Encoder(_cfg(w, h, 31)).encode_frame(y, u, v)
+    cfg16 = StreamConfig(width=w, height=h, qp=31, ctb_log2=4, min_cb_log2=3,
+                         deblocking_enabled=True)
+    s16, _ = Encoder(cfg16).encode_frame(y, u, v)
+    assert len(s32) <= len(s16)
