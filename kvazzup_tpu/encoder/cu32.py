@@ -186,6 +186,59 @@ class _QuadEncoder:
         node.update(size=n, lev_cb=lcb, lev_cr=lcr)
         return node, rd + rdb + rdr
 
+    # -------------------------------------------------------- CU64 leaf
+    def _leaf64(self, st, x0, y0, K=2):
+        """Intra CU64 (7.3.8.5 at log2CbSize 6): one luma mode, transform
+        tree force-split to four TU32s + per-quadrant chroma TU16s
+        (log2TrafoSize > MaxTbLog2SizeY, 7.3.8.8).  Mode candidates by
+        SATD over the four quadrants, then true sequential TU coding."""
+        lam2 = self.lam * self.lam
+        ca, cb = self._cands(st, x0, y0)
+        bits = np.array([_mode_bits(m, ca, cb) for m in range(35)])
+        satd = np.zeros(35)
+        # quadrants 1..3 border pixels of this CU that are not yet coded at
+        # estimation time; approximate them with original pixels so the
+        # SATD sweep sees realistic boundaries (kvazaar's orig-ref search)
+        pseudo = st["y"].copy()
+        pseudo[y0 : y0 + 64, x0 : x0 + 64] = self.oy[y0 : y0 + 64, x0 : x0 + 64]
+        for dy, dx in _ZO:
+            xs, ys = x0 + dx * 32, y0 + dy * 32
+            a = _refs_g(pseudo, xs, ys, 5, self.cw, self.ctb_log2)
+            preds = intra_ops.predict_all_modes(a, 5, True)
+            o = self.oy[ys : ys + 32, xs : xs + 32]
+            satd += np.asarray(satd_blocks(preds, jnp.asarray(o)[None])).astype(np.float64)
+        order = np.argsort(satd + self.lam * bits, kind="stable")[:K]
+        best = None
+        for m in order:
+            stm = {k: v.copy() for k, v in st.items()}
+            rd = lam2 * (bits[int(m)] + 5.0)
+            ly = np.zeros((64, 64), np.int32)
+            lcb = np.zeros((32, 32), np.int32)
+            lcr = np.zeros((32, 32), np.int32)
+            for dy, dx in _ZO:
+                xs, ys = x0 + dx * 32, y0 + dy * 32
+                orig = self.oy[ys : ys + 32, xs : xs + 32]
+                pred = predict_g(stm["y"], xs, ys, 5, True, int(m), self.cw,
+                                 self.ctb_log2)
+                lev, rec = _code_np(orig, pred, self.qp, 5)
+                stm["y"][ys : ys + 32, xs : xs + 32] = rec
+                ly[dy * 32 : dy * 32 + 32, dx * 32 : dx * 32 + 32] = lev
+                rd += float(np.sum((rec.astype(np.int64) - orig) ** 2)) \
+                    + lam2 * _lev_bits(lev)
+                lb, rb_ = self._chroma(stm, "u", xs >> 1, ys >> 1, 4, int(m))
+                lr, rr_ = self._chroma(stm, "v", xs >> 1, ys >> 1, 4, int(m))
+                lcb[dy * 16 : dy * 16 + 16, dx * 16 : dx * 16 + 16] = lb
+                lcr[dy * 16 : dy * 16 + 16, dx * 16 : dx * 16 + 16] = lr
+                rd += rb_ + rr_
+            if best is None or rd < best[1]:
+                best = (stm, rd, int(m), ly, lcb, lcr)
+        stm, rd, m, ly, lcb, lcr = best
+        for k in st:
+            st[k][...] = stm[k]
+        st["m4"][y0 >> 2 : (y0 + 64) >> 2, x0 >> 2 : (x0 + 64) >> 2] = m
+        return dict(size=64, part=0, modes=[m], lev_y=ly, lev_cb=lcb,
+                    lev_cr=lcr), rd
+
     # ------------------------------------------------------------ quadtree
     def _cu(self, st, x0, y0, log2):
         """Recursive CU decision committing into st; returns (node, rd)."""
@@ -194,7 +247,10 @@ class _QuadEncoder:
             node, rd = self._leaf(st, x0, y0, log2)
             return node, rd + lam2  # split_cu_flag bin
         stl = {k: v.copy() for k, v in st.items()}
-        leaf_node, leaf_rd = self._leaf(stl, x0, y0, log2)
+        if log2 == 6:
+            leaf_node, leaf_rd = self._leaf64(stl, x0, y0)
+        else:
+            leaf_node, leaf_rd = self._leaf(stl, x0, y0, log2)
         leaf_rd += lam2
         sts = {k: v.copy() for k, v in st.items()}
         h = 1 << (log2 - 1)
@@ -229,16 +285,23 @@ def quad_bs_maps(trees, width: int, height: int, ctb_log2: int):
     ev = np.zeros((h8, w8), bool)
     eh = np.zeros((h8, w8), bool)
 
+    def mark(x0, y0, n):
+        if x0 % 8 == 0 and x0 // 8 < w8:
+            ev[y0 // 8 : -(-(y0 + n) // 8), x0 // 8] = True
+        if y0 % 8 == 0 and y0 // 8 < h8:
+            eh[y0 // 8, x0 // 8 : -(-(x0 + n) // 8)] = True
+
     def walk(node, x0, y0, n):
         if "split" in node:
             h = n >> 1
             for (dy, dx), s in zip(_ZO, node["split"]):
                 walk(s, x0 + dx * h, y0 + dy * h, h)
             return
-        if x0 % 8 == 0 and x0 // 8 < w8:
-            ev[y0 // 8 : -(-(y0 + n) // 8), x0 // 8] = True
-        if y0 % 8 == 0 and y0 // 8 < h8:
-            eh[y0 // 8, x0 // 8 : -(-(x0 + n) // 8)] = True
+        if n == 64:  # forced TT: the four TU32s are deblocking edges too
+            for dy, dx in _ZO:
+                mark(x0 + dx * 32, y0 + dy * 32, 32)
+        else:
+            mark(x0, y0, n)
 
     cw = width >> ctb_log2
     nctb = 1 << ctb_log2

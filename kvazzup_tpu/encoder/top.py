@@ -61,14 +61,14 @@ class Encoder:
                 raise NotImplementedError("tiles exclude wpp/sao/cu_qp_delta for now")
             if cfg.tile_cols > cfg.ctbs_w:
                 raise ValueError("more tile columns than CTB columns")
-        if cfg.ctb_log2 == 5:
+        if cfg.ctb_log2 in (5, 6):
             if cfg.min_cb_log2 != 3 or cfg.max_tb_log2 != 5:
-                raise ValueError("CTB32 coding uses min_cb_log2=3 / max_tb_log2=5")
+                raise ValueError("CTB32/64 coding uses min_cb_log2=3 / max_tb_log2=5")
             if intra_period != 1:
-                raise NotImplementedError("CTB32 quadtree currently requires all-intra")
+                raise NotImplementedError("CTB32/64 quadtree currently requires all-intra")
             if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
                     or cfg.slices > 1:
-                raise NotImplementedError("CTB32 excludes wpp/sao/qp_map/tiles/slices for now")
+                raise NotImplementedError("CTB32/64 excludes wpp/sao/qp_map/tiles/slices for now")
         elif cfg.min_cb_log2 == 3:
             if intra_period != 1:
                 raise NotImplementedError("CU8 quadtree currently requires all-intra")
@@ -139,20 +139,21 @@ class Encoder:
             self._idr_count += 1
 
         # ---- device encode
-        if cfg.ctb_log2 == 5:
+        if cfg.ctb_log2 in (5, 6):
             from .cu32 import encode_frame_intra_quad_ref, quad_bs_maps
 
             if not is_idr:
-                raise NotImplementedError("CTB32 quadtree is intra-only for now")
+                raise NotImplementedError("CTB32/64 quadtree is intra-only for now")
             out = encode_frame_intra_quad_ref(
                 np.asarray(y), np.asarray(u), np.asarray(v), qp,
-                width=cfg.width, height=cfg.height, ctb_log2=5,
+                width=cfg.width, height=cfg.height, ctb_log2=cfg.ctb_log2,
             )
             ry = jnp.asarray(out["recon_y"])
             ru = jnp.asarray(out["recon_u"])
             rv = jnp.asarray(out["recon_v"])
             if cfg.deblocking_enabled:
-                bv, bh = quad_bs_maps(out["trees"], cfg.width, cfg.height, 5)
+                bv, bh = quad_bs_maps(out["trees"], cfg.width, cfg.height,
+                                      cfg.ctb_log2)
                 ry, ru, rv = deblock_frame(
                     ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
                     bs_h=jnp.asarray(bh), chroma_every=2,

@@ -60,3 +60,42 @@ def test_cu32_saves_bits_vs_ctb16():
                          deblocking_enabled=True)
     s16, _ = Encoder(cfg16).encode_frame(y, u, v)
     assert len(s32) <= len(s16)
+
+
+def _cfg64(w, h, qp, deblock=True):
+    return StreamConfig(width=w, height=h, qp=qp, ctb_log2=6, min_cb_log2=3,
+                        max_tb_log2=5, deblocking_enabled=deblock)
+
+
+def test_ctb64_self_decode():
+    """CTB64: CU64 leaves force-split the transform tree into four TU32s
+    with per-quadrant chroma TU16s (7.3.8.8)."""
+    w, h = 64, 64
+    y, u, v = synthetic_frames(w, h, 1, seed=9)[0]
+    stream, recon = Encoder(_cfg64(w, h, 32)).encode_frame(y, u, v)
+    dec = Decoder().decode(stream)
+    for p in range(3):
+        assert np.array_equal(np.asarray(dec[0][p]), np.asarray(recon[p])), p
+
+
+def test_ctb64_cu64_leaf_oracle(tmp_path):
+    """Smooth gradient content must actually choose CU64 leaves, and the
+    stream must decode byte-identically in libavcodec."""
+    tool = _ensure_oracle()
+    w, h = 128, 64
+    xx = np.mgrid[0:h, 0:w][1]
+    y = ((xx * 255) // w).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = ((np.mgrid[0:h // 2, 0:w // 2][0] * 255) // (h // 2)).astype(np.uint8)
+    enc = Encoder(_cfg64(w, h, 34))
+    ctx = enc.encode_frame_device(y, u, v)
+    assert any("split" not in t for t in ctx["out"]["trees"]), "no CU64 leaf chosen"
+    stream, recon = enc.encode_frame_entropy(ctx)
+    f = tmp_path / "s.265"
+    f.write_bytes(stream)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([tool, "decode", str(f), str(out)], capture_output=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libavcodec oracle unavailable")
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for p in recon)
+    assert out.read_bytes() == mine
