@@ -355,3 +355,33 @@ def test_decode_x265_weighted_bipred(tmp_path):
     got = Decoder().decode(out.read_bytes())
     mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
     assert mine == gold.read_bytes()
+
+
+@pytest.mark.parametrize("preset", ["ultrafast", "slow"])
+def test_decode_x265_presets(tmp_path, preset):
+    """Preset sweep beyond medium: ultrafast (ctu 32, no loop filters,
+    fast decisions) and slow (deeper trees, rd 4, B-adapt 2, more refs)
+    must decode byte-identically."""
+    tool = _ensure_oracle()
+    w, h = 128, 64
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = []
+    for i in range(10):
+        fade = 1.0 - 0.03 * i
+        y = np.clip(np.roll(base[0], (i, 2 * i), axis=(0, 1)).astype(np.float32)
+                    * fade, 0, 255).astype(np.uint8)
+        frames.append((y, np.roll(base[1], i, axis=1), base[2]))
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold = tmp_path / "gold.yuv"
+    params = (f"preset={preset}:repeat-headers=1:frame-threads=1:no-info=1:"
+              "no-scenecut=1:rc-lookahead=10:no-cutree=1:no-open-gop=1:wpp=0")
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "30", str(out), params],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
+    got = Decoder().decode(out.read_bytes())
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
+    assert mine == gold.read_bytes()
