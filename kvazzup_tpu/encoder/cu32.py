@@ -82,7 +82,8 @@ def predict_g(canvas, x0, y0, log2, is_luma, mode, cw_ctb, ctb_log2):
 class _QuadEncoder:
     """One frame's worth of state for the recursive CU search."""
 
-    def __init__(self, y, u, v, qp, width, height, ctb_log2, nxn):
+    def __init__(self, y, u, v, qp, width, height, ctb_log2, nxn,
+                 td_intra: int = 0):
         from ..core.tables import CHROMA_QP_TABLE
 
         self.oy = np.asarray(y, np.int32)
@@ -92,6 +93,7 @@ class _QuadEncoder:
         self.ctb_log2 = ctb_log2
         self.cw = width >> ctb_log2
         self.nxn = nxn
+        self.td_intra = td_intra  # max_transform_hierarchy_depth_intra (0/1)
         self.qp = qp
         self.qp_c = int(CHROMA_QP_TABLE[min(max(qp, 0), 57)])
         self.lam = float(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
@@ -147,6 +149,37 @@ class _QuadEncoder:
         return lev, sse + self.lam * self.lam * _lev_bits(lev)
 
     # --------------------------------------------------------------- leafs
+    def _tsplit_code(self, st, x0, y0, log2, m):
+        """Code a 2Nx2N CU with its transform tree split once (7.3.8.8
+        trafoDepth 1): four quarter luma TUs + four quarter chroma TUs,
+        all predicted sequentially with the CU's mode.  Commits into st;
+        returns (lev_y, lev_cb, lev_cr, rd)."""
+        lam2 = self.lam * self.lam
+        n = 1 << log2
+        h = n >> 1
+        ly = np.zeros((n, n), np.int32)
+        lcb = np.zeros((n >> 1, n >> 1), np.int32)
+        lcr = np.zeros((n >> 1, n >> 1), np.int32)
+        rd = lam2 * 4.0  # 4 cbf_luma bins (chroma cbf folded into parent est)
+        for dy, dx in _ZO:
+            xs, ys = x0 + dx * h, y0 + dy * h
+            orig = self.oy[ys : ys + h, xs : xs + h]
+            pred = predict_g(st["y"], xs, ys, log2 - 1, True, m, self.cw,
+                             self.ctb_log2)
+            lev, rec = _code_np(orig, pred, self.qp, log2 - 1)
+            st["y"][ys : ys + h, xs : xs + h] = rec
+            ly[dy * h : (dy + 1) * h, dx * h : (dx + 1) * h] = lev
+            rd += float(np.sum((rec.astype(np.int64) - orig) ** 2)) \
+                + lam2 * _lev_bits(lev)
+            q = h >> 1
+            lb, rb_ = self._chroma(st, "u", xs >> 1, ys >> 1, log2 - 2, m)
+            lr, rr_ = self._chroma(st, "v", xs >> 1, ys >> 1, log2 - 2, m)
+            lcb[dy * q : (dy + 1) * q, dx * q : (dx + 1) * q] = lb
+            lcr[dy * q : (dy + 1) * q, dx * q : (dx + 1) * q] = lr
+            rd += rb_ + rr_
+        st["m4"][y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = m
+        return ly, lcb, lcr, rd
+
     def _leaf(self, st, x0, y0, log2):
         """Code one leaf CU (committing into st); returns (node, rd)."""
         lam2 = self.lam * self.lam
@@ -176,10 +209,30 @@ class _QuadEncoder:
                 st[k][...] = stw[k]
         else:
             m, lev, rec, rd = self._best_mode(st, x0, y0, log2)
+            rd += lam2 * 5.0
+            if self.td_intra and log2 in (4, 5):
+                # explicit split_transform_flag: single-TU vs quarter-TUs
+                sta = {k: v.copy() for k, v in st.items()}
+                sta["y"][y0 : y0 + n, x0 : x0 + n] = rec
+                sta["m4"][y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = m
+                lcb_a, rdb_a = self._chroma(sta, "u", x0 >> 1, y0 >> 1, log2 - 1, m)
+                lcr_a, rdr_a = self._chroma(sta, "v", x0 >> 1, y0 >> 1, log2 - 1, m)
+                rd_a = rd + rdb_a + rdr_a
+                stb = {k: v.copy() for k, v in st.items()}
+                ly_b, lcb_b, lcr_b, rd_tt = self._tsplit_code(stb, x0, y0, log2, m)
+                rd_b = lam2 * (_mode_bits(m, *self._cands(st, x0, y0)) + 5.0) + rd_tt
+                if rd_b < rd_a:
+                    for k in st:
+                        st[k][...] = stb[k]
+                    return dict(size=n, part=0, modes=[m], tsplit=1, lev_y=ly_b,
+                                lev_cb=lcb_b, lev_cr=lcr_b), rd_b
+                for k in st:
+                    st[k][...] = sta[k]
+                return dict(size=n, part=0, modes=[m], lev_y=lev,
+                            lev_cb=lcb_a, lev_cr=lcr_a), rd_a
             st["y"][y0 : y0 + n, x0 : x0 + n] = rec
             st["m4"][y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = m
             node = dict(part=0, modes=[m], lev_y=lev)
-            rd += self.lam * self.lam * 5.0
             dm = m
         lcb, rdb = self._chroma(st, "u", x0 >> 1, y0 >> 1, log2 - 1, dm)
         lcr, rdr = self._chroma(st, "v", x0 >> 1, y0 >> 1, log2 - 1, dm)
@@ -300,6 +353,9 @@ def quad_bs_maps(trees, width: int, height: int, ctb_log2: int):
         if n == 64:  # forced TT: the four TU32s are deblocking edges too
             for dy, dx in _ZO:
                 mark(x0 + dx * 32, y0 + dy * 32, 32)
+        elif node.get("tsplit"):
+            for dy, dx in _ZO:  # explicit TT split: quarter-TU edges
+                mark(x0 + dx * (n >> 1), y0 + dy * (n >> 1), n >> 1)
         else:
             mark(x0, y0, n)
 
@@ -317,14 +373,15 @@ def quad_bs_maps(trees, width: int, height: int, ctb_log2: int):
 
 
 def encode_frame_intra_quad_ref(y, u, v, qp: int, *, width: int, height: int,
-                                ctb_log2: int = 5, nxn: bool = True):
+                                ctb_log2: int = 5, nxn: bool = True,
+                                td_intra: int = 0):
     """Sequential CTB-`2^ctb_log2` quadtree intra encoder.
 
     Returns dict(trees: list of per-CTB decision trees in raster order,
     recon planes).  A tree node is either {"size", "split": [4 nodes]}
     (z-order) or a leaf {"size", "part", "modes", "lev_y", "lev_cb",
     "lev_cr"} (part=1 only at size 8: PART_NxN with 4 luma modes)."""
-    qe = _QuadEncoder(y, u, v, qp, width, height, ctb_log2, nxn)
+    qe = _QuadEncoder(y, u, v, qp, width, height, ctb_log2, nxn, td_intra)
     trees = qe.run()
     return {
         "trees": trees,

@@ -64,12 +64,16 @@ class Encoder:
         if cfg.ctb_log2 in (5, 6):
             if cfg.min_cb_log2 != 3 or cfg.max_tb_log2 != 5:
                 raise ValueError("CTB32/64 coding uses min_cb_log2=3 / max_tb_log2=5")
+            if cfg.max_transform_hierarchy_depth_intra not in (0, 1):
+                raise NotImplementedError("quad path supports max_td_intra 0/1")
             if intra_period != 1:
                 raise NotImplementedError("CTB32/64 quadtree currently requires all-intra")
             if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
                     or cfg.slices > 1:
                 raise NotImplementedError("CTB32/64 excludes wpp/sao/qp_map/tiles/slices for now")
         elif cfg.min_cb_log2 == 3:
+            if cfg.max_transform_hierarchy_depth_intra:
+                raise NotImplementedError("TU trees require the CTB32/64 path")
             if intra_period != 1:
                 raise NotImplementedError("CU8 quadtree currently requires all-intra")
             if cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
@@ -147,6 +151,7 @@ class Encoder:
             out = encode_frame_intra_quad_ref(
                 np.asarray(y), np.asarray(u), np.asarray(v), qp,
                 width=cfg.width, height=cfg.height, ctb_log2=cfg.ctb_log2,
+                td_intra=cfg.max_transform_hierarchy_depth_intra,
             )
             ry = jnp.asarray(out["recon_y"])
             ru = jnp.asarray(out["recon_u"])

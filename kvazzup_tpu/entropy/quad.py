@@ -94,13 +94,46 @@ class _QuadWriter:
             for j in range(4):
                 _encode_luma_mode_tail(enc, modes[j], *cands[j], flags[j])
         enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)  # DM chroma
-        # transform tree: leaf TU at the CU (max_td_intra 0), NxN forces
-        # one split to four quarter TUs (7.3.8.8 IntraSplitFlag)
+        # transform tree (7.3.8.8): explicit split_transform_flag when
+        # max_td_intra allows it; NxN forces one split (IntraSplitFlag);
+        # CU64 force-splits (log2TrafoSize > MaxTbLog2SizeY)
         lev_y, lev_cb, lev_cr = node["lev_y"], node["lev_cb"], node["lev_cr"]
+        tsplit = int(node.get("tsplit", 0))
+        td = self.cfg.max_transform_hierarchy_depth_intra
+        if log2 <= 5 and log2 > 2 and 0 < td and not nxn:
+            enc.encode_bin(OFFSETS["split_transform_flag"] + 5 - log2, tsplit)
         cbf_cb = 1 if np.any(lev_cb) else 0
         cbf_cr = 1 if np.any(lev_cr) else 0
         enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
         enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        if tsplit:
+            # trafoDepth 1: four quarter luma TUs, each with its own
+            # quarter chroma TUs (child log2-1 > 2 here: CU16/CU32 only)
+            m = modes[0]
+            h = n >> 1
+            q = h >> 1
+            for dy, dx in _ZO:
+                ty = lev_y[dy * h : (dy + 1) * h, dx * h : (dx + 1) * h]
+                tcb = lev_cb[dy * q : (dy + 1) * q, dx * q : (dx + 1) * q]
+                tcr = lev_cr[dy * q : (dy + 1) * q, dx * q : (dx + 1) * q]
+                c_cb = 1 if np.any(tcb) else 0
+                c_cr = 1 if np.any(tcr) else 0
+                if cbf_cb:
+                    enc.encode_bin(OFFSETS["cbf_chroma"] + 1, c_cb)
+                if cbf_cr:
+                    enc.encode_bin(OFFSETS["cbf_chroma"] + 1, c_cr)
+                c_y = 1 if np.any(ty) else 0
+                enc.encode_bin(OFFSETS["cbf_luma"], c_y)  # trafoDepth 1
+                if c_y:
+                    encode_residual(enc, ty, log2 - 1, 0,
+                                    residual_scan_idx(m, log2 - 1, 0))
+                if c_cb:
+                    encode_residual(enc, tcb, log2 - 2, 1,
+                                    residual_scan_idx(m, log2 - 2, 1))
+                if c_cr:
+                    encode_residual(enc, tcr, log2 - 2, 2,
+                                    residual_scan_idx(m, log2 - 2, 2))
+            return
         if log2 == 6:
             # CU64: log2TrafoSize > MaxTbLog2SizeY forces a TT split to four
             # TU32s; each child re-codes chroma cbf at trafoDepth 1 and its

@@ -99,3 +99,41 @@ def test_ctb64_cu64_leaf_oracle(tmp_path):
         pytest.skip("libavcodec oracle unavailable")
     mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for p in recon)
     assert out.read_bytes() == mine
+
+
+def test_tu_tree_split_oracle(tmp_path):
+    """Explicit TU trees (split_transform_flag, max_td_intra=1): quarter
+    TUs with per-quadrant chroma at CU16/CU32 (7.3.8.8), selected on
+    mixed flat/detail content and byte-exact in libavcodec."""
+    tool = _ensure_oracle()
+    rng = np.random.default_rng(4)
+    w, h = 96, 64
+    y = np.full((h, w), 120, np.uint8)
+    y[:, w // 2 :] = rng.integers(0, 256, (h, w // 2)).astype(np.uint8)
+    y[:, : w // 2] += (np.mgrid[0:h, 0 : w // 2][1] // 3).astype(np.uint8)
+    u = rng.integers(100, 140, (h // 2, w // 2)).astype(np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    cfg = StreamConfig(width=w, height=h, qp=30, ctb_log2=5, min_cb_log2=3,
+                       max_tb_log2=5, deblocking_enabled=True,
+                       max_transform_hierarchy_depth_intra=1)
+    enc = Encoder(cfg)
+    ctx = enc.encode_frame_device(y, u, v)
+
+    def count_ts(n):
+        if "split" in n:
+            return sum(count_ts(s) for s in n["split"])
+        return int(n.get("tsplit", 0))
+
+    assert sum(count_ts(t) for t in ctx["out"]["trees"]) > 0, "no TU split chosen"
+    stream, recon = enc.encode_frame_entropy(ctx)
+    dec = Decoder().decode(stream)
+    for p in range(3):
+        assert np.array_equal(np.asarray(dec[0][p]), np.asarray(recon[p])), p
+    f = tmp_path / "s.265"
+    f.write_bytes(stream)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([tool, "decode", str(f), str(out)], capture_output=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libavcodec oracle unavailable")
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for p in recon)
+    assert out.read_bytes() == mine
