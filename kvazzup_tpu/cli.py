@@ -40,15 +40,21 @@ def cmd_encode(args) -> int:
     if not frames:
         raise SystemExit("no frames read")
     ra = args.gop == "ra"
+    ctb_log2 = {16: 4, 32: 5, 64: 6}[args.ctu]
     cfg = StreamConfig(
         width=w, height=h, qp=args.qp,
+        ctb_log2=ctb_log2,
         deblocking_enabled=not args.no_deblock,
         sao_enabled=args.sao, wpp=args.wpp or args.sao,
         tile_cols=args.tiles, slices=args.slices,
-        min_cb_log2=3 if args.cu8 else 4,
+        min_cb_log2=3 if (args.cu8 or ctb_log2 > 4) else 4,
+        max_tb_log2=5 if ctb_log2 > 4 else 4,
+        max_transform_hierarchy_depth_intra=args.tu_intra_depth - 1,
         num_reorder_pics=2 if ra else 0,
         max_dec_pic_buffering=5 if ra else 2,
     )
+    if ctb_log2 > 4 and args.intra_period != 1:
+        raise SystemExit("--ctu 32/64 currently requires all-intra (--intra-period 1)")
     if args.tiles > 1 and (ra or args.intra_period != 1):
         raise SystemExit("--tiles currently requires all-intra (--intra-period 1, --gop ld)")
     t0 = time.time()
@@ -184,6 +190,10 @@ def main(argv=None) -> int:
                     help="N tile columns (all-intra; the multi-chip shard axis)")
     pe.add_argument("--slices", type=int, default=1, metavar="N",
                     help="N row-aligned slices per picture (all-intra; RTP loss unit)")
+    pe.add_argument("--ctu", type=int, choices=(16, 32, 64), default=16,
+                    help="CTU size (kvazaar --ctu; 32/64 are all-intra for now)")
+    pe.add_argument("--tu-intra-depth", type=int, choices=(1, 2), default=1,
+                    help="intra TU tree depth (kvazaar --tr-depth-intra analog)")
     pe.add_argument("--cu8", action="store_true",
                     help="CU quadtree: allow 8x8 CUs (all-intra; better detail)")
     pe.add_argument("--gop", choices=["ld", "ra"], default="ld",
