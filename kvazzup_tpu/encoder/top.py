@@ -52,8 +52,8 @@ class Encoder:
         setting (kvazaarfilter.cpp:221)."""
         if cfg.width % cfg.ctb_size or cfg.height % cfg.ctb_size:
             raise ValueError("v1 requires CTB-aligned dimensions (pad input)")
-        if cfg.sao_enabled and not cfg.wpp:
-            raise NotImplementedError("SAO currently requires cfg.wpp streams")
+        if cfg.sao_enabled and not cfg.wpp and cfg.ctb_log2 not in (5, 6):
+            raise NotImplementedError("SAO requires cfg.wpp at CTB16 (or the CTB32/64 path)")
         if cfg.tile_cols > 1:
             if intra_period != 1:
                 raise NotImplementedError("tiles currently require all-intra")
@@ -68,9 +68,8 @@ class Encoder:
                 raise NotImplementedError("quad path supports max_td_intra 0/1")
             if intra_period != 1:
                 raise NotImplementedError("CTB32/64 quadtree currently requires all-intra")
-            if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
-                    or cfg.slices > 1:
-                raise NotImplementedError("CTB32/64 excludes wpp/sao/qp_map/tiles/slices for now")
+            if cfg.wpp or cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
+                raise NotImplementedError("CTB32/64 excludes wpp/qp_map/tiles/slices for now")
         elif cfg.min_cb_log2 == 3:
             if cfg.max_transform_hierarchy_depth_intra:
                 raise NotImplementedError("TU trees require the CTB32/64 path")
@@ -163,11 +162,30 @@ class Encoder:
                     ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
                     bs_h=jnp.asarray(bh), chroma_every=2,
                 )
+            sao_state = None
+            if cfg.sao_enabled:
+                lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+                t_l, aux_l, off_l, _ = sao_decide(jnp.asarray(np.asarray(y)), ry, lam,
+                                                  ctb=cfg.ctb_size)
+                t_c, _cls, aux_cb, aux_cr, off_cb, off_cr = sao_decide_chroma(
+                    jnp.asarray(np.asarray(u)), ru, jnp.asarray(np.asarray(v)), rv,
+                    lam, ctb=cfg.ctb_size // 2
+                )
+                sao_state = SaoState(
+                    cfg.ctbs_w,
+                    cfg.ctbs_h,
+                    typ=np.stack([np.asarray(t_l), np.asarray(t_c), np.asarray(t_c)]),
+                    aux=np.stack([np.asarray(aux_l), np.asarray(aux_cb), np.asarray(aux_cr)]),
+                    offs=np.stack([np.asarray(off_l), np.asarray(off_cb), np.asarray(off_cr)]),
+                )
+                ry = sao_apply(ry, t_l, aux_l, off_l, ctb=cfg.ctb_size)
+                ru = sao_apply(ru, t_c, aux_cb, off_cb, ctb=cfg.ctb_size // 2)
+                rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
             first = self._frame_count == 0
             self._frame_count += 1
             self._ref = (ry, ru, rv)
             return {"kind": "quad", "out": out, "qp": qp, "first": first,
-                    "recon": (ry, ru, rv)}
+                    "sao_state": sao_state, "recon": (ry, ru, rv)}
         if cfg.min_cb_log2 == 3:
             from .frame_intra_cu8 import encode_frame_intra_cu8
 
@@ -297,8 +315,10 @@ class Encoder:
         if ctx["kind"] == "quad":
             from ..entropy.quad import encode_slice_data_intra_quad
 
-            payload = encode_slice_data_intra_quad(cfg, out["trees"], slice_qp=qp)
-            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+            payload = encode_slice_data_intra_quad(cfg, out["trees"], slice_qp=qp,
+                                                   sao=ctx["sao_state"])
+            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
+                             sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled)
             w = compose_slice_header(cfg, sh)
             w.write_bytes(payload)
             stream = self.headers() if first else b""

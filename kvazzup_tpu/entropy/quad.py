@@ -188,9 +188,11 @@ class _QuadWriter:
                             residual_scan_idx(dm, log2 - 1, 2))
 
 
-def encode_slice_data_intra_quad(cfg, trees, slice_qp=None) -> bytes:
+def encode_slice_data_intra_quad(cfg, trees, slice_qp=None, sao=None) -> bytes:
     """I-slice data for the cu32.py tree representation (single slice,
-    no WPP/tiles); CTBs in raster order with end_of_slice flags."""
+    no WPP/tiles); CTBs in raster order with end_of_slice flags.  When
+    `sao` (a SaoState) is given its per-CTB parameters precede each CTU's
+    syntax (7.3.8.2)."""
     sq = cfg.qp if slice_qp is None else slice_qp
     enc = CabacEncoder(init_type=0, slice_qp=sq)
     wr = _QuadWriter(cfg, sq)
@@ -198,6 +200,8 @@ def encode_slice_data_intra_quad(cfg, trees, slice_qp=None) -> bytes:
     nctu = cw * cfg.ctbs_h
     n = cfg.ctb_size
     for i, node in enumerate(trees):
+        if sao is not None:
+            sao.encode(enc, i)
         wr.ctu(enc, node, (i % cw) * n, (i // cw) * n)
         enc.encode_terminate(1 if i == nctu - 1 else 0)
     return enc.data()

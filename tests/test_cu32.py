@@ -137,3 +137,27 @@ def test_tu_tree_split_oracle(tmp_path):
         pytest.skip("libavcodec oracle unavailable")
     mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for p in recon)
     assert out.read_bytes() == mine
+
+
+def test_ctb64_sao_tu_trees_oracle(tmp_path):
+    """The full CTB64 intra toolset together: deblocking + SAO + TU trees
+    (the kvazaar-default operating point, loop filters on)."""
+    tool = _ensure_oracle()
+    w, h = 128, 64
+    y, u, v = synthetic_frames(w, h, 1, seed=12)[0]
+    cfg = StreamConfig(width=w, height=h, qp=32, ctb_log2=6, min_cb_log2=3,
+                       max_tb_log2=5, deblocking_enabled=True, sao_enabled=True,
+                       max_transform_hierarchy_depth_intra=1)
+    enc = Encoder(cfg)
+    stream, recon = enc.encode_frame(y, u, v)
+    dec = Decoder().decode(stream)
+    for p in range(3):
+        assert np.array_equal(np.asarray(dec[0][p]), np.asarray(recon[p])), p
+    f = tmp_path / "s.265"
+    f.write_bytes(stream)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([tool, "decode", str(f), str(out)], capture_output=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libavcodec oracle unavailable")
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for p in recon)
+    assert out.read_bytes() == mine
