@@ -68,8 +68,8 @@ class Encoder:
                 raise NotImplementedError("quad path supports max_td_intra 0/1")
             if intra_period != 1:
                 raise NotImplementedError("CTB32/64 quadtree currently requires all-intra")
-            if cfg.wpp or cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
-                raise NotImplementedError("CTB32/64 excludes wpp/qp_map/tiles/slices for now")
+            if cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
+                raise NotImplementedError("CTB32/64 excludes qp_map/tiles/slices for now")
         elif cfg.min_cb_log2 == 3:
             if cfg.max_transform_hierarchy_depth_intra:
                 raise NotImplementedError("TU trees require the CTB32/64 path")
@@ -313,13 +313,22 @@ class Encoder:
         out, qp, first = ctx["out"], ctx["qp"], ctx["first"]
         ry, ru, rv = ctx["recon"]
         if ctx["kind"] == "quad":
-            from ..entropy.quad import encode_slice_data_intra_quad
+            from ..entropy.quad import (
+                encode_slice_data_intra_quad,
+                encode_slice_data_intra_quad_wpp,
+            )
 
-            payload = encode_slice_data_intra_quad(cfg, out["trees"], slice_qp=qp,
-                                                   sao=ctx["sao_state"])
+            entry_offsets = None
+            if cfg.wpp:
+                payload, entry_offsets = encode_slice_data_intra_quad_wpp(
+                    cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"]
+                )
+            else:
+                payload = encode_slice_data_intra_quad(cfg, out["trees"], slice_qp=qp,
+                                                       sao=ctx["sao_state"])
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
                              sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled)
-            w = compose_slice_header(cfg, sh)
+            w = compose_slice_header(cfg, sh, entry_offsets)
             w.write_bytes(payload)
             stream = self.headers() if first else b""
             stream += compose_nal(NalUnit(sh.nal_type, w.data()))

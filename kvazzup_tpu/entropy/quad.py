@@ -205,3 +205,24 @@ def encode_slice_data_intra_quad(cfg, trees, slice_qp=None, sao=None) -> bytes:
         wr.ctu(enc, node, (i % cw) * n, (i // cw) * n)
         enc.encode_terminate(1 if i == nctu - 1 else 0)
     return enc.data()
+
+
+def encode_slice_data_intra_quad_wpp(cfg, trees, slice_qp=None, sao=None):
+    """WPP variant (entropy_coding_sync): per-row substreams with CABAC
+    context inheritance; the frame-level depth/mode maps persist across
+    rows (they are picture state, not entropy state).  Returns
+    (payload, entry_point_offsets)."""
+    from .slice_data import encode_slice_data_wpp
+
+    sq = cfg.qp if slice_qp is None else slice_qp
+    wr = _QuadWriter(cfg, sq)
+    cw = cfg.ctbs_w
+    n = cfg.ctb_size
+
+    def fn(enc, i):
+        if sao is not None:
+            sao.encode(enc, i)
+        wr.ctu(enc, trees[i], (i % cw) * n, (i // cw) * n)
+
+    fn.init_type = 0
+    return encode_slice_data_wpp(cfg, fn, slice_qp=sq)

@@ -161,3 +161,26 @@ def test_ctb64_sao_tu_trees_oracle(tmp_path):
         pytest.skip("libavcodec oracle unavailable")
     mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for p in recon)
     assert out.read_bytes() == mine
+
+
+def test_cu32_wpp_sao_oracle(tmp_path):
+    """WPP substreams (entropy_coding_sync) + SAO + deblocking at CTB32:
+    per-row context inheritance with picture-level depth/mode maps."""
+    tool = _ensure_oracle()
+    w, h = 96, 96
+    y, u, v = synthetic_frames(w, h, 1, seed=13)[0]
+    cfg = StreamConfig(width=w, height=h, qp=32, ctb_log2=5, min_cb_log2=3,
+                       max_tb_log2=5, deblocking_enabled=True, sao_enabled=True,
+                       wpp=True)
+    stream, recon = Encoder(cfg).encode_frame(y, u, v)
+    dec = Decoder().decode(stream)
+    for p in range(3):
+        assert np.array_equal(np.asarray(dec[0][p]), np.asarray(recon[p])), p
+    f = tmp_path / "s.265"
+    f.write_bytes(stream)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([tool, "decode", str(f), str(out)], capture_output=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libavcodec oracle unavailable")
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for p in recon)
+    assert out.read_bytes() == mine
