@@ -15,12 +15,49 @@ against libavcodec (tests/test_cu32.py).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import intra as intra_ops
+from ..ops.quant import dequantize, quantize
 from ..ops.satd import satd_blocks
-from .cu8 import _code_np, _lev_bits, _mode_bits
+from ..ops.transforms import fwd_transform, inv_transform
+from .cu8 import _lev_bits, _mode_bits
+
+
+# ---- fused jitted steps: one dispatch per block instead of dozens of
+# eager jnp ops (the sequential search is host-driven; the per-op
+# dispatch overhead dominated the profile before fusing)
+
+@functools.partial(jax.jit, static_argnames=("log2", "is_luma"))
+def _jit_sweep(a_raw, av, orig, log2, is_luma=True):
+    a = intra_ops.substitute_refs(a_raw, av)
+    preds = intra_ops.predict_all_modes(a, log2, is_luma)
+    return preds, satd_blocks(preds, orig[None])
+
+
+@functools.partial(jax.jit, static_argnames=("log2", "is_luma"))
+def _jit_pred1(a_raw, av, mode, log2, is_luma):
+    a = intra_ops.substitute_refs(a_raw, av)
+    return intra_ops.predict_mode(a, log2, is_luma, mode)
+
+
+@functools.partial(jax.jit, static_argnames=("log2", "dst"))
+def _jit_code(orig, pred, qp, log2, dst=False):
+    resid = orig - pred
+    lev = quantize(fwd_transform(resid, log2, dst), qp, log2, True)
+    rec = jnp.clip(pred + inv_transform(dequantize(lev, qp, log2), log2, dst),
+                   0, 255)
+    return lev, rec
+
+
+def _code_np(orig, pred, qp, log2, dst=False):
+    lev, rec = _jit_code(jnp.asarray(orig, jnp.int32),
+                         jnp.asarray(pred, jnp.int32), qp, log2, dst)
+    return np.asarray(lev), np.asarray(rec)
 
 _ZO = ((0, 0), (0, 1), (1, 0), (1, 1))  # (dy, dx) halves in z-order
 
@@ -68,15 +105,10 @@ def boundary_g(canvas: np.ndarray, x0: int, y0: int, n: int, cw_ctb: int,
     return a, av
 
 
-def _refs_g(canvas, x0, y0, log2, cw_ctb, ctb_log2):
-    n = 1 << log2
-    a_raw, av = boundary_g(canvas, x0, y0, n, cw_ctb, ctb_log2)
-    return intra_ops.substitute_refs(jnp.asarray(a_raw), jnp.asarray(av))
-
-
 def predict_g(canvas, x0, y0, log2, is_luma, mode, cw_ctb, ctb_log2):
-    a = _refs_g(canvas, x0, y0, log2, cw_ctb, ctb_log2)
-    return np.asarray(intra_ops.predict_mode(a, log2, is_luma, mode))
+    a_raw, av = boundary_g(canvas, x0, y0, 1 << log2, cw_ctb, ctb_log2)
+    return np.asarray(_jit_pred1(jnp.asarray(a_raw), jnp.asarray(av),
+                                 mode, log2, is_luma))
 
 
 class _QuadEncoder:
@@ -120,9 +152,10 @@ class _QuadEncoder:
         """SATD top-K -> SSE + lambda^2*rate, cu8.py shape."""
         n = 1 << log2
         orig = self.oy[y0 : y0 + n, x0 : x0 + n]
-        a = _refs_g(st["y"], x0, y0, log2, self.cw, self.ctb_log2)
-        preds = intra_ops.predict_all_modes(a, log2, True)
-        satd = np.asarray(satd_blocks(preds, jnp.asarray(orig)[None])).astype(np.float64)
+        a_raw, av = boundary_g(st["y"], x0, y0, n, self.cw, self.ctb_log2)
+        preds, satd_d = _jit_sweep(jnp.asarray(a_raw), jnp.asarray(av),
+                                   jnp.asarray(orig), log2)
+        satd = np.asarray(satd_d).astype(np.float64)
         ca, cb = self._cands(st, x0, y0)
         bits = np.array([_mode_bits(m, ca, cb) for m in range(35)])
         order = np.argsort(satd + self.lam * bits, kind="stable")[:K]
@@ -256,10 +289,11 @@ class _QuadEncoder:
         pseudo[y0 : y0 + 64, x0 : x0 + 64] = self.oy[y0 : y0 + 64, x0 : x0 + 64]
         for dy, dx in _ZO:
             xs, ys = x0 + dx * 32, y0 + dy * 32
-            a = _refs_g(pseudo, xs, ys, 5, self.cw, self.ctb_log2)
-            preds = intra_ops.predict_all_modes(a, 5, True)
+            a_raw, av = boundary_g(pseudo, xs, ys, 32, self.cw, self.ctb_log2)
             o = self.oy[ys : ys + 32, xs : xs + 32]
-            satd += np.asarray(satd_blocks(preds, jnp.asarray(o)[None])).astype(np.float64)
+            _p, sd = _jit_sweep(jnp.asarray(a_raw), jnp.asarray(av),
+                                jnp.asarray(o), 5)
+            satd += np.asarray(sd).astype(np.float64)
         order = np.argsort(satd + self.lam * bits, kind="stable")[:K]
         best = None
         for m in order:
