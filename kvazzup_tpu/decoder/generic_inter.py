@@ -469,9 +469,9 @@ class GenericInterDecoder(GenericIntraDecoder):
         self._mark_edges(x0, y0, n)
         if cbf_luma:
             lev = decode_residual(dec, log2, 0, 0, sdh=self.sdh)
-            resid = np.asarray(inv_transform(
-                dequantize(jnp.asarray(lev), self.qp, log2), log2
-            ))
+            from .generic_intra import _jit_resid
+
+            resid = np.asarray(_jit_resid(jnp.asarray(lev), self.qp, log2))
             reg = self.y[y0 : y0 + n, x0 : x0 + n]
             self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(reg + resid, 0, 255)
             self.cbf4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = 1
@@ -485,9 +485,9 @@ class GenericInterDecoder(GenericIntraDecoder):
             if not cbf:
                 continue
             lev = decode_residual(dec, log2c, cidx, 0, sdh=self.sdh)
-            resid = np.asarray(inv_transform(
-                dequantize(jnp.asarray(lev), self.qp_c, log2c), log2c
-            ))
+            from .generic_intra import _jit_resid
+
+            resid = np.asarray(_jit_resid(jnp.asarray(lev), self.qp_c, log2c))
             reg = canvas[yc : yc + n, xc : xc + n]
             canvas[yc : yc + n, xc : xc + n] = np.clip(reg + resid, 0, 255)
 

@@ -15,7 +15,10 @@ transform_unit 7.3.8.10, intra sample prediction 8.4.4, z-scan 6.4.1.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..entropy.cabac import CabacDecoder
@@ -31,6 +34,25 @@ from ..core.tables import residual_scan_idx
 from ..ops import intra as intra_ops
 from ..ops.quant import dequantize
 from ..ops.transforms import inv_transform
+
+
+# fused jitted steps — one dispatch per TU instead of dozens of eager jnp
+# ops (the recursive engines are host-driven; dispatch overhead dominated)
+
+@jax.jit
+def _jit_subst(a_raw, av):
+    return intra_ops.substitute_refs(a_raw, av)
+
+
+@functools.partial(jax.jit, static_argnames=("log2", "is_luma", "strong"))
+def _jit_predict(a_raw, av, mode, log2, is_luma, strong):
+    a = intra_ops.substitute_refs(a_raw, av)
+    return intra_ops.predict_mode(a, log2, is_luma, mode, strong)
+
+
+@functools.partial(jax.jit, static_argnames=("log2", "dst"))
+def _jit_resid(lev, qp, log2, dst=False):
+    return inv_transform(dequantize(lev, qp, log2), log2, dst=dst)
 
 
 def _morton(r: int, c: int, bits: int) -> int:
@@ -115,17 +137,16 @@ class GenericIntraDecoder:
     def _predict(self, canvas, x0, y0, log2, is_luma, mode, chroma: bool):
         n = 1 << log2
         a_raw, av = self._boundary(canvas, x0, y0, n, chroma)
-        a = np.asarray(intra_ops.substitute_refs(jnp.asarray(a_raw), jnp.asarray(av)))
         strong = False
         if is_luma and self.strong_smoothing and log2 == 5:
+            a = np.asarray(_jit_subst(jnp.asarray(a_raw), jnp.asarray(av)))
             thr = 1 << 3  # 1 << (BitDepth - 5)
             strong = (
                 abs(int(a[2 * n]) + int(a[4 * n]) - 2 * int(a[3 * n])) < thr
                 and abs(int(a[2 * n]) + int(a[0]) - 2 * int(a[n])) < thr
             )
-        return np.asarray(
-            intra_ops.predict_mode(jnp.asarray(a), log2, is_luma, mode, strong)
-        )
+        return np.asarray(_jit_predict(jnp.asarray(a_raw), jnp.asarray(av),
+                                       mode, log2, is_luma, strong))
 
     # ------------------------------------------------------------- QP (8.6.1)
     def _enter_qg(self, x0, y0) -> None:
@@ -297,9 +318,8 @@ class GenericIntraDecoder:
         if cbf:
             scan = residual_scan_idx(mode, log2, 0)
             lev = decode_residual(dec, log2, 0, scan, sdh=self.sdh)
-            resid = np.asarray(inv_transform(
-                dequantize(jnp.asarray(lev), self.qp, log2), log2, dst=(log2 == 2)
-            ))
+            resid = np.asarray(_jit_resid(jnp.asarray(lev), self.qp, log2,
+                                          dst=(log2 == 2)))
         else:
             resid = 0
         self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(pred + resid, 0, 255)
@@ -312,9 +332,7 @@ class GenericIntraDecoder:
             pred = self._predict(canvas, xc, yc, log2c, False, cmode, True)
             if cbf:
                 lev = decode_residual(dec, log2c, cidx, scan, sdh=self.sdh)
-                resid = np.asarray(inv_transform(
-                    dequantize(jnp.asarray(lev), self.qp_c, log2c), log2c
-                ))
+                resid = np.asarray(_jit_resid(jnp.asarray(lev), self.qp_c, log2c))
             else:
                 resid = 0
             canvas[yc : yc + n, xc : xc + n] = np.clip(pred + resid, 0, 255)
