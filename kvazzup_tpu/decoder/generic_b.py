@@ -310,10 +310,9 @@ class GenericBDecoder(GenericInterDecoder):
         if b is not None and b != a:
             cands.append(b)
         if len(cands) < 2 and self.col is not None:
-            t = self._tmvp_pu(x0, y0, nw, nh, ridx) if lx == 0 else None
-            if lx == 1:
-                tf = self._tmvp_full(x0, y0, nw, nh)
-                t = tf[1][1] if tf is not None else None
+            # temporal candidate scaled to THIS list's target ref picture
+            # (8.5.3.2.8 invoked with refIdxLX: not always L1 ref 0)
+            t = self._tmvp_pu(x0, y0, nw, nh, 0, target_poc=tpoc)
             if t is not None:
                 cands.append(t)
         while len(cands) < 2:

@@ -269,10 +269,12 @@ class GenericInterDecoder(GenericIntraDecoder):
     def _tmvp(self, x0, y0, n, target_ref):
         return self._tmvp_pu(x0, y0, n, n, target_ref)
 
-    def _tmvp_pu(self, x0, y0, nw, nh, target_ref):
+    def _tmvp_pu(self, x0, y0, nw, nh, target_ref, target_poc=None):
         """Temporal MV candidate (8.5.3.2.8): bottom-right col position if
         inside the picture and the same CTB row, else the center; sampled
-        at the 16x16 compression grid; scaled by POC distances."""
+        at the 16x16 compression grid; scaled by POC distances.  The
+        scaling target is refs[target_ref] unless an explicit target_poc
+        is given (B slices scale per-list, 8.5.3.2.9)."""
         if self.col is None:
             return None
         c_inter4, c_mv4, c_refpoc4, col_poc = self.col
@@ -295,7 +297,9 @@ class GenericInterDecoder(GenericIntraDecoder):
         if got is None:
             return None
         mv, col_ref_poc = got
-        tb = self.cur_poc - self.refs[target_ref][1]
+        if target_poc is None:
+            target_poc = self.refs[target_ref][1]
+        tb = self.cur_poc - target_poc
         td = col_poc - col_ref_poc
         if tb == td:
             return mv

@@ -385,3 +385,30 @@ def test_decode_x265_presets(tmp_path, preset):
     got = Decoder().decode(out.read_bytes())
     mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
     assert mine == gold.read_bytes()
+
+
+def test_decode_x265_large_frame_b_pyramid(tmp_path):
+    """320x192 (5x3 CTB64s, 3 WPP rows, real TMVP distances): caught a
+    list-aware TMVP scaling bug — the L1 AMVP temporal candidate must be
+    scaled to the COMMANDED ref_idx's picture, not L1 ref 0 (8.5.3.2.8)."""
+    tool = _ensure_oracle()
+    w, h = 320, 192
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = []
+    for i in range(24):
+        frames.append((np.roll(base[0], (i, 2 * i), axis=(0, 1)),
+                       np.roll(base[1], i, axis=1), base[2]))
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold = tmp_path / "gold.yuv"
+    params = ("repeat-headers=1:frame-threads=1:no-info=1:no-scenecut=1:"
+              "rc-lookahead=8:no-cutree=1:no-open-gop=1")
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "30", str(out), params],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
+    got = Decoder().decode(out.read_bytes())
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
+    assert mine == gold.read_bytes()
