@@ -69,7 +69,21 @@ class Decoder:
         if pending:
             frames.append(self._decode_picture_nals(pending))
         frames.sort(key=lambda t: t[0])
-        return [f for _, f in frames]
+        out = [f for _, f in frames]
+        cw = getattr(self.sps, "conf_win", (0, 0, 0, 0)) if self.sps else (0, 0, 0, 0)
+        if any(cw):
+            # conformance window (7.4.3.2.1): offsets in SubWidthC/SubHeightC
+            # luma-sample units (2 for 4:2:0); crop output only — the DPB
+            # keeps coded-size pictures for prediction
+            l, r_, t, b = cw
+
+            def crop(p, f):
+                p = np.asarray(p)
+                return p[f * t : p.shape[0] - f * b or None,
+                         f * l : p.shape[1] - f * r_ or None]
+
+            out = [(crop(y, 2), crop(u, 1), crop(v, 1)) for (y, u, v) in out]
+        return out
 
     def _decode_picture_nals(self, nals):
         if len(nals) == 1:

@@ -158,12 +158,14 @@ def sao_apply(rec, typ, aux, offs, *, ctb: int):
     r = rec.astype(jnp.int32)
     h, w = r.shape
     emaps = _edge_index_maps(r)  # (4, H, W)
-    up = lambda m: jnp.repeat(jnp.repeat(m, ctb, 0), ctb, 1)
+    # planes need not be CTB multiples (conformance-cropped sizes): the
+    # upsampled per-CTB parameter maps are cropped to the plane
+    up = lambda m: jnp.repeat(jnp.repeat(m, ctb, 0), ctb, 1)[:h, :w]
     typ_px = up(typ)
     aux_px = up(aux)
     # EO offset per pixel: select class map, then category offset
     eo_idx = jnp.take_along_axis(emaps, aux_px[None], axis=0)[0]  # (H, W) in 0..4
-    offs_px = jnp.repeat(jnp.repeat(offs, ctb, 0), ctb, 1)  # (H, W, 4)
+    offs_px = jnp.repeat(jnp.repeat(offs, ctb, 0), ctb, 1)[:h, :w]  # (H, W, 4)
     cat_off = jnp.take_along_axis(
         jnp.concatenate([jnp.zeros((h, w, 1), jnp.int32), offs_px], axis=-1),
         eo_idx[..., None],

@@ -412,3 +412,52 @@ def test_decode_x265_large_frame_b_pyramid(tmp_path):
     got = Decoder().decode(out.read_bytes())
     mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
     assert mine == gold.read_bytes()
+
+
+@pytest.mark.parametrize("w,h", [(176, 144), (150, 94)])
+def test_decode_x265_cropped_sizes(tmp_path, w, h):
+    """Non-CTB-aligned picture sizes: SPS codes the min-CB-padded size
+    with a conformance window (7.4.3.2.1); SAO parameter maps crop to the
+    coded plane and output frames crop to display size."""
+    tool = _ensure_oracle()
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = [(np.roll(base[0], (i, 2 * i), axis=(0, 1)),
+               np.roll(base[1], i, axis=1), base[2]) for i in range(10)]
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold = tmp_path / "gold.yuv"
+    params = ("repeat-headers=1:frame-threads=1:no-info=1:no-scenecut=1:"
+              "rc-lookahead=8:no-cutree=1:no-open-gop=1")
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "30", str(out), params],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
+    got = Decoder().decode(out.read_bytes())
+    assert got[0][0].shape == (h, w)
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
+    assert mine == gold.read_bytes()
+
+
+def test_decode_x265_open_gop(tmp_path):
+    """Open-GOP streams (CRA recovery points instead of IDR)."""
+    tool = _ensure_oracle()
+    w, h = 320, 192
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = [(np.roll(base[0], (i, 2 * i), axis=(0, 1)),
+               np.roll(base[1], i, axis=1), base[2]) for i in range(24)]
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold = tmp_path / "gold.yuv"
+    params = ("repeat-headers=1:frame-threads=1:no-info=1:no-scenecut=1:"
+              "rc-lookahead=8:no-cutree=1:open-gop=1:keyint=12")
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "30", str(out), params],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
+    got = Decoder().decode(out.read_bytes())
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
+    assert mine == gold.read_bytes()
