@@ -167,17 +167,27 @@ def insert_emulation_prevention(rbsp: bytes) -> bytes:
 
 def remove_emulation_prevention(payload: bytes) -> bytes:
     """NAL payload -> RBSP: strip emulation-prevention 0x03 bytes."""
+    return remove_emulation_prevention_pos(payload)[0]
+
+
+def remove_emulation_prevention_pos(payload: bytes) -> tuple:
+    """As remove_emulation_prevention, but also return the RBSP offsets at
+    which a 0x03 byte was dropped (needed to map the slice header's
+    entry_point_offsets — which count emulation bytes, 7.4.7.1 — onto the
+    RBSP payload)."""
     out = bytearray()
+    removals = []
     zeros = 0
     i = 0
     n = len(payload)
     while i < n:
         b = payload[i]
         if zeros >= 2 and b == 3 and i + 1 <= n:
+            removals.append(len(out))
             zeros = 0
             i += 1
             continue
         out.append(b)
         zeros = zeros + 1 if b == 0 else 0
         i += 1
-    return bytes(out)
+    return bytes(out), tuple(removals)

@@ -10,7 +10,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 from enum import IntEnum
 
-from .bitstream import insert_emulation_prevention, remove_emulation_prevention
+from .bitstream import (
+    insert_emulation_prevention,
+    remove_emulation_prevention,
+    remove_emulation_prevention_pos,
+)
 
 
 class NalType(IntEnum):
@@ -55,6 +59,9 @@ class NalUnit:
     rbsp: bytes
     layer_id: int = 0
     temporal_id_plus1: int = 1
+    # RBSP offsets where an emulation-prevention byte was removed (only
+    # populated by split_annexb; used to map entry_point_offsets)
+    removals: tuple = ()
 
 
 def compose_nal(nal: NalUnit, long_start_code: bool = True) -> bytes:
@@ -94,5 +101,60 @@ def split_annexb(stream: bytes) -> list[NalUnit]:
         nal_type = (raw[0] >> 1) & 0x3F
         layer_id = ((raw[0] & 1) << 5) | (raw[1] >> 3)
         tid1 = raw[1] & 7
-        units.append(NalUnit(nal_type, remove_emulation_prevention(raw[2:]), layer_id, tid1))
+        rbsp, removals = remove_emulation_prevention_pos(raw[2:])
+        units.append(NalUnit(nal_type, rbsp, layer_id, tid1, removals))
     return units
+
+
+def rbsp_entry_offsets(removals, data_off: int, ebsp_offsets):
+    """Map slice-header entry point offsets to the RBSP domain.
+
+    entry_point_offset_minus1 counts bytes INCLUDING emulation-prevention
+    bytes (7.4.7.1); our CABAC substream decoding slices the RBSP, so each
+    boundary must be shifted left by the number of 0x03 bytes removed
+    before it.  `removals` are RBSP offsets of dropped bytes (relative to
+    the NAL payload start); data_off is the slice-data start in RBSP."""
+    import bisect
+
+    def to_ebsp(r):
+        return r + bisect.bisect_right(removals, r)
+
+    def to_rbsp(e):
+        lo, hi = max(0, e - len(removals)), e
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if to_ebsp(mid) < e:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    acc = to_ebsp(data_off)
+    out = []
+    prev_r = data_off
+    for off in ebsp_offsets:
+        acc += off
+        r = to_rbsp(acc)
+        out.append(r - prev_r)
+        prev_r = r
+    return out
+
+
+def ebsp_entry_offsets(payload: bytes, rbsp_lengths) -> list:
+    """Per-substream byte lengths AFTER emulation-prevention insertion
+    (7.4.7.1), with the zero-run carried across substream boundaries; the
+    inverse of rbsp_entry_offsets for the encoder's slice-header mux."""
+    out = []
+    zeros = 0
+    pos = 0
+    for length in rbsp_lengths:
+        chunk = payload[pos : pos + length]
+        pos += length
+        n = length
+        for b in chunk:
+            if zeros >= 2 and b <= 3:
+                n += 1
+                zeros = 0
+            zeros = zeros + 1 if b == 0 else 0
+        out.append(n)
+    return out

@@ -110,6 +110,12 @@ class Decoder:
         from ..entropy.slice_data import decode_slice_data_intra_open
 
         headers = [parse_slice_header(x.rbsp, x.nal_type, sps, pps) for x in nals]
+        for x, hh in zip(nals, headers):
+            if hh.entry_points:
+                from ..core.nal import rbsp_entry_offsets
+
+                hh.entry_points = rbsp_entry_offsets(
+                    x.removals, hh.data_offset_bits // 8, hh.entry_points)
         if any(sh.slice_type != 2 for sh in headers):
             raise NotImplementedError("multi-slice pictures are intra-only for now")
         # each slice signals its own end (end_of_slice_segment_flag), so a
@@ -297,6 +303,13 @@ class Decoder:
         """Returns ((period, poc), frame)."""
         sps, pps = self.sps, self.pps
         sh = parse_slice_header(nal.rbsp, nal.nal_type, sps, pps)
+        if sh.entry_points:
+            from ..core.nal import rbsp_entry_offsets
+
+            # entry_point_offsets count emulation bytes (7.4.7.1); our
+            # substream slicing works on the RBSP
+            sh.entry_points = rbsp_entry_offsets(
+                nal.removals, sh.data_offset_bits // 8, sh.entry_points)
         from ..core.nal import is_idr as _is_idr
 
         if _is_idr(nal.nal_type):

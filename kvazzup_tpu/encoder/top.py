@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.nal import NalType, NalUnit, compose_nal
+from ..core.nal import NalType, NalUnit, compose_nal, ebsp_entry_offsets
 from ..core.params import (
     SliceHeader,
     StreamConfig,
@@ -328,6 +328,8 @@ class Encoder:
                                                        sao=ctx["sao_state"])
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
                              sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled)
+            if entry_offsets:
+                entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
             w = compose_slice_header(cfg, sh, entry_offsets)
             w.write_bytes(payload)
             stream = self.headers() if first else b""
@@ -354,6 +356,8 @@ class Encoder:
             else:
                 payload = encode_slice_data_intra_cu8x(cfg, *args8, slice_qp=qp)
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+            if entry_offsets:
+                entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
             w = compose_slice_header(cfg, sh, entry_offsets)
             w.write_bytes(payload)
             stream = self.headers() if first else b""
@@ -379,6 +383,8 @@ class Encoder:
                 slice_qp=qp,
             )
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+            if entry_offsets:
+                entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
             w = compose_slice_header(cfg, sh, entry_offsets)
             w.write_bytes(payload)
             stream = self.headers() if first else b""
@@ -448,6 +454,8 @@ class Encoder:
                 sao_chroma=cfg.sao_enabled,
             )
 
+        if entry_offsets:
+            entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
         w = compose_slice_header(cfg, sh, entry_offsets)
         w.write_bytes(payload)
         stream = b""
@@ -659,6 +667,8 @@ class RandomAccessEncoder:
                 pos_deltas=(p1 - poc,),
                 sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
             )
+        if entry_offsets:
+            entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
         w = compose_slice_header(cfg, sh, entry_offsets)
         w.write_bytes(payload)
         stream = b""

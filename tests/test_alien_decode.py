@@ -461,3 +461,28 @@ def test_decode_x265_open_gop(tmp_path):
     got = Decoder().decode(out.read_bytes())
     mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
     assert mine == gold.read_bytes()
+
+
+def test_decode_x265_entry_points_with_emulation(tmp_path):
+    """WPP entry_point_offsets count emulation-prevention bytes (7.4.7.1):
+    substream boundaries must be mapped to the RBSP.  Larger frames make
+    00 00 03 sequences near-certain; 640x360 keeps the test fast."""
+    tool = _ensure_oracle()
+    w, h = 640, 360
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = [(np.roll(base[0], (i, 2 * i), axis=(0, 1)),
+               np.roll(base[1], i, axis=1), base[2]) for i in range(4)]
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold = tmp_path / "gold.yuv"
+    params = ("repeat-headers=1:frame-threads=1:no-info=1:no-scenecut=1:"
+              "rc-lookahead=8:no-cutree=1:no-open-gop=1")
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "26", str(out), params],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
+    got = Decoder().decode(out.read_bytes())
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
+    assert mine == gold.read_bytes()
