@@ -57,6 +57,8 @@ class GenericBDecoder(GenericInterDecoder):
         """Full motion (pf (2,), mv (2,2), refpocs (2,)) or None."""
         if x < 0 or y < 0 or x >= self.w or y >= self.h:
             return None
+        if not self._same_slice(x, y):
+            return None
         if not self.inter4[y >> 2, x >> 2]:
             return None
         c = (y >> 2, x >> 2)
@@ -68,9 +70,11 @@ class GenericBDecoder(GenericInterDecoder):
     def _coding_unit(self, dec, x0, y0, log2) -> None:
         n = 1 << log2
         ctx = 0
-        if x0 > 0 and self.skip4[y0 >> 2, (x0 - 1) >> 2]:
+        if x0 > 0 and self._same_slice(x0 - 1, y0) \
+                and self.skip4[y0 >> 2, (x0 - 1) >> 2]:
             ctx += 1
-        if y0 > 0 and self.skip4[(y0 - 1) >> 2, x0 >> 2]:
+        if y0 > 0 and self._same_slice(x0, y0 - 1) \
+                and self.skip4[(y0 - 1) >> 2, x0 >> 2]:
             ctx += 1
         if dec.decode_bin(OFFSETS["cu_skip_flag"] + ctx):
             mot = self._merge_full(dec, x0, y0, n, n, "2Nx2N", 0)

@@ -116,9 +116,11 @@ class GenericInterDecoder(GenericIntraDecoder):
         n = 1 << log2
         # cu_skip_flag (ctx from neighbor skip flags, 9.3.4.2.2)
         ctx = 0
-        if x0 > 0 and self.skip4[y0 >> 2, (x0 - 1) >> 2]:
+        if x0 > 0 and self._same_slice(x0 - 1, y0) \
+                and self.skip4[y0 >> 2, (x0 - 1) >> 2]:
             ctx += 1
-        if y0 > 0 and self.skip4[(y0 - 1) >> 2, x0 >> 2]:
+        if y0 > 0 and self._same_slice(x0, y0 - 1) \
+                and self.skip4[(y0 - 1) >> 2, x0 >> 2]:
             ctx += 1
         if dec.decode_bin(OFFSETS["cu_skip_flag"] + ctx):
             self._inter_pu_merge(dec, x0, y0, n, skip=True)
@@ -221,6 +223,8 @@ class GenericInterDecoder(GenericIntraDecoder):
         derivation's extra partIdx-1 exclusions are applied by the
         caller, 8.5.3.2.3)."""
         if x < 0 or y < 0 or x >= self.w or y >= self.h:
+            return None
+        if not self._same_slice(x, y):
             return None
         if not self.inter4[y >> 2, x >> 2]:
             return None

@@ -69,6 +69,8 @@ class GenericIntraDecoder:
         from ..core.tables import CHROMA_QP_TABLE
 
         self.sps, self.pps = sps, pps
+        self.slice_of_ctu = None  # per-CTU slice index (multi-slice pictures)
+        self.cur_slice = 0
         self.qp = slice_qp
         self.qp_c = int(CHROMA_QP_TABLE[min(max(slice_qp, 0), 57)])
         self.ctb_log2 = sps.ctb_log2
@@ -98,6 +100,7 @@ class GenericIntraDecoder:
         # adaptive QP (8.6.1): per-4x4-cell QpY map + decoding-order chain
         self.qp4 = np.full((self.h // 4, self.w // 4), slice_qp, np.int32)
         self.qp_prev = slice_qp  # qPY_PREV: last decoded CU's QpY
+        self.slice_qp = slice_qp
         self._qg_key = None
         self._qg_pred = slice_qp
         self._delta_pending = False
@@ -118,7 +121,8 @@ class GenericIntraDecoder:
         cur = self._zaddr(x0, y0, chroma)
 
         def ok(x, y):
-            return 0 <= x < w and 0 <= y < h and self._zaddr(x, y, chroma) < cur
+            return (0 <= x < w and 0 <= y < h and self._zaddr(x, y, chroma) < cur
+                    and self._same_slice(x, y, chroma))
 
         a = np.zeros(4 * n + 1, np.int32)
         av = np.zeros(4 * n + 1, bool)
@@ -133,6 +137,17 @@ class GenericIntraDecoder:
             if ok(x, y):
                 a[2 * n + 1 + j], av[2 * n + 1 + j] = canvas[y, x], True
         return a, av
+
+    def _same_slice(self, x, y, chroma=False):
+        """Neighbor availability across slice segments (6.4.1: samples in
+        a different slice are unavailable for prediction)."""
+        if self.slice_of_ctu is None:
+            return True
+        if chroma:
+            x <<= 1
+            y <<= 1
+        i = (y >> self.ctb_log2) * self.cw + (x >> self.ctb_log2)
+        return self.slice_of_ctu[i] == self.cur_slice
 
     def _predict(self, canvas, x0, y0, log2, is_luma, mode, chroma: bool):
         n = 1 << log2
@@ -181,7 +196,7 @@ class GenericIntraDecoder:
     # ------------------------------------------------------------ MPM cands
     def _cands(self, x0: int, y0: int):
         cl = 1 << self.ctb_log2
-        if x0 == 0:
+        if x0 == 0 or not self._same_slice(x0 - 1, y0):
             a = 1
         else:
             a = int(self.mode4[y0 >> 2, (x0 - 1) >> 2])
@@ -214,13 +229,19 @@ class GenericIntraDecoder:
         n = 1 << self.ctb_log2
         x0 = (i % self.cw) * n
         y0 = (i // self.cw) * n
+        if i % self.cw == 0 and getattr(self.pps, "entropy_sync", False):
+            # 8.6.1: qPY_PREV = SliceQpY at the start of each CTU row when
+            # entropy_coding_sync is enabled
+            self.qp_prev = self.slice_qp
         self._coding_quadtree(dec, x0, y0, self.ctb_log2, 0)
 
     def _split_ctx(self, x0, y0, depth) -> int:
         ctx = 0
-        if x0 > 0 and int(self.depth4[y0 >> 2, (x0 - 1) >> 2]) > depth:
+        if x0 > 0 and self._same_slice(x0 - 1, y0) \
+                and int(self.depth4[y0 >> 2, (x0 - 1) >> 2]) > depth:
             ctx += 1
-        if y0 > 0 and int(self.depth4[(y0 - 1) >> 2, x0 >> 2]) > depth:
+        if y0 > 0 and self._same_slice(x0, y0 - 1) \
+                and int(self.depth4[(y0 - 1) >> 2, x0 >> 2]) > depth:
             ctx += 1
         return ctx
 

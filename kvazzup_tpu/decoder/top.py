@@ -85,9 +85,31 @@ class Decoder:
             out = [(crop(y, 2), crop(u, 1), crop(v, 1)) for (y, u, v) in out]
         return out
 
+    @staticmethod
+    def _alien_shape(sps, sh) -> bool:
+        return (
+            sps.ctb_log2 != 4
+            or getattr(sps, "max_td_intra", 0) > 0
+            or (sh.slice_type != 2 and sps.min_cb_log2 == 3)
+            or (sh.slice_type != 2 and getattr(sps, "max_td_inter", 0) > 0)
+        )
+
     def _decode_picture_nals(self, nals):
         if len(nals) == 1:
             return self._decode_picture(nals[0])
+        sps, pps = self.sps, self.pps
+        headers = [parse_slice_header(x.rbsp, x.nal_type, sps, pps) for x in nals]
+        for x, hh in zip(nals, headers):
+            if hh.entry_points:
+                from ..core.nal import rbsp_entry_offsets
+
+                hh.entry_points = rbsp_entry_offsets(
+                    x.removals, hh.data_offset_bits // 8, hh.entry_points)
+        if self._alien_shape(sps, headers[0]) and headers[0].slice_type in (0, 1, 2):
+            if is_idr(nals[0].nal_type):
+                self._period += 1
+                self._dpb.clear()
+            return self._decode_picture_generic(list(zip(nals, headers)))
         return self._decode_multislice_picture(nals)
 
     def _decode_multislice_picture(self, nals):
@@ -152,12 +174,16 @@ class Decoder:
         self._dpb[0] = frame
         return (self._period, 0), frame
 
-    def _decode_picture_generic(self, nal, sh):
-        """Any-CTB-size intra pictures via the recursive reference engine
-        (decoder/generic_intra.py): x265-default ctu=64 streams etc."""
+    def _decode_picture_generic(self, slices):
+        """Any-CTB-size pictures via the recursive reference engines:
+        x265-default ctu=64 streams etc.  `slices` is a list of
+        (nal, parsed_header) for the picture's slice segments; neighbor
+        availability, SAO merging, and CABAC state respect slice
+        boundaries (6.4.1 / 7.3.8.3)."""
         from ..entropy.cabac import CabacDecoder
         from .generic_intra import GenericIntraDecoder
 
+        nal, sh = slices[0]
         sps, pps = self.sps, self.pps
         init_type = 0
         if sh.slice_type == 0:
@@ -220,32 +246,50 @@ class Decoder:
             init_type = 1
         else:
             gd = GenericIntraDecoder(sps, pps, sh.qp)
-        payload = nal.rbsp[sh.data_offset_bits // 8 :]
         sao_state = None
         if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
             sao_state = SaoState(gd.cw, gd.ch, luma=sh.sao_luma, chroma=sh.sao_chroma)
         nctu = gd.cw * gd.ch
+        starts = [s2.segment_address if k else 0 for k, (_, s2) in enumerate(slices)]
+        ends = starts[1:] + [nctu]
+        if len(slices) > 1:
+            slice_of = np.zeros(nctu, np.int32)
+            for k, (st, en) in enumerate(zip(starts, ends)):
+                slice_of[st:en] = k
+            gd.slice_of_ctu = slice_of
+            if sao_state is not None:
+                sao_state.slice_of = slice_of
 
         def ctu_fn(dec, i):
             if sao_state is not None:
                 sao_state.decode(dec, i)
             gd.decode_ctu(dec, i)
 
-        if pps.entropy_sync:
-            from ..entropy.slice_data import decode_slice_data_wpp
+        for k, (nal_k, sh_k) in enumerate(slices):
+            gd.cur_slice = k
+            if k:  # per-slice QP prediction / quant-group reset (8.6.1)
+                gd._set_qp(sh_k.qp)
+                gd.qp_prev = sh_k.qp
+                gd.slice_qp = sh_k.qp
+                gd._qg_key = None
+            payload = nal_k.rbsp[sh_k.data_offset_bits // 8 :]
+            st, en = starts[k], ends[k]
+            if pps.entropy_sync:
+                from ..entropy.slice_data import decode_slice_data_wpp
 
-            decode_slice_data_wpp(
-                StreamConfig(width=sps.width, height=sps.height, qp=sh.qp,
-                             ctb_log2=sps.ctb_log2, min_cb_log2=sps.min_cb_log2),
-                payload, sh.entry_points, ctu_fn, init_type, sh.qp,
-            )
-        else:
-            dec = CabacDecoder(payload, init_type=init_type, slice_qp=sh.qp)
-            for i in range(nctu):
-                ctu_fn(dec, i)
-                end = dec.decode_terminate()
-                if end != (1 if i == nctu - 1 else 0):
-                    raise ValueError(f"end_of_slice mismatch at CTU {i}")
+                decode_slice_data_wpp(
+                    StreamConfig(width=sps.width, height=sps.height, qp=sh_k.qp,
+                                 ctb_log2=sps.ctb_log2, min_cb_log2=sps.min_cb_log2),
+                    payload, sh_k.entry_points, ctu_fn, init_type, sh_k.qp,
+                    ctu_range=(st, en),
+                )
+            else:
+                dec = CabacDecoder(payload, init_type=init_type, slice_qp=sh_k.qp)
+                for i in range(st, en):
+                    ctu_fn(dec, i)
+                    end = dec.decode_terminate()
+                    if end != (1 if i == en - 1 else 0):
+                        raise ValueError(f"end_of_slice mismatch at CTU {i}")
 
         y = jnp.asarray(gd.y.astype(np.uint8))
         u = jnp.asarray(gd.u.astype(np.uint8))
@@ -264,6 +308,27 @@ class Decoder:
                 bs_h = np.zeros((h8 - 1, w8), np.int32)
                 for e in range(1, h8):
                     bs_h[e - 1, :] = 2 * gd.edge_h[e, :]
+            if getattr(gd, "slice_of_ctu", None) is not None \
+                    and not pps.loop_filter_across_slices:
+                # slice_loop_filter_across_slices off (7.4.3.3): no
+                # deblocking across slice-segment boundaries
+                cl = 1 << sps.ctb_log2
+                h8_, w8_ = gd.edge_v.shape
+                xs8 = (np.arange(w8_) * 8) // cl
+                ys8 = (np.arange(h8_) * 8) // cl
+                s8 = gd.slice_of_ctu.reshape(gd.ch, gd.cw)[np.ix_(ys8, xs8)]
+                bs_v = np.asarray(bs_v).copy()
+                bs_h = np.asarray(bs_h).copy()
+                rpv = bs_v.shape[1] // h8_
+                for e in range(1, w8_):
+                    diff = s8[:, e - 1] != s8[:, e]
+                    if diff.any():
+                        bs_v[e - 1, np.repeat(diff, rpv)] = 0
+                rph = bs_h.shape[1] // w8_
+                for e in range(1, h8_):
+                    diff = s8[e - 1, :] != s8[e, :]
+                    if diff.any():
+                        bs_h[e - 1, np.repeat(diff, rph)] = 0
             qp_map8 = None
             if gd.cu_qp_delta:
                 qp_map8 = jnp.asarray(gd.qp4[::2, ::2])
@@ -280,9 +345,45 @@ class Decoder:
             a = sao_state.aux.reshape(3, *sh2)
             o = sao_state.offs.reshape(3, *sh2, 4)
             ctb = 1 << sps.ctb_log2
+            restrict = (getattr(gd, "slice_of_ctu", None) is not None
+                        and not pps.loop_filter_across_slices)
+            pre = (np.asarray(y), np.asarray(u), np.asarray(v)) if restrict else None
             y = _sao_apply(y, jnp.asarray(t[0]), jnp.asarray(a[0]), jnp.asarray(o[0]), ctb=ctb)
             u = _sao_apply(u, jnp.asarray(t[1]), jnp.asarray(a[1]), jnp.asarray(o[1]), ctb=ctb // 2)
             v = _sao_apply(v, jnp.asarray(t[2]), jnp.asarray(a[2]), jnp.asarray(o[2]), ctb=ctb // 2)
+            if restrict:
+                # SAO EO across a slice boundary: the neighbor sample is
+                # unavailable -> the sample is left unmodified (8.7.3)
+                smap = np.repeat(np.repeat(gd.slice_of_ctu.reshape(gd.ch, gd.cw),
+                                           ctb, 0), ctb, 1)[: sps.height, : sps.width]
+
+                def fix(plane, pre_p, comp, scale):
+                    pl = np.asarray(plane).copy()
+                    spm = smap[::scale, ::scale]
+                    H, W = pl.shape
+                    cs = ctb // scale
+                    tpx = np.repeat(np.repeat(t[comp], cs, 0), cs, 1)[:H, :W]
+                    apx = np.repeat(np.repeat(a[comp], cs, 0), cs, 1)[:H, :W]
+                    dirs = {0: ((0, -1), (0, 1)), 1: ((-1, 0), (1, 0)),
+                            2: ((-1, -1), (1, 1)), 3: ((-1, 1), (1, -1))}
+                    mask = np.zeros((H, W), bool)
+                    for cls, dpair in dirs.items():
+                        m = (tpx == 2) & (apx == cls)
+                        if not m.any():
+                            continue
+                        for dy, dx in dpair:
+                            nb = np.full((H, W), -1, np.int64)
+                            src = spm[max(0, dy) : H + min(0, dy),
+                                      max(0, dx) : W + min(0, dx)]
+                            nb[max(0, -dy) : H + min(0, -dy),
+                               max(0, -dx) : W + min(0, -dx)] = src
+                            mask |= m & (nb != -1) & (nb != spm)
+                    pl[mask] = pre_p[mask]
+                    return jnp.asarray(pl)
+
+                y = fix(y, pre[0], 0, 1)
+                u = fix(u, pre[1], 1, 2)
+                v = fix(v, pre[2], 2, 2)
         frame = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = frame
         self._dpb[sh.pic_order_cnt_lsb] = frame
@@ -315,14 +416,9 @@ class Decoder:
         if _is_idr(nal.nal_type):
             self._period += 1
             self._dpb.clear()
-        alien_shape = (
-            sps.ctb_log2 != 4
-            or getattr(sps, "max_td_intra", 0) > 0
-            or (sh.slice_type != 2 and sps.min_cb_log2 == 3)
-            or (sh.slice_type != 2 and getattr(sps, "max_td_inter", 0) > 0)
-        )
+        alien_shape = self._alien_shape(sps, sh)
         if alien_shape and sh.slice_type in (0, 1, 2):
-            return self._decode_picture_generic(nal, sh)
+            return self._decode_picture_generic([(nal, sh)])
         if sps.ctb_log2 != 4 or sps.min_cb_log2 not in (3, 4):
             raise NotImplementedError(
                 "inter decoding supports CTB 16 streams (intra: any CTB size)"

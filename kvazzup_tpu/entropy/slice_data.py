@@ -583,33 +583,41 @@ def encode_slice_data_wpp(cfg: StreamConfig, ctu_fn, qp_state=None,
     return b"".join(payloads), [len(p) for p in payloads[:-1]]
 
 
-def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_fn, init_type, slice_qp, qp_state=None):
-    """Generic WPP slice-data decoder; ctu_fn(dec, i) decodes one CTU."""
+def decode_slice_data_wpp(cfg: StreamConfig, payload: bytes, entry_offsets, ctu_fn, init_type, slice_qp, qp_state=None, ctu_range=None):
+    """Generic WPP slice-data decoder; ctu_fn(dec, i) decodes one CTU.
+
+    ctu_range=(start, end): decode only the CTU-row-aligned slice segment
+    [start, end) (multi-slice pictures with entropy_coding_sync)."""
     cw, chh = cfg.ctbs_w, cfg.ctbs_h
     nctu = cw * chh
+    start, stop = ctu_range if ctu_range is not None else (0, nctu)
+    if start % cw or (stop % cw and stop != nctu):
+        raise NotImplementedError("WPP slices must be CTU-row aligned")
     # split payload into per-row substreams
     bounds = [0]
     for off in entry_offsets:
         bounds.append(bounds[-1] + off)
     bounds.append(len(payload))
     saved_state = None
-    for row in range(chh):
-        data = payload[bounds[row] : bounds[row + 1]]
+    for ri, row in enumerate(range(start // cw, -(-stop // cw))):
+        data = payload[bounds[ri] : bounds[ri + 1]]
         dec = CabacDecoder(data, init_type=init_type, slice_qp=slice_qp)
-        if row > 0 and cw > 1 and saved_state is not None:
+        if ri > 0 and cw > 1 and saved_state is not None:
             dec.ctx = saved_state.copy()
         if qp_state is not None:
             qp_state.row_start()
         for c in range(cw):
             i = row * cw + c
+            if i >= stop:
+                break
             ctu_fn(dec, i)
             if c == 1:
                 saved_state = dec.ctx.copy()
             end = dec.decode_terminate()
-            expected = 1 if i == nctu - 1 else 0
+            expected = 1 if i == stop - 1 else 0
             if end != expected:
                 raise ValueError(f"end_of_slice mismatch at CTU {i}")
-            if i != nctu - 1 and c == cw - 1:
+            if i != stop - 1 and c == cw - 1:
                 if dec.decode_terminate() != 1:
                     raise ValueError("missing end_of_subset_one_bit")
 
@@ -880,6 +888,8 @@ class SaoState:
         self.typ = np.zeros((3, n), np.int32) if typ is None else np.asarray(typ, np.int32).reshape(3, n)
         self.aux = np.zeros((3, n), np.int32) if aux is None else np.asarray(aux, np.int32).reshape(3, n)
         self.offs = np.zeros((3, n, 4), np.int32) if offs is None else np.asarray(offs, np.int32).reshape(3, n, 4)
+        self.slice_of = None  # per-CTU slice index (merge unavailability
+        # across slice boundaries, 7.3.8.3); None = single slice
 
     def _same(self, i, j) -> bool:
         return (
@@ -933,10 +943,15 @@ class SaoState:
 
     def decode(self, dec, i: int) -> None:
         c, r = i % self.cw, i // self.cw
-        if c > 0 and dec.decode_bin(OFFSETS["sao_merge_flag"]):
+        so = self.slice_of
+
+        def avail(j):
+            return so is None or so[j] == so[i]
+
+        if c > 0 and avail(i - 1) and dec.decode_bin(OFFSETS["sao_merge_flag"]):
             self._copy(i, i - 1)
             return
-        if r > 0 and dec.decode_bin(OFFSETS["sao_merge_flag"]):
+        if r > 0 and avail(i - self.cw) and dec.decode_bin(OFFSETS["sao_merge_flag"]):
             self._copy(i, i - self.cw)
             return
         for cidx in range(3):

@@ -486,3 +486,31 @@ def test_decode_x265_entry_points_with_emulation(tmp_path):
     got = Decoder().decode(out.read_bytes())
     mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
     assert mine == gold.read_bytes()
+
+
+@pytest.mark.parametrize("extra", ["slices=3", "slices=4:ctu=32",
+                                   "slices=2:aq-mode=3:aq-strength=2"])
+def test_decode_x265_multi_slice(tmp_path, extra):
+    """Multi-slice pictures: per-slice CABAC/QP state, slice-boundary
+    prediction unavailability (6.4.1), SAO merge restrictions (7.3.8.3),
+    and no loop filtering across boundaries when
+    pps_loop_filter_across_slices is off (x265's default)."""
+    tool = _ensure_oracle()
+    w, h = 320, 192
+    base = synthetic_frames(w, h, 1, seed=9)[0]
+    frames = [(np.roll(base[0], (i, 2 * i), axis=(0, 1)),
+               np.roll(base[1], i, axis=1), base[2]) for i in range(8)]
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), frames)
+    out = tmp_path / "out.265"
+    gold = tmp_path / "gold.yuv"
+    params = ("repeat-headers=1:frame-threads=1:no-info=1:no-scenecut=1:"
+              "rc-lookahead=8:no-cutree=1:no-open-gop=1:" + extra)
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "30", str(out), params],
+                       capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libx265 unavailable")
+    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
+    got = Decoder().decode(out.read_bytes())
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8)) for f in got for p in f)
+    assert mine == gold.read_bytes()
