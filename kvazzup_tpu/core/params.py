@@ -542,6 +542,11 @@ class ParsedSliceHeader:
     mvd_l1_zero: bool = False
     collocated_ref_idx: int = 0
     data_offset_bits: int = 0  # bit offset of slice data within RBSP
+    cabac_init_flag: bool = False  # swaps P/B ctx init tables (9.3.2.2)
+    cb_qp_offset: int = 0  # slice_cb_qp_offset (added to pps_cb_qp_offset)
+    cr_qp_offset: int = 0
+    loop_filter_across_slices: bool = True  # slice-level flag (7.4.7.1)
+    poc: int = 0  # full PicOrderCntVal (8.3.1), filled by the decoder
 
 
 def _parse_pred_weight_table(r: BitReader, sh) -> dict:
@@ -625,7 +630,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
         if sh.slice_type == 0:
             sh.mvd_l1_zero = bool(r.flag())
         if pps.cabac_init_present:
-            r.flag()
+            sh.cabac_init_flag = bool(r.flag())
         if sh.temporal_mvp:
             if sh.slice_type == 0:
                 sh.collocated_from_l0 = bool(r.flag())
@@ -639,18 +644,19 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
         sh.max_num_merge_cand = 5 - r.ue()
     sh.qp = pps.init_qp + r.se()
     if pps.slice_chroma_qp_offsets:
-        r.se()
-        r.se()
+        sh.cb_qp_offset = r.se()
+        sh.cr_qp_offset = r.se()
     if pps.deblocking_override_enabled:
         if r.flag():  # deblocking_filter_override_flag
             sh.deblocking_disabled = bool(r.flag())
             if not sh.deblocking_disabled:
                 sh.beta_offset_div2 = r.se()
                 sh.tc_offset_div2 = r.se()
+    sh.loop_filter_across_slices = pps.loop_filter_across_slices
     if pps.loop_filter_across_slices and (
         sh.sao_luma or sh.sao_chroma or not sh.deblocking_disabled
     ):
-        r.flag()  # slice_loop_filter_across_slices_enabled_flag
+        sh.loop_filter_across_slices = bool(r.flag())
     if pps.tiles_enabled or pps.entropy_sync:
         n_entry = r.ue()
         if n_entry:

@@ -95,7 +95,7 @@ class GenericInterDecoder(GenericIntraDecoder):
     collocated picture; cur_poc: this picture's POC."""
 
     def __init__(self, sps, pps, sh, refs, col=None, cur_poc=0):
-        super().__init__(sps, pps, sh.qp)
+        super().__init__(sps, pps, sh.qp, sh=sh)
         self.refs = refs
         self.weights = getattr(sh, "weights", None)
         self.cur_poc = cur_poc
@@ -489,13 +489,14 @@ class GenericInterDecoder(GenericIntraDecoder):
     def _add_chroma_resid(self, dec, x0, y0, log2c, cbf_cb, cbf_cr) -> None:
         xc, yc = x0 >> 1, y0 >> 1
         n = 1 << log2c
-        for canvas, cbf, cidx in ((self.u, cbf_cb, 1), (self.v, cbf_cr, 2)):
+        for canvas, cbf, cidx, qpc in ((self.u, cbf_cb, 1, self.qp_cb),
+                                       (self.v, cbf_cr, 2, self.qp_cr)):
             if not cbf:
                 continue
             lev = decode_residual(dec, log2c, cidx, 0, sdh=self.sdh)
             from .generic_intra import _jit_resid
 
-            resid = np.asarray(_jit_resid(jnp.asarray(lev), self.qp_c, log2c))
+            resid = np.asarray(_jit_resid(jnp.asarray(lev), qpc, log2c))
             reg = canvas[yc : yc + n, xc : xc + n]
             canvas[yc : yc + n, xc : xc + n] = np.clip(reg + resid, 0, 255)
 

@@ -65,14 +65,14 @@ def _morton(r: int, c: int, bits: int) -> int:
 class GenericIntraDecoder:
     """Stateful per-picture decoder over numpy canvases."""
 
-    def __init__(self, sps, pps, slice_qp: int):
-        from ..core.tables import CHROMA_QP_TABLE
-
+    def __init__(self, sps, pps, slice_qp: int, sh=None):
         self.sps, self.pps = sps, pps
         self.slice_of_ctu = None  # per-CTU slice index (multi-slice pictures)
         self.cur_slice = 0
-        self.qp = slice_qp
-        self.qp_c = int(CHROMA_QP_TABLE[min(max(slice_qp, 0), 57)])
+        # chroma QP offsets: pps_cb/cr_qp_offset + slice_cb/cr_qp_offset (8.6.1)
+        self.cb_off = pps.cb_qp_offset + (getattr(sh, "cb_qp_offset", 0) if sh else 0)
+        self.cr_off = pps.cr_qp_offset + (getattr(sh, "cr_qp_offset", 0) if sh else 0)
+        self._set_qp(slice_qp)
         self.ctb_log2 = sps.ctb_log2
         self.min_cb_log2 = sps.min_cb_log2
         self.min_tb_log2 = getattr(sps, "min_tb_log2", 2)
@@ -185,7 +185,9 @@ class GenericIntraDecoder:
         from ..core.tables import CHROMA_QP_TABLE
 
         self.qp = qp
-        self.qp_c = int(CHROMA_QP_TABLE[min(max(qp, 0), 57)])
+        self.qp_cb = int(CHROMA_QP_TABLE[min(max(qp + self.cb_off, 0), 57)])
+        self.qp_cr = int(CHROMA_QP_TABLE[min(max(qp + self.cr_off, 0), 57)])
+        self.qp_c = self.qp_cb  # legacy alias (zero-offset streams)
 
     def _maybe_qp_delta(self, dec) -> None:
         if self.cu_qp_delta and self._delta_pending:
@@ -349,11 +351,12 @@ class GenericIntraDecoder:
         xc, yc = x0 >> 1, y0 >> 1
         n = 1 << log2c
         scan = residual_scan_idx(cmode, log2c, 1)
-        for canvas, cbf, cidx in ((self.u, cbf_cb, 1), (self.v, cbf_cr, 2)):
+        for canvas, cbf, cidx, qpc in ((self.u, cbf_cb, 1, self.qp_cb),
+                                       (self.v, cbf_cr, 2, self.qp_cr)):
             pred = self._predict(canvas, xc, yc, log2c, False, cmode, True)
             if cbf:
                 lev = decode_residual(dec, log2c, cidx, scan, sdh=self.sdh)
-                resid = np.asarray(_jit_resid(jnp.asarray(lev), self.qp_c, log2c))
+                resid = np.asarray(_jit_resid(jnp.asarray(lev), qpc, log2c))
             else:
                 resid = 0
             canvas[yc : yc + n, xc : xc + n] = np.clip(pred + resid, 0, 255)

@@ -42,8 +42,34 @@ class Decoder:
         self.sps: ParsedSps | None = None
         self.pps: ParsedPps | None = None
         self._ref = None  # last decoded picture (low-delay fast path)
-        self._dpb: dict = {}  # poc -> picture (random-access refs)
+        self._dpb: dict = {}  # full POC -> picture (random-access refs)
         self._period = 0  # IDR period counter for output ordering
+        self._poc_prev = (0, 0)  # (prevPicOrderCntLsb, prevPicOrderCntMsb)
+
+    def _derive_poc(self, sh, nal_type: int) -> int:
+        """PicOrderCntVal via the MSB wrap rule (8.3.1).
+
+        Streams longer than MaxPicOrderCntLsb frames between IDRs (x265
+        default open GOP: lsb wraps every 256) would alias a raw-lsb DPB;
+        full POC keys make long sequences and open GOP exact."""
+        if is_idr(nal_type):
+            self._poc_prev = (0, 0)
+            sh.poc = 0
+            return 0
+        max_lsb = 1 << self.sps.log2_max_poc_lsb
+        prev_lsb, prev_msb = self._poc_prev
+        lsb = sh.pic_order_cnt_lsb
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        sh.poc = msb + lsb
+        # prevTid0Pic excludes RADL/RASL pictures (nal types 6..9)
+        if nal_type not in (6, 7, 8, 9):
+            self._poc_prev = (lsb, msb)
+        return sh.poc
 
     def decode(self, stream: bytes):
         """Decode an Annex-B stream; returns frames in output (POC) order."""
@@ -85,13 +111,17 @@ class Decoder:
             out = [(crop(y, 2), crop(u, 1), crop(v, 1)) for (y, u, v) in out]
         return out
 
-    @staticmethod
-    def _alien_shape(sps, sh) -> bool:
+    def _alien_shape(self, sps, sh) -> bool:
+        pps = self.pps
         return (
             sps.ctb_log2 != 4
             or getattr(sps, "max_td_intra", 0) > 0
             or (sh.slice_type != 2 and sps.min_cb_log2 == 3)
             or (sh.slice_type != 2 and getattr(sps, "max_td_inter", 0) > 0)
+            # tools the fast tier assumes absent -> generic engine
+            or pps.cb_qp_offset != 0 or pps.cr_qp_offset != 0
+            or sh.cb_qp_offset != 0 or sh.cr_qp_offset != 0
+            or sh.cabac_init_flag
         )
 
     def _decode_picture_nals(self, nals):
@@ -99,6 +129,9 @@ class Decoder:
             return self._decode_picture(nals[0])
         sps, pps = self.sps, self.pps
         headers = [parse_slice_header(x.rbsp, x.nal_type, sps, pps) for x in nals]
+        self._derive_poc(headers[0], nals[0].nal_type)
+        for hh in headers[1:]:
+            hh.poc = headers[0].poc
         for x, hh in zip(nals, headers):
             if hh.entry_points:
                 from ..core.nal import rbsp_entry_offsets
@@ -110,9 +143,9 @@ class Decoder:
                 self._period += 1
                 self._dpb.clear()
             return self._decode_picture_generic(list(zip(nals, headers)))
-        return self._decode_multislice_picture(nals)
+        return self._decode_multislice_picture(nals, headers)
 
-    def _decode_multislice_picture(self, nals):
+    def _decode_multislice_picture(self, nals, headers):
         """Row-aligned independent slices of one intra picture."""
         from dataclasses import replace as dc_replace
 
@@ -131,13 +164,6 @@ class Decoder:
         n = cfg.ctb_size
         from ..entropy.slice_data import decode_slice_data_intra_open
 
-        headers = [parse_slice_header(x.rbsp, x.nal_type, sps, pps) for x in nals]
-        for x, hh in zip(nals, headers):
-            if hh.entry_points:
-                from ..core.nal import rbsp_entry_offsets
-
-                hh.entry_points = rbsp_entry_offsets(
-                    x.removals, hh.data_offset_bits // 8, hh.entry_points)
         if any(sh.slice_type != 2 for sh in headers):
             raise NotImplementedError("multi-slice pictures are intra-only for now")
         # each slice signals its own end (end_of_slice_segment_flag), so a
@@ -171,8 +197,8 @@ class Decoder:
             y, u, v = deblock_frame(y, u, v, headers[0].qp, spacing=cfg.ctb_size)
         frame = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = frame
-        self._dpb[0] = frame
-        return (self._period, 0), frame
+        self._dpb[headers[0].poc] = frame
+        return (self._period, headers[0].poc), frame
 
     def _decode_picture_generic(self, slices):
         """Any-CTB-size pictures via the recursive reference engines:
@@ -190,21 +216,22 @@ class Decoder:
             from .generic_b import GenericBDecoder
 
             negs, poss, used = sh.rps
-            cur_poc = sh.pic_order_cnt_lsb
+            cur_poc = sh.poc
 
             def build(deltas, nref):
                 out = []
                 for d in deltas:
-                    pic = self._dpb.get(cur_poc + d, self._ref)
-                    if pic is not None:
-                        out.append(
-                            (tuple(np.asarray(p, np.int32) for p in pic), cur_poc + d)
-                        )
+                    pic = self._dpb.get(cur_poc + d)
+                    if pic is None:
+                        raise ValueError(
+                            f"missing reference picture POC {cur_poc + d}")
+                    out.append(
+                        (tuple(np.asarray(p, np.int32) for p in pic), cur_poc + d)
+                    )
                 if not out:
                     raise ValueError("B slice without references")
-                while len(out) < nref:
-                    out.append(out[-1])
-                return out[:nref] if nref else out
+                # RefPicList init cycles through the candidates (8.3.4)
+                return [out[i % len(out)] for i in range(nref)]
 
             refs0 = build(negs or [-1], max(1, getattr(sh, "num_ref_idx_l0", 1)))
             l1_src = poss if poss else (negs or [-1])
@@ -215,37 +242,36 @@ class Decoder:
             mt = getattr(self, "_motion", {}).get(col_poc)
             col = (mt[0], mt[1], mt[2], col_poc) if mt is not None else None
             gd = GenericBDecoder(sps, pps, sh, refs0, refs1, col=col, cur_poc=cur_poc)
-            init_type = 2
+            init_type = 1 if sh.cabac_init_flag else 2
         elif sh.slice_type == 1:
             from .generic_inter import GenericInterDecoder
 
             negs, _poss, used = sh.rps
-            cur_poc = sh.pic_order_cnt_lsb
+            cur_poc = sh.poc
             nref = max(1, getattr(sh, "num_ref_idx_l0", 1))
             refs = []
             for j, d in enumerate(negs or [-1]):
                 if used and j < len(used) and not used[j]:
                     continue
                 poc = cur_poc + d
-                pic = self._dpb.get(poc, self._ref)
+                pic = self._dpb.get(poc)
                 if pic is None:
-                    continue
+                    raise ValueError(f"missing reference picture POC {poc}")
                 refs.append((tuple(np.asarray(p, np.int32) for p in pic), poc))
                 if len(refs) == nref:
                     break
             if not refs:
                 raise ValueError("P slice without reference picture")
-            while len(refs) < nref:  # list wraps when RPS is shorter
-                refs.append(refs[-1])
+            refs = [refs[i % len(refs)] for i in range(nref)]  # list cycles (8.3.4)
             col = None
             col_poc = refs[0][1]
             mt = getattr(self, "_motion", {}).get(col_poc)
             if mt is not None:
                 col = (mt[0], mt[1], mt[2], col_poc)
             gd = GenericInterDecoder(sps, pps, sh, refs, col=col, cur_poc=cur_poc)
-            init_type = 1
+            init_type = 2 if sh.cabac_init_flag else 1
         else:
-            gd = GenericIntraDecoder(sps, pps, sh.qp)
+            gd = GenericIntraDecoder(sps, pps, sh.qp, sh=sh)
         sao_state = None
         if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
             sao_state = SaoState(gd.cw, gd.ch, luma=sh.sao_luma, chroma=sh.sao_chroma)
@@ -309,7 +335,7 @@ class Decoder:
                 for e in range(1, h8):
                     bs_h[e - 1, :] = 2 * gd.edge_h[e, :]
             if getattr(gd, "slice_of_ctu", None) is not None \
-                    and not pps.loop_filter_across_slices:
+                    and not sh.loop_filter_across_slices:
                 # slice_loop_filter_across_slices off (7.4.3.3): no
                 # deblocking across slice-segment boundaries
                 cl = 1 << sps.ctb_log2
@@ -336,6 +362,8 @@ class Decoder:
                 y, u, v, sh.qp, spacing=8,
                 bs_v=jnp.asarray(bs_v), bs_h=jnp.asarray(bs_h), chroma_every=2,
                 qp_map=qp_map8, bs_rep=bs_rep,
+                beta_offset=sh.beta_offset_div2, tc_offset=sh.tc_offset_div2,
+                cb_qp_offset=gd.cb_off, cr_qp_offset=gd.cr_off,
             )
         if sao_state is not None:
             from ..ops.sao import sao_apply as _sao_apply
@@ -346,7 +374,7 @@ class Decoder:
             o = sao_state.offs.reshape(3, *sh2, 4)
             ctb = 1 << sps.ctb_log2
             restrict = (getattr(gd, "slice_of_ctu", None) is not None
-                        and not pps.loop_filter_across_slices)
+                        and not sh.loop_filter_across_slices)
             pre = (np.asarray(y), np.asarray(u), np.asarray(v)) if restrict else None
             y = _sao_apply(y, jnp.asarray(t[0]), jnp.asarray(a[0]), jnp.asarray(o[0]), ctb=ctb)
             u = _sao_apply(u, jnp.asarray(t[1]), jnp.asarray(a[1]), jnp.asarray(o[1]), ctb=ctb // 2)
@@ -386,24 +414,25 @@ class Decoder:
                 v = fix(v, pre[2], 2, 2)
         frame = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = frame
-        self._dpb[sh.pic_order_cnt_lsb] = frame
+        self._dpb[sh.poc] = frame
         # retain the motion field for TMVP from pictures that follow
         if not hasattr(self, "_motion"):
             self._motion = {}
         if sh.slice_type in (0, 1):
-            self._motion[sh.pic_order_cnt_lsb] = (
+            self._motion[sh.poc] = (
                 gd.inter4.copy(), gd.mv4.copy(), gd.refpoc4.copy())
         else:
-            self._motion[sh.pic_order_cnt_lsb] = (
+            self._motion[sh.poc] = (
                 np.zeros((sps.height // 4, sps.width // 4), np.int32),
                 np.zeros((sps.height // 4, sps.width // 4, 2), np.int32),
                 np.zeros((sps.height // 4, sps.width // 4), np.int32))
-        return (self._period, sh.pic_order_cnt_lsb), frame
+        return (self._period, sh.poc), frame
 
     def _decode_picture(self, nal):
         """Returns ((period, poc), frame)."""
         sps, pps = self.sps, self.pps
         sh = parse_slice_header(nal.rbsp, nal.nal_type, sps, pps)
+        self._derive_poc(sh, nal.nal_type)
         if sh.entry_points:
             from ..core.nal import rbsp_entry_offsets
 
@@ -477,8 +506,8 @@ class Decoder:
                 v = sao_apply(v, jnp.asarray(t[2]), jnp.asarray(a[2]), jnp.asarray(o[2]), ctb=cfg.ctb_size // 2)
             frame = (np.asarray(y), np.asarray(u), np.asarray(v))
             self._ref = frame
-            self._dpb[sh.pic_order_cnt_lsb] = frame
-            return (self._period, sh.pic_order_cnt_lsb), frame
+            self._dpb[sh.poc] = frame
+            return (self._period, sh.poc), frame
         payload = nal.rbsp[sh.data_offset_bits // 8 :]
         bs_v = bs_h = None
         qp_actual = None
@@ -522,7 +551,7 @@ class Decoder:
                 )
         elif sh.slice_type in (0, 1):
             negs, poss, _used = sh.rps
-            ref0_poc = sh.pic_order_cnt_lsb + (negs[0] if negs else -1)
+            ref0_poc = sh.poc + (negs[0] if negs else -1)
             ref = self._dpb.get(ref0_poc, self._ref)
             if ref is None:
                 raise ValueError("P/B slice without a reference picture")
@@ -563,11 +592,11 @@ class Decoder:
 
                 if not pps.entropy_sync:
                     raise NotImplementedError("B decode currently requires WPP streams")
-                ref1_poc = sh.pic_order_cnt_lsb + (poss[0] if poss else 1)
+                ref1_poc = sh.poc + (poss[0] if poss else 1)
                 ref1 = self._dpb.get(ref1_poc)
                 if ref1 is None:
                     raise ValueError(f"missing L1 reference poc {ref1_poc}")
-                poc_diffs = (sh.pic_order_cnt_lsb - ref0_poc, sh.pic_order_cnt_lsb - ref1_poc)
+                poc_diffs = (sh.poc - ref0_poc, sh.poc - ref1_poc)
                 ctype, intra_modes, pf, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_b_wpp(
                     cfg, payload, sh.entry_points, sh.qp, poc_diffs, sao=sao_state
                 )
@@ -612,7 +641,7 @@ class Decoder:
             v = sao_apply(v, jnp2.asarray(t[2]), jnp2.asarray(a[2]), jnp2.asarray(o[2]), ctb=cfg.ctb_size // 2)
         out = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = out
-        poc = sh.pic_order_cnt_lsb if sh.slice_type != 2 else 0
+        poc = sh.poc
         self._dpb[poc] = out
         if len(self._dpb) > 8:
             for k in sorted(self._dpb)[: len(self._dpb) - 8]:

@@ -182,10 +182,13 @@ def _edge_positions(size: int, spacing: int) -> np.ndarray:
     return np.arange(spacing, size, spacing, dtype=np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("spacing", "beta_offset", "tc_offset", "chroma_every", "bs_rep"))
+@functools.partial(jax.jit, static_argnames=(
+    "spacing", "beta_offset", "tc_offset", "chroma_every", "bs_rep",
+    "cb_qp_offset", "cr_qp_offset"))
 def deblock_frame(
     y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_offset: int = 0,
     bs_v=None, bs_h=None, qp_map=None, chroma_every: int = 1, bs_rep: int = 0,
+    cb_qp_offset: int = 0, cr_qp_offset: int = 0,
 ):
     """Deblock one picture (per-edge bS maps, default all-2).
 
@@ -200,7 +203,6 @@ def deblock_frame(
     beta_tab = jnp.asarray(BETA_TABLE)
     tc_tab = jnp.asarray(TC_TABLE)
     chroma_tab = jnp.asarray(CHROMA_QP_TABLE)
-    qp_c = chroma_tab[jnp.clip(qp, 0, 57)]
 
     y32 = y.astype(jnp.int32)
     h, w = y32.shape
@@ -251,15 +253,15 @@ def deblock_frame(
         )
 
     # ---- chroma (half resolution, edge spacing/2, [p1 p0 q0 q1]); bS==2 only
-    tc_c_tab = tc_tab[jnp.clip(qp_c + 2 + (tc_offset << 1), 0, 53)]
-
-    def chroma_tc(eqp, sp):
+    # 8.7.2.5.5: QpC = ChromaQpTable[qP + cQpOffset], per component
+    def chroma_tc(eqp, sp, c_off):
         if eqp is None:
-            return tc_c_tab
-        qpc_e = chroma_tab[jnp.clip(eqp, 0, 57)]
+            qpc = chroma_tab[jnp.clip(qp + c_off, 0, 57)]
+            return tc_tab[jnp.clip(qpc + 2 + (tc_offset << 1), 0, 53)]
+        qpc_e = chroma_tab[jnp.clip(eqp + c_off, 0, 57)]
         return jnp.repeat(tc_tab[jnp.clip(qpc_e + 2 + (tc_offset << 1), 0, 53)], sp, axis=1)
 
-    def chroma_plane(c):
+    def chroma_plane(c, c_off):
         c32 = c.astype(jnp.int32)
         ch_, cw_ = c32.shape
         sp = spacing // 2
@@ -275,7 +277,7 @@ def deblock_frame(
             gate = jnp.repeat((bs == 2) & on_grid(len(xe)), sp, axis=1)
             cols = (xe[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[:, cols].reshape(ch_, len(xe), 4).transpose(1, 0, 2)
-            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(True), sp), gate)
+            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(True), sp, c_off), gate)
             wcols = (xe[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
             c32 = c32.at[:, wcols].set(out[..., 1:3].transpose(1, 0, 2).reshape(ch_, len(xe) * 2))
         ye = _edge_positions(ch_, sp)
@@ -286,12 +288,13 @@ def deblock_frame(
             gate = jnp.repeat((bs == 2) & on_grid(len(ye)), sp, axis=1)
             rows = (ye[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[rows, :].reshape(len(ye), 4, cw_).transpose(0, 2, 1)
-            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(False), sp), gate)
+            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(False), sp, c_off), gate)
             wrows = (ye[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
             c32 = c32.at[wrows, :].set(out[..., 1:3].transpose(0, 2, 1).reshape(len(ye) * 2, cw_))
         return c32.astype(jnp.uint8)
 
-    return y32.astype(jnp.uint8), chroma_plane(u), chroma_plane(v)
+    return (y32.astype(jnp.uint8), chroma_plane(u, cb_qp_offset),
+            chroma_plane(v, cr_qp_offset))
 
 
 def bs_maps_cu8(split, cw: int, ch: int):

@@ -202,3 +202,54 @@ def test_srtp_sequence_rollover():
     for seq in (0xFFFE, 0xFFFF, 0x0000, 0x0001):  # wraps ROC
         pkt = RtpPacket(97, seq, 1234, 0x11, bytes([seq & 0xFF] * 20))
         assert rx.unprotect(tx.protect(pkt.pack())) == pkt.pack()
+
+
+def test_srtp_replay_and_forgery_state(monkeypatch=None):
+    """RFC 3711 3.3.2: replays rejected; forged packets leave crypto state intact."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from kvazzup_tpu.delivery.srtp import SrtpContext
+
+    key, salt = _os.urandom(16), _os.urandom(14)
+    tx = SrtpContext(key, salt)
+    rx = SrtpContext(key, salt)
+    pkts = []
+    for seq in range(10):
+        p = RtpPacket(97, seq, 100 + seq, 0x42, bytes([seq] * 16)).pack()
+        pkts.append(tx.protect(p))
+    assert rx.unprotect(pkts[3]) is not None
+    # exact replay of an authenticated packet -> rejected
+    with _pytest.raises(ValueError, match="replay"):
+        rx.unprotect(pkts[3])
+    # a forged packet with a crafted far-future seq must NOT desync state
+    forged = bytearray(pkts[4])
+    forged[2:4] = (0x7F00).to_bytes(2, "big")  # crafted seq, bogus tag
+    roc_before, last_before = rx.roc, rx._last_seq
+    with _pytest.raises(ValueError, match="auth"):
+        rx.unprotect(bytes(forged))
+    assert (rx.roc, rx._last_seq) == (roc_before, last_before)
+    # legitimate traffic still flows after the forgery attempt
+    for i in (4, 5, 6):
+        assert rx.unprotect(pkts[i]).endswith(bytes([i] * 16))
+
+
+def test_srtp_header_extension_not_encrypted():
+    """RFC 3711 4.1: encryption starts after the RFC 3550 header extension."""
+    import os as _os
+    import struct as _struct
+
+    from kvazzup_tpu.delivery.srtp import SrtpContext
+
+    key, salt = _os.urandom(16), _os.urandom(14)
+    tx = SrtpContext(key, salt)
+    rx = SrtpContext(key, salt)
+    base = RtpPacket(97, 7, 1000, 0x99, b"payload-bytes").pack()
+    ext = _struct.pack("!HH", 0xBEDE, 2) + b"EXTENSION"[:8]  # 2 words of ext data
+    pkt = bytes([base[0] | 0x10]) + base[1:12] + ext + base[12:]
+    wire = tx.protect(pkt)
+    # the extension rides in the clear; the payload does not
+    assert ext in wire
+    assert b"payload-bytes" not in wire
+    assert rx.unprotect(wire) == pkt
