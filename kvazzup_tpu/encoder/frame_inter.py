@@ -210,33 +210,29 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int,
         y, ref_y, lam_x1k, block=n, search_range=SEARCH_RANGE, width=width, height=height
     )
 
-    refp_y = pad_reference(ref_y, REF_PAD)
-    refp_u = pad_reference(ref_u, REF_PAD // 2)
-    refp_v = pad_reference(ref_v, REF_PAD // 2)
-
     blk_y0 = jnp.zeros((nctu, n, n), jnp.int32)
     blk_c0 = jnp.zeros((nctu, n // 2, n // 2), jnp.int32)
 
-    # ME-candidate MC is independent of coded neighbors: hoist it out of
-    # the wavefront as one batched pass over all CTUs
-    ys_all = (jnp.arange(nctu, dtype=jnp.int32) // cw) * n
-    xs_all = (jnp.arange(nctu, dtype=jnp.int32) % cw) * n
-    pred_me_all = jax.vmap(
-        lambda x0, y0, mv: mc_luma(refp_y, x0, y0, mv[0], mv[1], n, width, height, REF_PAD)
-    )(xs_all, ys_all, me_mv)
-    pred_me_cb = jax.vmap(
-        lambda x0, y0, mv: mc_chroma(refp_u, x0 // 2, y0 // 2, mv[0], mv[1], n // 2,
-                                     width // 2, height // 2, REF_PAD // 2)
-    )(xs_all, ys_all, me_mv)
-    pred_me_cr = jax.vmap(
-        lambda x0, y0, mv: mc_chroma(refp_v, x0 // 2, y0 // 2, mv[0], mv[1], n // 2,
-                                     width // 2, height // 2, REF_PAD // 2)
-    )(xs_all, ys_all, me_mv)
+    # Hoist ALL reference reads out of the wavefront: per-CTU uint8
+    # neighborhood windows covering every |MV| <= search_range.  In-scan MC
+    # (merge + ME candidates) then slices a lane-private (55, 55) window —
+    # no gathers into the picture-sized reference inside the scan body
+    # (the round-1 P-frame bottleneck).
+    from ..ops.mc import extract_mc_neighborhoods, mc_chroma_window, mc_luma_window
 
-    oy_w, ou_w, ov_w, memv_w, pme_w, pmecb_w, pmecr_w, qp_w, qpc_w, lam_w = wave_inputs(
-        sched, nctu, [oy, ou, ov, me_mv, pred_me_all, pred_me_cb, pred_me_cr, qp, qp_c, lam]
+    refp_y8 = jnp.pad(ref_y, REF_PAD, mode="edge")
+    refp_u8 = jnp.pad(ref_u, REF_PAD // 2, mode="edge")
+    refp_v8 = jnp.pad(ref_v, REF_PAD // 2, mode="edge")
+    win_y = extract_mc_neighborhoods(refp_y8, n, SEARCH_RANGE, cw, ch, REF_PAD)
+    win_u = extract_mc_neighborhoods(refp_u8, n // 2, SEARCH_RANGE, cw, ch,
+                                     REF_PAD // 2, chroma=True)
+    win_v = extract_mc_neighborhoods(refp_v8, n // 2, SEARCH_RANGE, cw, ch,
+                                     REF_PAD // 2, chroma=True)
+
+    oy_w, ou_w, ov_w, memv_w, winy_w, winu_w, winv_w, qp_w, qpc_w, lam_w = wave_inputs(
+        sched, nctu, [oy, ou, ov, me_mv, win_y, win_u, win_v, qp, qp_c, lam]
     )
-    xs = (oy_w, ou_w, ov_w, memv_w, pme_w, pmecb_w, pmecr_w, qp_w, qpc_w, lam_w,
+    xs = (oy_w, ou_w, ov_w, memv_w, winy_w, winu_w, winv_w, qp_w, qpc_w, lam_w,
           jnp.asarray(sched["rs"]), jnp.asarray(sched["cs"]),
           jnp.asarray(sched["valid"]), jnp.asarray(sched["idx"]))
 
@@ -247,8 +243,7 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int,
         jnp.zeros((nctu,), bool),              # inter flags
     )
     carry, outs = jax.lax.scan(
-        functools.partial(_wave_impl, cw=cw, ch=ch, nctu=nctu, geom=geom,
-                          refp=(refp_y, refp_u, refp_v), rdoq=rdoq),
+        functools.partial(_wave_impl, cw=cw, ch=ch, nctu=nctu, geom=geom, rdoq=rdoq),
         carry0,
         xs,
     )
@@ -270,23 +265,22 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int,
 
 
 def _encode_ctu_p_wave(
-    blk_y, blk_u, blk_v, mvs, inter_flags, refp, oyw, ouw, ovw,
-    rs, cs, cand_a_mode, me_mv, me_preds, qp, qp_c, lam, geom, rdoq=True,
+    blk_y, blk_u, blk_v, mvs, inter_flags, wins, oyw, ouw, ovw,
+    rs, cs, cand_a_mode, me_mv, qp, qp_c, lam, geom, rdoq=True,
 ):
-    """Batched P-slice wave compute: per-lane gathers/MC vmapped, all heavy
-    kernels (intra sweep, SATD, transforms) as flat MXU batches.  Decision
-    logic identical to _encode_ctu_p."""
+    """Batched P-slice wave compute: per-lane MC slices lane-private
+    reference windows, all heavy kernels (intra sweep, SATD, transforms)
+    as flat MXU batches.  Decision logic identical to _encode_ctu_p."""
     from ..ops import ctu_kernels as ck
+    from ..ops.mc import mc_chroma_window, mc_luma_window
     from .frame_intra import _mode_bits_table
 
-    refp_y, refp_u, refp_v = refp
+    win_y, win_u, win_v = wins
     n = 16
     cw, ch, width, height = geom
     lanes = rs.shape[0]
 
-    pred_me_l, pred_me_cb, pred_me_cr = me_preds
-
-    def lane_nb(r, c, memv):
+    def lane_nb(r, c, memv, win):
         idx = r * cw + c
         avail_l = c > 0
         avail_a = r > 0
@@ -306,12 +300,11 @@ def _encode_ctu_p_wave(
             [(avail_ar & int_ar, mv_ar), (avail_a & int_a, mv_a), (avail_al & int_al, mv_al)]
         )
         mvp0, mvp1 = _amvp_list(avail_l & int_l, mv_l, b_avail, b_mv)
-        x0, y0 = c * n, r * n
-        pred_merge = mc_luma(refp_y, x0, y0, merge_mv[0], merge_mv[1], n, width, height, REF_PAD)
-        return merge_mv, mvp0, mvp1, pred_merge
+        pred_merge = mc_luma_window(win, merge_mv[0], merge_mv[1], n, SEARCH_RANGE)
+        pred_me = mc_luma_window(win, memv[0], memv[1], n, SEARCH_RANGE)
+        return merge_mv, mvp0, mvp1, pred_merge, pred_me
 
-    merge_mv, mvp0, mvp1, pred_merge = jax.vmap(lane_nb)(rs, cs, me_mv)
-    pred_me = pred_me_l
+    merge_mv, mvp0, mvp1, pred_merge, pred_me = jax.vmap(lane_nb)(rs, cs, me_mv, win_y)
 
     # intra sweep (flat kernels)
     a_raw, avail = jax.vmap(
@@ -352,20 +345,12 @@ def _encode_ctu_p_wave(
 
     def code_flat(orig, pred, q, log2):
         coef = ck.fwd_transform_flat(orig - pred, log2)
+        # deadzone offset is mode-dependent (intra 171/512, inter 85/512);
+        # the flag rides as a traced per-lane array -> ONE quant pass
         if rdoq:
-            lam_sse = lam * lam
-            lev = jnp.where(
-                use_intra[:, None],
-                quantize_rdoq(coef, q, log2, lam_sse, True),
-                quantize_rdoq(coef, q, log2, lam_sse, False),
-            )
+            lev = quantize_rdoq(coef, q, log2, lam * lam, use_intra)
         else:
-            # deadzone offset is mode-dependent (intra 171/512, inter 85/512)
-            lev = jnp.where(
-                use_intra[:, None],
-                quantize(coef, q, log2, True),
-                quantize(coef, q, log2, False),
-            )
+            lev = quantize(coef, q, log2, use_intra)
         deq = dequantize(lev, q, log2)
         rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
         return lev, rec
@@ -373,25 +358,17 @@ def _encode_ctu_p_wave(
     lev_y, rec_y = code_flat(oy_flat, pred_y, qp, 4)
 
     chroma = []
-    for blk_c, ocw, refp_c, pred_me_c in (
-        (blk_u, ouw, refp_u, pred_me_cb),
-        (blk_v, ovw, refp_v, pred_me_cr),
-    ):
+    for blk_c, ocw, win_c in ((blk_u, ouw, win_u), (blk_v, ovw, win_v)):
         a_raw_c, avail_c = jax.vmap(
             _gather_refs_blocks, in_axes=(None, 0, 0, None, None, None, None)
         )(blk_c, rs, cs, n // 2, cw, ch, width // 2)
         ac = intra_ops.substitute_refs(a_raw_c, avail_c)
         preds_c = ck.predict_all_modes_flat(ac, 3, False)
         pred_ci = jnp.take_along_axis(preds_c, intra_mode[:, None, None], 1)[:, 0]
-        # merge lanes need MC at the (dynamic) merge MV; ME lanes reuse the
-        # hoisted prediction
-        pred_cmerge = jax.vmap(
-            lambda r, c, mv: mc_chroma(
-                refp_c, c * (n // 2), r * (n // 2), mv[0], mv[1],
-                n // 2, width // 2, height // 2, REF_PAD // 2,
-            )
-        )(rs, cs, merge_mv).reshape(lanes, -1)
-        pred_cm = jnp.where(is_merge[:, None], pred_cmerge, pred_me_c.reshape(lanes, -1))
+        # one chroma MC at the SELECTED MV from the lane-private window
+        pred_cm = jax.vmap(
+            lambda win, mv: mc_chroma_window(win, mv[0], mv[1], n // 2, SEARCH_RANGE)
+        )(win_c, mv_sel).reshape(lanes, -1)
         pred_c = jnp.where(use_intra[:, None], pred_ci, pred_cm)
         chroma.append(code_flat(ocw.reshape(lanes, -1), pred_c, qp_c, 3))
     (lev_cb, rec_cb), (lev_cr, rec_cr) = chroma
@@ -423,16 +400,16 @@ def _encode_ctu_p_wave(
     )
 
 
-def _wave_impl(carry, x, *, cw, ch, nctu, geom, refp, rdoq=True):
+def _wave_impl(carry, x, *, cw, ch, nctu, geom, rdoq=True):
     (blk_y, blk_u, blk_v, modes, mvs, inter_flags) = carry
-    oyw, ouw, ovw, memvw, pmew, pmecbw, pmecrw, qpw, qpcw, lamw, rs, cs, valid, idx = x
+    oyw, ouw, ovw, memvw, winyw, winuw, winvw, qpw, qpcw, lamw, rs, cs, valid, idx = x
     # 8.4.2: an inter-coded left neighbor contributes DC to the MPM list
     left_i = jnp.maximum(idx - 1, 0)
     cand_a_mode = jnp.where(inter_flags[left_i], 1, modes[left_i])
 
     out = _encode_ctu_p_wave(
-        blk_y, blk_u, blk_v, mvs, inter_flags, refp,
-        oyw, ouw, ovw, rs, cs, cand_a_mode, memvw, (pmew, pmecbw, pmecrw),
+        blk_y, blk_u, blk_v, mvs, inter_flags, (winyw, winuw, winvw),
+        oyw, ouw, ovw, rs, cs, cand_a_mode, memvw,
         qpw, qpcw, lamw, geom, rdoq=rdoq,
     )
 

@@ -190,13 +190,14 @@ def mc_window_origin(search_range: int, chroma: bool = False) -> int:
 
 def mc_luma_window(win, mv_x, mv_y, size: int, search_range: int):
     """MC from a per-CTU neighborhood window (bit-identical to mc_luma for
-    |MV| <= search_range, which the encoder guarantees)."""
+    |MV| <= search_range, which the encoder guarantees).  win may be uint8
+    (windows are stored compact; math happens in int32 after the slice)."""
     org = mc_window_origin(search_range, False)
     ix = org + (mv_x >> 2)
     iy = org + (mv_y >> 2)
     fx = mv_x & 3
     fy = mv_y & 3
-    w = jax.lax.dynamic_slice(win, (iy - 3, ix - 3), (size + 7, size + 7))
+    w = jax.lax.dynamic_slice(win, (iy - 3, ix - 3), (size + 7, size + 7)).astype(jnp.int32)
     ch = jnp.asarray(LUMA_FILTERS)[fx]
     cv = jnp.asarray(LUMA_FILTERS)[fy]
     tmp = _filt_h(w, ch)
@@ -210,7 +211,7 @@ def mc_chroma_window(win, mv_x, mv_y, size: int, search_range: int):
     iy = org + (mv_y >> 3)
     fx = mv_x & 7
     fy = mv_y & 7
-    w = jax.lax.dynamic_slice(win, (iy - 1, ix - 1), (size + 3, size + 3))
+    w = jax.lax.dynamic_slice(win, (iy - 1, ix - 1), (size + 3, size + 3)).astype(jnp.int32)
     ch = jnp.asarray(CHROMA_FILTERS)[fx]
     cv = jnp.asarray(CHROMA_FILTERS)[fy]
     tmp = _filt_h(w, ch)

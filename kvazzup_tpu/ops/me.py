@@ -107,7 +107,9 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
             better = cost < best_cost
             best_cost = jnp.where(better, cost, best_cost)
             best_d = jnp.where(better[:, None], jnp.array([dx, dy], jnp.int32)[None, :], best_d)
-    int_mv = jnp.clip(best_mv + best_d, -search_range, search_range)  # full-pel
+    # full-pel, clamped to R-1 so the sub-pel refinement (up to +3 qpel)
+    # stays within the |MV| <= 4R window contract of ops/mc.py windows
+    int_mv = jnp.clip(best_mv + best_d, -(search_range - 1), search_range - 1)
 
     # ---- stage 3: half-pel refinement (normative half filter)
     half = LUMA_FILTERS[2]  # numpy: taps static
@@ -158,6 +160,58 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
             best_half = jnp.where(
                 better[:, None], jnp.array([hx, hy], jnp.int32)[None, :], best_half
             )
+    mv_half = jnp.stack([qx, qy], axis=1) + 2 * best_half
 
-    mv_qpel = jnp.stack([qx, qy], axis=1) + 2 * best_half
-    return mv_qpel, best_cost
+    # ---- stage 4: quarter-pel refinement around the half-pel winner.
+    # The 9 half positions share win3; quarter offsets relative to the
+    # INTEGER anchor span [-3, 3] qpel, so every (sx, sy) pair is a static
+    # phase + static shift into the same windows — the whole qpel sweep is
+    # 8 more dense batched filter passes (kvazaar search_inter.c does this
+    # with data-dependent stepping; here it is evaluate-all-then-select).
+    def interp_frac(sx: int, sy: int):
+        """Prediction at (sx, sy) qpel relative to the integer anchor."""
+        ox = 4 + (sx >> 2)
+        oy = 4 + (sy >> 2)
+        fx = sx & 3
+        fy = sy & 3
+        w = win3
+        if fx == 0:
+            horiz = w[:, :, ox : ox + bs] * 64
+        else:
+            cf = LUMA_FILTERS[fx]
+            acc = jnp.zeros((w.shape[0], w.shape[1], bs), jnp.int32)
+            for k in range(8):
+                acc = acc + int(cf[k]) * w[:, :, ox - 3 + k : ox - 3 + k + bs]
+            horiz = acc
+        if fy == 0:
+            out = horiz[:, oy : oy + bs, :] >> 0
+        else:
+            cf = LUMA_FILTERS[fy]
+            acc = jnp.zeros((w.shape[0], bs, bs), jnp.int32)
+            for k in range(8):
+                acc = acc + int(cf[k]) * horiz[:, oy - 3 + k : oy - 3 + k + bs, :]
+            out = acc >> 6
+        return jnp.clip((out + 32) >> 6, 0, 255)
+
+    half_rel = mv_half - 4 * int_mv  # (nctu, 2) in {-2, 0, 2}
+    # static 7x7 sweep: evaluate every (sx, sy) in [-3, 3]^2 once, then for
+    # each CTU keep the best among the 8 qpel neighbors of its half winner
+    best_mv_q = mv_half
+    best_cost_q = best_cost
+    for sy in range(-3, 4):
+        for sx in range(-3, 4):
+            if sx % 2 == 0 and sy % 2 == 0:
+                continue  # integer/half positions already costed
+            near = (jnp.abs(sx - half_rel[:, 0]) <= 1) & (
+                jnp.abs(sy - half_rel[:, 1]) <= 1)
+            sad = jnp.abs(orig_blocks - interp_frac(sx, sy)).sum(axis=(1, 2))
+            mvx = 4 * int_mv[:, 0] + sx
+            mvy = 4 * int_mv[:, 1] + sy
+            cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
+            cost = jnp.where(near, cost, 1 << 30)
+            better = cost < best_cost_q
+            best_cost_q = jnp.where(better, cost, best_cost_q)
+            best_mv_q = jnp.where(better[:, None], jnp.stack([mvx, mvy], axis=1),
+                                  best_mv_q)
+
+    return best_mv_q, best_cost_q

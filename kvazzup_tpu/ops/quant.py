@@ -27,15 +27,26 @@ def _bcast(qp, like):
     return qp
 
 
-def quantize(coef: jnp.ndarray, qp, log2: int, intra: bool = True) -> jnp.ndarray:
+def _dz_num(intra, like):
+    """Deadzone numerator: static bool or traced per-lane array (171/85)."""
+    if isinstance(intra, bool):
+        return jnp.int32(171 if intra else 85)
+    intra = jnp.asarray(intra)
+    while intra.ndim < like.ndim:
+        intra = intra[..., None]
+    return jnp.where(intra, jnp.int32(171), jnp.int32(85))
+
+
+def quantize(coef: jnp.ndarray, qp, log2: int, intra=True) -> jnp.ndarray:
     """Forward quantization of transform coefficients (..., N, N) -> levels.
 
     qp may be a scalar or an array matching coef's leading dims (per-CTU
-    adaptive QP / ROI)."""
+    adaptive QP / ROI); `intra` may be a traced per-lane bool array (mixed
+    intra/inter waves quantize in ONE pass instead of two)."""
     qp = _bcast(qp, coef)
     per, rem = qp // 6, qp % 6
     qbits = 21 + per - log2  # QUANT_SHIFT(14) + per + transformShift(7-log2)
-    offset = jnp.left_shift(jnp.int32(171 if intra else 85), qbits - 9)
+    offset = jnp.left_shift(_dz_num(intra, coef), qbits - 9)
     scale = _QUANT[rem]
     mag = jnp.right_shift(jnp.abs(coef) * scale + offset, qbits)
     mag = jnp.clip(mag, 0, 32767)
@@ -61,7 +72,7 @@ def dequantize(level: jnp.ndarray, qp, log2: int) -> jnp.ndarray:
     return jnp.clip(d, -32768, 32767)
 
 
-def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra: bool = True) -> jnp.ndarray:
+def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra=True) -> jnp.ndarray:
     """Rate-distortion optimized quantization (vectorized RDOQ-lite).
 
     Per coefficient, compares the deadzone level against level-1 (and 0) by
@@ -80,7 +91,7 @@ def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra: bool = True) -> 
         lam = lam[..., None]
 
     num = jnp.abs(coef) * scale  # exact integer
-    offset = jnp.left_shift(jnp.int32(171 if intra else 85), qbits - 9)
+    offset = jnp.left_shift(_dz_num(intra, coef), qbits - 9)
     l_dz = jnp.right_shift(num + offset, qbits)  # deadzone level (upper cand)
 
     numf = num.astype(jnp.float32)
