@@ -40,6 +40,7 @@ class StreamConfig:
     wpp: bool = False  # entropy_coding_sync (WPP substreams)
     tile_cols: int = 1  # >1 -> tiles_enabled (uniform tile columns, 1 row)
     slices: int = 1  # >1 -> row-aligned independent slices per picture
+    dependent_slices: bool = False  # emit slices as dependent slice segments
     cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
     rdoq: bool = False  # RD-optimized quantization (RDOQ-lite; needs lambda
     # calibration before it beats the tuned deadzone — kept opt-in)
@@ -182,7 +183,7 @@ def compose_pps(cfg: StreamConfig) -> NalUnit:
     w = BitWriter()
     w.ue(0)  # pps_pic_parameter_set_id
     w.ue(0)  # pps_seq_parameter_set_id
-    w.flag(0)  # dependent_slice_segments_enabled_flag
+    w.flag(cfg.dependent_slices)  # dependent_slice_segments_enabled_flag
     w.flag(0)  # output_flag_present_flag
     w.u(0, 3)  # num_extra_slice_header_bits
     w.flag(cfg.sign_data_hiding)
@@ -241,6 +242,7 @@ class SliceHeader:
     sao_luma: bool = False
     sao_chroma: bool = False
     deblocking_disabled: bool = True
+    dependent: bool = False  # dependent slice segment (7.3.6.1)
 
 
 def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None) -> BitWriter:
@@ -256,8 +258,23 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
         w.flag(0)  # no_output_of_prior_pics_flag
     w.ue(0)  # slice_pic_parameter_set_id
     if not sh.first_slice:
+        if cfg.dependent_slices:
+            w.flag(sh.dependent)
         addr_bits = _ceil_log2(cfg.ctbs_w * cfg.ctbs_h)
         w.u(sh.segment_address, addr_bits)
+    if sh.dependent:
+        # dependent segments carry only the address (+ entry points); all
+        # other fields are inherited from the preceding independent segment
+        if cfg.wpp or cfg.tile_cols > 1:
+            offs = entry_offsets or []
+            w.ue(len(offs))
+            if offs:
+                offset_len = max(o - 1 for o in offs).bit_length() or 1
+                w.ue(offset_len - 1)
+                for o in offs:
+                    w.u(o - 1, offset_len)
+        w.byte_alignment()
+        return w
     w.ue(sh.slice_type)
     from .nal import is_idr
 
@@ -330,11 +347,20 @@ class ParsedSps:
     max_td_inter: int = 0
     max_td_intra: int = 0
     scaling_list_enabled: bool = False
+    scaling_lists: object = None  # ScalingLists when enabled (default/explicit)
     amp_enabled: bool = False
     sao_enabled: bool = False
     pcm_enabled: bool = False
+    pcm_bit_depth: int = 8
+    pcm_bit_depth_chroma: int = 8
+    pcm_min_log2: int = 3
+    pcm_max_log2: int = 3
+    pcm_loop_filter_disabled: bool = False
     num_st_rps: int = 0
     st_rps: list = field(default_factory=list)
+    long_term_ref_pics: bool = False
+    lt_poc_lsb_sps: list = field(default_factory=list)
+    lt_used_sps: list = field(default_factory=list)
     temporal_mvp: bool = False
     strong_intra_smoothing: bool = False
 
@@ -370,19 +396,30 @@ def parse_sps(rbsp: bytes) -> ParsedSps:
     s.max_td_intra = r.ue()
     s.scaling_list_enabled = bool(r.flag())
     if s.scaling_list_enabled:
-        if r.flag():
-            raise NotImplementedError("explicit scaling lists not supported")
+        from .scaling import ScalingLists, parse_scaling_list_data
+
+        if r.flag():  # sps_scaling_list_data_present_flag
+            s.scaling_lists = parse_scaling_list_data(r)
+        else:
+            s.scaling_lists = ScalingLists()  # default lists (7.4.5)
     s.amp_enabled = bool(r.flag())
     s.sao_enabled = bool(r.flag())
     s.pcm_enabled = bool(r.flag())
     if s.pcm_enabled:
-        raise NotImplementedError("PCM not supported")
+        s.pcm_bit_depth = r.u(4) + 1
+        s.pcm_bit_depth_chroma = r.u(4) + 1
+        s.pcm_min_log2 = 3 + r.ue()
+        s.pcm_max_log2 = s.pcm_min_log2 + r.ue()
+        s.pcm_loop_filter_disabled = bool(r.flag())
     s.num_st_rps = r.ue()
     prev = None
     for i in range(s.num_st_rps):
         prev = _parse_st_rps(r, i, s.num_st_rps, prev, s.st_rps)
-    if r.flag():  # long_term_ref_pics_present
-        raise NotImplementedError("long-term refs not supported")
+    s.long_term_ref_pics = bool(r.flag())
+    if s.long_term_ref_pics:
+        for _ in range(r.ue()):  # num_long_term_ref_pics_sps
+            s.lt_poc_lsb_sps.append(r.u(s.log2_max_poc_lsb))
+            s.lt_used_sps.append(bool(r.flag()))
     s.temporal_mvp = bool(r.flag())
     s.strong_intra_smoothing = bool(r.flag())
     return s
@@ -465,6 +502,9 @@ class ParsedPps:
     uniform_spacing: bool = True
     num_tile_cols: int = 1
     num_tile_rows: int = 1
+    scaling_lists: object = None  # PPS-level override of the SPS lists
+    lists_modification: bool = False
+    dependent_slices: bool = False
 
 
 def parse_pps(rbsp: bytes) -> ParsedPps:
@@ -472,8 +512,7 @@ def parse_pps(rbsp: bytes) -> ParsedPps:
     p = ParsedPps()
     r.ue()  # pps id
     r.ue()  # sps id
-    if r.flag():
-        raise NotImplementedError("dependent slice segments not supported")
+    p.dependent_slices = bool(r.flag())
     r.flag()  # output_flag_present
     r.u(3)  # num_extra_slice_header_bits
     p.sign_data_hiding = bool(r.flag())
@@ -510,9 +549,10 @@ def parse_pps(rbsp: bytes) -> ParsedPps:
             p.beta_offset_div2 = r.se()
             p.tc_offset_div2 = r.se()
     if r.flag():  # pps_scaling_list_data_present_flag
-        raise NotImplementedError("PPS scaling lists not supported")
-    if r.flag():  # lists_modification_present_flag
-        raise NotImplementedError("ref list modification not supported")
+        from .scaling import parse_scaling_list_data
+
+        p.scaling_lists = parse_scaling_list_data(r)
+    p.lists_modification = bool(r.flag())
     p.log2_parallel_merge_level = 2 + r.ue()
     r.flag()  # slice_segment_header_extension
     return p
@@ -542,6 +582,7 @@ class ParsedSliceHeader:
     mvd_l1_zero: bool = False
     collocated_ref_idx: int = 0
     data_offset_bits: int = 0  # bit offset of slice data within RBSP
+    dependent: bool = False  # dependent slice segment (inherited fields)
     cabac_init_flag: bool = False  # swaps P/B ctx init tables (9.3.2.2)
     cb_qp_offset: int = 0  # slice_cb_qp_offset (added to pps_cb_qp_offset)
     cr_qp_offset: int = 0
@@ -590,7 +631,8 @@ def _parse_pred_weight_table(r: BitReader, sh) -> dict:
     return out
 
 
-def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPps) -> ParsedSliceHeader:
+def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPps,
+                       prev_independent: "ParsedSliceHeader | None" = None) -> ParsedSliceHeader:
     from .nal import is_idr, is_irap
 
     r = BitReader(rbsp)
@@ -603,8 +645,26 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
         r.flag()  # no_output_of_prior_pics_flag
     r.ue()  # slice_pic_parameter_set_id
     if not sh.first_slice:
+        dependent = pps.dependent_slices and bool(r.flag())
         ctbs = -(-sps.width // (1 << sps.ctb_log2)) * -(-sps.height // (1 << sps.ctb_log2))
         sh.segment_address = r.u(_ceil_log2(ctbs))
+        if dependent:
+            # 7.3.6.1: all remaining fields inherited from the preceding
+            # independent slice segment's header
+            if prev_independent is None:
+                raise ValueError("dependent slice segment without a parent")
+            from dataclasses import replace as _dc_replace
+
+            sh = _dc_replace(prev_independent, first_slice=False, dependent=True,
+                             segment_address=sh.segment_address, entry_points=[])
+            if pps.tiles_enabled or pps.entropy_sync:
+                n_entry = r.ue()
+                if n_entry:
+                    offset_len = r.ue() + 1
+                    sh.entry_points = [r.u(offset_len) + 1 for _ in range(n_entry)]
+            r.byte_alignment()
+            sh.data_offset_bits = r.bit_pos()
+            return sh
     sh.slice_type = r.ue()
     sh.num_ref_idx_l0 = pps.num_ref_l0
     sh.num_ref_idx_l1 = pps.num_ref_l1

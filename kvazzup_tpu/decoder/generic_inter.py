@@ -477,9 +477,7 @@ class GenericInterDecoder(GenericIntraDecoder):
         self._mark_edges(x0, y0, n)
         if cbf_luma:
             lev = decode_residual(dec, log2, 0, 0, sdh=self.sdh)
-            from .generic_intra import _jit_resid
-
-            resid = np.asarray(_jit_resid(jnp.asarray(lev), self.qp, log2))
+            resid = self._resid(lev, self.qp, log2, 0, False)
             reg = self.y[y0 : y0 + n, x0 : x0 + n]
             self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(reg + resid, 0, 255)
             self.cbf4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = 1
@@ -494,9 +492,7 @@ class GenericInterDecoder(GenericIntraDecoder):
             if not cbf:
                 continue
             lev = decode_residual(dec, log2c, cidx, 0, sdh=self.sdh)
-            from .generic_intra import _jit_resid
-
-            resid = np.asarray(_jit_resid(jnp.asarray(lev), qpc, log2c))
+            resid = self._resid(lev, qpc, log2c, cidx, False)
             reg = canvas[yc : yc + n, xc : xc + n]
             canvas[yc : yc + n, xc : xc + n] = np.clip(reg + resid, 0, 255)
 

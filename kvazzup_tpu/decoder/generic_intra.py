@@ -55,6 +55,13 @@ def _jit_resid(lev, qp, log2, dst=False):
     return inv_transform(dequantize(lev, qp, log2), log2, dst=dst)
 
 
+@functools.partial(jax.jit, static_argnames=("log2", "dst"))
+def _jit_resid_m(lev, qp, m, log2, dst=False):
+    from ..ops.quant import dequantize_scaled
+
+    return inv_transform(dequantize_scaled(lev, qp, log2, m), log2, dst=dst)
+
+
 def _morton(r: int, c: int, bits: int) -> int:
     z = 0
     for b in range(bits - 1, -1, -1):
@@ -73,6 +80,11 @@ class GenericIntraDecoder:
         self.cb_off = pps.cb_qp_offset + (getattr(sh, "cb_qp_offset", 0) if sh else 0)
         self.cr_off = pps.cr_qp_offset + (getattr(sh, "cr_qp_offset", 0) if sh else 0)
         self._set_qp(slice_qp)
+        # scaling lists (7.4.5): PPS data overrides SPS; default when
+        # enabled-but-absent
+        self.scaling = None
+        if getattr(sps, "scaling_list_enabled", False):
+            self.scaling = getattr(pps, "scaling_lists", None) or sps.scaling_lists
         self.ctb_log2 = sps.ctb_log2
         self.min_cb_log2 = sps.min_cb_log2
         self.min_tb_log2 = getattr(sps, "min_tb_log2", 2)
@@ -334,6 +346,13 @@ class GenericIntraDecoder:
         if log2 > 2:
             self._chroma_unit(dec, x0, y0, log2 - 1, cmode, cbf_cb, cbf_cr)
 
+    def _resid(self, lev, qpv, log2: int, cidx: int, intra: bool, dst=False):
+        """Dequant + inverse transform, honoring scaling lists when enabled."""
+        if self.scaling is None:
+            return np.asarray(_jit_resid(jnp.asarray(lev), qpv, log2, dst=dst))
+        m = jnp.asarray(self.scaling.factor(log2, cidx, intra))
+        return np.asarray(_jit_resid_m(jnp.asarray(lev), qpv, m, log2, dst=dst))
+
     def _luma_unit(self, dec, x0, y0, log2, mode, cbf) -> None:
         self._mark_edges(x0, y0, 1 << log2)
         pred = self._predict(self.y, x0, y0, log2, True, mode, False)
@@ -341,8 +360,7 @@ class GenericIntraDecoder:
         if cbf:
             scan = residual_scan_idx(mode, log2, 0)
             lev = decode_residual(dec, log2, 0, scan, sdh=self.sdh)
-            resid = np.asarray(_jit_resid(jnp.asarray(lev), self.qp, log2,
-                                          dst=(log2 == 2)))
+            resid = self._resid(lev, self.qp, log2, 0, True, dst=(log2 == 2))
         else:
             resid = 0
         self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(pred + resid, 0, 255)
@@ -356,7 +374,7 @@ class GenericIntraDecoder:
             pred = self._predict(canvas, xc, yc, log2c, False, cmode, True)
             if cbf:
                 lev = decode_residual(dec, log2c, cidx, scan, sdh=self.sdh)
-                resid = np.asarray(_jit_resid(jnp.asarray(lev), qpc, log2c))
+                resid = self._resid(lev, qpc, log2c, cidx, True)
             else:
                 resid = 0
             canvas[yc : yc + n, xc : xc + n] = np.clip(pred + resid, 0, 255)

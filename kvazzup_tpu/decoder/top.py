@@ -128,7 +128,14 @@ class Decoder:
         if len(nals) == 1:
             return self._decode_picture(nals[0])
         sps, pps = self.sps, self.pps
-        headers = [parse_slice_header(x.rbsp, x.nal_type, sps, pps) for x in nals]
+        headers = []
+        prev_ind = None
+        for x in nals:
+            hh = parse_slice_header(x.rbsp, x.nal_type, sps, pps,
+                                    prev_independent=prev_ind)
+            if not hh.dependent:
+                prev_ind = hh
+            headers.append(hh)
         self._derive_poc(headers[0], nals[0].nal_type)
         for hh in headers[1:]:
             hh.poc = headers[0].poc
@@ -138,7 +145,8 @@ class Decoder:
 
                 hh.entry_points = rbsp_entry_offsets(
                     x.removals, hh.data_offset_bits // 8, hh.entry_points)
-        if self._alien_shape(sps, headers[0]) and headers[0].slice_type in (0, 1, 2):
+        if (self._alien_shape(sps, headers[0]) or any(h.dependent for h in headers)) \
+                and headers[0].slice_type in (0, 1, 2):
             if is_idr(nals[0].nal_type):
                 self._period += 1
                 self._dpb.clear()
@@ -278,10 +286,15 @@ class Decoder:
         nctu = gd.cw * gd.ch
         starts = [s2.segment_address if k else 0 for k, (_, s2) in enumerate(slices)]
         ends = starts[1:] + [nctu]
-        if len(slices) > 1:
+        # slice ids: dependent SEGMENTS belong to their parent slice
+        # (prediction availability is slice-scoped, 6.4.1)
+        sids = []
+        for k, (_, s2) in enumerate(slices):
+            sids.append(sids[-1] if (k and s2.dependent) else k)
+        if len(set(sids)) > 1:
             slice_of = np.zeros(nctu, np.int32)
             for k, (st, en) in enumerate(zip(starts, ends)):
-                slice_of[st:en] = k
+                slice_of[st:en] = sids[k]
             gd.slice_of_ctu = slice_of
             if sao_state is not None:
                 sao_state.slice_of = slice_of
@@ -291,9 +304,10 @@ class Decoder:
                 sao_state.decode(dec, i)
             gd.decode_ctu(dec, i)
 
+        carry_ctx = None
         for k, (nal_k, sh_k) in enumerate(slices):
-            gd.cur_slice = k
-            if k:  # per-slice QP prediction / quant-group reset (8.6.1)
+            gd.cur_slice = sids[k]
+            if k:  # per-SEGMENT QP prediction / quant-group reset (8.6.1)
                 gd._set_qp(sh_k.qp)
                 gd.qp_prev = sh_k.qp
                 gd.slice_qp = sh_k.qp
@@ -303,6 +317,8 @@ class Decoder:
             if pps.entropy_sync:
                 from ..entropy.slice_data import decode_slice_data_wpp
 
+                if sh_k.dependent:
+                    raise NotImplementedError("dependent slices with WPP")
                 decode_slice_data_wpp(
                     StreamConfig(width=sps.width, height=sps.height, qp=sh_k.qp,
                                  ctb_log2=sps.ctb_log2, min_cb_log2=sps.min_cb_log2),
@@ -310,12 +326,15 @@ class Decoder:
                     ctu_range=(st, en),
                 )
             else:
-                dec = CabacDecoder(payload, init_type=init_type, slice_qp=sh_k.qp)
+                # dependent segments continue the parent's contexts (9.3.1)
+                dec = CabacDecoder(payload, init_type=init_type, slice_qp=sh_k.qp,
+                                   ctx=carry_ctx if sh_k.dependent else None)
                 for i in range(st, en):
                     ctu_fn(dec, i)
                     end = dec.decode_terminate()
                     if end != (1 if i == en - 1 else 0):
                         raise ValueError(f"end_of_slice mismatch at CTU {i}")
+                carry_ctx = dec.ctx
 
         y = jnp.asarray(gd.y.astype(np.uint8))
         u = jnp.asarray(gd.u.astype(np.uint8))

@@ -272,7 +272,7 @@ def _encode_ctu_p_wave(
     reference windows, all heavy kernels (intra sweep, SATD, transforms)
     as flat MXU batches.  Decision logic identical to _encode_ctu_p."""
     from ..ops import ctu_kernels as ck
-    from ..ops.mc import mc_chroma_window, mc_luma_window
+    from ..ops.mc import mc_chroma_window_batch, mc_luma_window_batch
     from .frame_intra import _mode_bits_table
 
     win_y, win_u, win_v = wins
@@ -280,7 +280,7 @@ def _encode_ctu_p_wave(
     cw, ch, width, height = geom
     lanes = rs.shape[0]
 
-    def lane_nb(r, c, memv, win):
+    def lane_nb(r, c, memv):
         idx = r * cw + c
         avail_l = c > 0
         avail_a = r > 0
@@ -300,11 +300,12 @@ def _encode_ctu_p_wave(
             [(avail_ar & int_ar, mv_ar), (avail_a & int_a, mv_a), (avail_al & int_al, mv_al)]
         )
         mvp0, mvp1 = _amvp_list(avail_l & int_l, mv_l, b_avail, b_mv)
-        pred_merge = mc_luma_window(win, merge_mv[0], merge_mv[1], n, SEARCH_RANGE)
-        pred_me = mc_luma_window(win, memv[0], memv[1], n, SEARCH_RANGE)
-        return merge_mv, mvp0, mvp1, pred_merge, pred_me
+        return merge_mv, mvp0, mvp1
 
-    merge_mv, mvp0, mvp1, pred_merge, pred_me = jax.vmap(lane_nb)(rs, cs, me_mv, win_y)
+    merge_mv, mvp0, mvp1 = jax.vmap(lane_nb)(rs, cs, me_mv)
+    # gather-free batched MC: one-hot select matmuls over lane-private windows
+    pred_merge = mc_luma_window_batch(win_y, merge_mv, n, SEARCH_RANGE)
+    pred_me = mc_luma_window_batch(win_y, me_mv, n, SEARCH_RANGE)
 
     # intra sweep (flat kernels)
     a_raw, avail = jax.vmap(
@@ -366,9 +367,8 @@ def _encode_ctu_p_wave(
         preds_c = ck.predict_all_modes_flat(ac, 3, False)
         pred_ci = jnp.take_along_axis(preds_c, intra_mode[:, None, None], 1)[:, 0]
         # one chroma MC at the SELECTED MV from the lane-private window
-        pred_cm = jax.vmap(
-            lambda win, mv: mc_chroma_window(win, mv[0], mv[1], n // 2, SEARCH_RANGE)
-        )(win_c, mv_sel).reshape(lanes, -1)
+        pred_cm = mc_chroma_window_batch(win_c, mv_sel, n // 2, SEARCH_RANGE)
+        pred_cm = pred_cm.reshape(lanes, -1)
         pred_c = jnp.where(use_intra[:, None], pred_ci, pred_cm)
         chroma.append(code_flat(ocw.reshape(lanes, -1), pred_c, qp_c, 3))
     (lev_cb, rec_cb), (lev_cr, rec_cr) = chroma

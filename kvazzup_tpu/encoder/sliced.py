@@ -82,3 +82,39 @@ def encode_frame_intra_slices(cfg, y, u, v, qp: int, n_slices: int, *,
     Returns (annexb_bytes, (recon_y, recon_u, recon_v) device arrays)."""
     dev = encode_frame_intra_slices_device(cfg, y, u, v, qp, n_slices, rdoq=rdoq)
     return include_headers + entropy_frame_intra_slices(cfg, dev, qp), dev["recon"]
+
+
+def encode_frame_intra_dependent_slices(cfg, y, u, v, qp: int, n_segments: int, *,
+                                        rdoq: bool = False):
+    """One intra slice split into dependent slice SEGMENTS (7.3.6.1).
+
+    Unlike independent slices, the picture is coded as a single slice
+    (full prediction availability, one CABAC context chain): each CTU-row
+    range becomes a slice segment NAL whose contexts continue from the
+    previous segment (9.3.1).  Returns (annexb_bytes, recon planes).
+    """
+    from ..entropy.slice_data import encode_slice_data_intra_segments
+
+    out = encode_frame_intra(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+        width=cfg.width, height=cfg.height, rdoq=rdoq,
+    )
+    cw = cfg.ctbs_w
+    ranges = [(r0 * cw, r1 * cw) for r0, r1 in slice_rows(cfg.ctbs_h, n_segments)]
+    payloads = encode_slice_data_intra_segments(
+        cfg, np.asarray(out["mode"]), np.asarray(out["lev_y"]),
+        np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]), qp, ranges,
+    )
+    nals = []
+    for si, ((st, _en), payload) in enumerate(zip(ranges, payloads)):
+        sh = SliceHeader(
+            slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
+            first_slice=si == 0, segment_address=st, dependent=si > 0,
+        )
+        w = compose_slice_header(cfg, sh)
+        w.write_bytes(payload)
+        nals.append(compose_nal(NalUnit(sh.nal_type, w.data())))
+    ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+    if cfg.deblocking_enabled:
+        ry, ru, rv = deblock_frame(ry, ru, rv, qp, spacing=cfg.ctb_size)
+    return b"".join(nals), (ry, ru, rv)

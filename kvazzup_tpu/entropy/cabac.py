@@ -20,8 +20,10 @@ from .cabac_tables import RANGE_TAB_LPS, TRANS_IDX_LPS, TRANS_IDX_MPS, init_all_
 class CabacEncoder:
     """Binary arithmetic encoder producing a byte-aligned slice-data payload."""
 
-    def __init__(self, init_type: int, slice_qp: int) -> None:
-        self.ctx = init_all_contexts(init_type, slice_qp)
+    def __init__(self, init_type: int, slice_qp: int, ctx=None) -> None:
+        # ctx: carried context table (dependent slice segments, 9.3.1 —
+        # the arithmetic engine restarts, the contexts continue)
+        self.ctx = init_all_contexts(init_type, slice_qp) if ctx is None else ctx.copy()
         self.low = 0
         self.range = 510
         self.bits_outstanding = 0
@@ -122,8 +124,8 @@ class CabacEncoder:
 class CabacDecoder:
     """Binary arithmetic decoder over a byte-aligned slice-data payload."""
 
-    def __init__(self, data: bytes, init_type: int, slice_qp: int) -> None:
-        self.ctx = init_all_contexts(init_type, slice_qp)
+    def __init__(self, data: bytes, init_type: int, slice_qp: int, ctx=None) -> None:
+        self.ctx = init_all_contexts(init_type, slice_qp) if ctx is None else ctx.copy()
         self._data = data
         self._bitpos = 0
         self.range = 510

@@ -112,6 +112,48 @@ def encode_slice_data_intra(
     return enc.data()
 
 
+def encode_slice_data_intra_segments(
+    cfg: StreamConfig, modes, lev_y, lev_cb, lev_cr, slice_qp: int, ranges,
+):
+    """One slice coded as multiple slice SEGMENTS (dependent slices, 7.3.6.1).
+
+    ranges: [(start_ctu, end_ctu), ...].  Each segment gets its own
+    byte-aligned payload ending in end_of_slice_segment_flag = 1; CABAC
+    contexts carry across segments (9.3.1), prediction availability is
+    slice-wide (the caller encodes the picture as one slice).
+    Returns list of payload bytes."""
+    ctbs_w = cfg.ctbs_w
+    at_min_cb = cfg.ctb_log2 == cfg.min_cb_log2
+    payloads = []
+    ctx = None
+    for (st, en) in ranges:
+        enc = CabacEncoder(init_type=0, slice_qp=slice_qp, ctx=ctx)
+        for i in range(st, en):
+            c = i % ctbs_w
+            mode = int(modes[i])
+            if at_min_cb:
+                enc.encode_bin(OFFSETS["part_mode"], 1)
+            cand_a = int(modes[i - 1]) if c > 0 else 1
+            _encode_luma_mode(enc, mode, cand_a, 1)
+            enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+            cbf_cb = 1 if np.any(lev_cb[i]) else 0
+            cbf_cr = 1 if np.any(lev_cr[i]) else 0
+            cbf_y = 1 if np.any(lev_y[i]) else 0
+            enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+            enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+            enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+            if cbf_y:
+                encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
+            if cbf_cb:
+                encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
+            if cbf_cr:
+                encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+            enc.encode_terminate(1 if i == en - 1 else 0)
+        ctx = enc.ctx  # contexts at segment end seed the next segment
+        payloads.append(enc.data())
+    return payloads
+
+
 def decode_slice_data_intra(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True):
     """Inverse of encode_slice_data_intra; returns per-CTU arrays."""
     if use_native:

@@ -161,27 +161,17 @@ def extract_mc_neighborhoods(ref_pad, n: int, search_range: int, cw: int, ch: in
                              pad: int, chroma: bool = False):
     """Per-CTU reference neighborhoods covering every |MV| <= search_range.
 
-    Hoists the reference reads out of the wavefront: per-lane MC then slices
-    a small private window instead of gathering from the picture-sized
-    buffer (which lowers to a slow path on TPU).  Returns (nctu, W, W)
-    with W = n + 2*range + taps span; offset of integer position (0,0)
-    within a window is `mc_window_origin(search_range, chroma)`.
+    Hoists the reference reads out of the wavefront: per-lane MC then
+    selects from a small private window instead of gathering from the
+    picture-sized buffer.  All window starts are static (the CTU grid), so
+    extraction lowers to dense slicing.  Returns (nctu, W, W) with
+    W = n + 2*range + taps span; offset of integer position (0,0) within a
+    window is `mc_window_origin(search_range, chroma)`.
     """
-    import jax
-
     taps_lo, taps_hi = (1, 2) if chroma else (3, 4)
     rng = search_range // 2 if chroma else search_range
     win = n + 2 * rng + taps_lo + taps_hi
-    idx = jnp.arange(cw * ch, dtype=jnp.int32)
-    ys = (idx // cw) * n
-    xs = (idx % cw) * n
-
-    def one(x0, y0):
-        return jax.lax.dynamic_slice(
-            ref_pad, (pad + y0 - rng - taps_lo, pad + x0 - rng - taps_lo), (win, win)
-        )
-
-    return jax.vmap(one)(xs, ys)
+    return extract_windows_static(ref_pad, n, win, cw, ch, pad, taps_lo, rng)
 
 
 def mc_window_origin(search_range: int, chroma: bool = False) -> int:
@@ -217,3 +207,95 @@ def mc_chroma_window(win, mv_x, mv_y, size: int, search_range: int):
     tmp = _filt_h(w, ch)
     val = _filt_v(tmp, cv) >> 6
     return jnp.clip((val + 32) >> 6, 0, 255)
+
+
+# --------------------------------------------------------------------------
+# Gather-free batched window ops.
+#
+# A vmapped `dynamic_slice` with traced starts lowers to a SEQUENTIAL
+# per-lane device loop on TPU (profiled: 4 nested while loops x lanes
+# iterations per wavefront step = the round-1 P-frame bottleneck).  The
+# batched forms below express the same selection as one-hot matmuls (MXU
+# work, exact: one-hot rows x uint8 samples) + static tap arithmetic, so a
+# whole wave's MC is a handful of dense ops.
+
+def window_select_batch(wins, oy, ox, oh: int, ow: int):
+    """Batched (oh, ow) sub-window at per-lane offsets (oy, ox).
+
+    wins: (L, Hw, Ww) integer samples (values < 2^15); oy/ox: (L,) int32.
+    Exact: selection matrices are one-hot; f32 HIGHEST keeps integers
+    below 2^24 exact on the MXU."""
+    L, Hw, Ww = wins.shape
+    wf = wins.astype(jnp.float32)
+    hh = jnp.arange(Hw, dtype=jnp.int32)[None, None, :]
+    R = (hh == (oy[:, None] + jnp.arange(oh, dtype=jnp.int32)[None, :])[..., None])
+    ww_ = jnp.arange(Ww, dtype=jnp.int32)[None, None, :]
+    C = (ww_ == (ox[:, None] + jnp.arange(ow, dtype=jnp.int32)[None, :])[..., None])
+    hp = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("lih,lhw->liw", R.astype(jnp.float32), wf, precision=hp)
+    out = jnp.einsum("ljw,liw->lij", C.astype(jnp.float32), t, precision=hp)
+    return jnp.round(out).astype(jnp.int32)
+
+
+def _phase_coeffs(frac, table):
+    """(L,) phase indices -> (L, taps) int32 filter rows via one-hot."""
+    tab = jnp.asarray(table, jnp.float32)
+    oh = jax.nn.one_hot(frac, tab.shape[0], dtype=jnp.float32)
+    return jnp.round(oh @ tab).astype(jnp.int32)
+
+
+def mc_luma_window_batch(wins, mvs, size: int, search_range: int):
+    """Batched mc_luma_window: (L, Hw, Ww) windows, (L, 2) qpel MVs ->
+    (L, size, size).  Bit-identical to mc_luma for |MV| <= 4*search_range."""
+    org = mc_window_origin(search_range, False)
+    ix = org + (mvs[:, 0] >> 2) - 3
+    iy = org + (mvs[:, 1] >> 2) - 3
+    w = window_select_batch(wins, iy, ix, size + 7, size + 7)
+    cfh = _phase_coeffs(mvs[:, 0] & 3, LUMA_FILTERS)
+    cfv = _phase_coeffs(mvs[:, 1] & 3, LUMA_FILTERS)
+    acc = jnp.zeros((w.shape[0], size + 7, size), jnp.int32)
+    for k in range(8):
+        acc = acc + cfh[:, k, None, None] * w[:, :, k : k + size]
+    out = jnp.zeros((w.shape[0], size, size), jnp.int32)
+    for k in range(8):
+        out = out + cfv[:, k, None, None] * acc[:, k : k + size, :]
+    return jnp.clip(((out >> 6) + 32) >> 6, 0, 255)
+
+
+def mc_chroma_window_batch(wins, mvs, size: int, search_range: int):
+    """Batched mc_chroma_window (4-tap, eighth-pel phases)."""
+    org = mc_window_origin(search_range, True)
+    ix = org + (mvs[:, 0] >> 3) - 1
+    iy = org + (mvs[:, 1] >> 3) - 1
+    w = window_select_batch(wins, iy, ix, size + 3, size + 3)
+    cfh = _phase_coeffs(mvs[:, 0] & 7, CHROMA_FILTERS)
+    cfv = _phase_coeffs(mvs[:, 1] & 7, CHROMA_FILTERS)
+    acc = jnp.zeros((w.shape[0], size + 3, size), jnp.int32)
+    for k in range(4):
+        acc = acc + cfh[:, k, None, None] * w[:, :, k : k + size]
+    out = jnp.zeros((w.shape[0], size, size), jnp.int32)
+    for k in range(4):
+        out = out + cfv[:, k, None, None] * acc[:, k : k + size, :]
+    return jnp.clip(((out >> 6) + 32) >> 6, 0, 255)
+
+
+def extract_windows_static(ref_pad, n: int, win: int, cw: int, ch: int,
+                           pad: int, lo: int, rng: int):
+    """(nctu, win, win) sliding windows on the static n-strided CTU grid.
+
+    Start of CTU (r, c)'s window = (pad + n*r - rng - lo, ...) — all starts
+    static, so this lowers to dense slicing (no serialized gathers).
+    """
+    h, w = ref_pad.shape
+    off = pad - rng - lo
+    rows = []
+    for r in range(ch):
+        y0 = off + n * r
+        rows.append(jax.lax.slice(ref_pad, (y0, 0), (y0 + win, w)))
+    strips = jnp.stack(rows)  # (ch, win, w)
+    cols = []
+    for c in range(cw):
+        x0 = off + n * c
+        cols.append(jax.lax.slice(strips, (0, 0, x0), (ch, win, x0 + win)))
+    blocks = jnp.stack(cols, axis=1)  # (ch, cw, win, win)
+    return blocks.reshape(ch * cw, win, win)

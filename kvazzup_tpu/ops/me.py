@@ -49,9 +49,16 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     orig = orig_y.astype(jnp.int32)
     ref = ref_y.astype(jnp.int32)
 
-    # ---- stage 1: full search at half resolution, offsets +-R/2
-    oh = (orig[0::2, 0::2] + orig[0::2, 1::2] + orig[1::2, 0::2] + orig[1::2, 1::2] + 2) >> 2
-    rh = (ref[0::2, 0::2] + ref[0::2, 1::2] + ref[1::2, 0::2] + ref[1::2, 1::2] + 2) >> 2
+    # ---- stage 1: full search at half resolution, offsets +-R/2.
+    # 2x2 averaging via reduce_window (native pooling); the equivalent
+    # strided x[0::2,0::2] expression lowers to ~1.4 GB/s lane-misaligned
+    # reads on TPU (profiled 6 ms per plane at 1080p).
+    def _half(x):
+        s = jax.lax.reduce_window(x, 0, jax.lax.add, (2, 2), (2, 2), "VALID")
+        return (s + 2) >> 2
+
+    oh = _half(orig)
+    rh = _half(ref)
     r2 = search_range // 2
     rh_pad = jnp.pad(rh, r2, mode="edge")
     h2, w2 = height // 2, width // 2
@@ -82,19 +89,21 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
         jnp.arange(side, dtype=jnp.int32),
     )
 
-    # ---- stage 2: +-2 full-pel refinement around stage-1 MV, per block
+    # ---- stage 2: +-2 full-pel refinement around stage-1 MV, per block.
+    # Per-CTU static windows cover the whole +-R reach; MV-dependent
+    # sub-windows come from gather-free one-hot selects (ops/mc.py).
+    from .mc import extract_windows_static, window_select_batch
+
     pad2 = search_range + 4
-    ref_pad = jnp.pad(ref, pad2, mode="edge")
-    ys = (jnp.arange(nctu, dtype=jnp.int32) // cw) * bs
-    xs = (jnp.arange(nctu, dtype=jnp.int32) % cw) * bs
+    ref_pad8 = jnp.pad(ref_y, pad2, mode="edge")  # uint8: compact windows
     orig_blocks = orig.reshape(ch, bs, cw, bs).transpose(0, 2, 1, 3).reshape(nctu, bs, bs)
 
-    def gather_win(x0, y0, mvx, mvy, ext: int):
-        return jax.lax.dynamic_slice(
-            ref_pad, (pad2 + y0 + mvy - ext, pad2 + x0 + mvx - ext), (bs + 2 * ext, bs + 2 * ext)
-        )
+    win_side = bs + 2 * (search_range + 4)
+    winS = extract_windows_static(ref_pad8, bs, win_side, cw, ch, pad2, 4, search_range)
+    org_s = search_range + 4  # static-window offset of the block origin
 
-    win2 = jax.vmap(lambda x0, y0, mv: gather_win(x0, y0, mv[0], mv[1], 2))(xs, ys, best_mv)
+    win2 = window_select_batch(
+        winS, best_mv[:, 1] + org_s - 2, best_mv[:, 0] + org_s - 2, bs + 4, bs + 4)
     best_cost = jnp.full((nctu,), 1 << 30, jnp.int32)
     best_d = jnp.zeros((nctu, 2), jnp.int32)
     for dy in range(-2, 3):
@@ -113,7 +122,8 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
 
     # ---- stage 3: half-pel refinement (normative half filter)
     half = LUMA_FILTERS[2]  # numpy: taps static
-    win3 = jax.vmap(lambda x0, y0, mv: gather_win(x0, y0, mv[0], mv[1], 4))(xs, ys, int_mv)
+    win3 = window_select_batch(
+        winS, int_mv[:, 1] + org_s - 4, int_mv[:, 0] + org_s - 4, bs + 8, bs + 8)
     # (nctu, bs+8, bs+8) windows; offset 4 = integer position
 
     def interp_half(hx: int, hy: int):

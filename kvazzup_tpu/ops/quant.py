@@ -72,6 +72,27 @@ def dequantize(level: jnp.ndarray, qp, log2: int) -> jnp.ndarray:
     return jnp.clip(d, -32768, 32767)
 
 
+def dequantize_scaled(level: jnp.ndarray, qp, log2: int, m: jnp.ndarray) -> jnp.ndarray:
+    """Normative scaling (8.6.3) with an explicit ScalingFactor matrix m.
+
+    d = (level * m * levScale[qP%6] << (qP/6) + (1 << (bdShift-1))) >> bdShift
+    computed overflow-safely in int32: |level*m*levScale| <= 32767*255*72
+    < 2^31; the rare left-shift branch saturates pre-shift (anything that
+    large clips to +-32767 afterwards anyway)."""
+    qp = _bcast(qp, level)
+    per, rem = qp // 6, qp % 6
+    bd_shift = log2 + 3
+    x = level * (jnp.asarray(m, jnp.int32) * _DEQUANT[rem])
+    sh = bd_shift - per
+    rsh = jnp.maximum(sh, 1)
+    d_right = jnp.right_shift(x + jnp.left_shift(1, rsh - 1), rsh)
+    lsh = jnp.maximum(-sh, 0)
+    x_sat = jnp.clip(x, -(1 << 27), (1 << 27) - 1)
+    d_left = jnp.left_shift(x_sat, lsh)
+    d = jnp.where(sh > 0, d_right, d_left)
+    return jnp.clip(d, -32768, 32767)
+
+
 def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra=True) -> jnp.ndarray:
     """Rate-distortion optimized quantization (vectorized RDOQ-lite).
 
