@@ -41,6 +41,9 @@ class StreamConfig:
     tile_cols: int = 1  # >1 -> tiles_enabled (uniform tile columns, 1 row)
     slices: int = 1  # >1 -> row-aligned independent slices per picture
     dependent_slices: bool = False  # emit slices as dependent slice segments
+    pcm_enabled: bool = False  # PCM (raw-sample) CUs, 8-bit, 16x16 only
+    pcm_min_log2: int = 4
+    pcm_max_log2: int = 4
     cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
     rdoq: bool = False  # RD-optimized quantization (RDOQ-lite; needs lambda
     # calibration before it beats the tuned deadzone — kept opt-in)
@@ -168,7 +171,13 @@ def compose_sps(cfg: StreamConfig) -> NalUnit:
     w.flag(0)  # scaling_list_enabled_flag
     w.flag(cfg.amp_enabled)
     w.flag(cfg.sao_enabled)
-    w.flag(0)  # pcm_enabled_flag
+    w.flag(cfg.pcm_enabled)  # pcm_enabled_flag
+    if cfg.pcm_enabled:
+        w.u(7, 4)  # pcm_sample_bit_depth_luma_minus1 (8-bit)
+        w.u(7, 4)  # pcm_sample_bit_depth_chroma_minus1
+        w.ue(cfg.pcm_min_log2 - 3)
+        w.ue(cfg.pcm_max_log2 - cfg.pcm_min_log2)
+        w.flag(0)  # pcm_loop_filter_disabled_flag
     w.ue(0)  # num_short_term_ref_pic_sets
     w.flag(0)  # long_term_ref_pics_present_flag
     w.flag(cfg.temporal_mvp)

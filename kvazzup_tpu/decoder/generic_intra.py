@@ -92,6 +92,11 @@ class GenericIntraDecoder:
         self.max_td_intra = getattr(sps, "max_td_intra", 0)
         self.strong_smoothing = bool(getattr(sps, "strong_intra_smoothing", False))
         self.sdh = bool(pps.sign_data_hiding)
+        self.pcm_range = None
+        if getattr(sps, "pcm_enabled", False):
+            self.pcm_range = (sps.pcm_min_log2, sps.pcm_max_log2)
+            self.pcm_depth = sps.pcm_bit_depth
+            self.pcm_depth_c = sps.pcm_bit_depth_chroma
         self.cu_qp_delta = bool(getattr(pps, "cu_qp_delta_enabled", False))
         self.qg_log2 = self.ctb_log2 - int(getattr(pps, "diff_cu_qp_delta_depth", 0))
         self.w, self.h = sps.width, sps.height
@@ -286,6 +291,11 @@ class GenericIntraDecoder:
         if log2 == self.min_cb_log2:
             nxn = dec.decode_bin(OFFSETS["part_mode"]) == 0
         self._mark_edges(x0, y0, n)
+        if (self.pcm_range is not None and not nxn
+                and self.pcm_range[0] <= log2 <= self.pcm_range[1]):
+            if dec.decode_terminate():  # pcm_flag (9.3.3.6)
+                self._pcm_unit(dec, x0, y0, log2)
+                return
         if not nxn:
             mode = self._decode_luma_mode(dec, x0, y0)
             self.mode4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = mode
@@ -352,6 +362,21 @@ class GenericIntraDecoder:
             return np.asarray(_jit_resid(jnp.asarray(lev), qpv, log2, dst=dst))
         m = jnp.asarray(self.scaling.factor(log2, cidx, intra))
         return np.asarray(_jit_resid_m(jnp.asarray(lev), qpv, m, log2, dst=dst))
+
+    def _pcm_unit(self, dec, x0, y0, log2) -> None:
+        """pcm_sample (7.3.8.7): raw samples, engine re-init (9.3.1)."""
+        n = 1 << log2
+        nc = n >> 1
+        luma, chroma = dec.read_pcm_samples(
+            [(n * n, self.pcm_depth), (2 * nc * nc, self.pcm_depth_c)])
+        sy = np.asarray(luma, np.int32).reshape(n, n) << (8 - self.pcm_depth)
+        sc = np.asarray(chroma, np.int32).reshape(2, nc, nc) << (8 - self.pcm_depth_c)
+        self.y[y0 : y0 + n, x0 : x0 + n] = sy
+        xc, yc = x0 >> 1, y0 >> 1
+        self.u[yc : yc + nc, xc : xc + nc] = sc[0]
+        self.v[yc : yc + nc, xc : xc + nc] = sc[1]
+        # PCM CUs are intra; IntraPredModeY is inferred DC for neighbors
+        self.mode4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = 1
 
     def _luma_unit(self, dec, x0, y0, log2, mode, cbf) -> None:
         self._mark_edges(x0, y0, 1 << log2)

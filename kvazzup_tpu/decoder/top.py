@@ -122,6 +122,8 @@ class Decoder:
             or pps.cb_qp_offset != 0 or pps.cr_qp_offset != 0
             or sh.cb_qp_offset != 0 or sh.cr_qp_offset != 0
             or sh.cabac_init_flag
+            or getattr(sps, "pcm_enabled", False)
+            or getattr(sps, "scaling_list_enabled", False)
         )
 
     def _decode_picture_nals(self, nals):
@@ -145,8 +147,11 @@ class Decoder:
 
                 hh.entry_points = rbsp_entry_offsets(
                     x.removals, hh.data_offset_bits // 8, hh.entry_points)
-        if (self._alien_shape(sps, headers[0]) or any(h.dependent for h in headers)) \
+        if (self._alien_shape(sps, headers[0]) or any(h.dependent for h in headers)
+                or any(h.slice_type != 2 for h in headers)) \
                 and headers[0].slice_type in (0, 1, 2):
+            # multi-slice inter pictures decode via the generic engine (the
+            # fast multislice tier is intra-only)
             if is_idr(nals[0].nal_type):
                 self._period += 1
                 self._dpb.clear()

@@ -186,6 +186,25 @@ class CabacDecoder:
             self.offset = (self.offset << 1) | self._read_bit()
         return 0
 
+    def read_pcm_samples(self, counts_and_bits):
+        """After pcm_flag == 1 (decode_terminate): byte-align, read raw
+        fixed-length pcm_sample values, re-initialize the arithmetic
+        engine (9.3.1/9.3.2.5 — contexts persist).
+
+        counts_and_bits: [(n_values, bits_per_value), ...] in stream order.
+        Returns list of int lists.  The byte position after a terminating
+        bin is ceil(bits_read / 8) for this engine (verified against the
+        encoder flush over randomized streams)."""
+        self._bitpos = ((self._bitpos + 7) // 8) * 8
+        out = []
+        for count, bits in counts_and_bits:
+            out.append([self._read_bits(bits) for _ in range(count)])
+        # re-init engine at the next byte boundary, keep contexts
+        self._bitpos = ((self._bitpos + 7) // 8) * 8
+        self.range = 510
+        self.offset = self._read_bits(9)
+        return out
+
 
 # ------------------------------------------------------------ binarizations
 

@@ -154,6 +154,62 @@ def encode_slice_data_intra_segments(
     return payloads
 
 
+def encode_slice_data_intra_pcm(
+    cfg: StreamConfig, modes, lev_y, lev_cb, lev_cr, pcm_mask,
+    orig_y, orig_u, orig_v, slice_qp: int,
+) -> bytes:
+    """Intra slice data with PCM CUs (7.3.8.7): CTUs in pcm_mask are coded
+    as raw 8-bit samples (flush -> aligned samples -> engine re-init with
+    carried contexts, 9.3.1); all other CTUs code pcm_flag = 0."""
+    ctbs_w = cfg.ctbs_w
+    nctu = ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    at_min_cb = cfg.ctb_log2 == cfg.min_cb_log2
+    pieces = []
+    enc = CabacEncoder(init_type=0, slice_qp=slice_qp)
+    for i in range(nctu):
+        c = i % ctbs_w
+        r = i // ctbs_w
+        if at_min_cb:
+            enc.encode_bin(OFFSETS["part_mode"], 1)
+        if pcm_mask[i]:
+            enc.encode_terminate(1)  # pcm_flag
+            pieces.append(enc.data())
+            y0, x0 = r * n, c * n
+            raw = bytearray()
+            raw += bytes(np.asarray(orig_y[y0 : y0 + n, x0 : x0 + n],
+                                    np.uint8).reshape(-1))
+            raw += bytes(np.asarray(orig_u[y0 // 2 : (y0 + n) // 2,
+                                           x0 // 2 : (x0 + n) // 2],
+                                    np.uint8).reshape(-1))
+            raw += bytes(np.asarray(orig_v[y0 // 2 : (y0 + n) // 2,
+                                           x0 // 2 : (x0 + n) // 2],
+                                    np.uint8).reshape(-1))
+            pieces.append(bytes(raw))
+            enc = CabacEncoder(init_type=0, slice_qp=slice_qp, ctx=enc.ctx)
+        else:
+            enc.encode_terminate(0)  # pcm_flag
+            mode = int(modes[i])
+            cand_a = int(modes[i - 1]) if c > 0 else 1
+            _encode_luma_mode(enc, mode, cand_a, 1)
+            enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
+            cbf_cb = 1 if np.any(lev_cb[i]) else 0
+            cbf_cr = 1 if np.any(lev_cr[i]) else 0
+            cbf_y = 1 if np.any(lev_y[i]) else 0
+            enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+            enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+            enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+            if cbf_y:
+                encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
+            if cbf_cb:
+                encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
+            if cbf_cr:
+                encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    pieces.append(enc.data())
+    return b"".join(pieces)
+
+
 def decode_slice_data_intra(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True):
     """Inverse of encode_slice_data_intra; returns per-CTU arrays."""
     if use_native:

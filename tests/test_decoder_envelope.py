@@ -163,3 +163,76 @@ def test_dependent_slice_segments_roundtrip(tmp_path):
     assert np.array_equal(np.frombuffer(gold[: w * h], np.uint8).reshape(h, w), ry)
     # ... and our decoder must match the oracle byte-for-byte
     _assert_match(stream, gold, w, h, "dependent-slices")
+
+
+def test_decode_multi_slice_inter(tmp_path):
+    """Multi-slice P pictures (round-1 NotImplementedError at the fast
+    tier) decode via the generic engine, byte-identical to libavcodec.
+    x265 requires WPP for slices, so this also exercises per-slice ranged
+    WPP substreams."""
+    w, h = 128, 128
+    cfg = ("ctu=32:min-cu-size=8:keyint=12:frame-threads=1:wpp=1:no-info=1:"
+           "bframes=0:ref=2:no-scenecut=1:repeat-headers=1:rc-lookahead=0:slices=2")
+    stream, gold = _run_x265(tmp_path, w, h, 4, 30, cfg, motion=True)
+    _assert_match(stream, gold, w, h, "multi-slice-inter")
+
+
+def _pcm_stream(w, h, frames, pcm_mask_fn):
+    """Build an intra stream with PCM CUs: masked CTUs carry raw samples,
+    others code DC mode with no residual (prediction exercised across PCM
+    boundaries without needing an RD search)."""
+    from kvazzup_tpu.core.nal import NalUnit, NalType, compose_nal
+    from kvazzup_tpu.core.params import (SliceHeader, StreamConfig,
+                                         compose_pps, compose_slice_header,
+                                         compose_sps, compose_vps)
+    from kvazzup_tpu.entropy.slice_data import encode_slice_data_intra_pcm
+
+    cfg = StreamConfig(width=w, height=h, qp=30, pcm_enabled=True,
+                       deblocking_enabled=False)
+    cw, chh = cfg.ctbs_w, cfg.ctbs_h
+    nctu = cw * chh
+    hdrs = b"".join(compose_nal(n) for n in
+                    (compose_vps(cfg), compose_sps(cfg), compose_pps(cfg)))
+    out = hdrs
+    n = 16
+    for (y, u, v) in frames:
+        mask = [pcm_mask_fn(i) for i in range(nctu)]
+        modes = np.ones(nctu, np.int32)  # DC
+        zl = np.zeros((nctu, n, n), np.int32)
+        zc = np.zeros((nctu, n // 2, n // 2), np.int32)
+        payload = encode_slice_data_intra_pcm(
+            cfg, modes, zl, zc, zc, mask, y, u, v, 30)
+        sh = SliceHeader(slice_type=2, qp=30, nal_type=NalType.IDR_W_RADL,
+                         first_slice=True, deblocking_disabled=True)
+        wtr = compose_slice_header(cfg, sh)
+        wtr.write_bytes(payload)
+        out += compose_nal(NalUnit(sh.nal_type, wtr.data()))
+    return out
+
+
+@pytest.mark.parametrize("pattern", ["all", "checker"])
+def test_decode_pcm(tmp_path, pattern):
+    """PCM CUs (7.3.8.7 / 9.3.1): raw samples, CABAC engine re-init with
+    carried contexts, prediction from PCM neighbors.  libavcodec is the
+    oracle; for the all-PCM stream the decode must equal the source."""
+    import subprocess
+
+    w, h = 96, 64
+    frames = synthetic_frames(w, h, 2, seed=4)
+    mask_fn = (lambda i: True) if pattern == "all" else (lambda i: i % 2 == 0)
+    stream = _pcm_stream(w, h, frames, mask_fn)
+    p = tmp_path / "pcm.265"
+    p.write_bytes(stream)
+    gold_p = tmp_path / "gold.yuv"
+    tool = _ensure_oracle()
+    r = subprocess.run([tool, "decode", str(p), str(gold_p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and gold_p.exists(), r.stderr[-400:]
+    gold = gold_p.read_bytes()
+    assert len(gold) == 2 * w * h * 3 // 2, "oracle rejected the PCM stream"
+    if pattern == "all":
+        fsz = w * h * 3 // 2
+        for i, (y, u, v) in enumerate(frames):
+            raw = y.tobytes() + u.tobytes() + v.tobytes()
+            assert gold[i * fsz : (i + 1) * fsz] == raw, "all-PCM != source"
+    _assert_match(stream, gold, w, h, f"pcm-{pattern}")
