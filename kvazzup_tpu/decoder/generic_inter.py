@@ -477,7 +477,7 @@ class GenericInterDecoder(GenericIntraDecoder):
         self._mark_edges(x0, y0, n)
         if cbf_luma:
             lev = decode_residual(dec, log2, 0, 0, sdh=self.sdh)
-            resid = self._resid(lev, self.qp, log2, 0, False)
+            resid = self._resid(lev, self.qp_y, log2, 0, False)
             reg = self.y[y0 : y0 + n, x0 : x0 + n]
             self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(reg + resid, 0, 255)
             self.cbf4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = 1

@@ -39,27 +39,28 @@ from ..ops.transforms import inv_transform
 # fused jitted steps — one dispatch per TU instead of dozens of eager jnp
 # ops (the recursive engines are host-driven; dispatch overhead dominated)
 
-@jax.jit
-def _jit_subst(a_raw, av):
-    return intra_ops.substitute_refs(a_raw, av)
+@functools.partial(jax.jit, static_argnames=("bd",))
+def _jit_subst(a_raw, av, bd=8):
+    return intra_ops.substitute_refs(a_raw, av, bd=bd)
 
 
-@functools.partial(jax.jit, static_argnames=("log2", "is_luma", "strong"))
-def _jit_predict(a_raw, av, mode, log2, is_luma, strong):
-    a = intra_ops.substitute_refs(a_raw, av)
-    return intra_ops.predict_mode(a, log2, is_luma, mode, strong)
+@functools.partial(jax.jit, static_argnames=("log2", "is_luma", "strong", "bd"))
+def _jit_predict(a_raw, av, mode, log2, is_luma, strong, bd=8):
+    a = intra_ops.substitute_refs(a_raw, av, bd=bd)
+    return intra_ops.predict_mode(a, log2, is_luma, mode, strong, bd=bd)
 
 
-@functools.partial(jax.jit, static_argnames=("log2", "dst"))
-def _jit_resid(lev, qp, log2, dst=False):
-    return inv_transform(dequantize(lev, qp, log2), log2, dst=dst)
+@functools.partial(jax.jit, static_argnames=("log2", "dst", "bd"))
+def _jit_resid(lev, qp, log2, dst=False, bd=8):
+    return inv_transform(dequantize(lev, qp, log2, bd=bd), log2, dst=dst, bd=bd)
 
 
-@functools.partial(jax.jit, static_argnames=("log2", "dst"))
-def _jit_resid_m(lev, qp, m, log2, dst=False):
+@functools.partial(jax.jit, static_argnames=("log2", "dst", "bd"))
+def _jit_resid_m(lev, qp, m, log2, dst=False, bd=8):
     from ..ops.quant import dequantize_scaled
 
-    return inv_transform(dequantize_scaled(lev, qp, log2, m), log2, dst=dst)
+    return inv_transform(dequantize_scaled(lev, qp, log2, m, bd=bd), log2,
+                         dst=dst, bd=bd)
 
 
 def _morton(r: int, c: int, bits: int) -> int:
@@ -74,6 +75,9 @@ class GenericIntraDecoder:
 
     def __init__(self, sps, pps, slice_qp: int, sh=None):
         self.sps, self.pps = sps, pps
+        self.bd = getattr(sps, "bit_depth", 8)
+        self.maxv = (1 << self.bd) - 1
+        self.qp_bd_off = 6 * (self.bd - 8)  # QpBdOffset (8-bit QP domain)
         self.slice_of_ctu = None  # per-CTU slice index (multi-slice pictures)
         self.cur_slice = 0
         # chroma QP offsets: pps_cb/cr_qp_offset + slice_cb/cr_qp_offset (8.6.1)
@@ -171,14 +175,14 @@ class GenericIntraDecoder:
         a_raw, av = self._boundary(canvas, x0, y0, n, chroma)
         strong = False
         if is_luma and self.strong_smoothing and log2 == 5:
-            a = np.asarray(_jit_subst(jnp.asarray(a_raw), jnp.asarray(av)))
-            thr = 1 << 3  # 1 << (BitDepth - 5)
+            a = np.asarray(_jit_subst(jnp.asarray(a_raw), jnp.asarray(av), bd=self.bd))
+            thr = 1 << (self.bd - 5)
             strong = (
                 abs(int(a[2 * n]) + int(a[4 * n]) - 2 * int(a[3 * n])) < thr
                 and abs(int(a[2 * n]) + int(a[0]) - 2 * int(a[n])) < thr
             )
         return np.asarray(_jit_predict(jnp.asarray(a_raw), jnp.asarray(av),
-                                       mode, log2, is_luma, strong))
+                                       mode, log2, is_luma, strong, bd=self.bd))
 
     # ------------------------------------------------------------- QP (8.6.1)
     def _enter_qg(self, x0, y0) -> None:
@@ -198,12 +202,20 @@ class GenericIntraDecoder:
         self._delta_pending = True
         self._set_qp(self._qg_pred)
 
-    def _set_qp(self, qp: int) -> None:
+    def _chroma_qp(self, qpi: int) -> int:
+        """qPi -> Qp'C (8.6.1: table map for 30..43, identity below,
+        -6 above; + QpBdOffsetC)."""
         from ..core.tables import CHROMA_QP_TABLE
 
+        qpi = max(-self.qp_bd_off, min(57, qpi))
+        qpc = qpi if qpi < 0 else int(CHROMA_QP_TABLE[qpi])
+        return qpc + self.qp_bd_off
+
+    def _set_qp(self, qp: int) -> None:
         self.qp = qp
-        self.qp_cb = int(CHROMA_QP_TABLE[min(max(qp + self.cb_off, 0), 57)])
-        self.qp_cr = int(CHROMA_QP_TABLE[min(max(qp + self.cr_off, 0), 57)])
+        self.qp_y = qp + self.qp_bd_off  # Qp'Y for dequant
+        self.qp_cb = self._chroma_qp(qp + self.cb_off)
+        self.qp_cr = self._chroma_qp(qp + self.cr_off)
         self.qp_c = self.qp_cb  # legacy alias (zero-offset streams)
 
     def _maybe_qp_delta(self, dec) -> None:
@@ -357,11 +369,15 @@ class GenericIntraDecoder:
             self._chroma_unit(dec, x0, y0, log2 - 1, cmode, cbf_cb, cbf_cr)
 
     def _resid(self, lev, qpv, log2: int, cidx: int, intra: bool, dst=False):
-        """Dequant + inverse transform, honoring scaling lists when enabled."""
+        """Dequant + inverse transform, honoring scaling lists when enabled.
+
+        qpv is in the Qp' domain (incl. QpBdOffset)."""
         if self.scaling is None:
-            return np.asarray(_jit_resid(jnp.asarray(lev), qpv, log2, dst=dst))
+            return np.asarray(_jit_resid(jnp.asarray(lev), qpv, log2, dst=dst,
+                                         bd=self.bd))
         m = jnp.asarray(self.scaling.factor(log2, cidx, intra))
-        return np.asarray(_jit_resid_m(jnp.asarray(lev), qpv, m, log2, dst=dst))
+        return np.asarray(_jit_resid_m(jnp.asarray(lev), qpv, m, log2, dst=dst,
+                                       bd=self.bd))
 
     def _pcm_unit(self, dec, x0, y0, log2) -> None:
         """pcm_sample (7.3.8.7): raw samples, engine re-init (9.3.1)."""
@@ -369,8 +385,8 @@ class GenericIntraDecoder:
         nc = n >> 1
         luma, chroma = dec.read_pcm_samples(
             [(n * n, self.pcm_depth), (2 * nc * nc, self.pcm_depth_c)])
-        sy = np.asarray(luma, np.int32).reshape(n, n) << (8 - self.pcm_depth)
-        sc = np.asarray(chroma, np.int32).reshape(2, nc, nc) << (8 - self.pcm_depth_c)
+        sy = np.asarray(luma, np.int32).reshape(n, n) << (self.bd - self.pcm_depth)
+        sc = np.asarray(chroma, np.int32).reshape(2, nc, nc) << (self.bd - self.pcm_depth_c)
         self.y[y0 : y0 + n, x0 : x0 + n] = sy
         xc, yc = x0 >> 1, y0 >> 1
         self.u[yc : yc + nc, xc : xc + nc] = sc[0]
@@ -385,10 +401,10 @@ class GenericIntraDecoder:
         if cbf:
             scan = residual_scan_idx(mode, log2, 0)
             lev = decode_residual(dec, log2, 0, scan, sdh=self.sdh)
-            resid = self._resid(lev, self.qp, log2, 0, True, dst=(log2 == 2))
+            resid = self._resid(lev, self.qp_y, log2, 0, True, dst=(log2 == 2))
         else:
             resid = 0
-        self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(pred + resid, 0, 255)
+        self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(pred + resid, 0, self.maxv)
 
     def _chroma_unit(self, dec, x0, y0, log2c, cmode, cbf_cb, cbf_cr) -> None:
         xc, yc = x0 >> 1, y0 >> 1
@@ -402,4 +418,4 @@ class GenericIntraDecoder:
                 resid = self._resid(lev, qpc, log2c, cidx, True)
             else:
                 resid = 0
-            canvas[yc : yc + n, xc : xc + n] = np.clip(pred + resid, 0, 255)
+            canvas[yc : yc + n, xc : xc + n] = np.clip(pred + resid, 0, self.maxv)

@@ -124,6 +124,7 @@ class Decoder:
             or sh.cabac_init_flag
             or getattr(sps, "pcm_enabled", False)
             or getattr(sps, "scaling_list_enabled", False)
+            or getattr(sps, "bit_depth", 8) != 8
         )
 
     def _decode_picture_nals(self, nals):
@@ -341,9 +342,10 @@ class Decoder:
                         raise ValueError(f"end_of_slice mismatch at CTU {i}")
                 carry_ctx = dec.ctx
 
-        y = jnp.asarray(gd.y.astype(np.uint8))
-        u = jnp.asarray(gd.u.astype(np.uint8))
-        v = jnp.asarray(gd.v.astype(np.uint8))
+        pix = np.uint8 if gd.bd == 8 else np.uint16
+        y = jnp.asarray(gd.y.astype(pix))
+        u = jnp.asarray(gd.u.astype(pix))
+        v = jnp.asarray(gd.v.astype(pix))
         if not pps.deblocking_disabled:
             bs_rep = 0
             if hasattr(gd, "bs_maps"):
@@ -387,7 +389,7 @@ class Decoder:
                 bs_v=jnp.asarray(bs_v), bs_h=jnp.asarray(bs_h), chroma_every=2,
                 qp_map=qp_map8, bs_rep=bs_rep,
                 beta_offset=sh.beta_offset_div2, tc_offset=sh.tc_offset_div2,
-                cb_qp_offset=gd.cb_off, cr_qp_offset=gd.cr_off,
+                cb_qp_offset=gd.cb_off, cr_qp_offset=gd.cr_off, bd=gd.bd,
             )
         if sao_state is not None:
             from ..ops.sao import sao_apply as _sao_apply
@@ -400,9 +402,9 @@ class Decoder:
             restrict = (getattr(gd, "slice_of_ctu", None) is not None
                         and not sh.loop_filter_across_slices)
             pre = (np.asarray(y), np.asarray(u), np.asarray(v)) if restrict else None
-            y = _sao_apply(y, jnp.asarray(t[0]), jnp.asarray(a[0]), jnp.asarray(o[0]), ctb=ctb)
-            u = _sao_apply(u, jnp.asarray(t[1]), jnp.asarray(a[1]), jnp.asarray(o[1]), ctb=ctb // 2)
-            v = _sao_apply(v, jnp.asarray(t[2]), jnp.asarray(a[2]), jnp.asarray(o[2]), ctb=ctb // 2)
+            y = _sao_apply(y, jnp.asarray(t[0]), jnp.asarray(a[0]), jnp.asarray(o[0]), ctb=ctb, bd=gd.bd)
+            u = _sao_apply(u, jnp.asarray(t[1]), jnp.asarray(a[1]), jnp.asarray(o[1]), ctb=ctb // 2, bd=gd.bd)
+            v = _sao_apply(v, jnp.asarray(t[2]), jnp.asarray(a[2]), jnp.asarray(o[2]), ctb=ctb // 2, bd=gd.bd)
             if restrict:
                 # SAO EO across a slice boundary: the neighbor sample is
                 # unavailable -> the sample is left unmodified (8.7.3)

@@ -88,7 +88,7 @@ def compute_bs_b(ctype, cbf_y, pf, mvs, cw: int, ch: int):
     return bs_v, bs_h
 
 
-def _luma_edge_filter(s, beta, tc, gate):
+def _luma_edge_filter(s, beta, tc, gate, mx: int = 255):
     """Filter one batch of luma edge slabs.
 
     s: (E, L, 8) int32 — L filtering lines (multiple of 4), 8 samples
@@ -131,7 +131,7 @@ def _luma_edge_filter(s, beta, tc, gate):
     strong_l = up(strong)
 
     clip = lambda x, c: jnp.clip(x, -c, c)
-    cl1 = lambda x: jnp.clip(x, 0, 255)
+    cl1 = lambda x: jnp.clip(x, 0, mx)
 
     # strong filter
     sp0 = p0 + clip(((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3) - p0, 2 * tc)
@@ -168,11 +168,11 @@ def _luma_edge_filter(s, beta, tc, gate):
     return jnp.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3], axis=-1)
 
 
-def _chroma_edge_filter(s, tc, gate):
+def _chroma_edge_filter(s, tc, gate, mx: int = 255):
     """Chroma filter (bS == 2 only): s: (E, L, 4) = [p1 p0 q0 q1]."""
     p1, p0, q0, q1 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
-    cl1 = lambda x: jnp.clip(x, 0, 255)
+    cl1 = lambda x: jnp.clip(x, 0, mx)
     np0 = jnp.where(gate, cl1(p0 + delta), p0)
     nq0 = jnp.where(gate, cl1(q0 - delta), q0)
     return jnp.stack([p1, np0, nq0, q1], axis=-1)
@@ -184,11 +184,11 @@ def _edge_positions(size: int, spacing: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=(
     "spacing", "beta_offset", "tc_offset", "chroma_every", "bs_rep",
-    "cb_qp_offset", "cr_qp_offset"))
+    "cb_qp_offset", "cr_qp_offset", "bd"))
 def deblock_frame(
     y, u, v, qp, *, spacing: int = 16, beta_offset: int = 0, tc_offset: int = 0,
     bs_v=None, bs_h=None, qp_map=None, chroma_every: int = 1, bs_rep: int = 0,
-    cb_qp_offset: int = 0, cr_qp_offset: int = 0,
+    cb_qp_offset: int = 0, cr_qp_offset: int = 0, bd: int = 8,
 ):
     """Deblock one picture (per-edge bS maps, default all-2).
 
@@ -222,8 +222,8 @@ def deblock_frame(
         """bs: (E, L/rep) -> per-line (E, L) beta, tc and gate."""
         bs_l = jnp.repeat(bs, rep, axis=1)
         q = qp if eqp is None else jnp.repeat(eqp, spacing, axis=1)
-        beta_l = beta_tab[jnp.clip(q + (beta_offset << 1), 0, 51)]
-        tc = tc_tab[jnp.clip(q + 2 * (jnp.maximum(bs_l, 1) - 1) + (tc_offset << 1), 0, 53)]
+        beta_l = beta_tab[jnp.clip(q + (beta_offset << 1), 0, 51)] << (bd - 8)
+        tc = tc_tab[jnp.clip(q + 2 * (jnp.maximum(bs_l, 1) - 1) + (tc_offset << 1), 0, 53)] << (bd - 8)
         return beta_l, tc, bs_l > 0
 
     # ---- vertical edges (filter across columns), whole picture at once
@@ -233,7 +233,7 @@ def deblock_frame(
         beta, tc, gate = luma_tc_gate(bs, edge_qp(True))
         cols = (xe[:, None] + np.arange(-4, 4)[None, :]).reshape(-1)  # (E*8,)
         slabs = y32[:, cols].reshape(h, len(xe), 8).transpose(1, 0, 2)  # (E, H, 8)
-        out = _luma_edge_filter(slabs, beta, tc, gate)
+        out = _luma_edge_filter(slabs, beta, tc, gate, mx=(1 << bd) - 1)
         wcols = (xe[:, None] + np.arange(-3, 3)[None, :]).reshape(-1)
         y32 = y32.at[:, wcols].set(
             out[..., 1:7].transpose(1, 0, 2).reshape(h, len(xe) * 6)
@@ -246,7 +246,7 @@ def deblock_frame(
         beta, tc, gate = luma_tc_gate(bs, edge_qp(False))
         rows = (ye[:, None] + np.arange(-4, 4)[None, :]).reshape(-1)
         slabs = y32[rows, :].reshape(len(ye), 8, w).transpose(0, 2, 1)  # (E, W, 8)
-        out = _luma_edge_filter(slabs, beta, tc, gate)
+        out = _luma_edge_filter(slabs, beta, tc, gate, mx=(1 << bd) - 1)
         wrows = (ye[:, None] + np.arange(-3, 3)[None, :]).reshape(-1)
         y32 = y32.at[wrows, :].set(
             out[..., 1:7].transpose(0, 2, 1).reshape(len(ye) * 6, w)
@@ -257,9 +257,10 @@ def deblock_frame(
     def chroma_tc(eqp, sp, c_off):
         if eqp is None:
             qpc = chroma_tab[jnp.clip(qp + c_off, 0, 57)]
-            return tc_tab[jnp.clip(qpc + 2 + (tc_offset << 1), 0, 53)]
+            return tc_tab[jnp.clip(qpc + 2 + (tc_offset << 1), 0, 53)] << (bd - 8)
         qpc_e = chroma_tab[jnp.clip(eqp + c_off, 0, 57)]
-        return jnp.repeat(tc_tab[jnp.clip(qpc_e + 2 + (tc_offset << 1), 0, 53)], sp, axis=1)
+        return jnp.repeat(
+            tc_tab[jnp.clip(qpc_e + 2 + (tc_offset << 1), 0, 53)], sp, axis=1) << (bd - 8)
 
     def chroma_plane(c, c_off):
         c32 = c.astype(jnp.int32)
@@ -277,7 +278,7 @@ def deblock_frame(
             gate = jnp.repeat((bs == 2) & on_grid(len(xe)), sp, axis=1)
             cols = (xe[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[:, cols].reshape(ch_, len(xe), 4).transpose(1, 0, 2)
-            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(True), sp, c_off), gate)
+            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(True), sp, c_off), gate, mx=(1 << bd) - 1)
             wcols = (xe[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
             c32 = c32.at[:, wcols].set(out[..., 1:3].transpose(1, 0, 2).reshape(ch_, len(xe) * 2))
         ye = _edge_positions(ch_, sp)
@@ -288,13 +289,13 @@ def deblock_frame(
             gate = jnp.repeat((bs == 2) & on_grid(len(ye)), sp, axis=1)
             rows = (ye[:, None] + np.arange(-2, 2)[None, :]).reshape(-1)
             slabs = c32[rows, :].reshape(len(ye), 4, cw_).transpose(0, 2, 1)
-            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(False), sp, c_off), gate)
+            out = _chroma_edge_filter(slabs, chroma_tc(edge_qp(False), sp, c_off), gate, mx=(1 << bd) - 1)
             wrows = (ye[:, None] + np.arange(-1, 1)[None, :]).reshape(-1)
             c32 = c32.at[wrows, :].set(out[..., 1:3].transpose(0, 2, 1).reshape(len(ye) * 2, cw_))
-        return c32.astype(jnp.uint8)
+        return c32.astype(jnp.uint8 if bd == 8 else jnp.uint16)
 
-    return (y32.astype(jnp.uint8), chroma_plane(u, cb_qp_offset),
-            chroma_plane(v, cr_qp_offset))
+    return (y32.astype(jnp.uint8 if bd == 8 else jnp.uint16),
+            chroma_plane(u, cb_qp_offset), chroma_plane(v, cr_qp_offset))
 
 
 def bs_maps_cu8(split, cw: int, ch: int):

@@ -86,11 +86,11 @@ def _angular_tables(log2: int, is_luma: bool):
     return i1, i2, fr, filt  # numpy: converted to device constants at trace time
 
 
-def substitute_refs(a_raw: jnp.ndarray, avail: jnp.ndarray) -> jnp.ndarray:
+def substitute_refs(a_raw: jnp.ndarray, avail: jnp.ndarray, bd: int = 8) -> jnp.ndarray:
     """Reference sample substitution (8.4.4.2.2), vectorized forward fill.
 
     a_raw: (..., 4N+1) int32 gathered boundary walk (garbage where
-    unavailable); avail: same-shape bool.  Fully-unavailable -> 128.
+    unavailable); avail: same-shape bool.  Fully-unavailable -> 1 << (bd-1).
     """
     ln = a_raw.shape[-1]
     idx = jnp.where(avail, jnp.arange(ln, dtype=jnp.int32), -1)
@@ -100,7 +100,7 @@ def substitute_refs(a_raw: jnp.ndarray, avail: jnp.ndarray) -> jnp.ndarray:
     filled = jnp.take_along_axis(a_raw, jnp.maximum(last, 0), axis=-1)
     filled = jnp.where(last < 0, first_val[..., None], filled)
     any_avail = jnp.any(avail, axis=-1, keepdims=True)
-    return jnp.where(any_avail, filled, 128)
+    return jnp.where(any_avail, filled, 1 << (bd - 1))
 
 
 def jax_cummax(x: jnp.ndarray) -> jnp.ndarray:
@@ -131,7 +131,7 @@ def strong_filter_refs(a: jnp.ndarray, log2: int) -> jnp.ndarray:
 
 
 def predict_all_modes(a: jnp.ndarray, log2: int, is_luma: bool,
-                      strong: bool = False) -> jnp.ndarray:
+                      strong: bool = False, bd: int = 8) -> jnp.ndarray:
     """All 35 intra predictions from a substituted boundary walk.
 
     a: (4N+1,) int32.  Returns (35, N, N) int32 in [0, 255]; planar=0, DC=1,
@@ -184,8 +184,9 @@ def predict_all_modes(a: jnp.ndarray, log2: int, is_luma: bool,
     if is_luma and n < 32:
         m10 = angular[8]  # mode 10
         m26 = angular[24]  # mode 26
-        row0 = jnp.clip(left[0] + ((top - corner) >> 1), 0, 255)
-        col0 = jnp.clip(top[0] + ((left - corner) >> 1), 0, 255)
+        mx = (1 << bd) - 1
+        row0 = jnp.clip(left[0] + ((top - corner) >> 1), 0, mx)
+        col0 = jnp.clip(top[0] + ((left - corner) >> 1), 0, mx)
         angular = angular.at[8, 0, :].set(row0)
         angular = angular.at[24, :, 0].set(col0)
 
@@ -193,12 +194,12 @@ def predict_all_modes(a: jnp.ndarray, log2: int, is_luma: bool,
 
 
 def predict_mode(a: jnp.ndarray, log2: int, is_luma: bool, mode,
-                 strong: bool = False) -> jnp.ndarray:
+                 strong: bool = False, bd: int = 8) -> jnp.ndarray:
     """Prediction for a single (traced scalar) mode: evaluate-all + select.
 
     The dense all-modes path is what the encoder needs anyway; the decoder
     reuses it and selects.  (A dedicated single-mode kernel is a later
     optimization.)
     """
-    allp = predict_all_modes(a, log2, is_luma, strong)
+    allp = predict_all_modes(a, log2, is_luma, strong, bd=bd)
     return allp[mode]

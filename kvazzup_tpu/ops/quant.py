@@ -53,7 +53,7 @@ def quantize(coef: jnp.ndarray, qp, log2: int, intra=True) -> jnp.ndarray:
     return jnp.where(coef < 0, -mag, mag)
 
 
-def dequantize(level: jnp.ndarray, qp, log2: int) -> jnp.ndarray:
+def dequantize(level: jnp.ndarray, qp, log2: int, bd: int = 8) -> jnp.ndarray:
     """Normative scaling (8.6.3) with flat lists (m=16).
 
     Factored as in HM to keep every intermediate within int32 (the spec's
@@ -62,7 +62,7 @@ def dequantize(level: jnp.ndarray, qp, log2: int) -> jnp.ndarray:
     """
     qp = _bcast(qp, level)
     per, rem = qp // 6, qp % 6
-    bd_shift = log2 + 3  # BitDepth(8) + log2 + 10 - 15
+    bd_shift = bd + log2 - 5  # BitDepth + log2 + 10 - 15
     scale = _DEQUANT[rem] * 16
     sh = bd_shift - per
     rsh = jnp.maximum(sh, 1)
@@ -72,7 +72,8 @@ def dequantize(level: jnp.ndarray, qp, log2: int) -> jnp.ndarray:
     return jnp.clip(d, -32768, 32767)
 
 
-def dequantize_scaled(level: jnp.ndarray, qp, log2: int, m: jnp.ndarray) -> jnp.ndarray:
+def dequantize_scaled(level: jnp.ndarray, qp, log2: int, m: jnp.ndarray,
+                      bd: int = 8) -> jnp.ndarray:
     """Normative scaling (8.6.3) with an explicit ScalingFactor matrix m.
 
     d = (level * m * levScale[qP%6] << (qP/6) + (1 << (bdShift-1))) >> bdShift
@@ -81,7 +82,7 @@ def dequantize_scaled(level: jnp.ndarray, qp, log2: int, m: jnp.ndarray) -> jnp.
     large clips to +-32767 afterwards anyway)."""
     qp = _bcast(qp, level)
     per, rem = qp // 6, qp % 6
-    bd_shift = log2 + 3
+    bd_shift = bd + log2 - 5
     x = level * (jnp.asarray(m, jnp.int32) * _DEQUANT[rem])
     sh = bd_shift - per
     rsh = jnp.maximum(sh, 1)

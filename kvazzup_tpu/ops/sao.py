@@ -152,9 +152,12 @@ def sao_decide(orig, rec, lam, *, ctb: int):
     return typ, aux, offs, cost
 
 
-@functools.partial(jax.jit, static_argnames=("ctb",))
-def sao_apply(rec, typ, aux, offs, *, ctb: int):
-    """Apply SAO to one plane.  typ/aux: (cbh, cbw); offs: (cbh, cbw, 4)."""
+@functools.partial(jax.jit, static_argnames=("ctb", "bd"))
+def sao_apply(rec, typ, aux, offs, *, ctb: int, bd: int = 8):
+    """Apply SAO to one plane.  typ/aux: (cbh, cbw); offs: (cbh, cbw, 4).
+
+    bd: sample bit depth (band classification uses the 5 MSBs, 8.7.3;
+    saoOffsetVal scales by 1 << (bd - min(bd, 10)), zero for bd <= 10)."""
     r = rec.astype(jnp.int32)
     h, w = r.shape
     emaps = _edge_index_maps(r)  # (4, H, W)
@@ -172,13 +175,14 @@ def sao_apply(rec, typ, aux, offs, *, ctb: int):
         axis=-1,
     )[..., 0]
     # BO offset per pixel (band window wraps modulo 32)
-    band = r >> 3
+    band = r >> (bd - 5)
     brel = (band - aux_px) & 31
     in_win = brel < 4
     bo_off = jnp.take_along_axis(offs_px, jnp.clip(brel, 0, 3)[..., None], axis=-1)[..., 0]
     bo_val = jnp.where(in_win, bo_off, 0)
     delta = jnp.where(typ_px == SAO_EDGE, cat_off, jnp.where(typ_px == SAO_BAND, bo_val, 0))
-    return jnp.clip(r + delta, 0, 255).astype(jnp.uint8)
+    return jnp.clip(r + delta, 0, (1 << bd) - 1).astype(
+        jnp.uint8 if bd == 8 else jnp.uint16)
 
 
 @functools.partial(jax.jit, static_argnames=("ctb",))

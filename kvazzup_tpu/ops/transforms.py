@@ -50,14 +50,15 @@ def fwd_transform(resid: jnp.ndarray, log2: int, dst: bool = False) -> jnp.ndarr
     return coef
 
 
-def inv_transform(coef: jnp.ndarray, log2: int, dst: bool = False) -> jnp.ndarray:
-    """Normative inverse transform (8.6.4): R = M^T @ C @ M with stage shifts
-    7 and 12 (8-bit), intermediate clipped to 16-bit."""
+def inv_transform(coef: jnp.ndarray, log2: int, dst: bool = False,
+                  bd: int = 8) -> jnp.ndarray:
+    """Normative inverse transform (8.6.4): R = M^T @ C @ M with stage
+    shifts 7 and 20 - bd, intermediate clipped to 16-bit."""
     n = 1 << log2
     m = _DST4 if (dst and n == 4) else _MAT[n]
     tmp = _rshift_round(_matmul(m.T, coef), 7)
     tmp = jnp.clip(tmp, -32768, 32767)
-    res = _rshift_round(_matmul(tmp, m), 12)
+    res = _rshift_round(_matmul(tmp, m), 20 - bd)
     return jnp.clip(res, -32768, 32767)
 
 

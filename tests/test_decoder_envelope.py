@@ -236,3 +236,109 @@ def test_decode_pcm(tmp_path, pattern):
             raw = y.tobytes() + u.tobytes() + v.tobytes()
             assert gold[i * fsz : (i + 1) * fsz] == raw, "all-PCM != source"
     _assert_match(stream, gold, w, h, f"pcm-{pattern}")
+
+
+def _main10_stream(w, h, nframes=2, qp=30, deblock=True, seed=11):
+    """Hand-built Main10 intra streams: random modes + sparse random
+    levels are a valid bitstream; libavcodec computes the reconstruction
+    as ground truth (conformance-vector style — no RD search needed)."""
+    from kvazzup_tpu.core.nal import NalUnit, NalType, compose_nal
+    from kvazzup_tpu.core.params import (SliceHeader, StreamConfig,
+                                         compose_pps, compose_slice_header,
+                                         compose_sps, compose_vps)
+    from kvazzup_tpu.entropy.slice_data import encode_slice_data_intra
+
+    rng = np.random.RandomState(seed)
+    cfg = StreamConfig(width=w, height=h, qp=qp, bit_depth=10,
+                       deblocking_enabled=deblock)
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    out = b"".join(compose_nal(n) for n in
+                   (compose_vps(cfg), compose_sps(cfg), compose_pps(cfg)))
+    for _ in range(nframes):
+        modes = rng.randint(0, 35, nctu).astype(np.int32)
+        def sparse(shape, density=0.15, mag=40):
+            lv = rng.randint(-mag, mag + 1, shape).astype(np.int32)
+            mask = rng.rand(*shape) < density
+            return np.where(mask, lv, 0).astype(np.int32)
+        lev_y = sparse((nctu, 16, 16))
+        lev_cb = sparse((nctu, 8, 8))
+        lev_cr = sparse((nctu, 8, 8))
+        payload = encode_slice_data_intra(cfg, modes, lev_y, lev_cb, lev_cr,
+                                          use_native=False, slice_qp=qp)
+        sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
+                         first_slice=True, deblocking_disabled=not deblock)
+        wtr = compose_slice_header(cfg, sh)
+        wtr.write_bytes(payload)
+        out += compose_nal(NalUnit(sh.nal_type, wtr.data()))
+    return out
+
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_decode_main10(tmp_path, deblock):
+    """Main10: 10-bit intra decode (prediction, dequant bdShift, inverse
+    transform shift, deblock scaling) byte-identical to libavcodec."""
+    import subprocess
+
+    w, h = 96, 64
+    stream = _main10_stream(w, h, deblock=deblock)
+    p = tmp_path / "m10.265"
+    p.write_bytes(stream)
+    gold_p = tmp_path / "gold10.yuv"
+    tool = _ensure_oracle()
+    r = subprocess.run([tool, "decode", str(p), str(gold_p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and gold_p.exists(), r.stderr[-400:]
+    gold = gold_p.read_bytes()
+    fsz = w * h * 3  # 2 bytes/sample at 10-bit
+    assert len(gold) == 2 * fsz, (len(gold), "oracle rejected Main10 stream")
+    decoded = Decoder().decode(stream)
+    assert len(decoded) == 2
+    for i in range(2):
+        c = np.frombuffer(gold[i * fsz : (i + 1) * fsz], np.uint16)
+        planes = (c[: w * h].reshape(h, w),
+                  c[w * h : w * h + w * h // 4].reshape(h // 2, w // 2),
+                  c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
+        for pi in range(3):
+            got = np.asarray(decoded[i][pi])
+            assert got.dtype == np.uint16
+            assert np.array_equal(planes[pi], got), ("main10", deblock, i, pi)
+
+
+@pytest.mark.parametrize("qp,seed", [(0, 1), (17, 2), (45, 3), (51, 4)])
+def test_decode_fuzz_random_levels_8bit(tmp_path, qp, seed):
+    """Conformance-vector-style fuzz: random modes + random levels at QP
+    extremes are valid streams; our decode must equal libavcodec's."""
+    import subprocess
+
+    from kvazzup_tpu.core.nal import NalUnit, NalType, compose_nal
+    from kvazzup_tpu.core.params import (SliceHeader, StreamConfig,
+                                         compose_pps, compose_slice_header,
+                                         compose_sps, compose_vps)
+    from kvazzup_tpu.entropy.slice_data import encode_slice_data_intra
+
+    rng = np.random.RandomState(seed)
+    w, h = 64, 48
+    cfg = StreamConfig(width=w, height=h, qp=qp, deblocking_enabled=True)
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    stream = b"".join(compose_nal(n) for n in
+                      (compose_vps(cfg), compose_sps(cfg), compose_pps(cfg)))
+    modes = rng.randint(0, 35, nctu).astype(np.int32)
+    def sparse(shape, mag):
+        lv = rng.randint(-mag, mag + 1, shape).astype(np.int32)
+        return np.where(rng.rand(*shape) < 0.2, lv, 0).astype(np.int32)
+    payload = encode_slice_data_intra(
+        cfg, modes, sparse((nctu, 16, 16), 80), sparse((nctu, 8, 8), 60),
+        sparse((nctu, 8, 8), 60), use_native=False, slice_qp=qp)
+    sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
+                     first_slice=True, deblocking_disabled=False)
+    wtr = compose_slice_header(cfg, sh)
+    wtr.write_bytes(payload)
+    stream += compose_nal(NalUnit(sh.nal_type, wtr.data()))
+    p = tmp_path / "fuzz.265"
+    p.write_bytes(stream)
+    gold_p = tmp_path / "gold.yuv"
+    tool = _ensure_oracle()
+    subprocess.run([tool, "decode", str(p), str(gold_p)], capture_output=True)
+    gold = gold_p.read_bytes()
+    assert len(gold) == w * h * 3 // 2
+    _assert_match(stream, gold, w, h, f"fuzz-qp{qp}")

@@ -20,11 +20,15 @@
 static void die(const char *msg) { fprintf(stderr, "hevcref: %s\n", msg); exit(1); }
 
 static void write_frame_i420(FILE *out, AVFrame *f) {
+    /* 8-bit: 1 byte/sample; 10-bit (yuv420p10le): 2 bytes/sample LE */
+    int bps = (f->format == AV_PIX_FMT_YUV420P10LE ||
+               f->format == AV_PIX_FMT_YUV420P12LE ||
+               f->format == AV_PIX_FMT_YUV420P9LE) ? 2 : 1;
     for (int y = 0; y < f->height; y++)
-        fwrite(f->data[0] + (size_t)y * f->linesize[0], 1, f->width, out);
+        fwrite(f->data[0] + (size_t)y * f->linesize[0], 1, (size_t)f->width * bps, out);
     for (int p = 1; p <= 2; p++)
         for (int y = 0; y < f->height / 2; y++)
-            fwrite(f->data[p] + (size_t)y * f->linesize[p], 1, f->width / 2, out);
+            fwrite(f->data[p] + (size_t)y * f->linesize[p], 1, (size_t)f->width / 2 * bps, out);
 }
 
 static int do_decode(const char *inpath, const char *outpath) {
