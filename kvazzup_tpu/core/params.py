@@ -44,6 +44,8 @@ class StreamConfig:
     pcm_enabled: bool = False  # PCM (raw-sample) CUs, 8-bit, 16x16 only
     pcm_min_log2: int = 4
     pcm_max_log2: int = 4
+    lists_modification: bool = False  # RPLM present in slice headers
+    long_term_refs: bool = False  # long_term_ref_pics_present
     cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
     rdoq: bool = False  # RD-optimized quantization (RDOQ-lite; needs lambda
     # calibration before it beats the tuned deadzone — kept opt-in)
@@ -179,7 +181,9 @@ def compose_sps(cfg: StreamConfig) -> NalUnit:
         w.ue(cfg.pcm_max_log2 - cfg.pcm_min_log2)
         w.flag(0)  # pcm_loop_filter_disabled_flag
     w.ue(0)  # num_short_term_ref_pic_sets
-    w.flag(0)  # long_term_ref_pics_present_flag
+    w.flag(cfg.long_term_refs)  # long_term_ref_pics_present_flag
+    if cfg.long_term_refs:
+        w.ue(0)  # num_long_term_ref_pics_sps
     w.flag(cfg.temporal_mvp)
     w.flag(cfg.strong_intra_smoothing)
     w.flag(0)  # vui_parameters_present_flag
@@ -227,7 +231,7 @@ def compose_pps(cfg: StreamConfig) -> NalUnit:
         w.se(0)  # pps_beta_offset_div2
         w.se(0)  # pps_tc_offset_div2
     w.flag(0)  # pps_scaling_list_data_present_flag
-    w.flag(0)  # lists_modification_present_flag
+    w.flag(cfg.lists_modification)  # lists_modification_present_flag
     w.ue(0)  # log2_parallel_merge_level_minus2
     w.flag(0)  # slice_segment_header_extension_present_flag
     w.flag(0)  # pps_extension_present_flag
@@ -252,6 +256,8 @@ class SliceHeader:
     sao_chroma: bool = False
     deblocking_disabled: bool = True
     dependent: bool = False  # dependent slice segment (7.3.6.1)
+    lt_pics: tuple = ()  # write side: (poc_lsb, used, msb_present, cycle)
+    list_entry_l0: tuple | None = None  # RPLM entries (7.3.6.2)
 
 
 def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None) -> BitWriter:
@@ -303,6 +309,14 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
             w.ue(dp - prev - 1)
             prev = dp
             w.flag(1)  # used_by_curr_pic_s1_flag
+        if cfg.long_term_refs:
+            w.ue(len(sh.lt_pics))  # num_long_term_pics (no SPS LT set)
+            for (lsb, used, msb_present, cycle) in sh.lt_pics:
+                w.u(lsb, cfg.log2_max_poc_lsb)
+                w.flag(used)
+                w.flag(msb_present)
+                if msb_present:
+                    w.ue(cycle)
         if cfg.temporal_mvp:
             w.flag(1)  # slice_temporal_mvp_enabled_flag
     if cfg.sao_enabled:
@@ -310,6 +324,17 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
         w.flag(sh.sao_chroma)
     if sh.slice_type != 2:
         w.flag(0)  # num_ref_idx_active_override_flag (use PPS defaults)
+        if cfg.lists_modification:
+            npt = (len(sh.delta_pocs) + len(sh.pos_deltas)
+                   + sum(1 for lt in sh.lt_pics if lt[1]))
+            if npt > 1:
+                nb = _ceil_log2(npt)
+                w.flag(sh.list_entry_l0 is not None)
+                if sh.list_entry_l0 is not None:
+                    for e in sh.list_entry_l0[: cfg.num_ref_l0]:
+                        w.u(e, nb)
+                if sh.slice_type == 0:
+                    w.flag(0)  # ref_pic_list_modification_flag_l1
         if sh.slice_type == 0:
             w.flag(0)  # mvd_l1_zero_flag
         # cabac_init_present=0 -> no cabac_init_flag
@@ -593,10 +618,21 @@ class ParsedSliceHeader:
     data_offset_bits: int = 0  # bit offset of slice data within RBSP
     dependent: bool = False  # dependent slice segment (inherited fields)
     cabac_init_flag: bool = False  # swaps P/B ctx init tables (9.3.2.2)
+    lt_pics: list = field(default_factory=list)  # (poc_lsb, used, msb_present, msb_cycle)
+    list_entry_l0: list | None = None  # ref_pic_list_modification (7.3.6.2)
+    list_entry_l1: list | None = None
     cb_qp_offset: int = 0  # slice_cb_qp_offset (added to pps_cb_qp_offset)
     cr_qp_offset: int = 0
     loop_filter_across_slices: bool = True  # slice-level flag (7.4.7.1)
     poc: int = 0  # full PicOrderCntVal (8.3.1), filled by the decoder
+
+
+def num_pic_total_curr(sh) -> int:
+    """NumPicTotalCurr (7.4.7.1): used-by-current st + lt reference pics."""
+    _negs, _poss, used = sh.rps
+    n = sum(1 for u in used if u)
+    n += sum(1 for (_lsb, u, _mp, _cy) in sh.lt_pics if u)
+    return n
 
 
 def _parse_pred_weight_table(r: BitReader, sh) -> dict:
@@ -686,6 +722,26 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
             tmp: list = []
             prev = sps.st_rps[-1] if sps.st_rps else None
             sh.rps = _parse_st_rps(r, sps.num_st_rps, sps.num_st_rps + 1, prev, tmp)
+        if sps.long_term_ref_pics:
+            n_sps_lt = len(sps.lt_poc_lsb_sps)
+            num_lt_sps = r.ue() if n_sps_lt > 0 else 0
+            num_lt_pics = r.ue()
+            prev_cycle = 0
+            for i in range(num_lt_sps + num_lt_pics):
+                if i < num_lt_sps:
+                    idx = r.u(_ceil_log2(n_sps_lt)) if n_sps_lt > 1 else 0
+                    lsb, used = sps.lt_poc_lsb_sps[idx], sps.lt_used_sps[idx]
+                else:
+                    lsb = r.u(sps.log2_max_poc_lsb)
+                    used = bool(r.flag())
+                msb_present = bool(r.flag())
+                cycle = 0
+                if msb_present:
+                    cycle = r.ue()
+                    if i not in (0, num_lt_sps):  # 7.4.7.1: cycles accumulate
+                        cycle += prev_cycle
+                    prev_cycle = cycle
+                sh.lt_pics.append((lsb, used, msb_present, cycle))
         if sps.temporal_mvp:
             sh.temporal_mvp = bool(r.flag())
     if sps.sao_enabled:
@@ -696,6 +752,15 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: ParsedSps, pps: ParsedPp
             sh.num_ref_idx_l0 = r.ue() + 1
             if sh.slice_type == 0:
                 sh.num_ref_idx_l1 = r.ue() + 1
+        # ref_pic_list_modification (7.3.6.2)
+        npt = num_pic_total_curr(sh)
+        if pps.lists_modification and npt > 1:
+            nb = _ceil_log2(npt)
+            if r.flag():  # ref_pic_list_modification_flag_l0
+                sh.list_entry_l0 = [r.u(nb) for _ in range(sh.num_ref_idx_l0)]
+            if sh.slice_type == 0:
+                if r.flag():
+                    sh.list_entry_l1 = [r.u(nb) for _ in range(sh.num_ref_idx_l1)]
         if sh.slice_type == 0:
             sh.mvd_l1_zero = bool(r.flag())
         if pps.cabac_init_present:

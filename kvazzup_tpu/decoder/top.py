@@ -125,6 +125,8 @@ class Decoder:
             or getattr(sps, "pcm_enabled", False)
             or getattr(sps, "scaling_list_enabled", False)
             or getattr(sps, "bit_depth", 8) != 8
+            or bool(sh.lt_pics)
+            or sh.list_entry_l0 is not None or sh.list_entry_l1 is not None
         )
 
     def _decode_picture_nals(self, nals):
@@ -214,6 +216,50 @@ class Decoder:
         self._dpb[headers[0].poc] = frame
         return (self._period, headers[0].poc), frame
 
+    def _ref_pic_lists(self, sh):
+        """RefPicList0/1 initialization (8.3.4): StCurrBefore + StCurrAfter
+        + LtCurr candidates (in list order per direction), cycled to the
+        active count, or reordered by ref_pic_list_modification entries."""
+        negs, poss, used = sh.rps
+        cur = sh.poc
+        used_neg = used[: len(negs)] if used else [True] * len(negs)
+        used_pos = used[len(negs) :] if used else [True] * len(poss)
+        st_before = [cur + d for d, u in zip(negs, used_neg) if u]
+        st_after = [cur + d for d, u in zip(poss, used_pos) if u]
+        max_lsb = 1 << self.sps.log2_max_poc_lsb
+        lt = []
+        for (lsb, u, msb_present, cycle) in sh.lt_pics:
+            if not u:
+                continue
+            if msb_present:
+                poc = lsb + cur - (cur & (max_lsb - 1)) - cycle * max_lsb
+            else:
+                cands = [p for p in self._dpb if (p & (max_lsb - 1)) == lsb]
+                if not cands:
+                    raise ValueError(f"missing long-term reference lsb {lsb}")
+                poc = max(cands)
+            lt.append(poc)
+        cand0 = st_before + st_after + lt
+        cand1 = st_after + st_before + lt
+
+        def fetch(poc):
+            pic = self._dpb.get(poc)
+            if pic is None:
+                raise ValueError(f"missing reference picture POC {poc}")
+            return (tuple(np.asarray(p, np.int32) for p in pic), poc)
+
+        def mk(cand, n, entries):
+            if not cand:
+                raise ValueError("inter slice without reference pictures")
+            idxs = entries[:n] if entries is not None else [i % len(cand) for i in range(n)]
+            return [fetch(cand[i]) for i in idxs]
+
+        l0 = mk(cand0, max(1, getattr(sh, "num_ref_idx_l0", 1)), sh.list_entry_l0)
+        l1 = []
+        if sh.slice_type == 0:
+            l1 = mk(cand1, max(1, getattr(sh, "num_ref_idx_l1", 1)), sh.list_entry_l1)
+        return l0, l1
+
     def _decode_picture_generic(self, slices):
         """Any-CTB-size pictures via the recursive reference engines:
         x265-default ctu=64 streams etc.  `slices` is a list of
@@ -229,27 +275,8 @@ class Decoder:
         if sh.slice_type == 0:
             from .generic_b import GenericBDecoder
 
-            negs, poss, used = sh.rps
             cur_poc = sh.poc
-
-            def build(deltas, nref):
-                out = []
-                for d in deltas:
-                    pic = self._dpb.get(cur_poc + d)
-                    if pic is None:
-                        raise ValueError(
-                            f"missing reference picture POC {cur_poc + d}")
-                    out.append(
-                        (tuple(np.asarray(p, np.int32) for p in pic), cur_poc + d)
-                    )
-                if not out:
-                    raise ValueError("B slice without references")
-                # RefPicList init cycles through the candidates (8.3.4)
-                return [out[i % len(out)] for i in range(nref)]
-
-            refs0 = build(negs or [-1], max(1, getattr(sh, "num_ref_idx_l0", 1)))
-            l1_src = poss if poss else (negs or [-1])
-            refs1 = build(l1_src, max(1, getattr(sh, "num_ref_idx_l1", 1)))
+            refs0, refs1 = self._ref_pic_lists(sh)
             col_list = refs0 if getattr(sh, "collocated_from_l0", True) else refs1
             col_poc = col_list[min(getattr(sh, "collocated_ref_idx", 0),
                                    len(col_list) - 1)][1]
@@ -260,23 +287,8 @@ class Decoder:
         elif sh.slice_type == 1:
             from .generic_inter import GenericInterDecoder
 
-            negs, _poss, used = sh.rps
             cur_poc = sh.poc
-            nref = max(1, getattr(sh, "num_ref_idx_l0", 1))
-            refs = []
-            for j, d in enumerate(negs or [-1]):
-                if used and j < len(used) and not used[j]:
-                    continue
-                poc = cur_poc + d
-                pic = self._dpb.get(poc)
-                if pic is None:
-                    raise ValueError(f"missing reference picture POC {poc}")
-                refs.append((tuple(np.asarray(p, np.int32) for p in pic), poc))
-                if len(refs) == nref:
-                    break
-            if not refs:
-                raise ValueError("P slice without reference picture")
-            refs = [refs[i % len(refs)] for i in range(nref)]  # list cycles (8.3.4)
+            refs, _ = self._ref_pic_lists(sh)
             col = None
             col_poc = refs[0][1]
             mt = getattr(self, "_motion", {}).get(col_poc)

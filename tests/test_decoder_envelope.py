@@ -342,3 +342,122 @@ def test_decode_fuzz_random_levels_8bit(tmp_path, qp, seed):
     gold = gold_p.read_bytes()
     assert len(gold) == w * h * 3 // 2
     _assert_match(stream, gold, w, h, f"fuzz-qp{qp}")
+
+
+def _p_stream(w, h, cfg, headers_fn, nframes=4, seed=5):
+    """Hand-built I + P streams: random inter syntax is a valid bitstream;
+    libavcodec computes the reconstruction (incl. MC) as ground truth.
+    headers_fn(poc) -> SliceHeader for each P picture."""
+    from kvazzup_tpu.core.nal import NalUnit, NalType, compose_nal
+    from kvazzup_tpu.core.params import (SliceHeader, compose_pps,
+                                         compose_slice_header, compose_sps,
+                                         compose_vps)
+    from kvazzup_tpu.entropy.slice_data import (encode_slice_data_intra,
+                                                encode_slice_data_p)
+
+    rng = np.random.RandomState(seed)
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    out = b"".join(compose_nal(n) for n in
+                   (compose_vps(cfg), compose_sps(cfg), compose_pps(cfg)))
+
+    def sparse(shape, mag=30, density=0.1):
+        lv = rng.randint(-mag, mag + 1, shape).astype(np.int32)
+        return np.where(rng.rand(*shape) < density, lv, 0).astype(np.int32)
+
+    # IDR
+    modes = rng.randint(0, 35, nctu).astype(np.int32)
+    payload = encode_slice_data_intra(
+        cfg, modes, sparse((nctu, 16, 16)), sparse((nctu, 8, 8)),
+        sparse((nctu, 8, 8)), use_native=False, slice_qp=cfg.qp)
+    sh = SliceHeader(slice_type=2, qp=cfg.qp, nal_type=NalType.IDR_W_RADL,
+                     first_slice=True, deblocking_disabled=True)
+    wtr = compose_slice_header(cfg, sh)
+    wtr.write_bytes(payload)
+    out += compose_nal(NalUnit(sh.nal_type, wtr.data()))
+    for poc in range(1, nframes):
+        ctype = rng.choice([0, 1, 2, 3], nctu, p=[0.2, 0.3, 0.3, 0.2]).astype(np.int32)
+        imodes = rng.randint(0, 35, nctu).astype(np.int32)
+        mvs = rng.randint(-32, 33, (nctu, 2)).astype(np.int32)
+        mvp_flags = rng.randint(0, 2, nctu).astype(np.int32)
+        mvds = rng.randint(-16, 17, (nctu, 2)).astype(np.int32)
+        payload = encode_slice_data_p(
+            cfg, ctype, imodes, mvs, mvp_flags, mvds,
+            sparse((nctu, 16, 16)), sparse((nctu, 8, 8)), sparse((nctu, 8, 8)),
+            slice_qp=cfg.qp)
+        sh = headers_fn(poc)
+        wtr = compose_slice_header(cfg, sh)
+        wtr.write_bytes(payload)
+        out += compose_nal(NalUnit(sh.nal_type, wtr.data()))
+    return out
+
+
+def _decode_both(tmp_path, stream, w, h, tag):
+    import subprocess
+
+    p = tmp_path / (tag + ".265")
+    p.write_bytes(stream)
+    gold_p = tmp_path / (tag + ".yuv")
+    tool = _ensure_oracle()
+    r = subprocess.run([tool, "decode", str(p), str(gold_p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and gold_p.exists(), r.stderr[-400:]
+    gold = gold_p.read_bytes()
+    assert len(gold) >= w * h * 3 // 2, "oracle rejected stream"
+    _assert_match(stream, gold, w, h, tag)
+
+
+def test_ref_pic_list_modification(tmp_path):
+    """RPLM (7.3.6.2): a P picture whose RPS holds two pictures selects the
+    FARTHER one via list_entry_l0 — decode must follow the modified list."""
+    from kvazzup_tpu.core.nal import NalType
+    from kvazzup_tpu.core.params import SliceHeader, StreamConfig
+
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=30, deblocking_enabled=False,
+                       lists_modification=True)
+
+    def hdr(poc):
+        if poc < 2:
+            return SliceHeader(slice_type=1, qp=30, nal_type=NalType.TRAIL_R,
+                               first_slice=True, pic_order_cnt_lsb=poc,
+                               num_negative_pics=1, delta_pocs=(-1,),
+                               deblocking_disabled=True)
+        # two refs in the RPS, active=1, RPLM picks candidate index 1
+        # (poc-2) instead of the default poc-1
+        return SliceHeader(slice_type=1, qp=30, nal_type=NalType.TRAIL_R,
+                           first_slice=True, pic_order_cnt_lsb=poc,
+                           num_negative_pics=2, delta_pocs=(-1, -2),
+                           list_entry_l0=(1,), deblocking_disabled=True)
+
+    stream = _p_stream(w, h, cfg, hdr)
+    _decode_both(tmp_path, stream, w, h, "rplm")
+
+
+def test_long_term_reference_pictures(tmp_path):
+    """Long-term refs (7.4.7.1/8.3.2): the IDR stays in the DPB as an LT
+    picture and a later P picture references it with an EMPTY short-term
+    RPS — decode must fetch the LT picture."""
+    from kvazzup_tpu.core.nal import NalType
+    from kvazzup_tpu.core.params import SliceHeader, StreamConfig
+
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=30, deblocking_enabled=False,
+                       long_term_refs=True)
+
+    def hdr(poc):
+        if poc < 3:
+            # keep the IDR (poc 0) alive as LT, predict short-term as usual
+            return SliceHeader(slice_type=1, qp=30, nal_type=NalType.TRAIL_R,
+                               first_slice=True, pic_order_cnt_lsb=poc,
+                               num_negative_pics=1, delta_pocs=(-1,),
+                               lt_pics=((0, False, True, 0),),
+                               deblocking_disabled=True)
+        # poc 3: ONLY the long-term IDR in the RPS
+        return SliceHeader(slice_type=1, qp=30, nal_type=NalType.TRAIL_R,
+                           first_slice=True, pic_order_cnt_lsb=poc,
+                           num_negative_pics=0, delta_pocs=(),
+                           lt_pics=((0, True, True, 0),),
+                           deblocking_disabled=True)
+
+    stream = _p_stream(w, h, cfg, hdr)
+    _decode_both(tmp_path, stream, w, h, "ltr")
