@@ -49,6 +49,9 @@ class StreamConfig:
     cu_qp_delta: bool = False  # per-CTB adaptive QP (ROI / spatial RC)
     rdoq: bool = False  # RD-optimized quantization (RDOQ-lite; needs lambda
     # calibration before it beats the tuned deadzone — kept opt-in)
+    fast_decision: bool = True  # dense orig-boundary mode decision prepass
+    # + ring-carry recon scan (encoder-only speed/quality trade; streams
+    # stay conformant).  False = in-scan RD decisions on recon boundaries.
     level_idc: int = 123  # level 4.1
     max_dec_pic_buffering: int = 2
     num_reorder_pics: int = 0

@@ -65,6 +65,20 @@ def _first_inter_mv(cands):
     return found, mv
 
 
+def _first_inter_mv_batch(cands):
+    """Batched _first_inter_mv: avail (L,), mv (L, 2) per candidate."""
+    found = None
+    mv = None
+    for avail, cand in cands:
+        if found is None:
+            found = jnp.zeros_like(avail)
+            mv = jnp.zeros_like(cand)
+        take = avail & ~found
+        mv = jnp.where(take[:, None], cand, mv)
+        found = found | avail
+    return found, mv
+
+
 def _amvp_list(a_avail, a_mv, b_avail, b_mv):
     """AMVP candidate list (8.5.3.2.6 specialized): A then B, dedupe,
     zero-pad to two."""
@@ -261,6 +275,206 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int,
         "recon_y": from_blocks(blk_y, height, width).astype(jnp.uint8),
         "recon_u": from_blocks(blk_u, height // 2, width // 2).astype(jnp.uint8),
         "recon_v": from_blocks(blk_v, height // 2, width // 2).astype(jnp.uint8),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
+def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
+                        height: int, rdoq: bool = False):
+    """Dense-decision low-delay P encode (ring-carry scan).
+
+    Everything that does not read coded-neighbor state runs as one dense
+    batch over all CTUs: integer+fractional ME, motion compensation at the
+    ME MV, its SATD cost, and the intra mode/cost prepass (orig-boundary
+    approximation, frame_intra.intra_cost_prepass).  The wavefront scan
+    keeps only the true sequential state — reconstruction boundary samples
+    and neighbor MVs for merge/AMVP — as 3-wave rings (static lane shifts,
+    schedule_r), evaluates the true merge candidate, makes the final
+    intra/merge/AMVP/skip choice, and codes the selected prediction.
+    Output format matches encode_frame_p."""
+    from ..ops import ctu_kernels as ck
+    from ..ops.mc import (extract_mc_neighborhoods, mc_chroma_window_batch,
+                          mc_luma_window_batch)
+    from .frame_intra import (_code_flat_sel, _ring_boundary, _ring_push,
+                              intra_cost_prepass)
+    from .wavefront import schedule_r
+
+    n = 16
+    cw, ch = width // n, height // n
+    nctu = cw * ch
+    sched = schedule_r(cw, ch)
+    lanes = sched["lanes"]
+    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp, nctu)
+
+    # ---- dense pre-passes
+    lam_x1k = (lam.mean() * 1024.0).astype(jnp.int32)
+    me_mv, _ = motion_search(
+        y, ref_y, lam_x1k, block=n, search_range=SEARCH_RANGE, width=width,
+        height=height)
+
+    refp_y8 = jnp.pad(ref_y, REF_PAD, mode="edge")
+    refp_u8 = jnp.pad(ref_u, REF_PAD // 2, mode="edge")
+    refp_v8 = jnp.pad(ref_v, REF_PAD // 2, mode="edge")
+    win_y = extract_mc_neighborhoods(refp_y8, n, SEARCH_RANGE, cw, ch, REF_PAD)
+    win_u = extract_mc_neighborhoods(refp_u8, n // 2, SEARCH_RANGE, cw, ch,
+                                     REF_PAD // 2, chroma=True)
+    win_v = extract_mc_neighborhoods(refp_v8, n // 2, SEARCH_RANGE, cw, ch,
+                                     REF_PAD // 2, chroma=True)
+
+    pred_me = mc_luma_window_batch(win_y, me_mv, n, SEARCH_RANGE)  # (nctu,n,n)
+    oy_flat_all = oy.reshape(nctu, n * n)
+    satd_me = ck.satd_flat(pred_me.reshape(nctu, -1), oy_flat_all, 4).astype(jnp.float32)
+
+    imode, icost = intra_cost_prepass(y, oy, qp, qp_c, lam, width=width,
+                                      height=height)
+
+    # ---- wave inputs
+    (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, winy_w, winu_w,
+     winv_w, qp_w, qpc_w, lam_w) = wave_inputs(
+        sched, nctu,
+        [oy, ou, ov, me_mv, pred_me.astype(jnp.uint8), satd_me, imode, icost,
+         win_y, win_u, win_v, qp, qp_c, lam])
+    fl_w = jnp.asarray(sched["cs"] > 0)
+    fa_w = jnp.asarray(sched["rs"] > 0)
+    ftr_w = jnp.asarray((sched["rs"] > 0) & (sched["cs"] + 1 < cw))
+    fal_w = fl_w & fa_w
+    xs = (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, winy_w, winu_w,
+          winv_w, qp_w, qpc_w, lam_w, fl_w, fa_w, ftr_w, fal_w)
+
+    ring0 = lambda m: (jnp.zeros((3, lanes, m), jnp.int32),
+                       jnp.zeros((3, lanes, m), jnp.int32))
+    shift1 = lambda x: jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+    def wave(carry, x):
+        ry, ru, rv, mv_ring, if_ring = carry
+        (oyw, ouw, ovw, memv, pme, csme, imode_w, icost_w, winy, winu, winv,
+         qpw, qpcw, lamw, fl, fa, ftr, fal) = x
+        lamf = lamw.astype(jnp.float32)
+        lam2 = lamf * lamf
+
+        # neighbor MVs from the rings (lane k = CTU row k)
+        mv_l, if_l = mv_ring[0], if_ring[0]                  # left (d-1)
+        mv_a, if_a = shift1(mv_ring[1]), shift1(if_ring[1])  # above (d-2)
+        mv_ar, if_ar = shift1(mv_ring[0]), shift1(if_ring[0])
+        mv_al, if_al = shift1(mv_ring[2]), shift1(if_ring[2])
+        inter_b = lambda f: f[:, 0] != 0
+        _, merge_mv = _first_inter_mv_batch([
+            (fl & inter_b(if_l), mv_l),
+            (fa & inter_b(if_a), mv_a),
+            (ftr & inter_b(if_ar), mv_ar),
+            (fal & inter_b(if_al), mv_al),
+        ])
+        b_avail, b_mv = _first_inter_mv_batch([
+            (ftr & inter_b(if_ar), mv_ar),
+            (fa & inter_b(if_a), mv_a),
+            (fal & inter_b(if_al), mv_al),
+        ])
+        mvp0, mvp1 = jax.vmap(_amvp_list)(fl & inter_b(if_l), mv_l, b_avail, b_mv)
+
+        # true-merge cost; ME/intra costs ride in from the dense pre-pass
+        pred_merge = mc_luma_window_batch(winy, merge_mv, n, SEARCH_RANGE)
+        pm_flat = pred_merge.reshape(lanes, -1)
+        oy_flat = oyw.reshape(lanes, -1)
+        cost_merge = ck.satd_flat(pm_flat, oy_flat, 4).astype(jnp.float32) + lamf * 2.0
+        mvd0 = memv - mvp0
+        mvd1 = memv - mvp1
+        bits0 = jax.vmap(_mvd_bits)(mvd0)
+        bits1 = jax.vmap(_mvd_bits)(mvd1)
+        use_mvp1 = bits1 < bits0
+        mvp_flag = use_mvp1.astype(jnp.int32)
+        mvd = jnp.where(use_mvp1[:, None], mvd1, mvd0)
+        cost_me = csme + lamf * (jnp.minimum(bits0, bits1) + 3.0)
+        is_merge = cost_merge <= cost_me
+        mv_sel = jnp.where(is_merge[:, None], merge_mv, memv)
+        pred_inter = jnp.where(is_merge[:, None], pm_flat,
+                               pme.reshape(lanes, -1).astype(jnp.int32))
+        use_intra = icost_w < jnp.minimum(cost_merge, cost_me)
+
+        # intra prediction at the pre-decided mode (recon boundaries)
+        a_y = intra_ops.substitute_refs_ctb(_ring_boundary(*ry, n), fl, fa, ftr, n)
+        preds = ck.predict_all_modes_flat(a_y, 4, True)
+        pred_intra = jnp.take_along_axis(preds, imode_w[:, None, None], 1)[:, 0]
+
+        pred_y = jnp.where(use_intra[:, None], pred_intra, pred_inter)
+        coef = ck.fwd_transform_flat(oy_flat - pred_y, 4)
+        if rdoq:
+            lev_y = quantize_rdoq(coef, qpw, 4, lam2, use_intra)
+        else:
+            lev_y = quantize(coef, qpw, 4, use_intra)
+        deq = dequantize(lev_y, qpw, 4)
+        rec_y = jnp.clip(pred_y + ck.inv_transform_flat(deq, 4), 0, 255)
+
+        outs_c = []
+        recs_c = []
+        m = n // 2
+        for ring_c, ocw, winc in ((ru, ouw, winu), (rv, ovw, winv)):
+            a_c = intra_ops.substitute_refs_ctb(
+                _ring_boundary(*ring_c, m), fl, fa, ftr, m)
+            preds_c = ck.predict_all_modes_flat(a_c, 3, False)
+            pred_ci = jnp.take_along_axis(preds_c, imode_w[:, None, None], 1)[:, 0]
+            pred_cm = mc_chroma_window_batch(winc, mv_sel, m, SEARCH_RANGE)
+            pred_c = jnp.where(use_intra[:, None], pred_ci,
+                               pred_cm.reshape(lanes, -1))
+            oc_flat = ocw.reshape(lanes, -1)
+            coef_c = ck.fwd_transform_flat(oc_flat - pred_c, 3)
+            if rdoq:
+                lev_c = quantize_rdoq(coef_c, qpcw, 3, lam2, use_intra)
+            else:
+                lev_c = quantize(coef_c, qpcw, 3, use_intra)
+            deq_c = dequantize(lev_c, qpcw, 3)
+            rec_c = jnp.clip(pred_c + ck.inv_transform_flat(deq_c, 3), 0, 255)
+            outs_c.append(lev_c)
+            recs_c.append(rec_c)
+
+        zero_resid = (jnp.all(lev_y == 0, axis=-1)
+                      & jnp.all(outs_c[0] == 0, axis=-1)
+                      & jnp.all(outs_c[1] == 0, axis=-1))
+        ctype = jnp.where(
+            use_intra, CT_INTRA,
+            jnp.where(is_merge, jnp.where(zero_resid, CT_SKIP, CT_MERGE),
+                      CT_AMVP)).astype(jnp.int32)
+
+        ry = _ring_push(ry, rec_y.reshape(lanes, n, n)[:, n - 1, :],
+                        rec_y.reshape(lanes, n, n)[:, :, n - 1])
+        ru = _ring_push(ru, recs_c[0].reshape(lanes, m, m)[:, m - 1, :],
+                        recs_c[0].reshape(lanes, m, m)[:, :, m - 1])
+        rv = _ring_push(rv, recs_c[1].reshape(lanes, m, m)[:, m - 1, :],
+                        recs_c[1].reshape(lanes, m, m)[:, :, m - 1])
+        mv_ring = jnp.concatenate([mv_sel[None], mv_ring[:2]], axis=0)
+        newif = jnp.broadcast_to((ctype != CT_INTRA).astype(jnp.int32)[:, None],
+                                 (lanes, 1))
+        if_ring = jnp.concatenate([newif[None], if_ring[:2]], axis=0)
+
+        out = (ctype, mv_sel, mvp_flag, mvd,
+               lev_y.astype(jnp.int16), outs_c[0].astype(jnp.int16),
+               outs_c[1].astype(jnp.int16), rec_y.astype(jnp.uint8),
+               recs_c[0].astype(jnp.uint8), recs_c[1].astype(jnp.uint8))
+        return (ry, ru, rv, mv_ring, if_ring), out
+
+    carry0 = (ring0(n), ring0(n // 2), ring0(n // 2),
+              jnp.zeros((3, lanes, 2), jnp.int32),
+              jnp.zeros((3, lanes, 1), jnp.int32))
+    _, (ct_w, mv_w, mf_w, mvd_w, lev_y_w, lev_cb_w, lev_cr_w, rec_y_w,
+        rec_cb_w, rec_cr_w) = jax.lax.scan(wave, carry0, xs)
+
+    w2r = lambda o: wave_to_raster(sched, o)
+    m = n // 2
+    blk = lambda o, s: w2r(o).reshape(nctu, s, s)
+    return {
+        "ctype": w2r(ct_w),
+        "intra_mode": imode,
+        "mv": w2r(mv_w),
+        "mvp_flag": w2r(mf_w),
+        "mvd": w2r(mvd_w),
+        "lev_y": blk(lev_y_w, n),
+        "lev_cb": blk(lev_cb_w, m),
+        "lev_cr": blk(lev_cr_w, m),
+        "recon_y": from_blocks(blk(rec_y_w, n).astype(jnp.int32), height,
+                               width).astype(jnp.uint8),
+        "recon_u": from_blocks(blk(rec_cb_w, m).astype(jnp.int32), height // 2,
+                               width // 2).astype(jnp.uint8),
+        "recon_v": from_blocks(blk(rec_cr_w, m).astype(jnp.int32), height // 2,
+                               width // 2).astype(jnp.uint8),
     }
 
 

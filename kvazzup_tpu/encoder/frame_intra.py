@@ -414,6 +414,245 @@ def encode_frame_intra(y, u, v, qp, *, width: int, height: int, rdoq: bool = Fal
     )
 
 
+# ---------------------------------------------------------------------------
+# Fast path: dense mode decision + ring-carry reconstruction scan.
+#
+# The RD mode search does not have to run inside the sequential wavefront:
+# deciding every CTU's intra mode from ORIGINAL-pixel neighbor boundaries is
+# the standard parallel-encoder approximation (recon boundaries differ from
+# original only by coding error), and it turns the whole 35-mode sweep +
+# SATD + top-K RD refine into ONE dense batch over all CTUs.  The scan that
+# remains carries only the previous three waves' boundary samples (bottom
+# rows + right columns, a few KB) and does predict-selected-mode + TQR —
+# profiled ~3x faster than the in-scan-decision schedule at 1080p.
+# Decisions differ slightly from the RD path (streams remain conformant and
+# decode bit-exactly; quality delta measured in BENCH_NOTES).
+
+
+def _avail_flags(cw: int, ch: int):
+    """Dense (ch, cw) availability flags for CTB-grid neighbors."""
+    r = np.arange(ch, dtype=np.int32)[:, None]
+    c = np.arange(cw, dtype=np.int32)[None, :]
+    l = np.broadcast_to(c > 0, (ch, cw))
+    a = np.broadcast_to(r > 0, (ch, cw))
+    tr = a & (c + 1 < cw)
+    return l, a, tr
+
+
+def _orig_boundaries(plane, n: int, cw: int, ch: int):
+    """Per-CTU boundary walk A[0..4n] gathered from the ORIGINAL plane.
+
+    Returns (nctu, 4n+1) int32 raw walks (garbage where unavailable — pair
+    with substitute_refs_ctb and the static availability flags).
+    """
+    p = plane.astype(jnp.int32)
+    rsel = np.clip(n * np.arange(ch) - 1, 0, None)
+    csel = np.clip(n * np.arange(cw) - 1, 0, None)
+    toprows = p[rsel]                                   # (ch, W): row n*r-1
+    top = toprows.reshape(ch, cw, n)
+    tr_pad = jnp.pad(toprows, ((0, 0), (0, n)), mode="edge")
+    topright = tr_pad[:, n:].reshape(ch, cw, n)
+    leftcols = p[:, csel]                               # (H, cw): col n*c-1
+    left = leftcols.reshape(ch, n, cw).transpose(0, 2, 1)  # top-down
+    corner = toprows[:, csel]                           # (ch, cw)
+    zeros = jnp.zeros_like(left)
+    a_raw = jnp.concatenate(
+        [zeros, left[..., ::-1], corner[..., None], top, topright], axis=-1
+    )
+    return a_raw.reshape(ch * cw, 4 * n + 1)
+
+
+def intra_mode_prepass(y, oy, qp, qp_c, lam, *, width: int, height: int,
+                       n: int = 16):
+    """Dense per-CTU intra mode decision from original-pixel boundaries.
+
+    Two-stage, the same shape as the in-scan decision (_encode_ctu_wave):
+    35-mode SATD sweep + MPM-bit cost (left mode approximated by the left
+    CTU's SATD-best mode), then true RD (SSE + lambda^2 * rate) over the
+    top-K.  Returns (nctu,) int32 modes.
+    """
+    from ..ops import ctu_kernels as ck
+
+    cw, ch = width // n, height // n
+    nctu = cw * ch
+    fl, fa, ftr = _avail_flags(cw, ch)
+    a_raw = _orig_boundaries(y, n, cw, ch)
+    a = intra_ops.substitute_refs_ctb(
+        a_raw, jnp.asarray(fl.reshape(-1)), jnp.asarray(fa.reshape(-1)),
+        jnp.asarray(ftr.reshape(-1)), n)
+    preds = ck.predict_all_modes_flat(a, 4, True)       # (nctu, 35, 256)
+    oy_flat = oy.reshape(nctu, n * n)
+    satd = ck.satd_flat(preds, oy_flat[:, None, :], 4).astype(jnp.float32)
+    mode0 = jnp.argmin(satd, axis=1).astype(jnp.int32)
+    left0 = jnp.roll(mode0.reshape(ch, cw), 1, axis=1).reshape(-1)
+    cand_a = jnp.where(jnp.asarray(fl.reshape(-1)), left0, 1)
+    bits = jax.vmap(_mode_bits_table)(cand_a)
+    lam2 = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (nctu,))[:, None]
+    cost = satd + lam2 * bits
+    K = 3
+    _, cand = jax.lax.top_k(-cost, K)
+    cand_preds = jnp.take_along_axis(preds, cand[:, :, None], axis=1)
+    coef = ck.fwd_transform_flat(oy_flat[:, None, :] - cand_preds, 4)
+    qpb = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (nctu,))
+    lev = quantize(coef, qpb, 4, True)
+    deq = dequantize(lev, qpb, 4)
+    rec = jnp.clip(cand_preds + ck.inv_transform_flat(deq, 4), 0, 255)
+    sse = jnp.sum((rec - oy_flat[:, None, :]) ** 2, axis=-1).astype(jnp.float32)
+    lev_bits = jnp.sum(
+        jnp.where(lev != 0,
+                  2.0 * jnp.log2(jnp.abs(lev).astype(jnp.float32) + 1.0) + 1.0,
+                  0.0),
+        axis=-1)
+    rd = sse + (lam2 * lam2) * (lev_bits + jnp.take_along_axis(bits, cand, axis=1))
+    best_k = jnp.argmin(rd, axis=1)
+    mode = jnp.take_along_axis(cand, best_k[:, None], 1)[:, 0].astype(jnp.int32)
+    return mode
+
+
+def intra_cost_prepass(y, oy, qp, qp_c, lam, *, width: int, height: int,
+                       n: int = 16):
+    """Like intra_mode_prepass but also returns the SATD+bits cost of the
+    chosen mode (the P-path intra-vs-inter comparison term, matching
+    _encode_ctu_p's cost_intra up to the orig-boundary approximation)."""
+    from ..ops import ctu_kernels as ck
+
+    cw, ch = width // n, height // n
+    nctu = cw * ch
+    fl, fa, ftr = _avail_flags(cw, ch)
+    a_raw = _orig_boundaries(y, n, cw, ch)
+    a = intra_ops.substitute_refs_ctb(
+        a_raw, jnp.asarray(fl.reshape(-1)), jnp.asarray(fa.reshape(-1)),
+        jnp.asarray(ftr.reshape(-1)), n)
+    preds = ck.predict_all_modes_flat(a, 4, True)
+    oy_flat = oy.reshape(nctu, n * n)
+    satd = ck.satd_flat(preds, oy_flat[:, None, :], 4).astype(jnp.float32)
+    mode0 = jnp.argmin(satd, axis=1).astype(jnp.int32)
+    left0 = jnp.roll(mode0.reshape(ch, cw), 1, axis=1).reshape(-1)
+    cand_a = jnp.where(jnp.asarray(fl.reshape(-1)), left0, 1)
+    bits = jax.vmap(_mode_bits_table)(cand_a)
+    lam2 = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (nctu,))
+    cost = satd + lam2[:, None] * bits
+    mode = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(cost, mode[:, None], 1)[:, 0] + lam2 * 3.0
+    return mode, best
+
+
+def _ring_boundary(ring_bot, ring_rcol, n: int):
+    """Assemble per-lane raw boundary walks from a 3-wave ring.
+
+    ring_bot/ring_rcol: (3, L, n) — slot 0 = previous wave (d-1), slot 1 =
+    d-2, slot 2 = d-3.  Lane k holds CTU row k (schedule_r), so `left` is
+    slot 0 unshifted and all `above*` entries are slot 1/0/2 shifted down
+    one lane.
+    """
+    shift = lambda x: jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+    left_rev = ring_rcol[0][:, ::-1]
+    top = shift(ring_bot[1])
+    topright = shift(ring_bot[0])
+    corner = shift(ring_bot[2])[:, n - 1 : n]
+    lb = jnp.zeros_like(left_rev)
+    return jnp.concatenate([lb, left_rev, corner, top, topright], axis=-1)
+
+
+def _ring_push(ring, bot, rcol):
+    rb, rr = ring
+    return (jnp.concatenate([bot[None], rb[:2]], axis=0),
+            jnp.concatenate([rcol[None], rr[:2]], axis=0))
+
+
+def _code_flat_sel(ck, orig, pred, q, log2, lam2, rdoq):
+    coef = ck.fwd_transform_flat(orig - pred, log2)
+    if rdoq:
+        lev = quantize_rdoq(coef, q, log2, lam2, True)
+    else:
+        lev = quantize(coef, q, log2, True)
+    deq = dequantize(lev, q, log2)
+    rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
+    return lev, rec
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
+def encode_frame_intra_fast(y, u, v, qp, *, width: int, height: int,
+                            rdoq: bool = False):
+    """Dense-decision intra encode: prepass decides every CTU's mode, the
+    ring-carry wavefront only reconstructs (predict selected mode + TQR).
+    Output format matches encode_frame_intra."""
+    from ..ops import ctu_kernels as ck
+    from .wavefront import schedule_r
+
+    n = 16
+    cw, ch = width // n, height // n
+    nctu = cw * ch
+    sched = schedule_r(cw, ch)
+    lanes = sched["lanes"]
+    qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp, nctu)
+
+    modes = intra_mode_prepass(y, oy, qp, qp_c, lam, width=width, height=height)
+
+    oy_w, ou_w, ov_w, mode_w, qp_w, qpc_w, lam_w = wave_inputs(
+        sched, nctu, [oy, ou, ov, modes, qp, qp_c, lam])
+    l_w = jnp.asarray(sched["cs"] > 0)
+    a_w = jnp.asarray(sched["rs"] > 0)
+    tr_w = jnp.asarray((sched["rs"] > 0) & (sched["cs"] + 1 < cw))
+    xs = (oy_w, ou_w, ov_w, mode_w, qp_w, qpc_w, lam_w, l_w, a_w, tr_w)
+
+    ring0 = lambda m: (jnp.zeros((3, lanes, m), jnp.int32),
+                       jnp.zeros((3, lanes, m), jnp.int32))
+
+    def wave(carry, x):
+        ry, ru, rv = carry
+        oyw, ouw, ovw, modew, qpw, qpcw, lamw, fl, fa, ftr = x
+        lam2 = (lamw * lamw).astype(jnp.float32)
+
+        a_y = intra_ops.substitute_refs_ctb(
+            _ring_boundary(*ry, n), fl, fa, ftr, n)
+        preds = ck.predict_all_modes_flat(a_y, 4, True)
+        pred = jnp.take_along_axis(preds, modew[:, None, None], axis=1)[:, 0]
+        lev_y, rec_y = _code_flat_sel(
+            ck, oyw.reshape(lanes, -1), pred, qpw, 4, lam2, rdoq)
+
+        outs_c = []
+        recs_c = []
+        for ring_c, ocw in ((ru, ouw), (rv, ovw)):
+            a_c = intra_ops.substitute_refs_ctb(
+                _ring_boundary(*ring_c, n // 2), fl, fa, ftr, n // 2)
+            preds_c = ck.predict_all_modes_flat(a_c, 3, False)
+            pred_c = jnp.take_along_axis(preds_c, modew[:, None, None], axis=1)[:, 0]
+            lev_c, rec_c = _code_flat_sel(
+                ck, ocw.reshape(lanes, -1), pred_c, qpcw, 3, lam2, rdoq)
+            outs_c.append(lev_c)
+            recs_c.append(rec_c)
+
+        m = n // 2
+        ry = _ring_push(ry, rec_y.reshape(lanes, n, n)[:, n - 1, :],
+                        rec_y.reshape(lanes, n, n)[:, :, n - 1])
+        ru = _ring_push(ru, recs_c[0].reshape(lanes, m, m)[:, m - 1, :],
+                        recs_c[0].reshape(lanes, m, m)[:, :, m - 1])
+        rv = _ring_push(rv, recs_c[1].reshape(lanes, m, m)[:, m - 1, :],
+                        recs_c[1].reshape(lanes, m, m)[:, :, m - 1])
+        out = (lev_y.astype(jnp.int16), outs_c[0].astype(jnp.int16),
+               outs_c[1].astype(jnp.int16), rec_y.astype(jnp.uint8),
+               recs_c[0].astype(jnp.uint8), recs_c[1].astype(jnp.uint8))
+        return (ry, ru, rv), out
+
+    carry0 = (ring0(n), ring0(n // 2), ring0(n // 2))
+    _, (lev_y_w, lev_cb_w, lev_cr_w, rec_y_w, rec_cb_w, rec_cr_w) = jax.lax.scan(
+        wave, carry0, xs)
+
+    w2r = lambda o: wave_to_raster(sched, o)
+    m = n // 2
+    blk = lambda o, s: w2r(o).reshape(nctu, s, s).astype(jnp.int32)
+    return {
+        "mode": modes,
+        "lev_y": blk(lev_y_w, n).astype(jnp.int16),
+        "lev_cb": blk(lev_cb_w, m).astype(jnp.int16),
+        "lev_cr": blk(lev_cr_w, m).astype(jnp.int16),
+        "recon_y": from_blocks(blk(rec_y_w, n), height, width).astype(jnp.uint8),
+        "recon_u": from_blocks(blk(rec_cb_w, m), height // 2, width // 2).astype(jnp.uint8),
+        "recon_v": from_blocks(blk(rec_cr_w, m), height // 2, width // 2).astype(jnp.uint8),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def encode_frames_intra_batch(ys, us, vs, qps, *, width: int, height: int):
     """Batched wavefront encode over frames in flight (the OWF axis:

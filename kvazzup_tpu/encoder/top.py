@@ -232,18 +232,35 @@ class Encoder:
             return {"kind": "tiles", "out": out, "qp": qp, "first": first,
                     "recon": (ry, ru, rv)}
         if is_idr:
-            out = encode_frame_intra(
-                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
-                width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
-            )
+            if cfg.fast_decision and flat_map is None:
+                from .frame_intra import encode_frame_intra_fast
+
+                out = encode_frame_intra_fast(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
+                    width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
+                )
+            else:
+                out = encode_frame_intra(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
+                    width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
+                )
             bs_v = bs_h = None
         else:
             ry, ru, rv = self._ref
-            out = encode_frame_p(
-                jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dev_qp,
-                width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
-            )
+            if cfg.fast_decision and flat_map is None:
+                from .frame_inter import encode_frame_p_fast
+
+                out = encode_frame_p_fast(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dev_qp,
+                    width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
+                )
+            else:
+                out = encode_frame_p(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dev_qp,
+                    width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
+                )
             bs_v, bs_h = compute_bs(
                 out["ctype"],
                 jnp.any(out["lev_y"] != 0, axis=(1, 2)),

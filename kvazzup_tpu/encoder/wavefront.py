@@ -50,3 +50,31 @@ def schedule(cw: int, ch: int):
     assert valid.sum() == nctu
     return {"rs": rs, "cs": cs, "valid": valid, "idx": idx, "perm": perm,
             "lanes": lanes, "n_waves": n_waves}
+
+
+@functools.lru_cache(maxsize=None)
+def schedule_r(cw: int, ch: int):
+    """Row-aligned wavefront tables: lane k ALWAYS holds CTU row r == k.
+
+    Costs a few idle lanes vs the packed `schedule` (lanes == ch instead of
+    min(ch, cw//2+1)) but makes every neighbor reference a STATIC lane
+    shift: CTU (r, c) sits in wave d = 2r + c at lane r, so its left
+    neighbor is lane r of wave d-1, above is lane r-1 of wave d-2,
+    above-right lane r-1 of wave d-1 and above-left lane r-1 of wave d-3.
+    A scan that carries only the last three waves' boundary samples (a
+    "ring") then needs no dynamic gathers or scatters at all.
+    """
+    lanes = ch
+    n_waves = 2 * ch + cw - 2
+    nctu = cw * ch
+    rs = np.broadcast_to(np.arange(ch, dtype=np.int32), (n_waves, lanes)).copy()
+    ds = np.arange(n_waves, dtype=np.int32)[:, None]
+    cs = ds - 2 * rs
+    valid = (cs >= 0) & (cs < cw)
+    idx = np.where(valid, rs * cw + np.clip(cs, 0, cw - 1), nctu).astype(np.int32)
+    cs = np.where(valid, cs, 0).astype(np.int32)
+    perm = np.zeros(nctu, np.int64)
+    w, k = np.nonzero(valid)
+    perm[idx[w, k]] = w * lanes + k
+    return {"rs": rs, "cs": cs, "valid": valid, "idx": idx, "perm": perm,
+            "lanes": lanes, "n_waves": n_waves}

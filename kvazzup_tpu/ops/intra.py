@@ -109,6 +109,37 @@ def jax_cummax(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.associative_scan(jnp.maximum, x, axis=-1)
 
 
+def substitute_refs_ctb(a_raw: jnp.ndarray, left: jnp.ndarray, above: jnp.ndarray,
+                        above_right: jnp.ndarray, n: int, bd: int = 8) -> jnp.ndarray:
+    """Reference substitution specialized to whole-CTB availability.
+
+    Exact (8.4.4.2.2) when availability has the CTB-grid segment structure
+    produced by `_gather_refs_blocks` at CTB-aligned frames: the below-left
+    run is never available and each remaining segment (left column, corner,
+    top row, top-right row) is available as a whole per the boolean flags.
+    The generic forward-fill (associative cummax + gathers) then collapses
+    to a handful of selects — profiled ~30 us/wave cheaper inside the
+    encoder scan.
+
+    a_raw: (..., 4n+1); left/above/above_right: (...,) bool.
+    """
+    A = a_raw
+    l = left[..., None]
+    a = above[..., None]
+    tr = above_right[..., None]
+    mid = jnp.int32(1 << (bd - 1))
+    first = jnp.where(l, A[..., n : n + 1],
+                      jnp.where(a, A[..., 2 * n + 1 : 2 * n + 2], mid))
+    lseg = jnp.where(l, A[..., n : 2 * n], first)
+    ltop = A[..., 2 * n - 1 : 2 * n]  # top-most left-column sample
+    corner = jnp.where(l & a, A[..., 2 * n : 2 * n + 1],
+                       jnp.where(l, ltop, first))
+    tseg = jnp.where(a, A[..., 2 * n + 1 : 3 * n + 1], jnp.where(l, ltop, first))
+    trseg = jnp.where(tr, A[..., 3 * n + 1 :], tseg[..., n - 1 : n])
+    lbseg = jnp.broadcast_to(first, A[..., :n].shape)
+    return jnp.concatenate([lbseg, lseg, corner, tseg, trseg], axis=-1)
+
+
 def filter_refs(a: jnp.ndarray) -> jnp.ndarray:
     """[1,2,1]/4 smoothing along the boundary walk; endpoints unfiltered."""
     left = a[..., :-2]
