@@ -50,44 +50,64 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     ref = ref_y.astype(jnp.int32)
 
     # ---- stage 1: full search at half resolution, offsets +-R/2.
-    # 2x2 averaging via reduce_window (native pooling); the equivalent
-    # strided x[0::2,0::2] expression lowers to ~1.4 GB/s lane-misaligned
-    # reads on TPU (profiled 6 ms per plane at 1080p).
+    # 2x2 averaging as MATMUL pooling: both reduce_window and strided
+    # x[0::2,0::2] lower to lane-misaligned memory shuffles on this TPU
+    # (profiled ~12 ms per plane at 1080p!); one-hot pooling matrices ride
+    # the MXU instead.  Column pool bf16 (uint8 inputs exact), row pool f32
+    # (intermediate sums up to 510 exceed bf16's 8-bit mantissa).
+    h2, w2 = height // 2, width // 2
+    pc2 = jnp.asarray(np.kron(np.eye(w2, dtype=np.float32),
+                              np.ones((2, 1), np.float32)), jnp.bfloat16)
+    pr2 = jnp.asarray(np.kron(np.eye(h2, dtype=np.float32),
+                              np.ones((1, 2), np.float32)))
+
     def _half(x):
-        s = jax.lax.reduce_window(x, 0, jax.lax.add, (2, 2), (2, 2), "VALID")
-        return (s + 2) >> 2
+        t = jnp.matmul(x.astype(jnp.bfloat16), pc2,
+                       preferred_element_type=jnp.float32)  # (H, w2)
+        s = jnp.matmul(pr2, t, precision=jax.lax.Precision.HIGHEST)
+        return (s.astype(jnp.int32) + 2) >> 2
 
     oh = _half(orig)
     rh = _half(ref)
     r2 = search_range // 2
     rh_pad = jnp.pad(rh, r2, mode="edge")
-    h2, w2 = height // 2, width // 2
     side = 2 * r2 + 1
+    hb = bs // 2
 
-    def s1_row(carry, dyi):
-        # one traced row of the search grid; the dx sweep reuses a single
-        # horizontal strip with static column shifts (no per-offset slices)
-        best_cost, best_mv = carry
+    # Per-position SAD block sums as MATMUL pooling: reshape-based 8x8
+    # block reduction lowers to layout-shuffle soup (profiled 27 ms for the
+    # 17x17 grid at 1080p); one-hot pooling matrices ride the MXU instead
+    # (~1 ms).  Column pool in bf16 (|diff| <= 255, sums < 2^24: exact);
+    # row pool in f32 (inputs up to 16320 exceed bf16's 8-bit mantissa).
+    pool_c = jnp.asarray(np.kron(np.eye(cw, dtype=np.float32),
+                                 np.ones((hb, 1), np.float32)), jnp.bfloat16)
+    pool_r = jnp.asarray(np.kron(np.eye(ch, dtype=np.float32),
+                                 np.ones((1, hb), np.float32)))
+
+    def s1_row(_, dyi):
+        # one traced row of the search grid; all dx shifts of a single
+        # horizontal strip evaluated as one batched pooled-SAD matmul
         strip = jax.lax.dynamic_slice(rh_pad, (dyi, 0), (h2, w2 + 2 * r2))
-        dy = dyi - r2
-        for dxi in range(side):
-            shifted = strip[:, dxi : dxi + w2]
-            sad = _block_sums(jnp.abs(oh - shifted), bs // 2)
-            dx = dxi - r2
-            mvb = lam * (_mv_bits(8 * dx) + _mv_bits(8 * dy))
-            cost = sad * 4 + mvb.astype(jnp.int32)  # scale half-res SAD to full
-            better = cost < best_cost
-            best_cost = jnp.where(better, cost, best_cost)
-            best_mv = jnp.where(
-                better[:, None], jnp.stack([jnp.int32(2 * dx), 2 * dy])[None, :], best_mv
-            )
-        return (best_cost, best_mv), None
+        shifted = jnp.stack([strip[:, dxi : dxi + w2] for dxi in range(side)])
+        d = jnp.abs(oh[None] - shifted).astype(jnp.bfloat16)  # (side, h2, w2)
+        t = jnp.matmul(d.reshape(side * h2, w2), pool_c,
+                       preferred_element_type=jnp.float32)
+        t = t.reshape(side, h2, cw)
+        sad = jnp.einsum("rh,shc->src", pool_r, t,
+                         precision=jax.lax.Precision.HIGHEST)  # (side, ch, cw)
+        return None, sad.astype(jnp.int32)
 
-    (best_cost, best_mv), _ = jax.lax.scan(
-        s1_row,
-        (jnp.full((nctu,), 1 << 30, jnp.int32), jnp.zeros((nctu, 2), jnp.int32)),
-        jnp.arange(side, dtype=jnp.int32),
-    )
+    _, sads = jax.lax.scan(s1_row, None, jnp.arange(side, dtype=jnp.int32))
+    # sads: (side_dy, side_dx, ch, cw); add the lambda-weighted MV bits and
+    # pick the arg-min over the whole grid in one reduction
+    dxy = jnp.arange(side, dtype=jnp.int32) - r2
+    mvb = lam * (_mv_bits(8 * dxy)[None, :] + _mv_bits(8 * dxy)[:, None])
+    cost = sads * 4 + mvb[..., None, None].astype(jnp.int32)
+    flat = cost.reshape(side * side, nctu)
+    best_i = jnp.argmin(flat, axis=0)
+    best_cost = jnp.take_along_axis(flat, best_i[None], axis=0)[0]
+    best_mv = jnp.stack([2 * (best_i % side - r2), 2 * (best_i // side - r2)],
+                        axis=1)
 
     # ---- stage 2: +-2 full-pel refinement around stage-1 MV, per block.
     # Per-CTU static windows cover the whole +-R reach; MV-dependent
