@@ -594,7 +594,25 @@ class Decoder:
             if ref is None:
                 raise ValueError("P/B slice without a reference picture")
             if sh.slice_type == 1:
-                if pps.entropy_sync:
+                if pps.tiles_enabled:
+                    from ..encoder.tiled import reconstruct_frame_p_tiles
+                    from ..entropy.slice_data import decode_slice_data_p_tiles
+
+                    if pps.num_tile_rows != 1 or not pps.uniform_spacing:
+                        raise NotImplementedError(
+                            "decoder supports uniform tile columns")
+                    ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = (
+                        decode_slice_data_p_tiles(
+                            cfg, pps.num_tile_cols, payload, sh.entry_points,
+                            sh.qp))
+                    y, u, v = reconstruct_frame_p_tiles(
+                        cfg, pps.num_tile_cols, ctype, intra_modes, mvs,
+                        lev_y, lev_cb, lev_cr, ref, sh.qp)
+                    bs_v, bs_h = compute_bs(
+                        jnp.asarray(ctype),
+                        jnp.asarray(np.any(lev_y, axis=(1, 2))),
+                        jnp.asarray(mvs), cfg.ctbs_w, cfg.ctbs_h)
+                elif pps.entropy_sync:
                     ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_actual = (
                         decode_slice_data_p_wpp(
                             cfg, payload, sh.entry_points, sh.qp,
@@ -608,21 +626,22 @@ class Decoder:
                     ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
                         cfg, payload, sh.qp
                     )
-                ry, ru, rv = ref
-                dec_qp = jnp.asarray(qp_actual) if qp_actual is not None else sh.qp
-                y, u, v = reconstruct_frame_p(
-                    jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(mvs),
-                    lev_y, lev_cb, lev_cr,
-                    jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dec_qp,
-                    width=sps.width, height=sps.height,
-                )
-                bs_v, bs_h = compute_bs(
-                    jnp.asarray(ctype),
-                    jnp.asarray(np.any(lev_y, axis=(1, 2))),
-                    jnp.asarray(mvs),
-                    cfg.ctbs_w,
-                    cfg.ctbs_h,
-                )
+                if not pps.tiles_enabled:
+                    ry, ru, rv = ref
+                    dec_qp = jnp.asarray(qp_actual) if qp_actual is not None else sh.qp
+                    y, u, v = reconstruct_frame_p(
+                        jnp.asarray(ctype), jnp.asarray(intra_modes), jnp.asarray(mvs),
+                        lev_y, lev_cb, lev_cr,
+                        jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dec_qp,
+                        width=sps.width, height=sps.height,
+                    )
+                    bs_v, bs_h = compute_bs(
+                        jnp.asarray(ctype),
+                        jnp.asarray(np.any(lev_y, axis=(1, 2))),
+                        jnp.asarray(mvs),
+                        cfg.ctbs_w,
+                        cfg.ctbs_h,
+                    )
             else:  # B slice
                 from ..entropy.slice_data import decode_slice_data_b_wpp
                 from ..ops.deblock import compute_bs_b

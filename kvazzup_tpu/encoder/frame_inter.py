@@ -278,9 +278,11 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "rdoq", "xtile"))
 def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
-                        height: int, rdoq: bool = False):
+                        height: int, rdoq: bool = False,
+                        xtile=(False, False), xflags=None):
     """Dense-decision low-delay P encode (ring-carry scan).
 
     Everything that does not read coded-neighbor state runs as one dense
@@ -310,7 +312,7 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     lam_x1k = (lam.mean() * 1024.0).astype(jnp.int32)
     me_mv, _ = motion_search(
         y, ref_y, lam_x1k, block=n, search_range=SEARCH_RANGE, width=width,
-        height=height)
+        height=height, xtile=xtile, xflags=xflags)
 
     refp_y8 = jnp.pad(ref_y, REF_PAD, mode="edge")
     refp_u8 = jnp.pad(ref_u, REF_PAD // 2, mode="edge")
@@ -338,8 +340,9 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     fa_w = jnp.asarray(sched["rs"] > 0)
     ftr_w = jnp.asarray((sched["rs"] > 0) & (sched["cs"] + 1 < cw))
     fal_w = fl_w & fa_w
+    xpos_w = jnp.asarray(sched["cs"].astype(np.int32) * n)
     xs = (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, winy_w, winu_w,
-          winv_w, qp_w, qpc_w, lam_w, fl_w, fa_w, ftr_w, fal_w)
+          winv_w, qp_w, qpc_w, lam_w, fl_w, fa_w, ftr_w, fal_w, xpos_w)
 
     ring0 = lambda m: (jnp.zeros((3, lanes, m), jnp.int32),
                        jnp.zeros((3, lanes, m), jnp.int32))
@@ -348,7 +351,7 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     def wave(carry, x):
         ry, ru, rv, mv_ring, if_ring = carry
         (oyw, ouw, ovw, memv, pme, csme, imode_w, icost_w, winy, winu, winv,
-         qpw, qpcw, lamw, fl, fa, ftr, fal) = x
+         qpw, qpcw, lamw, fl, fa, ftr, fal, xpos) = x
         lamf = lamw.astype(jnp.float32)
         lam2 = lamf * lamf
 
@@ -376,6 +379,13 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         pm_flat = pred_merge.reshape(lanes, -1)
         oy_flat = oyw.reshape(lanes, -1)
         cost_merge = ck.satd_flat(pm_flat, oy_flat, 4).astype(jnp.float32) + lamf * 2.0
+        if xtile[0] or xtile[1]:
+            # MCTS: a merge MV whose MC support crosses the tile boundary
+            # may not be selected (the decoder would read the other tile)
+            from ..ops.me import mv_valid_x
+            lf, rf = xtile if xflags is None else xflags
+            mok = mv_valid_x(merge_mv[:, 0], xpos, n, width, lf, rf)
+            cost_merge = jnp.where(mok, cost_merge, jnp.float32(3e18))
         mvd0 = memv - mvp0
         mvd1 = memv - mvp1
         bits0 = jax.vmap(_mvd_bits)(mvd0)

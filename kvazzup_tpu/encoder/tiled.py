@@ -78,6 +78,98 @@ def encode_frame_intra_tiles(cfg, y, u, v, qp: int, *, rdoq: bool = False):
     }
 
 
+def encode_frame_p_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
+                         rdoq: bool = False):
+    """Low-delay P frame as independent motion-constrained tile columns
+    (kvazaar `--mv-constraint frametile`, kvazaarfilter.cpp:246-276).
+
+    Each strip runs the dense-decision P wavefront on its own view of the
+    reference picture with horizontal MV bounds (ops/me.mv_valid_x), so MC
+    never reads across a tile boundary — the decoder, which MCs from the
+    full reference frame, sees identical predictions.  Loop filtering is
+    NOT applied here: the caller deblocks the assembled picture
+    (loop_filter_across_tiles_enabled_flag = 1 semantics) exactly like the
+    untiled path, which is also what the sharded version reproduces with
+    its ppermute halo exchange (parallel/tiles_p.py).
+
+    Returns picture-raster arrays shaped like `encode_frame_p_fast`."""
+    from .frame_inter import encode_frame_p_fast
+
+    n = cfg.ctb_size
+    cw, ch = cfg.ctbs_w, cfg.ctbs_h
+    cols = tile_grid(cfg, cfg.tile_cols)
+    nctu = cw * ch
+    ctype = np.zeros(nctu, np.int32)
+    imode = np.zeros(nctu, np.int32)
+    mv = np.zeros((nctu, 2), np.int32)
+    mvp_flag = np.zeros(nctu, np.int32)
+    mvd = np.zeros((nctu, 2), np.int32)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    ry_parts, ru_parts, rv_parts = [], [], []
+    n_tiles = len(cols)
+    for t, (x0, x1) in enumerate(cols):
+        px0, px1 = x0 * n, x1 * n
+        xtile = (t > 0, t < n_tiles - 1)
+        out = encode_frame_p_fast(
+            jnp.asarray(y[:, px0:px1]), jnp.asarray(u[:, px0 // 2 : px1 // 2]),
+            jnp.asarray(v[:, px0 // 2 : px1 // 2]),
+            jnp.asarray(ref_y[:, px0:px1]),
+            jnp.asarray(ref_u[:, px0 // 2 : px1 // 2]),
+            jnp.asarray(ref_v[:, px0 // 2 : px1 // 2]), qp,
+            width=px1 - px0, height=cfg.height, rdoq=rdoq, xtile=xtile,
+        )
+        for key, dst in (("ctype", ctype), ("intra_mode", imode), ("mv", mv),
+                         ("mvp_flag", mvp_flag), ("mvd", mvd),
+                         ("lev_y", lev_y), ("lev_cb", lev_cb),
+                         ("lev_cr", lev_cr)):
+            strip_to_raster(np.asarray(out[key]), cols, t, cw, ch, dst)
+        ry_parts.append(out["recon_y"])
+        ru_parts.append(out["recon_u"])
+        rv_parts.append(out["recon_v"])
+    return {
+        "ctype": ctype, "intra_mode": imode, "mv": mv, "mvp_flag": mvp_flag,
+        "mvd": mvd, "lev_y": lev_y, "lev_cb": lev_cb, "lev_cr": lev_cr,
+        "recon_y": jnp.concatenate(ry_parts, axis=1),
+        "recon_u": jnp.concatenate(ru_parts, axis=1),
+        "recon_v": jnp.concatenate(rv_parts, axis=1),
+    }
+
+
+def reconstruct_frame_p_tiles(cfg, n_cols: int, ctype, intra_modes, mvs,
+                              lev_y, lev_cb, lev_cr, ref, qp):
+    """Decoder-side tiled P reconstruction: each tile column reconstructs
+    independently from its own strip of the reference picture (valid
+    because coded MVs are MCTS-constrained — ops/me.mv_valid_x), matching
+    the encoder's per-strip wavefront availability at tile edges."""
+    from ..decoder.frame_inter import reconstruct_frame_p
+
+    n = cfg.ctb_size
+    cw, ch = cfg.ctbs_w, cfg.ctbs_h
+    cols = tile_grid(cfg, n_cols)
+    ref_y, ref_u, ref_v = (jnp.asarray(p) for p in ref)
+    ys, us, vs = [], [], []
+    for t, (x0, x1) in enumerate(cols):
+        px0, px1 = x0 * n, x1 * n
+        strip = lambda a: jnp.asarray(raster_to_strip(np.asarray(a), cols, t, cw, ch))
+        sy, su, sv = reconstruct_frame_p(
+            strip(ctype), strip(intra_modes), strip(mvs),
+            strip(lev_y), strip(lev_cb), strip(lev_cr),
+            ref_y[:, px0:px1], ref_u[:, px0 // 2 : px1 // 2],
+            ref_v[:, px0 // 2 : px1 // 2], qp,
+            width=px1 - px0, height=cfg.height,
+        )
+        ys.append(sy)
+        us.append(su)
+        vs.append(sv)
+    return (
+        jnp.concatenate(ys, axis=1),
+        jnp.concatenate(us, axis=1),
+        jnp.concatenate(vs, axis=1),
+    )
+
+
 def reconstruct_frame_intra_tiles(cfg, n_cols: int, modes, lev_y, lev_cb, lev_cr, qp):
     """Decoder-side tile reconstruction: strip wavefronts, assembled picture."""
     from ..decoder.frame_intra import reconstruct_frame_intra

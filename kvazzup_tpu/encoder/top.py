@@ -55,8 +55,8 @@ class Encoder:
         if cfg.sao_enabled and not cfg.wpp and cfg.ctb_log2 not in (5, 6):
             raise NotImplementedError("SAO requires cfg.wpp at CTB16 (or the CTB32/64 path)")
         if cfg.tile_cols > 1:
-            if intra_period != 1:
-                raise NotImplementedError("tiles currently require all-intra")
+            if intra_period != 1 and not cfg.fast_decision:
+                raise NotImplementedError("tiled P requires cfg.fast_decision")
             if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta:
                 raise NotImplementedError("tiles exclude wpp/sao/cu_qp_delta for now")
             if cfg.tile_cols > cfg.ctbs_w:
@@ -220,16 +220,35 @@ class Encoder:
             return {"kind": "slices", "dev": dev, "out": {}, "qp": qp,
                     "first": first, "recon": dev["recon"]}
         if cfg.tile_cols > 1:
-            from .tiled import encode_frame_intra_tiles
+            from .tiled import encode_frame_intra_tiles, encode_frame_p_tiles
 
-            out = encode_frame_intra_tiles(cfg, y, u, v, qp, rdoq=cfg.rdoq)
+            if is_idr:
+                out = encode_frame_intra_tiles(cfg, y, u, v, qp, rdoq=cfg.rdoq)
+                bs_v = bs_h = None
+            else:
+                pry, pru, prv = self._ref
+                out = encode_frame_p_tiles(cfg, y, u, v, pry, pru, prv, qp,
+                                           rdoq=cfg.rdoq)
+                bs_v, bs_h = compute_bs(
+                    jnp.asarray(out["ctype"]),
+                    jnp.asarray(np.any(out["lev_y"] != 0, axis=(1, 2))),
+                    jnp.asarray(out["mv"]), cfg.ctbs_w, cfg.ctbs_h,
+                )
             ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
             if cfg.deblocking_enabled:
-                ry, ru, rv = deblock_frame(ry, ru, rv, qp, spacing=cfg.ctb_size)
-            first = self._frame_count == 0
+                # picture-level deblock incl. tile-boundary edges
+                # (loop_filter_across_tiles_enabled_flag = 1)
+                ry, ru, rv = deblock_frame(ry, ru, rv, qp,
+                                           spacing=cfg.ctb_size,
+                                           bs_v=bs_v, bs_h=bs_h)
+            first = self._frame_count == 0 or (
+                is_idr and self.vps_period
+                and (self._idr_count - 1) % self.vps_period == 0)
             self._frame_count += 1
+            self._poc = 0 if is_idr else self._poc + 1
             self._ref = (ry, ru, rv)
-            return {"kind": "tiles", "out": out, "qp": qp, "first": first,
+            return {"kind": "tiles" if is_idr else "tiles_p", "out": out,
+                    "qp": qp, "first": first, "poc": self._poc,
                     "recon": (ry, ru, rv)}
         if is_idr:
             if cfg.fast_decision and flat_map is None:
@@ -390,16 +409,35 @@ class Encoder:
             if materialize_recon:
                 return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
             return stream, (ry, ru, rv)
-        if ctx["kind"] == "tiles":
-            from ..entropy.slice_data import encode_slice_data_intra_tiles
-
-            payload, entry_offsets = encode_slice_data_intra_tiles(
-                cfg, cfg.tile_cols,
-                np.asarray(out["mode"]), np.asarray(out["lev_y"]),
-                np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
-                slice_qp=qp,
+        if ctx["kind"] in ("tiles", "tiles_p"):
+            from ..entropy.slice_data import (
+                encode_slice_data_intra_tiles,
+                encode_slice_data_p_tiles,
             )
-            sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL)
+
+            if ctx["kind"] == "tiles":
+                payload, entry_offsets = encode_slice_data_intra_tiles(
+                    cfg, cfg.tile_cols,
+                    np.asarray(out["mode"]), np.asarray(out["lev_y"]),
+                    np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+                    slice_qp=qp,
+                )
+                sh = SliceHeader(slice_type=2, qp=qp,
+                                 nal_type=NalType.IDR_W_RADL)
+            else:
+                payload, entry_offsets = encode_slice_data_p_tiles(
+                    cfg, cfg.tile_cols,
+                    np.asarray(out["ctype"]), np.asarray(out["intra_mode"]),
+                    np.asarray(out["mv"]), np.asarray(out["mvp_flag"]),
+                    np.asarray(out["mvd"]), np.asarray(out["lev_y"]),
+                    np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
+                    slice_qp=qp,
+                )
+                sh = SliceHeader(
+                    slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
+                    pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
+                    num_negative_pics=1, delta_pocs=(-1,),
+                )
             if entry_offsets:
                 entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
             w = compose_slice_header(cfg, sh, entry_offsets)

@@ -312,27 +312,22 @@ def _decode_mvd(dec: CabacDecoder) -> tuple[int, int]:
     return out[0], out[1]
 
 
-def _merge_first_mv(i, ctbs_w, nctu, inter, mvs):
+def _merge_first_mv(i, ctbs_w, nctu, inter, mvs, x0t=0, x1t=None):
     """First-available merge candidate (A1, B1, B0, B2; TMVP off) —
-    mirrors encoder/frame_inter._first_inter_mv."""
+    mirrors encoder/frame_inter._first_inter_mv.  x0t/x1t: tile-column
+    bounds in CTBs (prediction never crosses a tile boundary)."""
+    if x1t is None:
+        x1t = ctbs_w
     c = i % ctbs_w
     r = i // ctbs_w
-    cands = []
-    if c > 0:
-        cands.append(i - 1)
-    if r > 0:
-        cands.append(i - ctbs_w)
-    if r > 0 and c + 1 < ctbs_w:
-        cands.append(i - ctbs_w + 1)
-    # reorder to A1, B1, B0, B2
     order = []
-    if c > 0:
+    if c > x0t:
         order.append(i - 1)
     if r > 0:
         order.append(i - ctbs_w)
-    if r > 0 and c + 1 < ctbs_w:
+    if r > 0 and c + 1 < x1t:
         order.append(i - ctbs_w + 1)
-    if r > 0 and c > 0:
+    if r > 0 and c > x0t:
         order.append(i - ctbs_w - 1)
     for j in order:
         if inter[j]:
@@ -340,18 +335,20 @@ def _merge_first_mv(i, ctbs_w, nctu, inter, mvs):
     return np.zeros(2, np.int32)
 
 
-def _amvp_candidates(i, ctbs_w, inter, mvs):
+def _amvp_candidates(i, ctbs_w, inter, mvs, x0t=0, x1t=None):
+    if x1t is None:
+        x1t = ctbs_w
     c = i % ctbs_w
     r = i // ctbs_w
-    a_ok = c > 0 and inter[i - 1]
+    a_ok = c > x0t and inter[i - 1]
     a_mv = np.array(mvs[i - 1]) if a_ok else np.zeros(2, np.int32)
     b_ok, b_mv = False, np.zeros(2, np.int32)
     order = []
-    if r > 0 and c + 1 < ctbs_w:
+    if r > 0 and c + 1 < x1t:
         order.append(i - ctbs_w + 1)
     if r > 0:
         order.append(i - ctbs_w)
-    if r > 0 and c > 0:
+    if r > 0 and c > x0t:
         order.append(i - ctbs_w - 1)
     for j in order:
         if inter[j]:
@@ -766,8 +763,9 @@ def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp, use_nativ
     return modes, lev_y, lev_cb, lev_cr, (qs.actual if qs else None)
 
 
-def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, qp_state=None, sao=None):
-    """One CTU of P-slice syntax (shared by raster and WPP drivers)."""
+def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, qp_state=None, sao=None, x0t=0):
+    """One CTU of P-slice syntax (shared by raster, WPP and tile drivers);
+    x0t = tile-column left bound in CTBs (availability stops there)."""
     if sao is not None:
         sao.encode(enc, i)
     ctbs_w = cfg.ctbs_w
@@ -775,7 +773,7 @@ def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvd
     r = i // ctbs_w
     ct = int(ctype[i])
     ctx = 0
-    if c > 0 and skip[i - 1]:
+    if c > x0t and skip[i - 1]:
         ctx += 1
     if r > 0 and skip[i - ctbs_w]:
         ctx += 1
@@ -789,7 +787,7 @@ def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvd
     enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == CT_INTRA else 0)
     if ct == CT_INTRA:
         enc.encode_bin(OFFSETS["part_mode"], 1)
-        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
+        cand_a = int(intra_modes[i - 1]) if (c > x0t and ctype[i - 1] == CT_INTRA) else 1
         _encode_luma_mode(enc, int(intra_modes[i]), cand_a, 1)
         enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
     else:
@@ -850,14 +848,14 @@ def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y
     return out
 
 
-def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_state=None, sao=None):
+def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_state=None, sao=None, x0t=0, x1t=None):
     if sao is not None:
         sao.decode(dec, i)
     ctbs_w = cfg.ctbs_w
     c = i % ctbs_w
     r = i // ctbs_w
     ctx = 0
-    if c > 0 and skip[i - 1]:
+    if c > x0t and skip[i - 1]:
         ctx += 1
     if r > 0 and skip[i - ctbs_w]:
         ctx += 1
@@ -865,7 +863,7 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
         skip[i] = True
         inter[i] = True
         ctype[i] = CT_SKIP
-        mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs)
+        mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs, x0t, x1t)
         if qp_state is not None:
             qp_state.decode(dec, i, False)
         return
@@ -873,7 +871,7 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
         ctype[i] = CT_INTRA
         if dec.decode_bin(OFFSETS["part_mode"]) != 1:
             raise NotImplementedError("NxN partition")
-        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
+        cand_a = int(intra_modes[i - 1]) if (c > x0t and ctype[i - 1] == CT_INTRA) else 1
         intra_modes[i] = _decode_luma_mode(dec, cand_a, 1)
         if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
             raise NotImplementedError("non-DM chroma")
@@ -883,12 +881,12 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
             raise NotImplementedError("inter partition != 2Nx2N")
         if dec.decode_bin(OFFSETS["merge_flag"]):
             ctype[i] = CT_MERGE
-            mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs)
+            mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs, x0t, x1t)
         else:
             ctype[i] = CT_AMVP
             mvd = _decode_mvd(dec)
             flag = dec.decode_bin(OFFSETS["mvp_flag"])
-            mvp0, mvp1 = _amvp_candidates(i, ctbs_w, inter, mvs)
+            mvp0, mvp1 = _amvp_candidates(i, ctbs_w, inter, mvs, x0t, x1t)
             mvs[i] = (mvp1 if flag else mvp0) + np.array(mvd, np.int32)
     root_cbf = True
     if ctype[i] == CT_AMVP:
@@ -1215,7 +1213,7 @@ def _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr, mv_arr,
     enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == CT_INTRA else 0)
     if ct == CT_INTRA:
         enc.encode_bin(OFFSETS["part_mode"], 1)
-        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
+        cand_a = int(intra_modes[i - 1]) if (c > x0t and ctype[i - 1] == CT_INTRA) else 1
         _encode_luma_mode(enc, int(intra_modes[i]), cand_a, 1)
         enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
     else:
@@ -1297,7 +1295,7 @@ def _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_a
         ctype[i] = CT_INTRA
         if dec.decode_bin(OFFSETS["part_mode"]) != 1:
             raise NotImplementedError("NxN partition")
-        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
+        cand_a = int(intra_modes[i - 1]) if (c > x0t and ctype[i - 1] == CT_INTRA) else 1
         intra_modes[i] = _decode_luma_mode(dec, cand_a, 1)
         if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
             raise NotImplementedError("non-DM chroma")
@@ -1490,6 +1488,42 @@ def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp)
 
     decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 0, slice_qp)
     return modes, lev_y, lev_cb, lev_cr
+
+
+def encode_slice_data_p_tiles(cfg, n_cols, ctype, intra_modes, mvs, mvp_flags,
+                              mvds, lev_y, lev_cb, lev_cr, slice_qp=None):
+    """P-slice tile columns: independent CABAC substream per tile with
+    tile-local neighbor availability (the MCTS counterpart of the device
+    wave's tile-view encode)."""
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    skip = np.zeros(nctu, dtype=bool)
+
+    def fn(enc, i, x0t, x1t):
+        _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs,
+                          mvp_flags, mvds, lev_y, lev_cb, lev_cr, x0t=x0t)
+
+    fn.init_type = 1
+    return encode_slice_data_tiles(cfg, n_cols, fn, slice_qp)
+
+
+def decode_slice_data_p_tiles(cfg, n_cols, payload, entry_offsets, slice_qp):
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    n = cfg.ctb_size
+    ctype = np.zeros(nctu, np.int32)
+    intra_modes = np.zeros(nctu, np.int32)
+    mvs = np.zeros((nctu, 2), np.int32)
+    inter = np.zeros(nctu, bool)
+    skip = np.zeros(nctu, bool)
+    lev_y = np.zeros((nctu, n, n), np.int32)
+    lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
+    lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+
+    def fn(dec, i, x0t, x1t):
+        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs,
+                          lev_y, lev_cb, lev_cr, x0t=x0t, x1t=x1t)
+
+    decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 1, slice_qp)
+    return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr
 
 
 def decode_slice_data_intra_open(cfg: StreamConfig, payload: bytes, slice_qp: int,

@@ -34,9 +34,42 @@ def _mv_bits(v):
     return 2.0 * jnp.log2(jnp.abs(v).astype(jnp.float32) + 1.0) + 1.0
 
 
-@functools.partial(jax.jit, static_argnames=("block", "search_range", "width", "height"))
+def mv_valid_x(mvx_q, x0, block: int, tile_w: int, left_interior: bool,
+               right_interior: bool):
+    """Horizontal MCTS validity of a quarter-pel MV (kvazaar mv-constraint
+    `frametile` semantics, kvazaarfilter.cpp:246-276): the full MC support
+    (8-tap luma -3..+4, 4-tap chroma in luma units -4..+4) must stay inside
+    the tile column [0, tile_w) at interior boundaries.  MVs with integer
+    luma AND chroma phase (mvx_q % 8 == 0) read only the block itself, so
+    they are exempt from the margin.  Picture-edge sides are unconstrained
+    (reference padding there is normative).
+
+    mvx_q, x0: (N,) int32 (x0 = tile-local block x in pixels).  The side
+    flags may be python bools (static structure — the untiled path
+    compiles to `True`) or traced booleans (the SPMD tile shard derives
+    them from `lax.axis_index`); equal flag VALUES give bit-identical
+    selections either way."""
+    static = isinstance(left_interior, bool) and isinstance(right_interior, bool)
+    if static and not (left_interior or right_interior):
+        return True
+    ix = mvx_q >> 2
+    margin = jnp.where((mvx_q & 7) == 0, 0, 4)
+    lo_ok = x0 + ix - margin >= 0
+    hi_ok = x0 + ix + block + margin <= tile_w
+    if static:
+        ok = None
+        if left_interior:
+            ok = lo_ok
+        if right_interior:
+            ok = hi_ok if ok is None else ok & hi_ok
+        return ok
+    return (lo_ok | ~left_interior) & (hi_ok | ~right_interior)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "search_range", "width",
+                                             "height", "xtile"))
 def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int = 16,
-                  width: int, height: int):
+                  width: int, height: int, xtile=(False, False), xflags=None):
     """Full-frame motion search.  orig_y/ref_y: (H, W) uint8.
 
     Returns (mv_qpel (nctu, 2) int32 [x, y], cost (nctu,) int32 SAD at the
@@ -45,6 +78,12 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     bs = block
     cw, ch = width // bs, height // bs
     nctu = cw * ch
+    constrained = xtile[0] or xtile[1]
+    x0_col = jnp.asarray(np.arange(cw, dtype=np.int32) * bs)
+    x0_ctu = jnp.asarray(np.tile(np.arange(cw, dtype=np.int32) * bs, ch))
+    lflag, rflag = xtile if xflags is None else xflags
+    vx = functools.partial(mv_valid_x, block=bs, tile_w=width,
+                           left_interior=lflag, right_interior=rflag)
     lam = lam_x1k / 1024.0
     orig = orig_y.astype(jnp.int32)
     ref = ref_y.astype(jnp.int32)
@@ -103,6 +142,9 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     dxy = jnp.arange(side, dtype=jnp.int32) - r2
     mvb = lam * (_mv_bits(8 * dxy)[None, :] + _mv_bits(8 * dxy)[:, None])
     cost = sads * 4 + mvb[..., None, None].astype(jnp.int32)
+    if constrained:
+        v1 = vx((8 * dxy)[:, None], x0_col[None, :])  # (side_dx, cw)
+        cost = jnp.where(v1[None, :, None, :], cost, 1 << 29)
     flat = cost.reshape(side * side, nctu)
     best_i = jnp.argmin(flat, axis=0)
     best_cost = jnp.take_along_axis(flat, best_i[None], axis=0)[0]
@@ -133,6 +175,8 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
             mvx = 4 * (best_mv[:, 0] + dx)
             mvy = 4 * (best_mv[:, 1] + dy)
             cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
+            if constrained:
+                cost = jnp.where(vx(mvx, x0_ctu), cost, 1 << 30)
             better = cost < best_cost
             best_cost = jnp.where(better, cost, best_cost)
             best_d = jnp.where(better[:, None], jnp.array([dx, dy], jnp.int32)[None, :], best_d)
@@ -176,6 +220,8 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     best_cost = jnp.abs(orig_blocks - cand0).sum(axis=(1, 2)) + (
         lam * (_mv_bits(qx) + _mv_bits(qy))
     ).astype(jnp.int32)
+    if constrained:
+        best_cost = jnp.where(vx(qx, x0_ctu), best_cost, 1 << 30)
     for hy in (-1, 0, 1):
         for hx in (-1, 0, 1):
             if hx == 0 and hy == 0:
@@ -185,6 +231,8 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
             mvx = qx + 2 * hx
             mvy = qy + 2 * hy
             cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
+            if constrained:
+                cost = jnp.where(vx(mvx, x0_ctu), cost, 1 << 30)
             better = cost < best_cost
             best_cost = jnp.where(better, cost, best_cost)
             best_half = jnp.where(
@@ -239,9 +287,21 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
             mvy = 4 * int_mv[:, 1] + sy
             cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
             cost = jnp.where(near, cost, 1 << 30)
+            if constrained:
+                cost = jnp.where(vx(mvx, x0_ctu), cost, 1 << 30)
             better = cost < best_cost_q
             best_cost_q = jnp.where(better, cost, best_cost_q)
             best_mv_q = jnp.where(better[:, None], jnp.stack([mvx, mvy], axis=1),
                                   best_mv_q)
 
+    if constrained:
+        # zero-MV fallback: the stage-2 clip can in rare corners land on an
+        # invalid anchor; (0, 0) is always MCTS-valid.
+        ref_blocks = ref.reshape(ch, bs, cw, bs).transpose(0, 2, 1, 3).reshape(
+            nctu, bs, bs)
+        sad0 = jnp.abs(orig_blocks - ref_blocks).sum(axis=(1, 2)) + (
+            2.0 * lam).astype(jnp.int32)
+        ok = vx(best_mv_q[:, 0], x0_ctu)
+        best_mv_q = jnp.where(ok[:, None], best_mv_q, 0)
+        best_cost_q = jnp.where(ok, best_cost_q, sad0)
     return best_mv_q, best_cost_q

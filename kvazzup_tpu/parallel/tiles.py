@@ -64,7 +64,7 @@ def encode_frames_tiled(mesh: Mesh, frames_y, frames_u, frames_v, qp, *, width: 
 
         return jax.vmap(one)(y, u, v)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec_y = P("gop", None, "tile")
     ctu = P("gop", "tile")  # CTU-indexed outputs concatenate along the tile axis
@@ -74,7 +74,7 @@ def encode_frames_tiled(mesh: Mesh, frames_y, frames_u, frames_v, qp, *, width: 
         mesh=mesh,
         in_specs=(spec_y, spec_y, spec_y),
         out_specs=(ctu, ctu2, ctu2, ctu2, spec_y, spec_y, spec_y),
-        check_rep=False,
+        check_vma=False,
     )(frames_y, frames_u, frames_v)
     return {
         "mode": modes,

@@ -1,0 +1,226 @@
+"""Sharded motion-constrained tile encoding with ICI halo collectives.
+
+This is the real multi-chip encode axis (SURVEY.md §2.7/§2.8): each
+device owns one tile column of the picture AND of the DPB, frames flow
+through a low-delay P GOP, and the only cross-device traffic is the
+loop-filter halo — one CTB column of reconstruction plus one column of
+CTU metadata per neighbor per frame, moved with `lax.ppermute` over the
+mesh "tile" axis (ICI on hardware).
+
+Why this is exact (byte-identical to the single-device tiled Encoder):
+
+- Prediction never crosses a tile boundary: intra/merge/AMVP
+  availability stops at the tile edge (HEVC tile semantics), and motion
+  vectors are MCTS-constrained (ops/me.mv_valid_x — kvazaar
+  `--mv-constraint frametile`, /root/reference/src/media/processing/
+  kvazaarfilter.cpp:246-276) so MC support stays inside the shard's own
+  DPB column.
+- Deblocking DOES cross tile boundaries
+  (loop_filter_across_tiles_enabled_flag = 1): HEVC's picture-level
+  filter order (all vertical edges on unfiltered recon, then all
+  horizontal edges) makes every vertical edge independent, so each
+  shard can filter its own side of the boundary from a 1-CTB halo of
+  the neighbor's *unfiltered* recon + that column's (ctype, cbf, mv)
+  for the boundary bS — redundantly computing only the shared edge.
+  The horizontal pass then reads vertically-filtered pixels from the
+  shard's own columns only.  The cropped result equals the full-frame
+  `deblock_frame` column for column.
+
+Entropy stays on the host: per-tile CABAC substreams with entry points
+(entropy/slice_data.encode_slice_data_p_tiles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.params import StreamConfig
+from ..encoder.top import Encoder
+
+
+def make_tile_mesh(n_tiles: int, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) >= n_tiles, "not enough devices"
+    return Mesh(np.asarray(devices[:n_tiles]), ("tile",))
+
+
+class ShardedTileEncoder:
+    """Low-delay (IDR + P chain) encoder sharded over tile columns.
+
+    Byte-identical to `Encoder(cfg, intra_period)` with the same cfg
+    (tile_cols == mesh "tile" size); requires the CTB16 fast-decision
+    toolset, uniform tile columns, deblocking on, SAO off.
+    """
+
+    def __init__(self, mesh: Mesh, cfg: StreamConfig, intra_period: int = 8):
+        n_t = mesh.shape["tile"]
+        if cfg.tile_cols != n_t:
+            raise ValueError("cfg.tile_cols must equal the mesh tile size")
+        if cfg.ctbs_w % n_t:
+            raise ValueError("sharded tiles require uniform CTB-aligned columns")
+        if cfg.sao_enabled or cfg.wpp or cfg.cu_qp_delta or cfg.slices > 1:
+            raise NotImplementedError("sharded tiles: deblock-only loop filter")
+        if not cfg.fast_decision:
+            raise NotImplementedError("sharded tiles use the fast-decision path")
+        self.mesh = mesh
+        self.cfg = cfg
+        self.intra_period = intra_period
+        self._enc = Encoder(cfg, intra_period=intra_period)
+        self._step_i, self._step_p = self._build()
+
+    # ---- SPMD per-frame programs
+    def _build(self):
+        cfg = self.cfg
+        mesh = self.mesh
+        n = cfg.ctb_size
+        n_t = mesh.shape["tile"]
+        cwt = cfg.ctbs_w // n_t
+        tile_w = cwt * n
+        ch = cfg.ctbs_h
+        qp = cfg.qp
+        m = n // 2
+        fwd = [(i, i + 1) for i in range(n_t - 1)]  # x -> right neighbor
+        bwd = [(i + 1, i) for i in range(n_t - 1)]  # x -> left neighbor
+
+        def halo_deblock(ry, ru, rv, ct2, cb2, mv2, left_f, right_f):
+            """ry: (H, tile_w) unfiltered recon; ct2/cb2: (ch, cwt);
+            mv2: (ch, cwt, 2).  Returns the shard's column of the
+            picture-level deblocked frame."""
+            from ..ops.deblock import compute_bs, deblock_frame
+
+            send_r = lambda x: jax.lax.ppermute(x, "tile", fwd)
+            send_l = lambda x: jax.lax.ppermute(x, "tile", bwd)
+            # 1-CTB recon halo (unfiltered) in each direction
+            hl_y, hl_u, hl_v = (send_r(p[:, -k:]) for p, k in
+                                ((ry, n), (ru, m), (rv, m)))
+            hr_y, hr_u, hr_v = (send_l(p[:, :k]) for p, k in
+                                ((ry, n), (ru, m), (rv, m)))
+            # boundary-column metadata for the cross-tile bS
+            meta = jnp.concatenate(
+                [ct2[..., None], cb2[..., None], mv2], axis=-1)  # (ch, cwt, 4)
+            ml = send_r(meta[:, -1])  # (ch, 4) from left neighbor
+            mr = send_l(meta[:, 0])
+            ct_e = jnp.concatenate([ml[:, :1], ct2, mr[:, :1]], axis=1)
+            cb_e = jnp.concatenate([ml[:, 1:2], cb2, mr[:, 1:2]], axis=1)
+            mv_e = jnp.concatenate([ml[:, None, 2:], mv2, mr[:, None, 2:]],
+                                   axis=1)
+            bs_v, bs_h = compute_bs(ct_e.reshape(-1), cb_e.reshape(-1) != 0,
+                                    mv_e.reshape(-1, 2), cwt + 2, ch)
+            # picture-edge boundaries are not deblocked
+            bs_v = bs_v.at[0].set(jnp.where(left_f, bs_v[0], 0))
+            bs_v = bs_v.at[cwt].set(jnp.where(right_f, bs_v[cwt], 0))
+            ext = lambda hl, p, hr: jnp.concatenate([hl, p, hr], axis=1)
+            fy, fu, fv = deblock_frame(
+                ext(hl_y, ry, hr_y), ext(hl_u, ru, hr_u), ext(hl_v, rv, hr_v),
+                qp, spacing=n, bs_v=bs_v, bs_h=bs_h)
+            return fy[:, n:-n], fu[:, m:-m], fv[:, m:-m]
+
+        def shard_i(y, u, v):
+            from ..encoder.frame_intra import encode_frame_intra
+
+            idx = jax.lax.axis_index("tile")
+            left_f, right_f = idx > 0, idx < n_t - 1
+            out = encode_frame_intra(y, u, v, qp, width=tile_w,
+                                     height=cfg.height, rdoq=cfg.rdoq)
+            ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+            if cfg.deblocking_enabled:
+                ct2 = jnp.zeros((ch, cwt), jnp.int32)  # all-intra: bS = 2
+                ry, ru, rv = halo_deblock(
+                    ry, ru, rv, ct2, ct2, jnp.zeros((ch, cwt, 2), jnp.int32),
+                    left_f, right_f)
+            return (out["mode"], out["lev_y"].astype(jnp.int16),
+                    out["lev_cb"].astype(jnp.int16),
+                    out["lev_cr"].astype(jnp.int16), ry, ru, rv)
+
+        def shard_p(y, u, v, ref_y, ref_u, ref_v):
+            from ..encoder.frame_inter import encode_frame_p_fast
+
+            idx = jax.lax.axis_index("tile")
+            left_f, right_f = idx > 0, idx < n_t - 1
+            out = encode_frame_p_fast(
+                y, u, v, ref_y, ref_u, ref_v, qp, width=tile_w,
+                height=cfg.height, rdoq=cfg.rdoq, xtile=(True, True),
+                xflags=(left_f, right_f))
+            ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+            if cfg.deblocking_enabled:
+                ct2 = out["ctype"].reshape(ch, cwt)
+                cb2 = jnp.any(out["lev_y"] != 0, axis=(1, 2)).reshape(
+                    ch, cwt).astype(jnp.int32)
+                mv2 = out["mv"].reshape(ch, cwt, 2)
+                ry, ru, rv = halo_deblock(ry, ru, rv, ct2, cb2, mv2,
+                                          left_f, right_f)
+            return (out["ctype"], out["intra_mode"], out["mv"],
+                    out["mvp_flag"], out["mvd"],
+                    out["lev_y"].astype(jnp.int16),
+                    out["lev_cb"].astype(jnp.int16),
+                    out["lev_cr"].astype(jnp.int16), ry, ru, rv)
+
+        from jax import shard_map
+
+        plane = P(None, "tile")
+        ctu1 = P("tile")
+        ctu2 = P("tile", None)
+        ctu3 = P("tile", None, None)
+        planes3 = (plane, plane, plane)
+        step_i = jax.jit(shard_map(
+            shard_i, mesh=mesh, in_specs=planes3,
+            out_specs=(ctu1, ctu3, ctu3, ctu3) + planes3, check_vma=False))
+        step_p = jax.jit(shard_map(
+            shard_p, mesh=mesh, in_specs=planes3 + planes3,
+            out_specs=(ctu1, ctu1, ctu2, ctu1, ctu2, ctu3, ctu3, ctu3)
+            + planes3, check_vma=False))
+        return step_i, step_p
+
+    def _put(self, y, u, v):
+        sh = NamedSharding(self.mesh, P(None, "tile"))
+        return tuple(jax.device_put(jnp.asarray(p), sh) for p in (y, u, v))
+
+    def encode_frame(self, y, u, v):
+        """Returns (annexb_bytes, recon tuple of device arrays)."""
+        from ..encoder.tiled import strip_to_raster
+        from ..entropy.slice_data import tile_grid
+
+        cfg = self.cfg
+        enc = self._enc
+        n = cfg.ctb_size
+        cw, ch = cfg.ctbs_w, cfg.ctbs_h
+        nctu = cw * ch
+        cols = tile_grid(cfg, cfg.tile_cols)
+        is_idr = enc._frame_count % self.intra_period == 0 or enc._ref is None
+        yd, ud, vd = self._put(y, u, v)
+        if is_idr:
+            enc._idr_count += 1
+            mode_s, ly_s, lcb_s, lcr_s, ry, ru, rv = self._step_i(yd, ud, vd)
+            strips = {"mode": mode_s, "lev_y": ly_s, "lev_cb": lcb_s,
+                      "lev_cr": lcr_s}
+        else:
+            (ct_s, im_s, mv_s, mf_s, mvd_s, ly_s, lcb_s, lcr_s, ry, ru,
+             rv) = self._step_p(yd, ud, vd, *enc._ref)
+            strips = {"ctype": ct_s, "intra_mode": im_s, "mv": mv_s,
+                      "mvp_flag": mf_s, "mvd": mvd_s, "lev_y": ly_s,
+                      "lev_cb": lcb_s, "lev_cr": lcr_s}
+        # strip-concatenated CTU arrays -> picture raster
+        out = {}
+        per_tile = nctu // cfg.tile_cols
+        for key, val in strips.items():
+            val = np.asarray(val).astype(np.int32)
+            dst = np.zeros((nctu,) + val.shape[1:], np.int32)
+            for t in range(cfg.tile_cols):
+                strip_to_raster(val[t * per_tile:(t + 1) * per_tile], cols, t,
+                                cw, ch, dst)
+            out[key] = dst
+        first = enc._frame_count == 0
+        enc._frame_count += 1
+        enc._poc = 0 if is_idr else enc._poc + 1
+        enc._ref = (ry, ru, rv)
+        ctx = {"kind": "tiles" if is_idr else "tiles_p", "out": out, "qp": cfg.qp,
+               "first": first, "poc": enc._poc, "recon": (ry, ru, rv)}
+        return enc.encode_frame_entropy(ctx, materialize_recon=False)
+
+    def encode(self, frames) -> bytes:
+        return b"".join(self.encode_frame(*f)[0] for f in frames)
