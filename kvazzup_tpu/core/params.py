@@ -52,6 +52,8 @@ class StreamConfig:
     fast_decision: bool = True  # dense orig-boundary mode decision prepass
     # + ring-carry recon scan (encoder-only speed/quality trade; streams
     # stay conformant).  False = in-scan RD decisions on recon boundaries.
+    merge_cand: int = 1  # MaxNumMergeCand for P slices (kvazaar --merge);
+    # >1 needs the fast-decision P path (evaluates the full spec list)
     level_idc: int = 123  # level 4.1
     max_dec_pic_buffering: int = 2
     num_reorder_pics: int = 0
@@ -255,6 +257,7 @@ class SliceHeader:
     delta_pocs: tuple = ()
     pos_deltas: tuple = ()
     num_ref_idx_l0: int = 1
+    max_num_merge_cand: int = 1  # MaxNumMergeCand for this slice
     sao_luma: bool = False
     sao_chroma: bool = False
     deblocking_disabled: bool = True
@@ -343,7 +346,7 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
         # cabac_init_present=0 -> no cabac_init_flag
         if cfg.temporal_mvp:
             w.flag(1)  # collocated_from_l0_flag (l0) -- only if B? l0 default
-        w.ue(4)  # five_minus_max_num_merge_cand -> 1 merge cand (v1 inter)
+        w.ue(5 - sh.max_num_merge_cand)  # five_minus_max_num_merge_cand
     w.se(sh.qp - cfg.qp)  # slice_qp_delta relative to init_qp
     # deblocking: pps has control_present=1, override_enabled=0 -> nothing here
     # loop_filter_across_slices: condition false when sao+deblock off

@@ -604,7 +604,7 @@ class Decoder:
                     ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = (
                         decode_slice_data_p_tiles(
                             cfg, pps.num_tile_cols, payload, sh.entry_points,
-                            sh.qp))
+                            sh.qp, merge_k=sh.max_num_merge_cand))
                     y, u, v = reconstruct_frame_p_tiles(
                         cfg, pps.num_tile_cols, ctype, intra_modes, mvs,
                         lev_y, lev_cb, lev_cr, ref, sh.qp)
@@ -617,14 +617,14 @@ class Decoder:
                         decode_slice_data_p_wpp(
                             cfg, payload, sh.entry_points, sh.qp,
                             cu_qp_delta=pps.cu_qp_delta_enabled,
-                            sao=sao_state,
+                            sao=sao_state, merge_k=sh.max_num_merge_cand,
                         )
                     )
                 else:
                     if pps.cu_qp_delta_enabled:
                         raise NotImplementedError("P cu_qp_delta requires WPP streams")
                     ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
-                        cfg, payload, sh.qp
+                        cfg, payload, sh.qp, merge_k=sh.max_num_merge_cand
                     )
                 if not pps.tiles_enabled:
                     ry, ru, rv = ref
@@ -655,7 +655,8 @@ class Decoder:
                     raise ValueError(f"missing L1 reference poc {ref1_poc}")
                 poc_diffs = (sh.poc - ref0_poc, sh.poc - ref1_poc)
                 ctype, intra_modes, pf, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_b_wpp(
-                    cfg, payload, sh.entry_points, sh.qp, poc_diffs, sao=sao_state
+                    cfg, payload, sh.entry_points, sh.qp, poc_diffs, sao=sao_state,
+                    merge_k=sh.max_num_merge_cand,
                 )
                 r0, r1 = ref, ref1
                 y, u, v = reconstruct_frame_b(

@@ -279,10 +279,12 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "rdoq", "xtile"))
+                   static_argnames=("width", "height", "rdoq", "xtile",
+                                    "merge_cand"))
 def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                         height: int, rdoq: bool = False,
-                        xtile=(False, False), xflags=None):
+                        xtile=(False, False), xflags=None,
+                        merge_cand: int = 1):
     """Dense-decision low-delay P encode (ring-carry scan).
 
     Everything that does not read coded-neighbor state runs as one dense
@@ -361,31 +363,66 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         mv_ar, if_ar = shift1(mv_ring[0]), shift1(if_ring[0])
         mv_al, if_al = shift1(mv_ring[2]), shift1(if_ring[2])
         inter_b = lambda f: f[:, 0] != 0
-        _, merge_mv = _first_inter_mv_batch([
-            (fl & inter_b(if_l), mv_l),
-            (fa & inter_b(if_a), mv_a),
-            (ftr & inter_b(if_ar), mv_ar),
-            (fal & inter_b(if_al), mv_al),
-        ])
+        v_a1 = fl & inter_b(if_l)
+        v_b1 = fa & inter_b(if_a)
+        v_b0 = ftr & inter_b(if_ar)
+        v_b2 = fal & inter_b(if_al)
         b_avail, b_mv = _first_inter_mv_batch([
-            (ftr & inter_b(if_ar), mv_ar),
-            (fa & inter_b(if_a), mv_a),
-            (fal & inter_b(if_al), mv_al),
+            (v_b0, mv_ar),
+            (v_b1, mv_a),
+            (v_b2, mv_al),
         ])
-        mvp0, mvp1 = jax.vmap(_amvp_list)(fl & inter_b(if_l), mv_l, b_avail, b_mv)
+        mvp0, mvp1 = jax.vmap(_amvp_list)(v_a1, mv_l, b_avail, b_mv)
 
-        # true-merge cost; ME/intra costs ride in from the dense pre-pass
-        pred_merge = mc_luma_window_batch(winy, merge_mv, n, SEARCH_RANGE)
-        pm_flat = pred_merge.reshape(lanes, -1)
+        # merge candidate list (8.5.3.2.3 on the CTB grid): A1, B1 (pruned
+        # vs A1), B0 (pruned vs B1), B2 (pruned vs A1/B1), zero-fill —
+        # mirrors entropy/slice_data._merge_list_np / native merge_list_c
+        K = merge_cand
+        eq = lambda a, b: (a[:, 0] == b[:, 0]) & (a[:, 1] == b[:, 1])
+        p_a1 = v_a1
+        p_b1 = v_b1 & ~(v_a1 & eq(mv_a, mv_l))
+        p_b0 = v_b0 & ~(v_b1 & eq(mv_ar, mv_a))
+        p_b2 = v_b2 & ~(v_a1 & eq(mv_al, mv_l)) & ~(v_b1 & eq(mv_al, mv_a))
+        i32 = lambda f: f.astype(jnp.int32)
+        pos_b1 = i32(p_a1)
+        pos_b0 = pos_b1 + i32(p_b1)
+        pos_b2 = pos_b0 + i32(p_b0)
+        zero_mv = jnp.zeros_like(mv_l)
+        cands = []
+        for k in range(K):
+            mvk = jnp.where((p_a1 & (k == 0))[:, None], mv_l,
+                  jnp.where((p_b1 & (pos_b1 == k))[:, None], mv_a,
+                  jnp.where((p_b0 & (pos_b0 == k))[:, None], mv_ar,
+                  jnp.where((p_b2 & (pos_b2 == k))[:, None], mv_al, zero_mv))))
+            cands.append(mvk)
+
+        # evaluate every candidate (merge_idx TR bits in the cost); ME and
+        # intra costs ride in from the dense pre-pass
         oy_flat = oyw.reshape(lanes, -1)
-        cost_merge = ck.satd_flat(pm_flat, oy_flat, 4).astype(jnp.float32) + lamf * 2.0
-        if xtile[0] or xtile[1]:
-            # MCTS: a merge MV whose MC support crosses the tile boundary
-            # may not be selected (the decoder would read the other tile)
+        mcts = xtile[0] or xtile[1]
+        if mcts:
             from ..ops.me import mv_valid_x
             lf, rf = xtile if xflags is None else xflags
-            mok = mv_valid_x(merge_mv[:, 0], xpos, n, width, lf, rf)
-            cost_merge = jnp.where(mok, cost_merge, jnp.float32(3e18))
+        preds_m, costs_m = [], []
+        for k in range(K):
+            idx_bits = float(min(k + 1, K - 1)) if K > 1 else 0.0
+            pk = mc_luma_window_batch(winy, cands[k], n, SEARCH_RANGE)
+            cost_k = ck.satd_flat(pk.reshape(lanes, -1), oy_flat, 4).astype(
+                jnp.float32) + lamf * (2.0 + idx_bits)
+            if mcts:
+                # a merge MV whose MC support crosses the tile boundary may
+                # not be selected (the decoder would read the other tile)
+                mok = mv_valid_x(cands[k][:, 0], xpos, n, width, lf, rf)
+                cost_k = jnp.where(mok, cost_k, jnp.float32(3e18))
+            preds_m.append(pk.reshape(lanes, -1))
+            costs_m.append(cost_k)
+        costs_s = jnp.stack(costs_m)  # (K, lanes)
+        merge_idx = jnp.argmin(costs_s, axis=0).astype(jnp.int32)
+        cost_merge = jnp.take_along_axis(costs_s, merge_idx[None], 0)[0]
+        merge_mv = jnp.take_along_axis(
+            jnp.stack(cands), merge_idx[None, :, None], 0)[0]
+        pm_flat = jnp.take_along_axis(
+            jnp.stack(preds_m), merge_idx[None, :, None], 0)[0]
         mvd0 = memv - mvp0
         mvd1 = memv - mvp1
         bits0 = jax.vmap(_mvd_bits)(mvd0)
@@ -455,7 +492,7 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                                  (lanes, 1))
         if_ring = jnp.concatenate([newif[None], if_ring[:2]], axis=0)
 
-        out = (ctype, mv_sel, mvp_flag, mvd,
+        out = (ctype, mv_sel, mvp_flag, mvd, merge_idx,
                lev_y.astype(jnp.int16), outs_c[0].astype(jnp.int16),
                outs_c[1].astype(jnp.int16), rec_y.astype(jnp.uint8),
                recs_c[0].astype(jnp.uint8), recs_c[1].astype(jnp.uint8))
@@ -464,7 +501,7 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     carry0 = (ring0(n), ring0(n // 2), ring0(n // 2),
               jnp.zeros((3, lanes, 2), jnp.int32),
               jnp.zeros((3, lanes, 1), jnp.int32))
-    _, (ct_w, mv_w, mf_w, mvd_w, lev_y_w, lev_cb_w, lev_cr_w, rec_y_w,
+    _, (ct_w, mv_w, mf_w, mvd_w, mi_w, lev_y_w, lev_cb_w, lev_cr_w, rec_y_w,
         rec_cb_w, rec_cr_w) = jax.lax.scan(wave, carry0, xs)
 
     w2r = lambda o: wave_to_raster(sched, o)
@@ -476,6 +513,7 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         "mv": w2r(mv_w),
         "mvp_flag": w2r(mf_w),
         "mvd": w2r(mvd_w),
+        "merge_idx": w2r(mi_w),
         "lev_y": blk(lev_y_w, n),
         "lev_cb": blk(lev_cb_w, m),
         "lev_cr": blk(lev_cr_w, m),

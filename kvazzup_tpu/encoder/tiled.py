@@ -104,6 +104,7 @@ def encode_frame_p_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
     mv = np.zeros((nctu, 2), np.int32)
     mvp_flag = np.zeros(nctu, np.int32)
     mvd = np.zeros((nctu, 2), np.int32)
+    merge_idx = np.zeros(nctu, np.int32)
     lev_y = np.zeros((nctu, n, n), np.int32)
     lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
@@ -119,9 +120,11 @@ def encode_frame_p_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
             jnp.asarray(ref_u[:, px0 // 2 : px1 // 2]),
             jnp.asarray(ref_v[:, px0 // 2 : px1 // 2]), qp,
             width=px1 - px0, height=cfg.height, rdoq=rdoq, xtile=xtile,
+            merge_cand=cfg.merge_cand,
         )
         for key, dst in (("ctype", ctype), ("intra_mode", imode), ("mv", mv),
                          ("mvp_flag", mvp_flag), ("mvd", mvd),
+                         ("merge_idx", merge_idx),
                          ("lev_y", lev_y), ("lev_cb", lev_cb),
                          ("lev_cr", lev_cr)):
             strip_to_raster(np.asarray(out[key]), cols, t, cw, ch, dst)
@@ -130,7 +133,8 @@ def encode_frame_p_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
         rv_parts.append(out["recon_v"])
     return {
         "ctype": ctype, "intra_mode": imode, "mv": mv, "mvp_flag": mvp_flag,
-        "mvd": mvd, "lev_y": lev_y, "lev_cb": lev_cb, "lev_cr": lev_cr,
+        "mvd": mvd, "merge_idx": merge_idx,
+        "lev_y": lev_y, "lev_cb": lev_cb, "lev_cr": lev_cr,
         "recon_y": jnp.concatenate(ry_parts, axis=1),
         "recon_u": jnp.concatenate(ru_parts, axis=1),
         "recon_v": jnp.concatenate(rv_parts, axis=1),

@@ -78,6 +78,10 @@ class Encoder:
             if cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
                     or cfg.slices > 1:
                 raise NotImplementedError("CU8 excludes sao/qp_map/tiles/slices for now")
+        if not 1 <= cfg.merge_cand <= 5:
+            raise ValueError("merge_cand must be in 1..5")
+        if cfg.merge_cand > 1 and not cfg.fast_decision:
+            raise NotImplementedError("merge_cand > 1 needs fast_decision")
         if cfg.slices > 1:
             if intra_period != 1:
                 raise NotImplementedError("slices currently require all-intra")
@@ -273,6 +277,7 @@ class Encoder:
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dev_qp,
                     width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
+                    merge_cand=cfg.merge_cand,
                 )
             else:
                 out = encode_frame_p(
@@ -432,11 +437,15 @@ class Encoder:
                     np.asarray(out["mvd"]), np.asarray(out["lev_y"]),
                     np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
                     slice_qp=qp,
+                    merge_idxs=(np.asarray(out["merge_idx"])
+                                if cfg.merge_cand > 1 else None),
+                    merge_k=cfg.merge_cand,
                 )
                 sh = SliceHeader(
                     slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
                     pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
                     num_negative_pics=1, delta_pocs=(-1,),
+                    max_num_merge_cand=cfg.merge_cand,
                 )
             if entry_offsets:
                 entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
@@ -486,9 +495,14 @@ class Encoder:
                 np.asarray(out["lev_cb"]),
                 np.asarray(out["lev_cr"]),
             )
+            merge_kw = {}
+            if cfg.merge_cand > 1:
+                merge_kw = dict(merge_idxs=np.asarray(out["merge_idx"]),
+                                merge_k=cfg.merge_cand)
             if cfg.wpp:
                 res = encode_slice_data_p_wpp(
-                    cfg, *p_arrays, slice_qp=qp, qp_map=flat_map, sao=sao_state
+                    cfg, *p_arrays, slice_qp=qp, qp_map=flat_map,
+                    sao=sao_state, **merge_kw
                 )
                 if flat_map is not None:
                     payload, entry_offsets, qp_actual = res
@@ -497,7 +511,8 @@ class Encoder:
             elif flat_map is not None:
                 raise NotImplementedError("P-frame qp_map currently requires cfg.wpp")
             else:
-                payload = encode_slice_data_p(cfg, *p_arrays, slice_qp=qp)
+                payload = encode_slice_data_p(cfg, *p_arrays, slice_qp=qp,
+                                              **merge_kw)
             sh = SliceHeader(
                 slice_type=1,
                 qp=qp,
@@ -505,6 +520,7 @@ class Encoder:
                 pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
                 num_negative_pics=1,
                 delta_pocs=(-1,),
+                max_num_merge_cand=cfg.merge_cand,
                 sao_luma=cfg.sao_enabled,
                 sao_chroma=cfg.sao_enabled,
             )

@@ -335,6 +335,63 @@ def _merge_first_mv(i, ctbs_w, nctu, inter, mvs, x0t=0, x1t=None):
     return np.zeros(2, np.int32)
 
 
+def _merge_list_np(i, ctbs_w, inter, mvs, k, x0t=0, x1t=None):
+    """Spec merge list on the one-CU-per-CTB grid (8.5.3.2.3): A1, B1
+    (pruned vs A1), B0 (pruned vs B1), B2 (if fewer than 4 candidates so
+    far, pruned vs A1/B1), zero-MV fill.  A0 (below-left) is never
+    available in CTB raster order.  Mirrors the device wave's
+    construction in encoder/frame_inter (and generic_inter._merge_list
+    restricted to this toolset)."""
+    if x1t is None:
+        x1t = ctbs_w
+    c = i % ctbs_w
+    r = i // ctbs_w
+
+    def nb(j, ok):
+        return (int(mvs[j][0]), int(mvs[j][1])) if (ok and inter[j]) else None
+
+    a1 = nb(i - 1, c > x0t)
+    b1 = nb(i - ctbs_w, r > 0)
+    b0 = nb(i - ctbs_w + 1, r > 0 and c + 1 < x1t)
+    b2 = nb(i - ctbs_w - 1, r > 0 and c > x0t)
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    while len(cands) < k:
+        cands.append((0, 0))
+    return [np.array(cand, np.int32) for cand in cands[:k]]
+
+
+def _encode_merge_idx(enc, idx: int, k: int) -> None:
+    """merge_idx as TR with cMax = k-1: first bin ctx-coded, rest bypass
+    (9.3.3.9)."""
+    if k <= 1:
+        return
+    enc.encode_bin(OFFSETS["merge_idx"], 1 if idx > 0 else 0)
+    if idx > 0:
+        for _ in range(idx - 1):
+            enc.encode_bypass(1)
+        if idx < k - 1:
+            enc.encode_bypass(0)
+
+
+def _decode_merge_idx(dec, k: int) -> int:
+    if k <= 1:
+        return 0
+    if not dec.decode_bin(OFFSETS["merge_idx"]):
+        return 0
+    idx = 1
+    while idx < k - 1 and dec.decode_bypass():
+        idx += 1
+    return idx
+
+
 def _amvp_candidates(i, ctbs_w, inter, mvs, x0t=0, x1t=None):
     if x1t is None:
         x1t = ctbs_w
@@ -372,83 +429,41 @@ def encode_slice_data_p(
     lev_cb: np.ndarray,
     lev_cr: np.ndarray,
     slice_qp: int | None = None,
+    merge_idxs: np.ndarray | None = None,
+    merge_k: int = 1,
 ) -> bytes:
-    """P-slice CTU syntax (CU == CTB == 16, one ref, MaxNumMergeCand=1)."""
+    """P-slice CTU syntax (CU == CTB == 16, one ref)."""
     from ..native import encode_slice_native
 
-    out = encode_slice_native(
-        cfg, 1, False,
-        dict(ctype=ctype, intra_modes=intra_modes, mvs=mvs, mvp_flags=mvp_flags,
-             mvds=mvds, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr),
-        slice_qp if slice_qp is not None else cfg.qp,
-    )
-    if out is not None:
-        return out[0]
+    if merge_k == 1 or merge_idxs is not None:
+        out = encode_slice_native(
+            cfg, 1, False,
+            dict(ctype=ctype, intra_modes=intra_modes, mvs=mvs, mvp_flags=mvp_flags,
+                 mvds=mvds, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr,
+                 merge_idxs=merge_idxs, merge_k=merge_k),
+            slice_qp if slice_qp is not None else cfg.qp,
+        )
+        if out is not None:
+            return out[0]
     enc = CabacEncoder(init_type=1, slice_qp=slice_qp if slice_qp is not None else cfg.qp)
     ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
     nctu = ctbs_w * ctbs_h
     skip = np.zeros(nctu, dtype=bool)
     for i in range(nctu):
-        c = i % ctbs_w
-        r = i // ctbs_w
-        ct = int(ctype[i])
-        # cu_skip_flag: ctx from left/above skip flags
-        ctx = 0
-        if c > 0 and skip[i - 1]:
-            ctx += 1
-        if r > 0 and skip[i - ctbs_w]:
-            ctx += 1
-        is_skip = ct == CT_SKIP
-        enc.encode_bin(OFFSETS["cu_skip_flag"] + ctx, 1 if is_skip else 0)
-        skip[i] = is_skip
-        if not is_skip:
-            enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == CT_INTRA else 0)
-            if ct == CT_INTRA:
-                enc.encode_bin(OFFSETS["part_mode"], 1)  # 2Nx2N
-                cand_a = (
-                    int(intra_modes[i - 1])
-                    if (c > 0 and ctype[i - 1] == CT_INTRA)
-                    else 1
-                )
-                _encode_luma_mode(enc, int(intra_modes[i]), cand_a, 1)
-                enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
-            else:
-                enc.encode_bin(OFFSETS["part_mode"], 1)  # 2Nx2N
-                enc.encode_bin(OFFSETS["merge_flag"], 1 if ct == CT_MERGE else 0)
-                if ct == CT_AMVP:
-                    _encode_mvd(enc, int(mvds[i][0]), int(mvds[i][1]))
-                    enc.encode_bin(OFFSETS["mvp_flag"], int(mvp_flags[i]))
-            cbf_cb = 1 if np.any(lev_cb[i]) else 0
-            cbf_cr = 1 if np.any(lev_cr[i]) else 0
-            cbf_y = 1 if np.any(lev_y[i]) else 0
-            root_cbf = cbf_y or cbf_cb or cbf_cr
-            if ct == CT_AMVP:
-                enc.encode_bin(OFFSETS["rqt_root_cbf"], 1 if root_cbf else 0)
-            if ct == CT_MERGE:
-                assert root_cbf, "zero-residual merge must be coded as skip"
-            if ct == CT_INTRA or root_cbf:
-                enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
-                enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
-                if ct == CT_INTRA or cbf_cb or cbf_cr:
-                    enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
-                else:
-                    assert cbf_y, "inter depth-0 luma cbf inferred to 1"
-                if cbf_y:
-                    encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
-                if cbf_cb:
-                    encode_residual(enc, lev_cb[i], cfg.ctb_log2 - 1, 1)
-                if cbf_cr:
-                    encode_residual(enc, lev_cr[i], cfg.ctb_log2 - 1, 2)
+        _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs,
+                          mvp_flags, mvds, lev_y, lev_cb, lev_cr,
+                          merge_idxs=merge_idxs, merge_k=merge_k)
         enc.encode_terminate(1 if i == nctu - 1 else 0)
     return enc.data()
 
 
-def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True):
+def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True, merge_k: int = 1):
     """Inverse of encode_slice_data_p; also reconstructs per-CTU MVs."""
     if use_native:
         from ..native import decode_slice_native
 
-        out = decode_slice_native(cfg, 1, False, payload, None, slice_qp)
+        out = decode_slice_native(cfg, 1, False, payload, None, slice_qp,
+                                  merge_k=merge_k)
         if out is not None:
             return (out["ctype"], out["intra_modes"], out["mvs"],
                     out["lev_y"], out["lev_cb"], out["lev_cr"])
@@ -465,60 +480,8 @@ def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_na
     lev_cb = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
     for i in range(nctu):
-        c = i % ctbs_w
-        r = i // ctbs_w
-        ctx = 0
-        if c > 0 and skip[i - 1]:
-            ctx += 1
-        if r > 0 and skip[i - ctbs_w]:
-            ctx += 1
-        if dec.decode_bin(OFFSETS["cu_skip_flag"] + ctx):
-            skip[i] = True
-            inter[i] = True
-            ctype[i] = CT_SKIP
-            mvs[i] = _merge_first_mv(i, ctbs_w, nctu, inter, mvs)
-        else:
-            if dec.decode_bin(OFFSETS["pred_mode_flag"]):
-                ctype[i] = CT_INTRA
-                if dec.decode_bin(OFFSETS["part_mode"]) != 1:
-                    raise NotImplementedError("NxN partition")
-                cand_a = (
-                    int(intra_modes[i - 1])
-                    if (c > 0 and ctype[i - 1] == CT_INTRA)
-                    else 1
-                )
-                intra_modes[i] = _decode_luma_mode(dec, cand_a, 1)
-                if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
-                    raise NotImplementedError("non-DM chroma")
-            else:
-                inter[i] = True
-                if dec.decode_bin(OFFSETS["part_mode"]) != 1:
-                    raise NotImplementedError("inter partition != 2Nx2N")
-                if dec.decode_bin(OFFSETS["merge_flag"]):
-                    ctype[i] = CT_MERGE
-                    mvs[i] = _merge_first_mv(i, ctbs_w, nctu, inter, mvs)
-                else:
-                    ctype[i] = CT_AMVP
-                    mvd = _decode_mvd(dec)
-                    flag = dec.decode_bin(OFFSETS["mvp_flag"])
-                    mvp0, mvp1 = _amvp_candidates(i, ctbs_w, inter, mvs)
-                    mvs[i] = (mvp1 if flag else mvp0) + np.array(mvd, np.int32)
-            root_cbf = True
-            if ctype[i] == CT_AMVP:
-                root_cbf = bool(dec.decode_bin(OFFSETS["rqt_root_cbf"]))
-            if ctype[i] == CT_INTRA or root_cbf:
-                cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
-                cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
-                if ctype[i] == CT_INTRA or cbf_cb or cbf_cr:
-                    cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
-                else:
-                    cbf_y = 1
-                if cbf_y:
-                    lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
-                if cbf_cb:
-                    lev_cb[i] = decode_residual(dec, cfg.ctb_log2 - 1, 1)
-                if cbf_cr:
-                    lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
+        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs,
+                          lev_y, lev_cb, lev_cr, merge_k=merge_k)
         end = dec.decode_terminate()
         if end != (1 if i == nctu - 1 else 0):
             raise ValueError(f"end_of_slice mismatch at CTU {i}")
@@ -763,9 +726,10 @@ def decode_slice_data_intra_wpp(cfg, payload, entry_offsets, slice_qp, use_nativ
     return modes, lev_y, lev_cb, lev_cr, (qs.actual if qs else None)
 
 
-def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, qp_state=None, sao=None, x0t=0):
+def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, qp_state=None, sao=None, x0t=0, merge_idxs=None, merge_k=1):
     """One CTU of P-slice syntax (shared by raster, WPP and tile drivers);
-    x0t = tile-column left bound in CTBs (availability stops there)."""
+    x0t = tile-column left bound in CTBs (availability stops there);
+    merge_k > 1 codes merge_idx (TR) for skip/merge CUs."""
     if sao is not None:
         sao.encode(enc, i)
     ctbs_w = cfg.ctbs_w
@@ -781,6 +745,8 @@ def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvd
     enc.encode_bin(OFFSETS["cu_skip_flag"] + ctx, 1 if is_skip else 0)
     skip[i] = is_skip
     if is_skip:
+        _encode_merge_idx(enc, 0 if merge_idxs is None else int(merge_idxs[i]),
+                          merge_k)
         if qp_state is not None:
             qp_state.encode(enc, i, False)
         return
@@ -793,6 +759,9 @@ def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvd
     else:
         enc.encode_bin(OFFSETS["part_mode"], 1)
         enc.encode_bin(OFFSETS["merge_flag"], 1 if ct == CT_MERGE else 0)
+        if ct == CT_MERGE:
+            _encode_merge_idx(
+                enc, 0 if merge_idxs is None else int(merge_idxs[i]), merge_k)
         if ct == CT_AMVP:
             _encode_mvd(enc, int(mvds[i][0]), int(mvds[i][1]))
             enc.encode_bin(OFFSETS["mvp_flag"], int(mvp_flags[i]))
@@ -821,14 +790,15 @@ def _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvd
         qp_state.encode(enc, i, False)
 
 
-def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None, use_native: bool = True, qp_map=None, sao=None):
+def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None, use_native: bool = True, qp_map=None, sao=None, merge_idxs=None, merge_k=1):
     if use_native and qp_map is None and sao is None:
         from ..native import encode_slice_native
 
         out = encode_slice_native(
             cfg, 1, True,
             dict(ctype=ctype, intra_modes=intra_modes, mvs=mvs, mvp_flags=mvp_flags,
-                 mvds=mvds, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr),
+                 mvds=mvds, lev_y=lev_y, lev_cb=lev_cb, lev_cr=lev_cr,
+                 merge_idxs=merge_idxs, merge_k=merge_k),
             slice_qp if slice_qp is not None else cfg.qp,
         )
         if out is not None:
@@ -839,7 +809,7 @@ def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y
     qs = QpState(cfg2.qp, qp_map, nctu) if qp_map is not None else None
 
     def fn(enc, i):
-        _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, qs, sao)
+        _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, qs, sao, merge_idxs=merge_idxs, merge_k=merge_k)
 
     fn.init_type = 1
     out = encode_slice_data_wpp(cfg2, fn, qs)
@@ -848,7 +818,7 @@ def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y
     return out
 
 
-def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_state=None, sao=None, x0t=0, x1t=None):
+def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_state=None, sao=None, x0t=0, x1t=None, merge_k=1):
     if sao is not None:
         sao.decode(dec, i)
     ctbs_w = cfg.ctbs_w
@@ -863,7 +833,8 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
         skip[i] = True
         inter[i] = True
         ctype[i] = CT_SKIP
-        mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs, x0t, x1t)
+        idx = _decode_merge_idx(dec, merge_k)
+        mvs[i] = _merge_list_np(i, ctbs_w, inter, mvs, merge_k, x0t, x1t)[idx]
         if qp_state is not None:
             qp_state.decode(dec, i, False)
         return
@@ -881,7 +852,8 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
             raise NotImplementedError("inter partition != 2Nx2N")
         if dec.decode_bin(OFFSETS["merge_flag"]):
             ctype[i] = CT_MERGE
-            mvs[i] = _merge_first_mv(i, ctbs_w, ctbs_w * cfg.ctbs_h, inter, mvs, x0t, x1t)
+            idx = _decode_merge_idx(dec, merge_k)
+            mvs[i] = _merge_list_np(i, ctbs_w, inter, mvs, merge_k, x0t, x1t)[idx]
         else:
             ctype[i] = CT_AMVP
             mvd = _decode_mvd(dec)
@@ -910,11 +882,12 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
         qp_state.decode(dec, i, False)
 
 
-def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True, cu_qp_delta: bool = False, sao=None):
+def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True, cu_qp_delta: bool = False, sao=None, merge_k: int = 1):
     if use_native and not cu_qp_delta and sao is None:
         from ..native import decode_slice_native
 
-        out = decode_slice_native(cfg, 1, True, payload, entry_offsets, slice_qp)
+        out = decode_slice_native(cfg, 1, True, payload, entry_offsets, slice_qp,
+                                  merge_k=merge_k)
         if out is not None:
             return (out["ctype"], out["intra_modes"], out["mvs"],
                     out["lev_y"], out["lev_cb"], out["lev_cr"], None)
@@ -931,7 +904,7 @@ def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: b
     qs = QpState(slice_qp, np.zeros(nctu), nctu) if cu_qp_delta else None
 
     def fn(dec, i):
-        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qs, sao)
+        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qs, sao, merge_k=merge_k)
 
     decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 1, slice_qp, qs)
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, (qs.actual if qs else None)
@@ -1173,6 +1146,36 @@ def _merge_full_motion_np(i, cw, pf_arr, mv_arr, inter):
     return np.array([True, True]), np.zeros((2, 2), np.int32)
 
 
+def _merge_list_full_np(i, cw, pf_arr, mv_arr, inter, k):
+    """Spec merge list with full (bi-pred) motion on the CTB grid: A1, B1
+    (pruned vs A1), B0 (pruned vs B1), B2 (pruned vs A1/B1), zero-BI fill.
+    Candidate equality compares pred flags and both MVs (8.5.3.2.3)."""
+    c, r = i % cw, i // cw
+
+    def nb(j, ok):
+        if ok and inter[j]:
+            return (tuple(pf_arr[j]), tuple(map(tuple, mv_arr[j])))
+        return None
+
+    a1 = nb(i - 1, c > 0)
+    b1 = nb(i - cw, r > 0)
+    b0 = nb(i - cw + 1, r > 0 and c + 1 < cw)
+    b2 = nb(i - cw - 1, r > 0 and c > 0)
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    zero = ((True, True), ((0, 0), (0, 0)))
+    while len(cands) < k:
+        cands.append(zero)
+    return [(np.array(pf), np.array(mv, np.int32)) for pf, mv in cands[:k]]
+
+
 def _amvp_nbs_np(i, cw, pf_arr, mv_arr, inter):
     c, r = i % cw, i // cw
 
@@ -1191,7 +1194,7 @@ def _amvp_nbs_np(i, cw, pf_arr, mv_arr, inter):
 
 def _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr, mv_arr,
                       inter_dirs, mvp_flags, mvds, lev_y, lev_cb, lev_cr,
-                      qp_state=None, sao=None):
+                      qp_state=None, sao=None, merge_idxs=None, merge_k=1):
     """One CTU of B-slice syntax."""
     if sao is not None:
         sao.encode(enc, i)
@@ -1207,18 +1210,23 @@ def _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr, mv_arr,
     enc.encode_bin(OFFSETS["cu_skip_flag"] + ctx, 1 if is_skip else 0)
     skip[i] = is_skip
     if is_skip:
+        _encode_merge_idx(enc, 0 if merge_idxs is None else int(merge_idxs[i]),
+                          merge_k)
         if qp_state is not None:
             qp_state.encode(enc, i, False)
         return
     enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == CT_INTRA else 0)
     if ct == CT_INTRA:
         enc.encode_bin(OFFSETS["part_mode"], 1)
-        cand_a = int(intra_modes[i - 1]) if (c > x0t and ctype[i - 1] == CT_INTRA) else 1
+        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
         _encode_luma_mode(enc, int(intra_modes[i]), cand_a, 1)
         enc.encode_bin(OFFSETS["intra_chroma_pred_mode"], 0)
     else:
         enc.encode_bin(OFFSETS["part_mode"], 1)
         enc.encode_bin(OFFSETS["merge_flag"], 1 if ct == CT_MERGE else 0)
+        if ct == CT_MERGE:
+            _encode_merge_idx(
+                enc, 0 if merge_idxs is None else int(merge_idxs[i]), merge_k)
         if ct == CT_AMVP:
             d = int(inter_dirs[i])  # 1=L0, 2=L1, 3=BI
             # inter_pred_idc: bin0 ctx CtDepth(0): BI?; else bin ctx 4: L1?
@@ -1258,21 +1266,23 @@ def _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr, mv_arr,
 
 def encode_slice_data_b_wpp(cfg, ctype, intra_modes, pf_arr, mv_arr, inter_dirs,
                             mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None,
-                            sao=None):
+                            sao=None, merge_idxs=None, merge_k=1):
     nctu = cfg.ctbs_w * cfg.ctbs_h
     skip = np.zeros(nctu, dtype=bool)
     cfg2 = cfg if slice_qp is None else __import__("dataclasses").replace(cfg, qp=slice_qp)
 
     def fn(enc, i):
         _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr, mv_arr,
-                          inter_dirs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, None, sao)
+                          inter_dirs, mvp_flags, mvds, lev_y, lev_cb, lev_cr, None, sao,
+                          merge_idxs=merge_idxs, merge_k=merge_k)
 
     fn.init_type = 2  # B slice, cabac_init_flag == 0 -> initType 2
     return encode_slice_data_wpp(cfg2, fn)
 
 
 def _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_arr,
-                      lev_y, lev_cb, lev_cr, poc_diffs, qp_state=None, sao=None):
+                      lev_y, lev_cb, lev_cr, poc_diffs, qp_state=None, sao=None,
+                      merge_k=1):
     if sao is not None:
         sao.decode(dec, i)
     ctbs_w = cfg.ctbs_w
@@ -1287,7 +1297,9 @@ def _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_a
         skip[i] = True
         inter[i] = True
         ctype[i] = CT_SKIP
-        pf_arr[i], mv_arr[i] = _merge_full_motion_np(i, ctbs_w, pf_arr, mv_arr, inter)
+        idx = _decode_merge_idx(dec, merge_k)
+        pf_arr[i], mv_arr[i] = _merge_list_full_np(
+            i, ctbs_w, pf_arr, mv_arr, inter, merge_k)[idx]
         if qp_state is not None:
             qp_state.decode(dec, i, False)
         return
@@ -1295,7 +1307,7 @@ def _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_a
         ctype[i] = CT_INTRA
         if dec.decode_bin(OFFSETS["part_mode"]) != 1:
             raise NotImplementedError("NxN partition")
-        cand_a = int(intra_modes[i - 1]) if (c > x0t and ctype[i - 1] == CT_INTRA) else 1
+        cand_a = int(intra_modes[i - 1]) if (c > 0 and ctype[i - 1] == CT_INTRA) else 1
         intra_modes[i] = _decode_luma_mode(dec, cand_a, 1)
         if dec.decode_bin(OFFSETS["intra_chroma_pred_mode"]) != 0:
             raise NotImplementedError("non-DM chroma")
@@ -1305,7 +1317,9 @@ def _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_a
             raise NotImplementedError("inter partition != 2Nx2N")
         if dec.decode_bin(OFFSETS["merge_flag"]):
             ctype[i] = CT_MERGE
-            pf_arr[i], mv_arr[i] = _merge_full_motion_np(i, ctbs_w, pf_arr, mv_arr, inter)
+            idx = _decode_merge_idx(dec, merge_k)
+            pf_arr[i], mv_arr[i] = _merge_list_full_np(
+                i, ctbs_w, pf_arr, mv_arr, inter, merge_k)[idx]
         else:
             ctype[i] = CT_AMVP
             if dec.decode_bin(OFFSETS["inter_pred_idc"]):
@@ -1348,7 +1362,8 @@ def _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_a
         qp_state.decode(dec, i, False)
 
 
-def decode_slice_data_b_wpp(cfg, payload, entry_offsets, slice_qp, poc_diffs, sao=None):
+def decode_slice_data_b_wpp(cfg, payload, entry_offsets, slice_qp, poc_diffs, sao=None,
+                            merge_k=1):
     nctu = cfg.ctbs_w * cfg.ctbs_h
     n = cfg.ctb_size
     ctype = np.zeros(nctu, np.int32)
@@ -1363,7 +1378,8 @@ def decode_slice_data_b_wpp(cfg, payload, entry_offsets, slice_qp, poc_diffs, sa
 
     def fn(dec, i):
         _decode_ctu_b_one(dec, cfg, i, skip, inter, ctype, intra_modes, pf_arr, mv_arr,
-                          lev_y, lev_cb, lev_cr, poc_diffs, None, sao)
+                          lev_y, lev_cb, lev_cr, poc_diffs, None, sao,
+                          merge_k=merge_k)
 
     decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 2, slice_qp, None)
     return ctype, intra_modes, pf_arr, mv_arr, lev_y, lev_cb, lev_cr
@@ -1491,7 +1507,8 @@ def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp)
 
 
 def encode_slice_data_p_tiles(cfg, n_cols, ctype, intra_modes, mvs, mvp_flags,
-                              mvds, lev_y, lev_cb, lev_cr, slice_qp=None):
+                              mvds, lev_y, lev_cb, lev_cr, slice_qp=None,
+                              merge_idxs=None, merge_k=1):
     """P-slice tile columns: independent CABAC substream per tile with
     tile-local neighbor availability (the MCTS counterpart of the device
     wave's tile-view encode)."""
@@ -1500,13 +1517,15 @@ def encode_slice_data_p_tiles(cfg, n_cols, ctype, intra_modes, mvs, mvp_flags,
 
     def fn(enc, i, x0t, x1t):
         _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs,
-                          mvp_flags, mvds, lev_y, lev_cb, lev_cr, x0t=x0t)
+                          mvp_flags, mvds, lev_y, lev_cb, lev_cr, x0t=x0t,
+                          merge_idxs=merge_idxs, merge_k=merge_k)
 
     fn.init_type = 1
     return encode_slice_data_tiles(cfg, n_cols, fn, slice_qp)
 
 
-def decode_slice_data_p_tiles(cfg, n_cols, payload, entry_offsets, slice_qp):
+def decode_slice_data_p_tiles(cfg, n_cols, payload, entry_offsets, slice_qp,
+                              merge_k: int = 1):
     nctu = cfg.ctbs_w * cfg.ctbs_h
     n = cfg.ctb_size
     ctype = np.zeros(nctu, np.int32)
@@ -1520,7 +1539,8 @@ def decode_slice_data_p_tiles(cfg, n_cols, payload, entry_offsets, slice_qp):
 
     def fn(dec, i, x0t, x1t):
         _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs,
-                          lev_y, lev_cb, lev_cr, x0t=x0t, x1t=x1t)
+                          lev_y, lev_cb, lev_cr, x0t=x0t, x1t=x1t,
+                          merge_k=merge_k)
 
     decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 1, slice_qp)
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr

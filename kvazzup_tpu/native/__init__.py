@@ -139,6 +139,7 @@ def _bind_unified(lib):
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int,
     ]
     lib.decode_slice_c.restype = ctypes.c_int
     lib.decode_slice_c.argtypes = [
@@ -146,7 +147,7 @@ def _bind_unified(lib):
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
     ]
     lib._unified_bound = True
 
@@ -180,6 +181,10 @@ def encode_slice_native(cfg, slice_type, wpp, arrays, slice_qp):
     cap = max(1 << 16, lev_y.nbytes + lev_cb.nbytes + lev_cr.nbytes + 4096 * max(1, cfg.ctbs_h))
     out = np.empty(cap, np.uint8)
     row_lens = np.zeros(max(1, cfg.ctbs_h), np.int64)
+    merge_k = int(arrays.get("merge_k", 1) or 1)
+    merge_idxs = arrays.get("merge_idxs")
+    if merge_idxs is not None:
+        merge_idxs = _as_i32(merge_idxs)
     n = lib.encode_slice_c(
         slice_type, 1 if wpp else 0,
         None if ctype is None else ctype.ctypes.data,
@@ -187,6 +192,8 @@ def encode_slice_native(cfg, slice_type, wpp, arrays, slice_qp):
         lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
         cfg.ctbs_w, cfg.ctbs_h, cfg.ctb_log2, int(cfg.ctb_log2 == cfg.min_cb_log2),
         slice_qp, out.ctypes.data, cap, row_lens.ctypes.data,
+        None if merge_idxs is None else merge_idxs.ctypes.data,
+        min(max(merge_k, 1), 5),
     )
     if n < 0:
         raise RuntimeError(f"native slice encode failed: {n}")
@@ -194,7 +201,8 @@ def encode_slice_native(cfg, slice_type, wpp, arrays, slice_qp):
     return out[:n].tobytes(), entry
 
 
-def decode_slice_native(cfg, slice_type, wpp, payload, entry_offsets, slice_qp):
+def decode_slice_native(cfg, slice_type, wpp, payload, entry_offsets, slice_qp,
+                        merge_k: int = 1):
     """Unified native slice decoder; returns arrays dict or None."""
     lib = get_lib()
     if lib is None:
@@ -217,6 +225,7 @@ def decode_slice_native(cfg, slice_type, wpp, payload, entry_offsets, slice_qp):
         slice_qp,
         ctype.ctypes.data, modes.ctypes.data, mvs.ctypes.data,
         lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
+        min(max(int(merge_k or 1), 1), 5),
     )
     if rc != 0:
         raise ValueError(f"native slice decode failed: {rc}")

@@ -711,6 +711,51 @@ static void merge_first_mv(int i, int cw, const uint8_t *inter, const int32_t *m
     mv[0] = mv[1] = 0;
 }
 
+/* spec merge list on the one-CU-per-CTB grid (8.5.3.2.3): A1, B1(!=A1),
+ * B0(!=B1), B2 (if <4 so far, !=A1,!=B1), zero-fill; A0 never decoded. */
+static void merge_list_c(int i, int cw, const uint8_t *inter, const int32_t *mvs,
+                         int merge_k, int32_t out[][2]) {
+    int c = i % cw, r = i / cw;
+    int32_t cand[4][2];
+    int have[4] = {0, 0, 0, 0};
+    int js[4] = {i - 1, i - cw, i - cw + 1, i - cw - 1};
+    int oks[4] = {c > 0, r > 0, r > 0 && c + 1 < cw, r > 0 && c > 0};
+    for (int k = 0; k < 4; k++)
+        if (oks[k] && inter[js[k]]) {
+            have[k] = 1;
+            cand[k][0] = mvs[2 * js[k]];
+            cand[k][1] = mvs[2 * js[k] + 1];
+        }
+    int n = 0;
+#define MEQ(a, b) (have[a] && have[b] && cand[a][0] == cand[b][0] && cand[a][1] == cand[b][1])
+    if (have[0]) { out[n][0] = cand[0][0]; out[n][1] = cand[0][1]; n++; }
+    if (have[1] && !MEQ(1, 0)) { out[n][0] = cand[1][0]; out[n][1] = cand[1][1]; n++; }
+    if (have[2] && !MEQ(2, 1)) { out[n][0] = cand[2][0]; out[n][1] = cand[2][1]; n++; }
+    if (n < 4 && have[3] && !MEQ(3, 0) && !MEQ(3, 1)) {
+        out[n][0] = cand[3][0]; out[n][1] = cand[3][1]; n++;
+    }
+#undef MEQ
+    while (n < merge_k) { out[n][0] = 0; out[n][1] = 0; n++; }
+}
+
+/* merge_idx: TR with cMax = k-1, first bin ctx-coded, rest bypass (9.3.3.9) */
+static void enc_merge_idx(CabacEnc *e, int idx, int k) {
+    if (k <= 1) return;
+    enc_bin(e, CTX_MERGE_IDX, idx > 0);
+    if (idx > 0) {
+        for (int j = 1; j < idx; j++) enc_bypass(e, 1);
+        if (idx < k - 1) enc_bypass(e, 0);
+    }
+}
+
+static int dec_merge_idx(CabacDec *d, int k) {
+    if (k <= 1) return 0;
+    if (!dec_bin(d, CTX_MERGE_IDX)) return 0;
+    int idx = 1;
+    while (idx < k - 1 && dec_bypass(d)) idx++;
+    return idx;
+}
+
 static void amvp_cands(int i, int cw, const uint8_t *inter, const int32_t *mvs,
                        int32_t mvp0[2], int32_t mvp1[2]) {
     int c = i % cw, r = i / cw;
@@ -746,6 +791,8 @@ typedef struct {
     const int32_t *lev_y, *lev_cb, *lev_cr;
     uint8_t *skip;             /* (nctu,) scratch, encoder precomputed */
     int ctbs_w, ctbs_h, ctb_log2, at_min_cb;
+    const int32_t *merge_idxs; /* NULL -> all 0 */
+    int merge_k;               /* MaxNumMergeCand (slice header) */
 } SliceArrays;
 
 static void enc_ctu_i(CabacEnc *e, const SliceArrays *sa, int i) {
@@ -780,7 +827,10 @@ static void enc_ctu_p(CabacEnc *e, const SliceArrays *sa, int i) {
     if (r > 0 && sa->skip[i - cw]) ctx++;
     int is_skip = ct == CT_SKIP;
     enc_bin(e, CTX_CU_SKIP_FLAG + ctx, is_skip);
-    if (is_skip) return;
+    if (is_skip) {
+        enc_merge_idx(e, sa->merge_idxs ? sa->merge_idxs[i] : 0, sa->merge_k);
+        return;
+    }
     enc_bin(e, CTX_PRED_MODE_FLAG, ct == CT_INTRA);
     if (ct == CT_INTRA) {
         enc_bin(e, CTX_PART_MODE, 1);
@@ -790,6 +840,8 @@ static void enc_ctu_p(CabacEnc *e, const SliceArrays *sa, int i) {
     } else {
         enc_bin(e, CTX_PART_MODE, 1);
         enc_bin(e, CTX_MERGE_FLAG, ct == CT_MERGE);
+        if (ct == CT_MERGE)
+            enc_merge_idx(e, sa->merge_idxs ? sa->merge_idxs[i] : 0, sa->merge_k);
         if (ct == CT_AMVP) {
             enc_mvd(e, sa->mvds[2 * i], sa->mvds[2 * i + 1]);
             enc_bin(e, CTX_MVP_FLAG, sa->mvp_flags[i]);
@@ -883,13 +935,15 @@ long encode_slice_c(
     const int32_t *mvp_flags, const int32_t *mvds,
     const int32_t *lev_y, const int32_t *lev_cb, const int32_t *lev_cr,
     int ctbs_w, int ctbs_h, int ctb_log2, int at_min_cb, int slice_qp,
-    uint8_t *out, long out_cap, long *row_lens) {
+    uint8_t *out, long out_cap, long *row_lens,
+    const int32_t *merge_idxs, int merge_k) {
     int nctu = ctbs_w * ctbs_h;
     uint8_t *skip = (uint8_t *)calloc(nctu, 1);
     if (slice_type == 1)
         for (int i = 0; i < nctu; i++) skip[i] = ctype[i] == CT_SKIP;
     SliceArrays sa = {ctype, intra_modes, mvs, mvp_flags, mvds,
-                      lev_y, lev_cb, lev_cr, skip, ctbs_w, ctbs_h, ctb_log2, at_min_cb};
+                      lev_y, lev_cb, lev_cr, skip, ctbs_w, ctbs_h, ctb_log2,
+                      at_min_cb, merge_idxs, merge_k ? merge_k : 1};
     long total = -1;
     if (!wpp) {
         CabacEnc e;
@@ -985,9 +1039,10 @@ static int dec_ctu_p(CabacDec *d, SliceArrays *sa, int i,
         skip[i] = 1;
         inter[i] = 1;
         ctype[i] = CT_SKIP;
-        int32_t mv[2];
-        merge_first_mv(i, cw, inter, mvs, mv);
-        mvs[2 * i] = mv[0]; mvs[2 * i + 1] = mv[1];
+        int idx = dec_merge_idx(d, sa->merge_k);
+        int32_t list[5][2];
+        merge_list_c(i, cw, inter, mvs, sa->merge_k, list);
+        mvs[2 * i] = list[idx][0]; mvs[2 * i + 1] = list[idx][1];
         return 0;
     }
     if (dec_bin(d, CTX_PRED_MODE_FLAG)) {
@@ -1001,9 +1056,10 @@ static int dec_ctu_p(CabacDec *d, SliceArrays *sa, int i,
         if (dec_bin(d, CTX_PART_MODE) != 1) return -10;
         if (dec_bin(d, CTX_MERGE_FLAG)) {
             ctype[i] = CT_MERGE;
-            int32_t mv[2];
-            merge_first_mv(i, cw, inter, mvs, mv);
-            mvs[2 * i] = mv[0]; mvs[2 * i + 1] = mv[1];
+            int idx = dec_merge_idx(d, sa->merge_k);
+            int32_t list[5][2];
+            merge_list_c(i, cw, inter, mvs, sa->merge_k, list);
+            mvs[2 * i] = list[idx][0]; mvs[2 * i + 1] = list[idx][1];
         } else {
             ctype[i] = CT_AMVP;
             int mvd_x, mvd_y;
@@ -1034,7 +1090,7 @@ int decode_slice_c(
     const uint8_t *payload, long payload_len, const long *entry_offsets,
     int ctbs_w, int ctbs_h, int ctb_log2, int at_min_cb, int slice_qp,
     int32_t *ctype, int32_t *intra_modes, int32_t *mvs,
-    int32_t *lev_y, int32_t *lev_cb, int32_t *lev_cr) {
+    int32_t *lev_y, int32_t *lev_cb, int32_t *lev_cr, int merge_k) {
     int nctu = ctbs_w * ctbs_h;
     int n = 1 << ctb_log2;
     memset(lev_y, 0, sizeof(int32_t) * (long)nctu * n * n);
@@ -1047,6 +1103,7 @@ int decode_slice_c(
     uint8_t *skip = (uint8_t *)calloc(nctu, 1);
     SliceArrays sa = {0};
     sa.ctbs_w = ctbs_w; sa.ctbs_h = ctbs_h; sa.ctb_log2 = ctb_log2; sa.at_min_cb = at_min_cb;
+    sa.merge_k = merge_k ? merge_k : 1;
     int rc = 0;
     uint8_t saved_state[NUM_CONTEXTS], saved_mps[NUM_CONTEXTS];
     int have_saved = 0;

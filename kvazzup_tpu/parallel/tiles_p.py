@@ -145,7 +145,7 @@ class ShardedTileEncoder:
             out = encode_frame_p_fast(
                 y, u, v, ref_y, ref_u, ref_v, qp, width=tile_w,
                 height=cfg.height, rdoq=cfg.rdoq, xtile=(True, True),
-                xflags=(left_f, right_f))
+                xflags=(left_f, right_f), merge_cand=cfg.merge_cand)
             ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
             if cfg.deblocking_enabled:
                 ct2 = out["ctype"].reshape(ch, cwt)
@@ -155,7 +155,7 @@ class ShardedTileEncoder:
                 ry, ru, rv = halo_deblock(ry, ru, rv, ct2, cb2, mv2,
                                           left_f, right_f)
             return (out["ctype"], out["intra_mode"], out["mv"],
-                    out["mvp_flag"], out["mvd"],
+                    out["mvp_flag"], out["mvd"], out["merge_idx"],
                     out["lev_y"].astype(jnp.int16),
                     out["lev_cb"].astype(jnp.int16),
                     out["lev_cr"].astype(jnp.int16), ry, ru, rv)
@@ -172,7 +172,7 @@ class ShardedTileEncoder:
             out_specs=(ctu1, ctu3, ctu3, ctu3) + planes3, check_vma=False))
         step_p = jax.jit(shard_map(
             shard_p, mesh=mesh, in_specs=planes3 + planes3,
-            out_specs=(ctu1, ctu1, ctu2, ctu1, ctu2, ctu3, ctu3, ctu3)
+            out_specs=(ctu1, ctu1, ctu2, ctu1, ctu2, ctu1, ctu3, ctu3, ctu3)
             + planes3, check_vma=False))
         return step_i, step_p
 
@@ -199,11 +199,11 @@ class ShardedTileEncoder:
             strips = {"mode": mode_s, "lev_y": ly_s, "lev_cb": lcb_s,
                       "lev_cr": lcr_s}
         else:
-            (ct_s, im_s, mv_s, mf_s, mvd_s, ly_s, lcb_s, lcr_s, ry, ru,
-             rv) = self._step_p(yd, ud, vd, *enc._ref)
+            (ct_s, im_s, mv_s, mf_s, mvd_s, mi_s, ly_s, lcb_s, lcr_s, ry,
+             ru, rv) = self._step_p(yd, ud, vd, *enc._ref)
             strips = {"ctype": ct_s, "intra_mode": im_s, "mv": mv_s,
-                      "mvp_flag": mf_s, "mvd": mvd_s, "lev_y": ly_s,
-                      "lev_cb": lcb_s, "lev_cr": lcr_s}
+                      "mvp_flag": mf_s, "mvd": mvd_s, "merge_idx": mi_s,
+                      "lev_y": ly_s, "lev_cb": lcb_s, "lev_cr": lcr_s}
         # strip-concatenated CTU arrays -> picture raster
         out = {}
         per_tile = nctu // cfg.tile_cols

@@ -86,7 +86,8 @@ class GopBatchDeviceEncoder:
 
         def step_p(y, u, v, ry, ru, rv):
             out = encode_frame_p_fast(y, u, v, ry, ru, rv, qp, width=w,
-                                      height=h, rdoq=cfg.rdoq)
+                                      height=h, rdoq=cfg.rdoq,
+                                      merge_cand=cfg.merge_cand)
             bs_v, bs_h = compute_bs(out["ctype"],
                                     jnp.any(out["lev_y"] != 0, axis=(1, 2)),
                                     out["mv"], cfg.ctbs_w, cfg.ctbs_h)

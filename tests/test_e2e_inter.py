@@ -188,3 +188,20 @@ def test_random_access_with_sao(tmp_path):
     for k, poc in enumerate(sorted(recons)):
         for a, b in zip(recons[poc], ref[k]):
             np.testing.assert_array_equal(a, b, err_msg=f"poc {poc}")
+
+
+@pytest.mark.parametrize("merge_cand", [2, 5])
+def test_p_merge_cand(merge_cand, tmp_path):
+    """MaxNumMergeCand > 1: spec merge list (A1/B1/B0/B2 + zero-fill) with
+    coded merge_idx, oracle-exact (kvazaar --merge analogue)."""
+    w, h = 96, 64
+    cfg = StreamConfig(width=w, height=h, qp=30, merge_cand=merge_cand,
+                       deblocking_enabled=True)
+    _run(cfg, _moving_frames(w, h, 4), tmp_path)
+
+
+def test_p_merge_cand_wpp_sao(tmp_path):
+    w, h = 128, 96
+    cfg = StreamConfig(width=w, height=h, qp=30, merge_cand=3, wpp=True,
+                       sao_enabled=True, deblocking_enabled=True)
+    _run(cfg, _moving_frames(w, h, 4), tmp_path)
