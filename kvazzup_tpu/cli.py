@@ -11,6 +11,7 @@ conformance-runner entry used by benchmarks and tests.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -170,6 +171,147 @@ def cmd_psnr(args) -> int:
     return 0
 
 
+def cmd_call(args) -> int:
+    """Headless call endpoint: SIP over real TCP, RTP video over UDP.
+
+    Callee:  kvazzup_tpu call --listen --sip-port 5060 --name bob
+    Caller:  kvazzup_tpu call sip:bob@host:5060 --name alice --duration 5
+
+    This is the reference's two-uvgComm-instances-plus-Kamailio manual
+    system test (SURVEY.md §4) as a shippable command: direct endpoint-to-
+    endpoint TCP signaling (Via/rport routing), SDP-negotiated media
+    ports, live H.265 both ways, BYE teardown.
+    """
+    import socket as socketlib
+    import threading
+
+    from .controller import CallSession
+    from .core.params import StreamConfig
+    from .delivery.rtp import H265Depacketizer, H265Packetizer
+    from .io.yuv import synthetic_frames
+    from .pipeline.media_pipeline import Frame
+    from .signaling.dialog import CallState
+    from .signaling.transport import SipEndpoint
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    w, h = (int(t) for t in args.size.split("x"))
+    cfg = StreamConfig(width=w, height=h, qp=args.qp)
+
+    # media socket: the port we advertise in SDP and read RTP from
+    vsock = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+    vsock.bind((args.bind, args.media_port))
+    vport = vsock.getsockname()[1]
+    vsock.settimeout(0.25)
+
+    state = {"dest": None, "rx_frames": 0, "tx_frames": 0, "done": threading.Event()}
+    pk = H265Packetizer(mtu=1200)
+
+    def media_sink(data: bytes, frame) -> None:
+        dest = state["dest"]
+        if dest is None:
+            return
+        for pkt in pk.packetize(data, state["tx_frames"] / args.fps):
+            vsock.sendto(pkt.pack(), dest)
+        state["tx_frames"] += 1
+
+    def display(y, u, v) -> None:
+        state["rx_frames"] += 1
+
+    ep = SipEndpoint(args.name, args.bind, args.sip_port,
+                     media_sink=media_sink, display=display,
+                     video_cfg=cfg, media_ports=(0, vport))
+    sessions: list = []
+
+    def on_connected(sess: CallSession) -> None:
+        remote = sess.negotiation.remote_sdp
+        vm = next(m for m in remote.media if m.media == "video")
+        state["dest"] = (remote.connection_address, vm.port)
+        sessions.append(sess)
+        print(f"call connected; sending video to {state['dest']}")
+
+    def on_incoming(sess: CallSession) -> None:
+        print("incoming call: answering")
+        ep.controller.accept_call(sess)
+        on_connected(sess)  # callee: remote SDP is the offer
+
+    ep.controller.on_call_connected = on_connected
+    ep.controller.on_incoming_call = on_incoming
+
+    def on_ended(sess) -> None:
+        state["done"].set()
+
+    ep.controller.on_call_ended = on_ended
+
+    # RTP receive loop -> depacketize -> decode pipeline
+    de = H265Depacketizer()
+
+    def rx_loop() -> None:
+        from .delivery.rtp import RtpPacket
+
+        while not state["done"].is_set():
+            try:
+                data, _ = vsock.recvfrom(65536)
+            except (socketlib.timeout, OSError):
+                continue
+            try:
+                au = de.push(RtpPacket.parse(data))
+            except ValueError:
+                continue
+            if au and sessions and sessions[0].media:
+                sessions[0].media.recv.put_packet(au)
+
+    rx = threading.Thread(target=rx_loop, daemon=True)
+    rx.start()
+
+    if args.uri:  # caller
+        sess = ep.controller.start_call(args.uri)
+        deadline = time.time() + 10
+        while sess.invite.state != CallState.CONNECTED and time.time() < deadline:
+            time.sleep(0.05)
+        if sess.invite.state != CallState.CONNECTED:
+            print("call failed to connect", file=sys.stderr)
+            ep.close()
+            return 1
+    else:
+        print(f"listening on {ep.host}:{ep.port} as {args.name} "
+              f"(URI {ep.uri}); media port {vport}")
+        while not sessions and not state["done"].is_set():
+            time.sleep(0.05)
+
+    # stream synthetic frames for the call duration
+    frames = synthetic_frames(w, h, max(2, int(args.duration * args.fps) or 2),
+                              seed=1 if args.uri else 2)
+    t_end = time.time() + args.duration
+    i = 0
+    while time.time() < t_end and not state["done"].is_set():
+        if sessions and sessions[0].media:
+            f = frames[i % len(frames)]
+            sessions[0].media.send.put_frame(Frame(f[0], f[1], f[2], time.time()))
+            i += 1
+        time.sleep(1.0 / args.fps)
+
+    if args.uri and sessions and not state["done"].is_set():
+        ep.controller.end_call(sessions[0])
+        time.sleep(0.5)
+    elif not args.uri:
+        state["done"].wait(timeout=15)
+    state["done"].set()
+    for sess in sessions:
+        if sess.media is not None:
+            sess.media.stop()
+    rx.join(timeout=2)
+    ep.close()
+    vsock.close()
+    print(f"call over: sent {state['tx_frames']} frames, "
+          f"received {state['rx_frames']} decoded frames", flush=True)
+    ok = bool(state["tx_frames"] and (not args.uri or state["rx_frames"]))
+    # skip interpreter teardown: XLA CPU + daemon pipeline threads race the
+    # runtime destructor (the reference's Qt app also hard-exits its
+    # process after uninit)
+    os._exit(0 if ok else 1)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="kvazzup_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -211,6 +353,20 @@ def main(argv=None) -> int:
     pd.add_argument("input")
     pd.add_argument("output")
     pd.set_defaults(fn=cmd_decode)
+
+    pc = sub.add_parser("call")
+    pc.add_argument("uri", nargs="?", default=None,
+                    help="sip:user@host:port to call; omit with --listen")
+    pc.add_argument("--listen", action="store_true")
+    pc.add_argument("--name", default="kvz")
+    pc.add_argument("--bind", default="0.0.0.0")
+    pc.add_argument("--sip-port", type=int, default=0)
+    pc.add_argument("--media-port", type=int, default=0)
+    pc.add_argument("--size", default="96x64")
+    pc.add_argument("--qp", type=int, default=30)
+    pc.add_argument("--fps", type=float, default=10.0)
+    pc.add_argument("--duration", type=float, default=3.0)
+    pc.set_defaults(fn=cmd_call)
 
     pp = sub.add_parser("psnr")
     pp.add_argument("a")

@@ -48,6 +48,7 @@ class Controller:
         media_sink=None,
         display=None,
         video_cfg: StreamConfig | None = None,
+        media_ports: tuple = (0, 0),
     ) -> None:
         self.username = username
         self.local_address = local_address
@@ -55,6 +56,7 @@ class Controller:
         self.media_sink = media_sink or (lambda data, frame: None)
         self.display = display or (lambda y, u, v: None)
         self.video_cfg = video_cfg or StreamConfig(width=96, height=64, qp=30)
+        self.media_ports = media_ports
         self.stats = Statistics()
         self.sessions: dict[str, CallSession] = {}  # by Call-ID
         self._next_id = 1
@@ -165,7 +167,9 @@ class Controller:
             session_id=sid,
             invite=InviteSession(dialog),
             negotiation=SdpNegotiation(
-                default_sdp(self.username, self.local_address)
+                default_sdp(self.username, self.local_address,
+                            audio_port=self.media_ports[0],
+                            video_port=self.media_ports[1])
             ),
         )
         self.sessions[dialog.call_id or call_id] = sess

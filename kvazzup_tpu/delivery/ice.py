@@ -208,3 +208,186 @@ class IceAgent:
                             pair.succeeded = True
                             pair.nominated = True
                             self._nominated.setdefault(pair.local.component, pair)
+
+
+# ----------------------------------------------------- server-reflexive
+
+BINDING_INDICATION = 0x0011
+
+
+class StunServer:
+    """Minimal STUN binding server (RFC 5389): replies with the source's
+    XOR-MAPPED-ADDRESS.  The reference points NetworkCandidates at a
+    public server (stunserver.org, networkcandidates.cpp); this ships the
+    server side too so LAN/test deployments need no egress."""
+
+    def __init__(self, host: str = "0.0.0.0", port: int = 0) -> None:
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((host, port))
+        self.host, self.port = self.sock.getsockname()[:2]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                data, addr = self.sock.recvfrom(2048)
+            except OSError:
+                break
+            try:
+                msg = StunMessage.parse(data)
+            except ValueError:
+                continue
+            if msg.msg_type == BINDING_REQUEST:
+                resp = StunMessage(BINDING_RESPONSE, msg.transaction_id)
+                resp.set_xor_mapped_address(addr[0], addr[1])
+                try:
+                    self.sock.sendto(resp.pack(), addr)
+                except OSError:
+                    break
+            # Binding Indications are keepalives: no response (RFC 5389 7.1)
+
+
+def discover_srflx(stun_host: str, stun_port: int, sock: socket.socket,
+                   retries: int = 3, timeout: float = 0.5):
+    """One server-reflexive discovery on an existing socket: STUN Binding
+    request -> (mapped_host, mapped_port), or None on timeout.
+
+    Parity: networkcandidates.cpp STUN bindings (the reference keeps one
+    binding per pooled port and refreshes it as a keepalive)."""
+    req = StunMessage(BINDING_REQUEST)
+    old_to = sock.gettimeout()
+    try:
+        for _ in range(max(1, retries)):
+            sock.sendto(req.pack(), (stun_host, stun_port))
+            sock.settimeout(timeout)
+            try:
+                while True:
+                    data, addr = sock.recvfrom(2048)
+                    if addr[:2] != (stun_host, stun_port):
+                        continue  # unrelated traffic on a shared socket
+                    msg = StunMessage.parse(data)
+                    if (msg.msg_type == BINDING_RESPONSE
+                            and msg.transaction_id == req.transaction_id):
+                        return msg.xor_mapped_address()
+            except (socket.timeout, ValueError):
+                continue
+    finally:
+        sock.settimeout(old_to)
+    return None
+
+
+class StunKeepalive:
+    """Periodic Binding Indications so the NAT mapping for a pooled port
+    stays alive while a session is being negotiated (networkcandidates.h
+    refresh timer parity)."""
+
+    def __init__(self, sock: socket.socket, stun_host: str, stun_port: int,
+                 interval: float = 15.0) -> None:
+        self.sock, self.dest = sock, (stun_host, stun_port)
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval):
+            try:
+                self.sock.sendto(StunMessage(BINDING_INDICATION).pack(), self.dest)
+            except OSError:
+                break
+
+
+class PortPool:
+    """ICE media-port reservations (networkcandidates.h:24-104 parity):
+    even RTP/odd RTCP pairs handed out per session and returned on
+    teardown, from the reference's 23000-24000 range by default."""
+
+    def __init__(self, lo: int = ICE_PORT_MIN, hi: int = ICE_PORT_MAX) -> None:
+        self._lo, self._hi = lo, hi
+        self._next = lo
+        self._free: list = []
+        self._held: dict = {}  # session_id -> [(sock, sock), ...]
+        self._lock = threading.Lock()
+
+    def reserve_pair(self, session_id) -> tuple:
+        """-> ((rtp_sock, rtp_port), (rtcp_sock, rtcp_port)); sockets stay
+        bound (the reservation) until release()."""
+        with self._lock:
+            while True:
+                if self._free:
+                    base = self._free.pop()
+                else:
+                    base = self._next
+                    self._next += 2
+                    if base + 1 > self._hi:
+                        raise RuntimeError("ICE port pool exhausted")
+                socks = []
+                try:
+                    for p in (base, base + 1):
+                        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                        s.bind(("0.0.0.0", p))
+                        socks.append(s)
+                except OSError:
+                    for s in socks:
+                        s.close()
+                    continue  # port taken by someone else: skip the pair
+                self._held.setdefault(session_id, []).append(tuple(socks))
+                return (socks[0], base), (socks[1], base + 1)
+
+    def release(self, session_id) -> None:
+        with self._lock:
+            for pair in self._held.pop(session_id, []):
+                base = pair[0].getsockname()[1]
+                for s in pair:
+                    s.close()
+                self._free.append(base)
+
+
+def gather_candidates(components: int = 2, session_id=0,
+                      stun_server: tuple | None = None,
+                      pool: PortPool | None = None) -> tuple:
+    """Host + (optionally) server-reflexive candidates on pooled ports.
+
+    -> (candidates, sockets_by_component).  With a pool the sockets stay
+    bound so the advertised ports are actually ours when checks start."""
+    cands = []
+    socks = {}
+    if pool is None:
+        cands = gather_host_candidates(components)
+        return cands, socks
+    foundation = 1
+    (s_rtp, p_rtp), (s_rtcp, p_rtcp) = pool.reserve_pair(session_id)
+    comp_socks = {1: (s_rtp, p_rtp), 2: (s_rtcp, p_rtcp)}
+    for li, addr in enumerate(local_host_addresses()):
+        for comp in range(1, components + 1):
+            sock_i, port_i = comp_socks[comp]
+            socks[comp] = sock_i
+            cands.append(IceCandidate(
+                foundation=str(foundation), component=comp, transport="udp",
+                priority=candidate_priority("host", 65535 - li, comp),
+                address=addr, port=port_i, cand_type="host"))
+        foundation += 1
+    if stun_server is not None:
+        for comp in range(1, components + 1):
+            sock_i, port_i = comp_socks[comp]
+            mapped = discover_srflx(stun_server[0], stun_server[1], sock_i)
+            if mapped is not None and mapped[0] not in local_host_addresses():
+                cands.append(IceCandidate(
+                    foundation=str(foundation), component=comp,
+                    transport="udp",
+                    priority=candidate_priority("srflx", 65535, comp),
+                    address=mapped[0], port=mapped[1], cand_type="srflx"))
+        foundation += 1
+    return cands, socks

@@ -95,7 +95,8 @@ def synthetic_frames(width: int, height: int, n: int, seed: int = 0):
     frames = []
     for t in range(n):
         grad = ((xs * 2 + ys + t * 3) % 256).astype(np.int32)
-        tex = base[t : t + height, t : t + width]
+        tt = t % 64  # the texture pad is 64 px: wrap long sequences
+        tex = base[tt : tt + height, tt : tt + width]
         y = ((grad + tex) // 2).astype(np.uint8)
         u = ((128 + (xs // 2 - t) % 64).astype(np.uint8))[0:1, : width // 2].repeat(height // 2, 0)
         u = np.ascontiguousarray(u)

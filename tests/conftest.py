@@ -44,3 +44,8 @@ assert len(jax.devices()) == 8, "virtual 8-device CPU mesh required for tests"
 from kvazzup_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: production-resolution / multi-process tests")
