@@ -113,8 +113,14 @@ class Decoder:
 
     def _alien_shape(self, sps, sh) -> bool:
         pps = self.pps
+        ctb = 1 << sps.ctb_log2
         return (
             sps.ctb_log2 != 4
+            # partial boundary CTUs (non-CTB-multiple pictures): inferred
+            # splits at the picture edge -- generic-tier territory (the
+            # fast tier assumes whole CTUs; own streams pad + crop via the
+            # conformance window instead)
+            or sps.width % ctb != 0 or sps.height % ctb != 0
             or getattr(sps, "max_td_intra", 0) > 0
             or (sh.slice_type != 2 and sps.min_cb_log2 == 3)
             or (sh.slice_type != 2 and getattr(sps, "max_td_inter", 0) > 0)
@@ -486,6 +492,23 @@ class Decoder:
         alien_shape = self._alien_shape(sps, sh)
         if alien_shape and sh.slice_type in (0, 1, 2):
             return self._decode_picture_generic([(nal, sh)])
+        try:
+            return self._decode_picture_fast(nal, sh)
+        except (NotImplementedError, ValueError) as e:
+            # fast-tier envelope miss discovered mid-parse (e.g. explicit
+            # chroma modes in a plain-CU16 alien stream, or the native
+            # CABAC hitting syntax it does not model): the generic tier is
+            # the complete engine -- re-decode the slice there.  True
+            # corruption still raises: the generic decode fails too.
+            refused = isinstance(e, NotImplementedError) or \
+                "native slice decode failed" in str(e)
+            if refused and sh.slice_type in (0, 1, 2):
+                return self._decode_picture_generic([(nal, sh)])
+            raise
+
+    def _decode_picture_fast(self, nal, sh):
+        """Device fast tier: whole-CTU streams in the tooled envelope."""
+        sps, pps = self.sps, self.pps
         if sps.ctb_log2 != 4 or sps.min_cb_log2 not in (3, 4):
             raise NotImplementedError(
                 "inter decoding supports CTB 16 streams (intra: any CTB size)"

@@ -461,3 +461,45 @@ def test_long_term_reference_pictures(tmp_path):
 
     stream = _p_stream(w, h, cfg, hdr)
     _decode_both(tmp_path, stream, w, h, "ltr")
+
+
+@pytest.mark.parametrize("mincu,h,extra", [
+    (8, 72, "wpp=1:sao=1:signhide=1"),
+    (8, 40, "no-wpp=1:no-sao=1:no-signhide=1"),
+    (16, 72, "no-wpp=1:no-sao=1:no-signhide=1"),  # x265 pads to 80 + conf
+    # window but picks explicit chroma modes -> fast tier falls back
+])
+def test_partial_ctu_rows_decode(tmp_path, mincu, h, extra):
+    """Non-CTB-multiple picture heights at CTB16: partial bottom CTUs have
+    inferred boundary splits the fast tier does not model -- they must
+    route (or fall back) to the generic engine and still decode
+    byte-exactly (round-2 fix; found by the 1080p slow tests)."""
+    import subprocess
+
+    from test_e2e_intra import _ensure_oracle
+
+    tool = _ensure_oracle()
+    w = 128
+    src = tmp_path / "in.yuv"
+    write_yuv420(str(src), synthetic_frames(w, h, 1, seed=11))
+    out = tmp_path / "out.265"
+    params = (f"ctu=16:min-cu-size={mincu}:tu-intra-depth=1:no-tskip=1:"
+              "keyint=1:frame-threads=1:no-scenecut=1:repeat-headers=1:"
+              "no-info=1:bframes=0:ref=1:rd=2:" + extra)
+    r = subprocess.run([tool, "encode", str(src), f"{w}x{h}", "32",
+                        str(out), params], capture_output=True, text=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip(f"libx265 unavailable: {r.stderr[-200:]}")
+    gold_f = tmp_path / "gold.yuv"
+    subprocess.run([tool, "decode", str(out), str(gold_f)], capture_output=True)
+    gold = gold_f.read_bytes()
+    fsz = w * h * 3 // 2
+    frames = Decoder().decode(out.read_bytes())
+    assert len(frames) == len(gold) // fsz
+    for i in range(len(frames)):
+        c = np.frombuffer(gold[i * fsz : (i + 1) * fsz], np.uint8)
+        planes = (c[: w * h].reshape(h, w),
+                  c[w * h : w * h + w * h // 4].reshape(h // 2, w // 2),
+                  c[w * h + w * h // 4 :].reshape(h // 2, w // 2))
+        for p in range(3):
+            assert np.array_equal(planes[p], np.asarray(frames[i][p])), (i, p)
