@@ -54,6 +54,7 @@ def cmd_encode(args) -> int:
         num_reorder_pics=2 if ra else 0,
         max_dec_pic_buffering=5 if ra else 2,
         merge_cand=args.merge,
+        temporal_mvp=args.tmvp,
     )
     if ctb_log2 > 4 and args.intra_period != 1:
         raise SystemExit("--ctu 32/64 currently requires all-intra (--intra-period 1)")
@@ -341,6 +342,8 @@ def main(argv=None) -> int:
                     help="CU quadtree: allow 8x8 CUs (all-intra; better detail)")
     pe.add_argument("--merge", type=int, choices=(1, 2, 3, 4, 5), default=1,
                     help="MaxNumMergeCand for P slices (kvazaar --merge)")
+    pe.add_argument("--tmvp", action="store_true",
+                    help="temporal MV prediction (kvazaar --tmvp)")
     pe.add_argument("--gop", choices=["ld", "ra"], default="ld",
                     help="ld = low-delay P, ra = hierarchical B GOP4")
     pe.set_defaults(fn=cmd_encode)

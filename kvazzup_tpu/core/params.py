@@ -344,8 +344,10 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
         if sh.slice_type == 0:
             w.flag(0)  # mvd_l1_zero_flag
         # cabac_init_present=0 -> no cabac_init_flag
-        if cfg.temporal_mvp:
-            w.flag(1)  # collocated_from_l0_flag (l0) -- only if B? l0 default
+        if cfg.temporal_mvp and sh.slice_type == 0:
+            # collocated_from_l0_flag: present for B slices only (7.3.6.1);
+            # P infers 1.  collocated_ref_idx absent with one active ref.
+            w.flag(1)
         w.ue(5 - sh.max_num_merge_cand)  # five_minus_max_num_merge_cand
     w.se(sh.qp - cfg.qp)  # slice_qp_delta relative to init_qp
     # deblocking: pps has control_present=1, override_enabled=0 -> nothing here

@@ -616,6 +616,17 @@ class Decoder:
             ref = self._dpb.get(ref0_poc, self._ref)
             if ref is None:
                 raise ValueError("P/B slice without a reference picture")
+            # TMVP: the collocated picture is the reference; its CTB-grid
+            # motion was retained when it was decoded (zeros after intra)
+            col = None
+            if getattr(sh, "temporal_mvp", False):
+                if pps.tiles_enabled:
+                    raise NotImplementedError("fast tier: TMVP with tiles")
+                col = getattr(self, "_col_fast", None)
+                if col is None:
+                    nctu0 = cfg.ctbs_w * cfg.ctbs_h
+                    col = (np.zeros((nctu0, 2), np.int32),
+                           np.zeros(nctu0, bool))
             if sh.slice_type == 1:
                 if pps.tiles_enabled:
                     from ..encoder.tiled import reconstruct_frame_p_tiles
@@ -641,13 +652,15 @@ class Decoder:
                             cfg, payload, sh.entry_points, sh.qp,
                             cu_qp_delta=pps.cu_qp_delta_enabled,
                             sao=sao_state, merge_k=sh.max_num_merge_cand,
+                            col=col,
                         )
                     )
                 else:
                     if pps.cu_qp_delta_enabled:
                         raise NotImplementedError("P cu_qp_delta requires WPP streams")
                     ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
-                        cfg, payload, sh.qp, merge_k=sh.max_num_merge_cand
+                        cfg, payload, sh.qp, merge_k=sh.max_num_merge_cand,
+                        col=col,
                     )
                 if not pps.tiles_enabled:
                     ry, ru, rv = ref
@@ -722,6 +735,15 @@ class Decoder:
             v = sao_apply(v, jnp2.asarray(t[2]), jnp2.asarray(a[2]), jnp2.asarray(o[2]), ctb=cfg.ctb_size // 2)
         out = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = out
+        # retain this picture's CTB-grid motion for TMVP in the next P
+        # slice (the collocated picture of a low-delay chain is the ref)
+        nctu0 = cfg.ctbs_w * cfg.ctbs_h
+        if sh.slice_type == 1:
+            self._col_fast = (np.asarray(mvs, np.int32).reshape(nctu0, 2),
+                              np.asarray(ctype, np.int32) != 0)
+        else:
+            self._col_fast = (np.zeros((nctu0, 2), np.int32),
+                              np.zeros(nctu0, bool))
         poc = sh.poc
         self._dpb[poc] = out
         if len(self._dpb) > 8:

@@ -93,6 +93,20 @@ def _amvp_list(a_avail, a_mv, b_avail, b_mv):
     return mvp0, mvp1
 
 
+def _amvp_list_t(a_avail, a_mv, b_avail, b_mv, t_avail, t_mv):
+    """AMVP with the temporal candidate (8.5.3.2.6): spatial A, spatial B
+    (pruned vs A), temporal when fewer than two entries, zero fill."""
+    both = a_avail & b_avail
+    same = both & jnp.all(a_mv == b_mv)
+    nspat = a_avail.astype(jnp.int32) + (b_avail & ~(a_avail & same)).astype(jnp.int32)
+    zero = jnp.zeros(2, jnp.int32)
+    mvp0 = jnp.where(a_avail, a_mv,
+           jnp.where(b_avail, b_mv, jnp.where(t_avail, t_mv, zero)))
+    mvp1 = jnp.where(nspat == 2, b_mv,
+           jnp.where((nspat == 1) & t_avail, t_mv, zero))
+    return mvp0, mvp1
+
+
 def _mvd_bits(mvd):
     return _mv_bits(mvd[0]) + _mv_bits(mvd[1]) + 2.0
 
@@ -280,11 +294,12 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "rdoq", "xtile",
-                                    "merge_cand"))
+                                    "merge_cand", "tmvp"))
 def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                         height: int, rdoq: bool = False,
                         xtile=(False, False), xflags=None,
-                        merge_cand: int = 1):
+                        merge_cand: int = 1, tmvp: bool = False,
+                        col_mv=None, col_inter=None):
     """Dense-decision low-delay P encode (ring-carry scan).
 
     Everything that does not read coded-neighbor state runs as one dense
@@ -309,6 +324,12 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     sched = schedule_r(cw, ch)
     lanes = sched["lanes"]
     qp, qp_c, lam, oy, ou, ov = _frame_setup(y, u, v, qp, nctu)
+    if col_mv is None:
+        col_mv = jnp.zeros((nctu, 2), jnp.int32)
+        col_inter = jnp.zeros((nctu,), jnp.int32)
+    else:
+        col_mv = col_mv.astype(jnp.int32)
+        col_inter = col_inter.astype(jnp.int32)
 
     # ---- dense pre-passes
     lam_x1k = (lam.mean() * 1024.0).astype(jnp.int32)
@@ -334,17 +355,18 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
 
     # ---- wave inputs
     (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, winy_w, winu_w,
-     winv_w, qp_w, qpc_w, lam_w) = wave_inputs(
+     winv_w, qp_w, qpc_w, lam_w, colmv_w, colok_w) = wave_inputs(
         sched, nctu,
         [oy, ou, ov, me_mv, pred_me.astype(jnp.uint8), satd_me, imode, icost,
-         win_y, win_u, win_v, qp, qp_c, lam])
+         win_y, win_u, win_v, qp, qp_c, lam, col_mv, col_inter])
     fl_w = jnp.asarray(sched["cs"] > 0)
     fa_w = jnp.asarray(sched["rs"] > 0)
     ftr_w = jnp.asarray((sched["rs"] > 0) & (sched["cs"] + 1 < cw))
     fal_w = fl_w & fa_w
     xpos_w = jnp.asarray(sched["cs"].astype(np.int32) * n)
     xs = (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, winy_w, winu_w,
-          winv_w, qp_w, qpc_w, lam_w, fl_w, fa_w, ftr_w, fal_w, xpos_w)
+          winv_w, qp_w, qpc_w, lam_w, fl_w, fa_w, ftr_w, fal_w, xpos_w,
+          colmv_w, colok_w)
 
     ring0 = lambda m: (jnp.zeros((3, lanes, m), jnp.int32),
                        jnp.zeros((3, lanes, m), jnp.int32))
@@ -353,7 +375,7 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     def wave(carry, x):
         ry, ru, rv, mv_ring, if_ring = carry
         (oyw, ouw, ovw, memv, pme, csme, imode_w, icost_w, winy, winu, winv,
-         qpw, qpcw, lamw, fl, fa, ftr, fal, xpos) = x
+         qpw, qpcw, lamw, fl, fa, ftr, fal, xpos, colmv, colok) = x
         lamf = lamw.astype(jnp.float32)
         lam2 = lamf * lamf
 
@@ -372,7 +394,11 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
             (v_b1, mv_a),
             (v_b2, mv_al),
         ])
-        mvp0, mvp1 = jax.vmap(_amvp_list)(v_a1, mv_l, b_avail, b_mv)
+        if tmvp:
+            mvp0, mvp1 = jax.vmap(_amvp_list_t)(v_a1, mv_l, b_avail, b_mv,
+                                                colok != 0, colmv)
+        else:
+            mvp0, mvp1 = jax.vmap(_amvp_list)(v_a1, mv_l, b_avail, b_mv)
 
         # merge candidate list (8.5.3.2.3 on the CTB grid): A1, B1 (pruned
         # vs A1), B0 (pruned vs B1), B2 (pruned vs A1/B1), zero-fill —
@@ -388,12 +414,16 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         pos_b0 = pos_b1 + i32(p_b1)
         pos_b2 = pos_b0 + i32(p_b0)
         zero_mv = jnp.zeros_like(mv_l)
+        t_av = (colok != 0) if tmvp else jnp.zeros_like(fl)
+        pos_t = pos_b2 + i32(p_b2)  # temporal: appended, never pruned
         cands = []
         for k in range(K):
+            tail = jnp.where((t_av & (pos_t == k))[:, None], colmv, zero_mv) \
+                if tmvp else zero_mv
             mvk = jnp.where((p_a1 & (k == 0))[:, None], mv_l,
                   jnp.where((p_b1 & (pos_b1 == k))[:, None], mv_a,
                   jnp.where((p_b0 & (pos_b0 == k))[:, None], mv_ar,
-                  jnp.where((p_b2 & (pos_b2 == k))[:, None], mv_al, zero_mv))))
+                  jnp.where((p_b2 & (pos_b2 == k))[:, None], mv_al, tail))))
             cands.append(mvk)
 
         # evaluate every candidate (merge_idx TR bits in the cost); ME and

@@ -82,6 +82,13 @@ class Encoder:
             raise ValueError("merge_cand must be in 1..5")
         if cfg.merge_cand > 1 and not cfg.fast_decision:
             raise NotImplementedError("merge_cand > 1 needs fast_decision")
+        if cfg.temporal_mvp:
+            if not cfg.fast_decision:
+                raise NotImplementedError("temporal_mvp needs fast_decision")
+            if cfg.tile_cols > 1 or cfg.slices > 1:
+                # MCTS forbids temporal prediction across tile refreshes
+                # (kvazaarfilter.cpp mv-constraint disables TMVP too)
+                raise NotImplementedError("temporal_mvp excludes tiles/slices")
         if cfg.slices > 1:
             if intra_period != 1:
                 raise NotImplementedError("slices currently require all-intra")
@@ -96,6 +103,8 @@ class Encoder:
         self._frame_count = 0
         self._poc = 0
         self._ref = None  # DPB: one (y, u, v) uint8 tuple (post-loop-filter)
+        self._col = None  # collocated motion (mv (nctu,2), inter (nctu,)) of
+        # the reference picture, for TMVP (zeros after an intra picture)
 
     # ---- checkpoint/resume (SURVEY §5: encoder state snapshot = DPB +
     # chain counters; CABAC state is per-slice and never crosses frames)
@@ -103,14 +112,19 @@ class Encoder:
         ref = None
         if self._ref is not None:
             ref = tuple(np.asarray(p) for p in self._ref)
+        col = None
+        if self._col is not None:
+            col = tuple(np.asarray(p) for p in self._col)
         return {"frame_count": self._frame_count, "poc": self._poc,
-                "idr_count": self._idr_count, "ref": ref}
+                "idr_count": self._idr_count, "ref": ref, "col": col}
 
     def restore(self, snap: dict) -> None:
         self._frame_count = snap["frame_count"]
         self._poc = snap["poc"]
         self._idr_count = snap.get("idr_count", 0)
         self._ref = snap["ref"]
+        col = snap.get("col")
+        self._col = None if col is None else tuple(jnp.asarray(p) for p in col)
 
     def headers(self) -> bytes:
         cfg = self.cfg
@@ -273,11 +287,19 @@ class Encoder:
             if cfg.fast_decision and flat_map is None:
                 from .frame_inter import encode_frame_p_fast
 
+                tmvp_kw = {}
+                if cfg.temporal_mvp:
+                    nctu = cfg.ctbs_w * cfg.ctbs_h
+                    col = self._col
+                    if col is None:
+                        col = (jnp.zeros((nctu, 2), jnp.int32),
+                               jnp.zeros((nctu,), jnp.int32))
+                    tmvp_kw = dict(tmvp=True, col_mv=col[0], col_inter=col[1])
                 out = encode_frame_p_fast(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     jnp.asarray(ry), jnp.asarray(ru), jnp.asarray(rv), dev_qp,
                     width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
-                    merge_cand=cfg.merge_cand,
+                    merge_cand=cfg.merge_cand, **tmvp_kw,
                 )
             else:
                 out = encode_frame_p(
@@ -341,6 +363,16 @@ class Encoder:
         else:
             self._poc += 1
         self._ref = (ry, ru, rv)  # JAX arrays: the P chain stays on-device
+        if cfg.temporal_mvp:
+            if is_idr:
+                nctu = cfg.ctbs_w * cfg.ctbs_h
+                self._col = (jnp.zeros((nctu, 2), jnp.int32),
+                             jnp.zeros((nctu,), jnp.int32))
+            else:
+                from .frame_inter import CT_INTRA
+
+                self._col = (out["mv"],
+                             (out["ctype"] != CT_INTRA).astype(jnp.int32))
         return {"kind": "idr" if is_idr else "p", "out": out, "qp": qp,
                 "first": first, "poc": self._poc, "flat_map": flat_map,
                 "sao_state": sao_state, "recon": (ry, ru, rv)}

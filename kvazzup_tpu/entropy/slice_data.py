@@ -335,13 +335,16 @@ def _merge_first_mv(i, ctbs_w, nctu, inter, mvs, x0t=0, x1t=None):
     return np.zeros(2, np.int32)
 
 
-def _merge_list_np(i, ctbs_w, inter, mvs, k, x0t=0, x1t=None):
+def _merge_list_np(i, ctbs_w, inter, mvs, k, x0t=0, x1t=None, col=None):
     """Spec merge list on the one-CU-per-CTB grid (8.5.3.2.3): A1, B1
     (pruned vs A1), B0 (pruned vs B1), B2 (if fewer than 4 candidates so
-    far, pruned vs A1/B1), zero-MV fill.  A0 (below-left) is never
-    available in CTB raster order.  Mirrors the device wave's
-    construction in encoder/frame_inter (and generic_inter._merge_list
-    restricted to this toolset)."""
+    far, pruned vs A1/B1), temporal (8.5.3.2.8: the bottom-right col PU
+    sits in the next CTB row -> unavailable, so center = the collocated
+    picture's same-CTU MV; identity scaling in the single-ref low-delay
+    chain), zero-MV fill.  A0 (below-left) is never available in CTB
+    raster order.  col = (col_mv (nctu,2), col_inter (nctu,)) or None.
+    Mirrors the device wave's construction in encoder/frame_inter (and
+    generic_inter._merge_list restricted to this toolset)."""
     if x1t is None:
         x1t = ctbs_w
     c = i % ctbs_w
@@ -363,6 +366,8 @@ def _merge_list_np(i, ctbs_w, inter, mvs, k, x0t=0, x1t=None):
         cands.append(b0)
     if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         cands.append(b2)
+    if col is not None and col[1][i] and len(cands) < k:
+        cands.append((int(col[0][i][0]), int(col[0][i][1])))  # never pruned
     while len(cands) < k:
         cands.append((0, 0))
     return [np.array(cand, np.int32) for cand in cands[:k]]
@@ -392,7 +397,7 @@ def _decode_merge_idx(dec, k: int) -> int:
     return idx
 
 
-def _amvp_candidates(i, ctbs_w, inter, mvs, x0t=0, x1t=None):
+def _amvp_candidates(i, ctbs_w, inter, mvs, x0t=0, x1t=None, col=None):
     if x1t is None:
         x1t = ctbs_w
     c = i % ctbs_w
@@ -413,8 +418,18 @@ def _amvp_candidates(i, ctbs_w, inter, mvs, x0t=0, x1t=None):
             break
     both = a_ok and b_ok
     same = both and np.array_equal(a_mv, b_mv)
-    mvp0 = a_mv if a_ok else (b_mv if b_ok else np.zeros(2, np.int32))
-    mvp1 = b_mv if (both and not same) else np.zeros(2, np.int32)
+    # 8.5.3.2.6: spatial A, spatial B (pruned vs A), then temporal when
+    # fewer than two entries, then zero fill
+    t_ok = col is not None and bool(col[1][i])
+    t_mv = np.array(col[0][i], np.int32) if t_ok else np.zeros(2, np.int32)
+    nspat = int(a_ok) + int(b_ok and not (a_ok and same))
+    mvp0 = a_mv if a_ok else (b_mv if b_ok else (t_mv if t_ok else np.zeros(2, np.int32)))
+    if nspat == 2:
+        mvp1 = b_mv
+    elif nspat == 1 and t_ok:
+        mvp1 = t_mv
+    else:
+        mvp1 = np.zeros(2, np.int32)
     return mvp0, mvp1
 
 
@@ -457,13 +472,13 @@ def encode_slice_data_p(
     return enc.data()
 
 
-def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True, merge_k: int = 1):
+def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True, merge_k: int = 1, col=None):
     """Inverse of encode_slice_data_p; also reconstructs per-CTU MVs."""
     if use_native:
         from ..native import decode_slice_native
 
         out = decode_slice_native(cfg, 1, False, payload, None, slice_qp,
-                                  merge_k=merge_k)
+                                  merge_k=merge_k, col=col)
         if out is not None:
             return (out["ctype"], out["intra_modes"], out["mvs"],
                     out["lev_y"], out["lev_cb"], out["lev_cr"])
@@ -481,7 +496,7 @@ def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_na
     lev_cr = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
     for i in range(nctu):
         _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs,
-                          lev_y, lev_cb, lev_cr, merge_k=merge_k)
+                          lev_y, lev_cb, lev_cr, merge_k=merge_k, col=col)
         end = dec.decode_terminate()
         if end != (1 if i == nctu - 1 else 0):
             raise ValueError(f"end_of_slice mismatch at CTU {i}")
@@ -818,7 +833,7 @@ def encode_slice_data_p_wpp(cfg, ctype, intra_modes, mvs, mvp_flags, mvds, lev_y
     return out
 
 
-def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_state=None, sao=None, x0t=0, x1t=None, merge_k=1):
+def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qp_state=None, sao=None, x0t=0, x1t=None, merge_k=1, col=None):
     if sao is not None:
         sao.decode(dec, i)
     ctbs_w = cfg.ctbs_w
@@ -834,7 +849,7 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
         inter[i] = True
         ctype[i] = CT_SKIP
         idx = _decode_merge_idx(dec, merge_k)
-        mvs[i] = _merge_list_np(i, ctbs_w, inter, mvs, merge_k, x0t, x1t)[idx]
+        mvs[i] = _merge_list_np(i, ctbs_w, inter, mvs, merge_k, x0t, x1t, col)[idx]
         if qp_state is not None:
             qp_state.decode(dec, i, False)
         return
@@ -853,12 +868,12 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
         if dec.decode_bin(OFFSETS["merge_flag"]):
             ctype[i] = CT_MERGE
             idx = _decode_merge_idx(dec, merge_k)
-            mvs[i] = _merge_list_np(i, ctbs_w, inter, mvs, merge_k, x0t, x1t)[idx]
+            mvs[i] = _merge_list_np(i, ctbs_w, inter, mvs, merge_k, x0t, x1t, col)[idx]
         else:
             ctype[i] = CT_AMVP
             mvd = _decode_mvd(dec)
             flag = dec.decode_bin(OFFSETS["mvp_flag"])
-            mvp0, mvp1 = _amvp_candidates(i, ctbs_w, inter, mvs, x0t, x1t)
+            mvp0, mvp1 = _amvp_candidates(i, ctbs_w, inter, mvs, x0t, x1t, col)
             mvs[i] = (mvp1 if flag else mvp0) + np.array(mvd, np.int32)
     root_cbf = True
     if ctype[i] == CT_AMVP:
@@ -882,12 +897,12 @@ def _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, 
         qp_state.decode(dec, i, False)
 
 
-def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True, cu_qp_delta: bool = False, sao=None, merge_k: int = 1):
+def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: bool = True, cu_qp_delta: bool = False, sao=None, merge_k: int = 1, col=None):
     if use_native and not cu_qp_delta and sao is None:
         from ..native import decode_slice_native
 
         out = decode_slice_native(cfg, 1, True, payload, entry_offsets, slice_qp,
-                                  merge_k=merge_k)
+                                  merge_k=merge_k, col=col)
         if out is not None:
             return (out["ctype"], out["intra_modes"], out["mvs"],
                     out["lev_y"], out["lev_cb"], out["lev_cr"], None)
@@ -904,7 +919,7 @@ def decode_slice_data_p_wpp(cfg, payload, entry_offsets, slice_qp, use_native: b
     qs = QpState(slice_qp, np.zeros(nctu), nctu) if cu_qp_delta else None
 
     def fn(dec, i):
-        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qs, sao, merge_k=merge_k)
+        _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qs, sao, merge_k=merge_k, col=col)
 
     decode_slice_data_wpp(cfg, payload, entry_offsets, fn, 1, slice_qp, qs)
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, (qs.actual if qs else None)

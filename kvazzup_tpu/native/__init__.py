@@ -148,6 +148,7 @@ def _bind_unified(lib):
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib._unified_bound = True
 
@@ -202,7 +203,7 @@ def encode_slice_native(cfg, slice_type, wpp, arrays, slice_qp):
 
 
 def decode_slice_native(cfg, slice_type, wpp, payload, entry_offsets, slice_qp,
-                        merge_k: int = 1):
+                        merge_k: int = 1, col=None):
     """Unified native slice decoder; returns arrays dict or None."""
     lib = get_lib()
     if lib is None:
@@ -218,6 +219,10 @@ def decode_slice_native(cfg, slice_type, wpp, payload, entry_offsets, slice_qp,
     lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
     buf = np.frombuffer(payload, np.uint8)
     offs = np.asarray(entry_offsets or [], np.int64)
+    col_mv = col_inter = None
+    if col is not None:
+        col_mv = np.ascontiguousarray(np.asarray(col[0], np.int32))
+        col_inter = np.ascontiguousarray(np.asarray(col[1], np.uint8))
     rc = lib.decode_slice_c(
         slice_type, 1 if wpp else 0,
         buf.ctypes.data, len(payload), offs.ctypes.data if len(offs) else None,
@@ -226,6 +231,8 @@ def decode_slice_native(cfg, slice_type, wpp, payload, entry_offsets, slice_qp,
         ctype.ctypes.data, modes.ctypes.data, mvs.ctypes.data,
         lev_y.ctypes.data, lev_cb.ctypes.data, lev_cr.ctypes.data,
         min(max(int(merge_k or 1), 1), 5),
+        None if col_mv is None else col_mv.ctypes.data,
+        None if col_inter is None else col_inter.ctypes.data,
     )
     if rc != 0:
         raise ValueError(f"native slice decode failed: {rc}")

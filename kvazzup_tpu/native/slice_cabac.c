@@ -712,9 +712,13 @@ static void merge_first_mv(int i, int cw, const uint8_t *inter, const int32_t *m
 }
 
 /* spec merge list on the one-CU-per-CTB grid (8.5.3.2.3): A1, B1(!=A1),
- * B0(!=B1), B2 (if <4 so far, !=A1,!=B1), zero-fill; A0 never decoded. */
+ * B0(!=B1), B2 (if <4 so far, !=A1,!=B1), temporal (8.5.3.2.8: the
+ * bottom-right col PU is always in the next CTB row -> unavailable, so
+ * the center = the col picture's same-CTU MV; identity scaling in the
+ * single-ref low-delay chain), zero-fill; A0 never decoded. */
 static void merge_list_c(int i, int cw, const uint8_t *inter, const int32_t *mvs,
-                         int merge_k, int32_t out[][2]) {
+                         int merge_k, int col_ok, int32_t col_x, int32_t col_y,
+                         int32_t out[][2]) {
     int c = i % cw, r = i / cw;
     int32_t cand[4][2];
     int have[4] = {0, 0, 0, 0};
@@ -735,6 +739,9 @@ static void merge_list_c(int i, int cw, const uint8_t *inter, const int32_t *mvs
         out[n][0] = cand[3][0]; out[n][1] = cand[3][1]; n++;
     }
 #undef MEQ
+    if (col_ok && n < merge_k) {  /* temporal: appended, never pruned */
+        out[n][0] = col_x; out[n][1] = col_y; n++;
+    }
     while (n < merge_k) { out[n][0] = 0; out[n][1] = 0; n++; }
 }
 
@@ -757,6 +764,7 @@ static int dec_merge_idx(CabacDec *d, int k) {
 }
 
 static void amvp_cands(int i, int cw, const uint8_t *inter, const int32_t *mvs,
+                       int col_ok, int32_t col_x, int32_t col_y,
                        int32_t mvp0[2], int32_t mvp1[2]) {
     int c = i % cw, r = i / cw;
     int a_ok = (c > 0) && inter[i - 1];
@@ -774,10 +782,15 @@ static void amvp_cands(int i, int cw, const uint8_t *inter, const int32_t *mvs,
     }
     int both = a_ok && b_ok;
     int same = both && a_mv[0] == b_mv[0] && a_mv[1] == b_mv[1];
+    /* 8.5.3.2.6: spatial A, spatial B (pruned vs A), then temporal when
+     * fewer than two entries, then zero fill */
+    int nspat = (a_ok ? 1 : 0) + ((b_ok && !(a_ok && same)) ? 1 : 0);
     if (a_ok) { mvp0[0] = a_mv[0]; mvp0[1] = a_mv[1]; }
     else if (b_ok) { mvp0[0] = b_mv[0]; mvp0[1] = b_mv[1]; }
+    else if (col_ok) { mvp0[0] = col_x; mvp0[1] = col_y; }
     else mvp0[0] = mvp0[1] = 0;
-    if (both && !same) { mvp1[0] = b_mv[0]; mvp1[1] = b_mv[1]; }
+    if (nspat == 2) { mvp1[0] = b_mv[0]; mvp1[1] = b_mv[1]; }
+    else if (nspat == 1 && col_ok) { mvp1[0] = col_x; mvp1[1] = col_y; }
     else mvp1[0] = mvp1[1] = 0;
 }
 
@@ -793,6 +806,8 @@ typedef struct {
     int ctbs_w, ctbs_h, ctb_log2, at_min_cb;
     const int32_t *merge_idxs; /* NULL -> all 0 */
     int merge_k;               /* MaxNumMergeCand (slice header) */
+    const int32_t *col_mv;     /* (nctu,2) collocated motion; NULL = no TMVP */
+    const uint8_t *col_inter;  /* (nctu,) collocated inter flags */
 } SliceArrays;
 
 static void enc_ctu_i(CabacEnc *e, const SliceArrays *sa, int i) {
@@ -1035,13 +1050,16 @@ static int dec_ctu_p(CabacDec *d, SliceArrays *sa, int i,
     int ctx = 0;
     if (c > 0 && skip[i - 1]) ctx++;
     if (r > 0 && skip[i - cw]) ctx++;
+    int col_ok = sa->col_inter != NULL && sa->col_inter[i];
+    int32_t col_x = col_ok ? sa->col_mv[2 * i] : 0;
+    int32_t col_y = col_ok ? sa->col_mv[2 * i + 1] : 0;
     if (dec_bin(d, CTX_CU_SKIP_FLAG + ctx)) {
         skip[i] = 1;
         inter[i] = 1;
         ctype[i] = CT_SKIP;
         int idx = dec_merge_idx(d, sa->merge_k);
         int32_t list[5][2];
-        merge_list_c(i, cw, inter, mvs, sa->merge_k, list);
+        merge_list_c(i, cw, inter, mvs, sa->merge_k, col_ok, col_x, col_y, list);
         mvs[2 * i] = list[idx][0]; mvs[2 * i + 1] = list[idx][1];
         return 0;
     }
@@ -1058,7 +1076,7 @@ static int dec_ctu_p(CabacDec *d, SliceArrays *sa, int i,
             ctype[i] = CT_MERGE;
             int idx = dec_merge_idx(d, sa->merge_k);
             int32_t list[5][2];
-            merge_list_c(i, cw, inter, mvs, sa->merge_k, list);
+            merge_list_c(i, cw, inter, mvs, sa->merge_k, col_ok, col_x, col_y, list);
             mvs[2 * i] = list[idx][0]; mvs[2 * i + 1] = list[idx][1];
         } else {
             ctype[i] = CT_AMVP;
@@ -1066,7 +1084,7 @@ static int dec_ctu_p(CabacDec *d, SliceArrays *sa, int i,
             dec_mvd(d, &mvd_x, &mvd_y);
             int flag = dec_bin(d, CTX_MVP_FLAG);
             int32_t mvp0[2], mvp1[2];
-            amvp_cands(i, cw, inter, mvs, mvp0, mvp1);
+            amvp_cands(i, cw, inter, mvs, col_ok, col_x, col_y, mvp0, mvp1);
             mvs[2 * i] = (flag ? mvp1[0] : mvp0[0]) + mvd_x;
             mvs[2 * i + 1] = (flag ? mvp1[1] : mvp0[1]) + mvd_y;
         }
@@ -1090,7 +1108,8 @@ int decode_slice_c(
     const uint8_t *payload, long payload_len, const long *entry_offsets,
     int ctbs_w, int ctbs_h, int ctb_log2, int at_min_cb, int slice_qp,
     int32_t *ctype, int32_t *intra_modes, int32_t *mvs,
-    int32_t *lev_y, int32_t *lev_cb, int32_t *lev_cr, int merge_k) {
+    int32_t *lev_y, int32_t *lev_cb, int32_t *lev_cr, int merge_k,
+    const int32_t *col_mv, const uint8_t *col_inter) {
     int nctu = ctbs_w * ctbs_h;
     int n = 1 << ctb_log2;
     memset(lev_y, 0, sizeof(int32_t) * (long)nctu * n * n);
@@ -1104,6 +1123,7 @@ int decode_slice_c(
     SliceArrays sa = {0};
     sa.ctbs_w = ctbs_w; sa.ctbs_h = ctbs_h; sa.ctb_log2 = ctb_log2; sa.at_min_cb = at_min_cb;
     sa.merge_k = merge_k ? merge_k : 1;
+    sa.col_mv = col_mv; sa.col_inter = col_inter;
     int rc = 0;
     uint8_t saved_state[NUM_CONTEXTS], saved_mps[NUM_CONTEXTS];
     int have_saved = 0;

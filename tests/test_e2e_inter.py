@@ -205,3 +205,19 @@ def test_p_merge_cand_wpp_sao(tmp_path):
     cfg = StreamConfig(width=w, height=h, qp=30, merge_cand=3, wpp=True,
                        sao_enabled=True, deblocking_enabled=True)
     _run(cfg, _moving_frames(w, h, 4), tmp_path)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(deblocking_enabled=True),
+    dict(merge_cand=5, deblocking_enabled=True),
+    dict(wpp=True, sao_enabled=True, deblocking_enabled=True, merge_cand=3),
+])
+def test_p_temporal_mvp(kw, tmp_path):
+    """TMVP (kvazaar --tmvp): the collocated picture's CTB-grid motion
+    feeds merge (appended, unpruned) and AMVP (when <2 spatial) lists;
+    identity scaling in the single-ref low-delay chain.  Oracle-exact —
+    libavcodec derives its own temporal candidates from the SPS flag, so
+    agreement pins our list construction."""
+    w, h = 112, 80
+    cfg = StreamConfig(width=w, height=h, qp=30, temporal_mvp=True, **kw)
+    _run(cfg, _moving_frames(w, h, 5), tmp_path)
