@@ -164,3 +164,93 @@ class RoiConvNet:
             [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
         ).reshape(-1, 4)
         return nms(boxes, obj.reshape(-1))
+
+
+# ----------------------------------------------------- Haar production path
+
+
+class RoiHaarFilter:
+    """Face/upper-body ROI via OpenCV Haar cascades — the production
+    detector for real camera content (mirrors the reference's CPU-side
+    ONNX-Runtime YOLO, roiyolofilter.cpp; SURVEY §2.6 allows host-side
+    aux compute).  Cascades ship with the system OpenCV.
+    """
+
+    CASCADE_DIR = "/usr/share/opencv4/haarcascades"
+
+    def __init__(self, qp_delta: int = -10, ctb_size: int = 16) -> None:
+        import cv2  # hard dep only when this filter is constructed
+
+        self.qp_delta = qp_delta
+        self.ctb_size = ctb_size
+        import os
+
+        base = self.CASCADE_DIR if os.path.isdir(self.CASCADE_DIR) else (
+            getattr(cv2.data, "haarcascades", self.CASCADE_DIR))
+        self.face = cv2.CascadeClassifier(
+            os.path.join(base, "haarcascade_frontalface_alt2.xml"))
+        self.body = cv2.CascadeClassifier(
+            os.path.join(base, "haarcascade_upperbody.xml"))
+        if self.face.empty() and self.body.empty():
+            raise RuntimeError("no usable Haar cascades found")
+
+    def detect(self, y: np.ndarray):
+        """(H, W) uint8 luma -> (boxes xyxy, scores)."""
+        boxes = []
+        for det in (self.face, self.body):
+            if det.empty():
+                continue
+            for (x, yy, w, h) in det.detectMultiScale(
+                    np.asarray(y), scaleFactor=1.1, minNeighbors=4):
+                boxes.append((x, yy, x + w, yy + h))
+        if not boxes:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+        return (np.asarray(boxes, np.float32),
+                np.ones((len(boxes),), np.float32))
+
+    def roi_map(self, y: np.ndarray) -> np.ndarray:
+        h, w = y.shape
+        boxes, scores = self.detect(y)
+        return roi_map_from_boxes(boxes, scores, w, h, self.ctb_size,
+                                  self.qp_delta)
+
+
+def make_roi_fn(kind: str = "saliency", qp_delta: int = -8,
+                ctb_size: int = 16, params=None):
+    """ROI-callback factory for VideoSendPipeline(roi_fn=...).
+
+    kind: 'saliency' (model-free), 'net' (trained RoiConvNet; packaged
+    weights by default), or 'haar' (OpenCV cascades for real faces).
+    Returns fn(frame) -> (ctbs_h, ctbs_w) int8 QP-delta grid.
+    """
+    if kind == "saliency":
+        state = {"prev": None}
+
+        def fn(frame):
+            prev = state["prev"] if state["prev"] is not None else frame.y
+            state["prev"] = frame.y
+            return np.asarray(saliency_roi(jnp.asarray(frame.y),
+                                           jnp.asarray(prev),
+                                           ctb_size=ctb_size,
+                                           qp_delta=qp_delta))
+
+        return fn
+    if kind == "net":
+        from .roi_train import load_default_roi_params
+
+        net = RoiConvNet()
+        params = params if params is not None else load_default_roi_params()
+        if params is None:
+            raise RuntimeError("no trained ROI weights packaged; run "
+                               "python -m kvazzup_tpu.models.roi_train")
+
+        def fn(frame):
+            h, w = frame.y.shape
+            boxes, scores = net.detect(params, jnp.asarray(frame.y))
+            return roi_map_from_boxes(boxes, scores, w, h, ctb_size, qp_delta)
+
+        return fn
+    if kind == "haar":
+        f = RoiHaarFilter(qp_delta=qp_delta, ctb_size=ctb_size)
+        return lambda frame: f.roi_map(np.asarray(frame.y))
+    raise ValueError(f"unknown roi kind {kind!r}")

@@ -90,3 +90,43 @@ def test_agc_converges():
         out = pre.process(quiet)
     rms = np.sqrt(np.mean(out.astype(np.float64) ** 2))
     assert rms > 2000
+
+
+def test_audio_output_pacing_and_underruns(tmp_path):
+    """AudioOutput (audiooutputdevice parity): clock-paced playback,
+    silence fill on underrun, AEC far-end tap, WAV backend round-trip."""
+    import time
+
+    import numpy as np
+
+    from kvazzup_tpu.audio.output import (
+        FRAME_MS, SAMPLES_PER_FRAME, AudioOutput)
+
+    taps = []
+    wav = tmp_path / "out.wav"
+    out = AudioOutput(backend="wav", wav_path=str(wav),
+                      aec_reference=taps.append)
+    tone = (np.sin(np.arange(SAMPLES_PER_FRAME) * 0.05) * 8000).astype(np.int16)
+    out.start()
+    for _ in range(5):
+        out.put_frame(tone)
+        time.sleep(FRAME_MS / 1000.0)
+    time.sleep(3 * FRAME_MS / 1000.0)  # drain + force an underrun
+    out.stop()
+    assert out.frames_played >= 5
+    assert out.underruns >= 1  # starved at the end -> silence fill counted
+    assert len(taps) == out.frames_played  # every played frame hit the AEC tap
+    import wave as wave_mod
+
+    with wave_mod.open(str(wav)) as w:
+        assert w.getframerate() == 48000 and w.getnchannels() == 1
+        assert w.getnframes() == out.frames_played * SAMPLES_PER_FRAME
+
+
+def test_audio_output_auto_backend_falls_back():
+    from kvazzup_tpu.audio.output import AudioOutput
+
+    out = AudioOutput(backend="auto")
+    assert out.backend in ("alsa", "null")  # no sound card -> null, honestly
+    out.start()
+    out.stop()

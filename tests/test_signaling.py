@@ -183,3 +183,30 @@ def test_mesh_sdp_synthesis():
     mux.add_remote_sdp(2, default_sdp("b", "10.0.0.2", 5000, 5002))
     s = mux.synthesize(2, 1)
     assert s.media[0].mid == "1-2-0"
+
+
+def test_media_id_stability_across_renegotiation():
+    """MediaID (mediaid.{h,cpp} parity): an unchanged m-line keeps its ID
+    across re-INVITEs; a changed one gets a new ID; direction state rides
+    the handle."""
+    from kvazzup_tpu.signaling.mediaid import MediaIDRegistry
+    from kvazzup_tpu.signaling.sdp import default_sdp
+
+    reg = MediaIDRegistry()
+    sdp1 = default_sdp("alice", "10.0.0.1", audio_port=4000, video_port=4002)
+    ids1 = reg.resolve_sdp(sdp1)
+    assert [m.id for m in ids1] == [1, 2]
+    # renegotiate with identical media -> same handles
+    sdp2 = default_sdp("alice", "10.0.0.1", audio_port=4000, video_port=4002)
+    ids2 = reg.resolve_sdp(sdp2)
+    assert ids2 == ids1
+    # video port changes -> video gets a fresh ID, audio keeps its own
+    sdp3 = default_sdp("alice", "10.0.0.1", audio_port=4000, video_port=5000)
+    ids3 = reg.resolve_sdp(sdp3)
+    assert ids3[0] == ids1[0]
+    assert ids3[1] != ids1[1]
+    # direction state persists on the stable handle
+    ids1[0].send = False
+    assert not reg.resolve_sdp(sdp2)[0].send
+    reg.prune(ids3)
+    assert len(reg._ids) == 2
