@@ -181,6 +181,8 @@ class RoiHaarFilter:
     def __init__(self, qp_delta: int = -10, ctb_size: int = 16) -> None:
         import cv2  # hard dep only when this filter is constructed
 
+        if not hasattr(cv2, "CascadeClassifier"):
+            raise RuntimeError("OpenCV built without objdetect (no cascades)")
         self.qp_delta = qp_delta
         self.ctb_size = ctb_size
         import os

@@ -80,3 +80,101 @@ def test_roi_stream_spends_bits_in_roi():
     roi_psnr = psnr(y[:32, :64], ry[:32, :64])
     rest_psnr = psnr(y[32:, 64:], ry[32:, 64:])
     assert roi_psnr > rest_psnr + 1.5  # bits concentrated in the ROI
+
+
+def test_trained_roi_net_detects_held_out_faces():
+    """The packaged RoiConvNet weights (trained by models/roi_train.py on
+    procedurally rendered face scenes) must detect held-out faces: >=80%
+    recall at IoU 0.4, zero detections on faceless backgrounds — closing
+    round-1 weak #9 (untrained scaffold)."""
+    import jax.numpy as jnp
+
+    from kvazzup_tpu.models.roi_train import (load_default_roi_params,
+                                              render_scene)
+
+    params = load_default_roi_params()
+    assert params is not None, "roi_weights.npz must be packaged"
+    net = RoiConvNet()
+    rng = np.random.default_rng(777)  # held out from training (seed 0)
+
+    def iou(a, b):
+        x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+        x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0, x1 - x0) * max(0, y1 - y0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(ua, 1e-6)
+
+    hits = total = 0
+    for _ in range(25):
+        y, gt = render_scene(rng, 160, 128)
+        boxes, scores = net.detect(params, jnp.asarray(y))
+        det = [b for b, s in zip(np.asarray(boxes), np.asarray(scores))
+               if s > 0.5]
+        for g in gt:
+            total += 1
+            hits += any(iou(g, d) > 0.4 for d in det)
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+    # faceless scenes must stay quiet
+    for _ in range(10):
+        flat = (np.kron(rng.integers(0, 256, (18, 22)),
+                        np.ones((8, 8)))[:128, :160] * 0.5 + 64).astype(np.uint8)
+        _, scores = net.detect(params, jnp.asarray(flat))
+        assert not np.any(np.asarray(scores) > 0.5)
+
+
+def test_roi_net_qp_map_helps_face_region():
+    """End-to-end: the trained net's ROI map shifts bits toward the face
+    (roiyolofilter.cpp makeRoiMap flow with OUR detector in the loop)."""
+    import jax.numpy as jnp
+
+    from kvazzup_tpu.core.params import StreamConfig
+    from kvazzup_tpu.encoder.top import Encoder
+    from kvazzup_tpu.io.yuv import psnr
+    from kvazzup_tpu.models.roi import roi_map_from_boxes
+    from kvazzup_tpu.models.roi_train import (load_default_roi_params,
+                                              render_scene)
+
+    params = load_default_roi_params()
+    net = RoiConvNet()
+    rng = np.random.default_rng(31)
+    w, h = 160, 128
+    y, gt = render_scene(rng, w, h, max_faces=1)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    boxes, scores = net.detect(params, jnp.asarray(y))
+    delta = roi_map_from_boxes(boxes, scores, w, h, qp_delta=-8)
+    assert (delta < 0).any(), "detector found no ROI on a face scene"
+    base_qp = 37
+    qp_map = np.clip(base_qp + delta.astype(np.int32), 0, 51)
+    cfg = StreamConfig(width=w, height=h, qp=base_qp, cu_qp_delta=True)
+    s_roi, rec_roi = Encoder(cfg, intra_period=1).encode_frame(y, u, v, qp_map=qp_map)
+    cfg2 = StreamConfig(width=w, height=h, qp=base_qp)
+    s_flat, rec_flat = Encoder(cfg2, intra_period=1).encode_frame(y, u, v)
+    gx0, gy0, gx1, gy1 = [int(t) for t in gt[0]]
+    gx0, gy0 = max(0, gx0), max(0, gy0)
+    face_roi = psnr(y[gy0:gy1, gx0:gx1], np.asarray(rec_roi[0])[gy0:gy1, gx0:gx1])
+    face_flat = psnr(y[gy0:gy1, gx0:gx1], np.asarray(rec_flat[0])[gy0:gy1, gx0:gx1])
+    assert face_roi > face_flat + 1.0, (face_roi, face_flat)
+    # bounded ROI coverage + bit overhead (duplicate boxes only widen the
+    # union; -8 QP over the covered quarter of the frame costs ~2x bits)
+    assert (delta < 0).mean() <= 0.6
+    assert len(s_roi) < len(s_flat) * 2.5
+
+
+def test_make_roi_fn_kinds():
+    from kvazzup_tpu.models.roi import make_roi_fn
+    from kvazzup_tpu.pipeline.media_pipeline import Frame
+
+    y = np.random.default_rng(0).integers(0, 255, (64, 96), np.uint8)
+    f = Frame(y, y[:32, :48], y[:32, :48], 0.0)
+    for kind in ("saliency", "net"):
+        fn = make_roi_fn(kind)
+        grid = fn(f)
+        assert grid.shape == (4, 6) and grid.dtype == np.int8
+    try:
+        fn = make_roi_fn("haar")
+    except RuntimeError:
+        return  # no cascades in this environment: constructor is honest
+    grid = fn(f)
+    assert grid.shape == (4, 6)
