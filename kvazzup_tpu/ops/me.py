@@ -184,109 +184,60 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     # stays within the |MV| <= 4R window contract of ops/mc.py windows
     int_mv = jnp.clip(best_mv + best_d, -(search_range - 1), search_range - 1)
 
-    # ---- stage 3: half-pel refinement (normative half filter)
-    half = LUMA_FILTERS[2]  # numpy: taps static
+    # ---- stages 3+4 fused: fractional refinement as ONE static 7x7
+    # sweep.  Every (sx, sy) in [-3, 3]^2 qpel around the integer anchor is
+    # a static phase + static shift into the shared windows, so the whole
+    # half+quarter search is evaluate-all-then-select — a SUPERSET of the
+    # hierarchical half-then-quarter ladder (kvazaar search_inter.c), at
+    # lower cost: horizontal filter passes are computed once per sx phase
+    # (7 passes) instead of once per position (49), and the half-pel
+    # stage's 9 extra interpolations disappear entirely (TPU ablation:
+    # dense ME was 23 ms of the 54 ms 1080p P frame).
     win3 = window_select_batch(
         winS, int_mv[:, 1] + org_s - 4, int_mv[:, 0] + org_s - 4, bs + 8, bs + 8)
-    # (nctu, bs+8, bs+8) windows; offset 4 = integer position
-
-    def interp_half(hx: int, hy: int):
-        """Half-pel (hx, hy in {-1,0,1} half units) block for all CTUs,
-        normative two-stage filtering (cf. ops/mc.py)."""
-        w = win3
-        if hx == 0:
-            horiz = w[:, :, 4 : 4 + bs] * 64
-        else:
-            off = 4 + (hx - 1) // 2  # -1 -> 3, +1 -> 4
-            acc = jnp.zeros((w.shape[0], w.shape[1], bs), jnp.int32)
-            for k in range(8):
-                acc = acc + int(half[k]) * w[:, :, off - 3 + k : off - 3 + k + bs]
-            horiz = acc
-        if hy == 0:
-            out = horiz[:, 4 : 4 + bs, :]
-        else:
-            offy = 4 + (hy - 1) // 2
-            acc = jnp.zeros((w.shape[0], bs, bs), jnp.int32)
-            for k in range(8):
-                acc = acc + int(half[k]) * horiz[:, offy - 3 + k : offy - 3 + k + bs, :]
-            out = acc >> 6
-        return jnp.clip((out + 32) >> 6, 0, 255)
-
-    best_half = jnp.zeros((nctu, 2), jnp.int32)
-    # seed with integer-position cost
     qx = 4 * int_mv[:, 0]
     qy = 4 * int_mv[:, 1]
+
+    def horiz_at(sx: int):
+        """Horizontal 8-tap pass at qpel offset sx (all rows kept)."""
+        ox = 4 + (sx >> 2)
+        fx = sx & 3
+        w = win3
+        if fx == 0:
+            return w[:, :, ox : ox + bs] * 64
+        cf = LUMA_FILTERS[fx]
+        acc = jnp.zeros((w.shape[0], w.shape[1], bs), jnp.int32)
+        for k in range(8):
+            acc = acc + int(cf[k]) * w[:, :, ox - 3 + k : ox - 3 + k + bs]
+        return acc
+
+    # integer-position seed
     cand0 = win3[:, 4 : 4 + bs, 4 : 4 + bs]
-    best_cost = jnp.abs(orig_blocks - cand0).sum(axis=(1, 2)) + (
+    best_cost_q = jnp.abs(orig_blocks - cand0).sum(axis=(1, 2)) + (
         lam * (_mv_bits(qx) + _mv_bits(qy))
     ).astype(jnp.int32)
     if constrained:
-        best_cost = jnp.where(vx(qx, x0_ctu), best_cost, 1 << 30)
-    for hy in (-1, 0, 1):
-        for hx in (-1, 0, 1):
-            if hx == 0 and hy == 0:
-                continue
-            pred = interp_half(hx, hy)
+        best_cost_q = jnp.where(vx(qx, x0_ctu), best_cost_q, 1 << 30)
+    best_mv_q = jnp.stack([qx, qy], axis=1)
+    for sx in range(-3, 4):
+        horiz = horiz_at(sx)
+        for sy in range(-3, 4):
+            if sx == 0 and sy == 0:
+                continue  # integer position already seeded
+            oy = 4 + (sy >> 2)
+            fy = sy & 3
+            if fy == 0:
+                pred = jnp.clip((horiz[:, oy : oy + bs, :] + 32) >> 6, 0, 255)
+            else:
+                cf = LUMA_FILTERS[fy]
+                acc = jnp.zeros((horiz.shape[0], bs, bs), jnp.int32)
+                for k in range(8):
+                    acc = acc + int(cf[k]) * horiz[:, oy - 3 + k : oy - 3 + k + bs, :]
+                pred = jnp.clip(((acc >> 6) + 32) >> 6, 0, 255)
             sad = jnp.abs(orig_blocks - pred).sum(axis=(1, 2))
-            mvx = qx + 2 * hx
-            mvy = qy + 2 * hy
+            mvx = qx + sx
+            mvy = qy + sy
             cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
-            if constrained:
-                cost = jnp.where(vx(mvx, x0_ctu), cost, 1 << 30)
-            better = cost < best_cost
-            best_cost = jnp.where(better, cost, best_cost)
-            best_half = jnp.where(
-                better[:, None], jnp.array([hx, hy], jnp.int32)[None, :], best_half
-            )
-    mv_half = jnp.stack([qx, qy], axis=1) + 2 * best_half
-
-    # ---- stage 4: quarter-pel refinement around the half-pel winner.
-    # The 9 half positions share win3; quarter offsets relative to the
-    # INTEGER anchor span [-3, 3] qpel, so every (sx, sy) pair is a static
-    # phase + static shift into the same windows — the whole qpel sweep is
-    # 8 more dense batched filter passes (kvazaar search_inter.c does this
-    # with data-dependent stepping; here it is evaluate-all-then-select).
-    def interp_frac(sx: int, sy: int):
-        """Prediction at (sx, sy) qpel relative to the integer anchor."""
-        ox = 4 + (sx >> 2)
-        oy = 4 + (sy >> 2)
-        fx = sx & 3
-        fy = sy & 3
-        w = win3
-        if fx == 0:
-            horiz = w[:, :, ox : ox + bs] * 64
-        else:
-            cf = LUMA_FILTERS[fx]
-            acc = jnp.zeros((w.shape[0], w.shape[1], bs), jnp.int32)
-            for k in range(8):
-                acc = acc + int(cf[k]) * w[:, :, ox - 3 + k : ox - 3 + k + bs]
-            horiz = acc
-        if fy == 0:
-            out = horiz[:, oy : oy + bs, :] >> 0
-        else:
-            cf = LUMA_FILTERS[fy]
-            acc = jnp.zeros((w.shape[0], bs, bs), jnp.int32)
-            for k in range(8):
-                acc = acc + int(cf[k]) * horiz[:, oy - 3 + k : oy - 3 + k + bs, :]
-            out = acc >> 6
-        return jnp.clip((out + 32) >> 6, 0, 255)
-
-    half_rel = mv_half - 4 * int_mv  # (nctu, 2) in {-2, 0, 2}
-    # static 7x7 sweep: evaluate every (sx, sy) in [-3, 3]^2 once, then for
-    # each CTU keep the best among the 8 qpel neighbors of its half winner
-    best_mv_q = mv_half
-    best_cost_q = best_cost
-    for sy in range(-3, 4):
-        for sx in range(-3, 4):
-            if sx % 2 == 0 and sy % 2 == 0:
-                continue  # integer/half positions already costed
-            near = (jnp.abs(sx - half_rel[:, 0]) <= 1) & (
-                jnp.abs(sy - half_rel[:, 1]) <= 1)
-            sad = jnp.abs(orig_blocks - interp_frac(sx, sy)).sum(axis=(1, 2))
-            mvx = 4 * int_mv[:, 0] + sx
-            mvy = 4 * int_mv[:, 1] + sy
-            cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
-            cost = jnp.where(near, cost, 1 << 30)
             if constrained:
                 cost = jnp.where(vx(mvx, x0_ctu), cost, 1 << 30)
             better = cost < best_cost_q

@@ -1,0 +1,121 @@
+"""BD-PSNR / BD-rate sweep: our encoder vs x265 (the kvazaar-medium-class
+stand-in; kvazaar itself is not in this image).
+
+Runs fixed-QP RD curves on synthetic moving content and reports
+Bjontegaard deltas for:
+  * x265 medium (its full default toolset, B-frames and all) — the
+    headline baseline row;
+  * x265 restricted to our low-delay toolset (ctu16/1-ref/no-B) — the
+    toolset-matched row.
+
+Usage: python tools/bd_sweep.py [WxH] [frames]   (defaults 1280x720, 24)
+Writes the table to stdout; paste into BENCH_NOTES.md.
+"""
+
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+import cpu_env  # noqa: E402  (force CPU; TPU tunnel is slower for this)
+
+import numpy as np  # noqa: E402
+
+from kvazzup_tpu.core.params import StreamConfig  # noqa: E402
+from kvazzup_tpu.encoder.top import Encoder  # noqa: E402
+from kvazzup_tpu.io.yuv import psnr, synthetic_frames, write_yuv420  # noqa: E402
+
+HEVCREF = "/root/repo/tools/hevcref"
+QPS = [24, 28, 32, 36]
+
+
+def bd_metrics(r1, p1, r2, p2):
+    """Bjontegaard deltas (log-rate cubic fit): returns (bd_psnr dB,
+    bd_rate %) of curve 2 vs curve 1 (positive bd_psnr: 2 better)."""
+    lr1, lr2 = np.log(r1), np.log(r2)
+    f1 = np.polyfit(lr1, p1, 3)
+    f2 = np.polyfit(lr2, p2, 3)
+    lo, hi = max(lr1.min(), lr2.min()), min(lr1.max(), lr2.max())
+    x = np.linspace(lo, hi, 100)
+    bd_psnr = np.mean(np.polyval(f2, x) - np.polyval(f1, x))
+    g1 = np.polyfit(p1, lr1, 3)
+    g2 = np.polyfit(p2, lr2, 3)
+    lo2, hi2 = max(min(p1), min(p2)), min(max(p1), max(p2))
+    y = np.linspace(lo2, hi2, 100)
+    bd_rate = (np.exp(np.mean(np.polyval(g2, y) - np.polyval(g1, y))) - 1) * 100
+    return bd_psnr, bd_rate
+
+
+def run_ours(frames, w, h, qp):
+    cfg = StreamConfig(width=w, height=h, qp=qp, wpp=True, sao_enabled=True,
+                       deblocking_enabled=True, merge_cand=5,
+                       temporal_mvp=True, rdoq=True)
+    enc = Encoder(cfg, intra_period=64)
+    bits = 0
+    ps = []
+    for (y, u, v) in frames:
+        s, rec = enc.encode_frame(y, u, v)
+        bits += len(s) * 8
+        ps.append(psnr(y, np.asarray(rec[0])))
+    return bits / len(frames), float(np.mean(ps))
+
+
+def run_x265(frames, w, h, qp, params, tag):
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in.yuv"
+        write_yuv420(src, frames)
+        out = f"{d}/out.265"
+        gold = f"{d}/gold.yuv"
+        r = subprocess.run([HEVCREF, "encode", src, f"{w}x{h}", str(qp), out,
+                            params], capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(f"x265 {tag} failed: {r.stderr[-200:]}")
+        subprocess.run([HEVCREF, "decode", out, gold], capture_output=True)
+        raw = open(gold, "rb").read()
+        fsz = w * h * 3 // 2
+        nf = len(raw) // fsz
+        ps = []
+        for i in range(nf):
+            dy = np.frombuffer(raw[i * fsz : i * fsz + w * h], np.uint8).reshape(h, w)
+            ps.append(psnr(frames[i][0], dy))
+        import os
+
+        bits = os.path.getsize(out) * 8
+        return bits / nf, float(np.mean(ps))
+
+
+def main():
+    size = sys.argv[1] if len(sys.argv) > 1 else "1280x720"
+    nf = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    w, h = (int(t) for t in size.split("x"))
+    frames = synthetic_frames(w, h, nf, seed=42)
+
+    x265_medium = ("keyint=64:no-scenecut=1:repeat-headers=1:frame-threads=1")
+    x265_matched = ("ctu=16:min-cu-size=8:keyint=64:bframes=0:ref=1:"
+                    "no-scenecut=1:repeat-headers=1:frame-threads=1:"
+                    "rc-lookahead=0")
+
+    curves = {"ours": [], "x265-medium": [], "x265-matched": []}
+    for qp in QPS:
+        t0 = time.time()
+        curves["ours"].append(run_ours(frames, w, h, qp))
+        curves["x265-medium"].append(run_x265(frames, w, h, qp, x265_medium, "medium"))
+        curves["x265-matched"].append(run_x265(frames, w, h, qp, x265_matched, "matched"))
+        o, m, t = curves["ours"][-1], curves["x265-medium"][-1], curves["x265-matched"][-1]
+        print(f"qp{qp}: ours {o[0]/1000:.0f} kb/f {o[1]:.2f} dB | "
+              f"x265-med {m[0]/1000:.0f} kb/f {m[1]:.2f} dB | "
+              f"x265-match {t[0]/1000:.0f} kb/f {t[1]:.2f} dB "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+    ro, po = np.array([c[0] for c in curves["ours"]]), np.array([c[1] for c in curves["ours"]])
+    for ref in ("x265-medium", "x265-matched"):
+        rr = np.array([c[0] for c in curves[ref]])
+        pr = np.array([c[1] for c in curves[ref]])
+        bdp, bdr = bd_metrics(rr, pr, ro, po)
+        print(f"BD vs {ref} @{size}: BD-PSNR {bdp:+.2f} dB, BD-rate {bdr:+.1f}%")
+
+
+if __name__ == "__main__":
+    main()
