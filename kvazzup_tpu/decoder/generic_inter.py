@@ -476,8 +476,13 @@ class GenericInterDecoder(GenericIntraDecoder):
         n = 1 << log2
         self._mark_edges(x0, y0, n)
         if cbf_luma:
-            lev = decode_residual(dec, log2, 0, 0, sdh=self.sdh)
-            resid = self._resid(lev, self.qp_y, log2, 0, False)
+            if self.tskip and log2 == 2:
+                lev, tsf = decode_residual(dec, log2, 0, 0, sdh=self.sdh,
+                                           tskip=True)
+            else:
+                lev, tsf = decode_residual(dec, log2, 0, 0, sdh=self.sdh), False
+            resid = (self._resid_ts(lev, self.qp_y, log2, 0, False) if tsf
+                     else self._resid(lev, self.qp_y, log2, 0, False))
             reg = self.y[y0 : y0 + n, x0 : x0 + n]
             self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(reg + resid, 0, 255)
             self.cbf4[y0 >> 2 : (y0 + n) >> 2, x0 >> 2 : (x0 + n) >> 2] = 1
@@ -491,8 +496,14 @@ class GenericInterDecoder(GenericIntraDecoder):
                                        (self.v, cbf_cr, 2, self.qp_cr)):
             if not cbf:
                 continue
-            lev = decode_residual(dec, log2c, cidx, 0, sdh=self.sdh)
-            resid = self._resid(lev, qpc, log2c, cidx, False)
+            if self.tskip and log2c == 2:
+                lev, tsf = decode_residual(dec, log2c, cidx, 0, sdh=self.sdh,
+                                           tskip=True)
+            else:
+                lev, tsf = decode_residual(dec, log2c, cidx, 0,
+                                           sdh=self.sdh), False
+            resid = (self._resid_ts(lev, qpc, log2c, cidx, False) if tsf
+                     else self._resid(lev, qpc, log2c, cidx, False))
             reg = canvas[yc : yc + n, xc : xc + n]
             canvas[yc : yc + n, xc : xc + n] = np.clip(reg + resid, 0, 255)
 

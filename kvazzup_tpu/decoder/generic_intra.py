@@ -55,6 +55,18 @@ def _jit_resid(lev, qp, log2, dst=False, bd=8):
     return inv_transform(dequantize(lev, qp, log2, bd=bd), log2, dst=dst, bd=bd)
 
 
+@functools.partial(jax.jit, static_argnames=("log2", "bd"))
+def _jit_dequant(lev, qp, log2, bd=8):
+    return dequantize(lev, qp, log2, bd=bd)
+
+
+@functools.partial(jax.jit, static_argnames=("log2", "bd"))
+def _jit_dequant_m(lev, qp, m, log2, bd=8):
+    from ..ops.quant import dequantize_scaled
+
+    return dequantize_scaled(lev, qp, log2, m, bd=bd)
+
+
 @functools.partial(jax.jit, static_argnames=("log2", "dst", "bd"))
 def _jit_resid_m(lev, qp, m, log2, dst=False, bd=8):
     from ..ops.quant import dequantize_scaled
@@ -96,6 +108,7 @@ class GenericIntraDecoder:
         self.max_td_intra = getattr(sps, "max_td_intra", 0)
         self.strong_smoothing = bool(getattr(sps, "strong_intra_smoothing", False))
         self.sdh = bool(pps.sign_data_hiding)
+        self.tskip = bool(getattr(pps, "transform_skip", False))
         self.pcm_range = None
         if getattr(sps, "pcm_enabled", False):
             self.pcm_range = (sps.pcm_min_log2, sps.pcm_max_log2)
@@ -379,6 +392,23 @@ class GenericIntraDecoder:
         return np.asarray(_jit_resid_m(jnp.asarray(lev), qpv, m, log2, dst=dst,
                                        bd=self.bd))
 
+    def _resid_ts(self, lev, qpv, log2: int, cidx: int, intra: bool):
+        """Transform-skip residual (8.6.4.2): dequant, then bypass the
+        inverse transform — r = d << tsShift (5 + log2 = 7 at 4x4), final
+        shift bdShift = 20 - BitDepth."""
+        from ..ops.quant import dequantize
+
+        if self.scaling is None:
+            d = np.asarray(_jit_dequant(jnp.asarray(lev), qpv, log2, bd=self.bd))
+        else:
+            m = jnp.asarray(self.scaling.factor(log2, cidx, intra))
+            d = np.asarray(_jit_dequant_m(jnp.asarray(lev), qpv, m, log2,
+                                          bd=self.bd))
+        bd_shift = 20 - self.bd
+        r = d.astype(np.int64) << 7
+        return np.clip((r + (1 << (bd_shift - 1))) >> bd_shift,
+                       -32768, 32767).astype(np.int32)
+
     def _pcm_unit(self, dec, x0, y0, log2) -> None:
         """pcm_sample (7.3.8.7): raw samples, engine re-init (9.3.1)."""
         n = 1 << log2
@@ -400,8 +430,13 @@ class GenericIntraDecoder:
         n = 1 << log2
         if cbf:
             scan = residual_scan_idx(mode, log2, 0)
-            lev = decode_residual(dec, log2, 0, scan, sdh=self.sdh)
-            resid = self._resid(lev, self.qp_y, log2, 0, True, dst=(log2 == 2))
+            if self.tskip and log2 == 2:
+                lev, tsf = decode_residual(dec, log2, 0, scan, sdh=self.sdh,
+                                           tskip=True)
+            else:
+                lev, tsf = decode_residual(dec, log2, 0, scan, sdh=self.sdh), False
+            resid = (self._resid_ts(lev, self.qp_y, log2, 0, True) if tsf else
+                     self._resid(lev, self.qp_y, log2, 0, True, dst=(log2 == 2)))
         else:
             resid = 0
         self.y[y0 : y0 + n, x0 : x0 + n] = np.clip(pred + resid, 0, self.maxv)
@@ -414,8 +449,14 @@ class GenericIntraDecoder:
                                        (self.v, cbf_cr, 2, self.qp_cr)):
             pred = self._predict(canvas, xc, yc, log2c, False, cmode, True)
             if cbf:
-                lev = decode_residual(dec, log2c, cidx, scan, sdh=self.sdh)
-                resid = self._resid(lev, qpc, log2c, cidx, True)
+                if self.tskip and log2c == 2:
+                    lev, tsf = decode_residual(dec, log2c, cidx, scan,
+                                               sdh=self.sdh, tskip=True)
+                else:
+                    lev, tsf = decode_residual(dec, log2c, cidx, scan,
+                                               sdh=self.sdh), False
+                resid = (self._resid_ts(lev, qpc, log2c, cidx, True) if tsf
+                         else self._resid(lev, qpc, log2c, cidx, True))
             else:
                 resid = 0
             canvas[yc : yc + n, xc : xc + n] = np.clip(pred + resid, 0, self.maxv)

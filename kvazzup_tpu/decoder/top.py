@@ -130,6 +130,7 @@ class Decoder:
             or sh.cabac_init_flag
             or getattr(sps, "pcm_enabled", False)
             or getattr(sps, "scaling_list_enabled", False)
+            or getattr(pps, "transform_skip", False)
             or getattr(sps, "bit_depth", 8) != 8
             or bool(sh.lt_pics)
             or sh.list_entry_l0 is not None or sh.list_entry_l1 is not None
@@ -616,17 +617,40 @@ class Decoder:
             ref = self._dpb.get(ref0_poc, self._ref)
             if ref is None:
                 raise ValueError("P/B slice without a reference picture")
-            # TMVP: the collocated picture is the reference; its CTB-grid
-            # motion was retained when it was decoded (zeros after intra)
+            # TMVP: the collocated picture is ref[0]; its motion was
+            # retained (by whichever tier decoded it) in self._motion at
+            # 4x4 granularity.  Sample each CTU's center position on the
+            # 16x16 compression grid (8.5.3.2.8: the bottom-right col PU
+            # is always in the next CTB row at CTB16, so center only) and
+            # scale by POC distances (8.5.3.2.9).
             col = None
             if getattr(sh, "temporal_mvp", False):
                 if pps.tiles_enabled:
                     raise NotImplementedError("fast tier: TMVP with tiles")
-                col = getattr(self, "_col_fast", None)
-                if col is None:
-                    nctu0 = cfg.ctbs_w * cfg.ctbs_h
+                mt = getattr(self, "_motion", {}).get(ref0_poc)
+                nctu0 = cfg.ctbs_w * cfg.ctbs_h
+                if mt is None:
                     col = (np.zeros((nctu0, 2), np.int32),
                            np.zeros(nctu0, bool))
+                else:
+                    inter4, mv4, refpoc4 = mt
+                    ys = (np.arange(cfg.ctbs_h) * 16) >> 2
+                    xs = (np.arange(cfg.ctbs_w) * 16) >> 2
+                    ci = inter4[np.ix_(ys, xs)].astype(bool)
+                    cmv = mv4[np.ix_(ys, xs)].astype(np.int64)
+                    crp = refpoc4[np.ix_(ys, xs)]
+                    tb = int(np.clip(sh.poc - ref0_poc, -128, 127))
+                    td = np.clip(ref0_poc - crp, -128, 127)
+                    abs_td = np.abs(td)
+                    tx = (16384 + (abs_td >> 1)) // np.maximum(abs_td, 1)
+                    tx = np.where(td < 0, -tx, tx)
+                    dsf = np.clip((tb * tx + 32) >> 6, -4096, 4095)
+                    prod = dsf[..., None] * cmv
+                    scaled = np.clip(np.sign(prod) * ((np.abs(prod) + 127) >> 8),
+                                     -32768, 32767).astype(np.int32)
+                    out_mv = np.where((td == tb)[..., None], cmv, scaled)
+                    col = (out_mv.reshape(nctu0, 2).astype(np.int32),
+                           ci.reshape(nctu0))
             if sh.slice_type == 1:
                 if pps.tiles_enabled:
                     from ..encoder.tiled import reconstruct_frame_p_tiles
@@ -735,15 +759,25 @@ class Decoder:
             v = sao_apply(v, jnp2.asarray(t[2]), jnp2.asarray(a[2]), jnp2.asarray(o[2]), ctb=cfg.ctb_size // 2)
         out = (np.asarray(y), np.asarray(u), np.asarray(v))
         self._ref = out
-        # retain this picture's CTB-grid motion for TMVP in the next P
-        # slice (the collocated picture of a low-delay chain is the ref)
-        nctu0 = cfg.ctbs_w * cfg.ctbs_h
+        # retain this picture's motion for TMVP from pictures that follow,
+        # in the same 4x4-grid format the generic tier publishes (a
+        # fallback mid-chain must not lose collocated motion).  Fast-tier
+        # B pictures publish zeros: own RA streams never enable TMVP, and
+        # alien B streams route to the generic tier.
+        if not hasattr(self, "_motion"):
+            self._motion = {}
+        rep4 = lambda a: np.repeat(np.repeat(a, 4, 0), 4, 1)
         if sh.slice_type == 1:
-            self._col_fast = (np.asarray(mvs, np.int32).reshape(nctu0, 2),
-                              np.asarray(ctype, np.int32) != 0)
+            interg = (np.asarray(ctype, np.int32).reshape(
+                cfg.ctbs_h, cfg.ctbs_w) != 0).astype(np.int32)
+            mvg = np.asarray(mvs, np.int32).reshape(cfg.ctbs_h, cfg.ctbs_w, 2)
+            self._motion[sh.poc] = (
+                rep4(interg),
+                np.repeat(np.repeat(mvg, 4, 0), 4, 1),
+                rep4(interg * ref0_poc + (1 - interg) * 0))
         else:
-            self._col_fast = (np.zeros((nctu0, 2), np.int32),
-                              np.zeros(nctu0, bool))
+            z = np.zeros((cfg.ctbs_h * 16 // 4, cfg.ctbs_w * 16 // 4), np.int32)
+            self._motion[sh.poc] = (z, np.zeros(z.shape + (2,), np.int32), z)
         poc = sh.poc
         self._dpb[poc] = out
         if len(self._dpb) > 8:

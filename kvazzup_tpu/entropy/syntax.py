@@ -259,8 +259,17 @@ def decode_residual(
     c_idx: int,
     scan_idx: int = SCAN_DIAG,
     sdh: bool = False,
+    tskip: bool = False,
 ) -> np.ndarray:
-    """residual_coding — decode side; returns (N, N) int32 [y][x]."""
+    """residual_coding — decode side; returns (N, N) int32 [y][x].
+
+    tskip=True: PPS transform_skip is enabled and this is a 4x4 TB, so
+    transform_skip_flag is the first element (7.3.8.11); the return
+    becomes (coeffs, transform_skip_flag)."""
+    ts_flag = False
+    if tskip:
+        ts_flag = bool(dec.decode_bin(
+            OFFSETS["transform_skip_flag"] + (0 if c_idx == 0 else 1)))
     n = 1 << log2
     pos_scan = tables.scan_order(scan_idx, 4)
     sb_scan = tables.scan_order(scan_idx, max(1, n >> 2))
@@ -337,7 +346,7 @@ def decode_residual(
             dec, sig, coeffs, pos_scan, sx, sy, i, last_sb, last_scan, c_idx, prev_c1,
             sdh,
         )
-    return coeffs
+    return (coeffs, ts_flag) if tskip else coeffs
 
 
 def _decode_sb_levels(
