@@ -44,6 +44,14 @@ from .frame_intra import (
 from .wavefront import schedule
 
 CT_INTRA, CT_MERGE, CT_AMVP, CT_SKIP = 0, 1, 2, 3
+
+# inverse map of frame_intra.P_PREPASS_MODES (mode number -> subset slot)
+from .frame_intra import P_PREPASS_MODES as _PPM  # noqa: E402
+
+_PREPASS_INV = np.zeros(35, np.int32)
+for _k, _m in enumerate(_PPM):
+    _PREPASS_INV[_m] = _k
+P_PREPASS_MODES = _PPM
 SEARCH_RANGE = 16
 REF_PAD = SEARCH_RANGE + 8
 
@@ -350,8 +358,10 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     oy_flat_all = oy.reshape(nctu, n * n)
     satd_me = ck.satd_flat(pred_me.reshape(nctu, -1), oy_flat_all, 4).astype(jnp.float32)
 
+    from .frame_intra import P_PREPASS_MODES
+
     imode, icost = intra_cost_prepass(y, oy, qp, qp_c, lam, width=width,
-                                      height=height)
+                                      height=height, modes=P_PREPASS_MODES)
 
     # ---- wave inputs
     (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, winy_w, winu_w,
@@ -467,10 +477,13 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                                pme.reshape(lanes, -1).astype(jnp.int32))
         use_intra = icost_w < jnp.minimum(cost_merge, cost_me)
 
-        # intra prediction at the pre-decided mode (recon boundaries)
+        # intra prediction at the pre-decided mode (recon boundaries);
+        # the mode came from the P_PREPASS_MODES subset, so only those
+        # modes are predicted per wave (3.2x less than all 35)
         a_y = intra_ops.substitute_refs_ctb(_ring_boundary(*ry, n), fl, fa, ftr, n)
-        preds = ck.predict_all_modes_flat(a_y, 4, True)
-        pred_intra = jnp.take_along_axis(preds, imode_w[:, None, None], 1)[:, 0]
+        preds = ck.predict_modes_subset_flat(a_y, 4, True, P_PREPASS_MODES)
+        isel = jnp.asarray(_PREPASS_INV)[imode_w]
+        pred_intra = jnp.take_along_axis(preds, isel[:, None, None], 1)[:, 0]
 
         pred_y = jnp.where(use_intra[:, None], pred_intra, pred_inter)
         coef = ck.fwd_transform_flat(oy_flat - pred_y, 4)
@@ -487,8 +500,8 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         for ring_c, ocw, winc in ((ru, ouw, winu), (rv, ovw, winv)):
             a_c = intra_ops.substitute_refs_ctb(
                 _ring_boundary(*ring_c, m), fl, fa, ftr, m)
-            preds_c = ck.predict_all_modes_flat(a_c, 3, False)
-            pred_ci = jnp.take_along_axis(preds_c, imode_w[:, None, None], 1)[:, 0]
+            preds_c = ck.predict_modes_subset_flat(a_c, 3, False, P_PREPASS_MODES)
+            pred_ci = jnp.take_along_axis(preds_c, isel[:, None, None], 1)[:, 0]
             pred_cm = mc_chroma_window_batch(winc, mv_sel, m, SEARCH_RANGE)
             pred_c = jnp.where(use_intra[:, None], pred_ci,
                                pred_cm.reshape(lanes, -1))

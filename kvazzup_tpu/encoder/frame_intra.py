@@ -509,11 +509,21 @@ def intra_mode_prepass(y, oy, qp, qp_c, lam, *, width: int, height: int,
     return mode
 
 
+# P-prepass candidate modes: planar, DC, and every 4th angle.  The P
+# arbiter only needs a good intra estimate + a reasonable mode when intra
+# wins; the 3.2x-smaller matmul/SATD cuts the prepass from ~13 to ~5 ms
+# at 1080p (the mode is still coded normatively, streams stay conformant).
+P_PREPASS_MODES = (0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34)
+
+
 def intra_cost_prepass(y, oy, qp, qp_c, lam, *, width: int, height: int,
-                       n: int = 16):
+                       n: int = 16, modes: tuple | None = None):
     """Like intra_mode_prepass but also returns the SATD+bits cost of the
     chosen mode (the P-path intra-vs-inter comparison term, matching
-    _encode_ctu_p's cost_intra up to the orig-boundary approximation)."""
+    _encode_ctu_p's cost_intra up to the orig-boundary approximation).
+
+    modes: optional search subset (mode numbers); returned modes are
+    always true HEVC mode numbers."""
     from ..ops import ctu_kernels as ck
 
     cw, ch = width // n, height // n
@@ -523,17 +533,28 @@ def intra_cost_prepass(y, oy, qp, qp_c, lam, *, width: int, height: int,
     a = intra_ops.substitute_refs_ctb(
         a_raw, jnp.asarray(fl.reshape(-1)), jnp.asarray(fa.reshape(-1)),
         jnp.asarray(ftr.reshape(-1)), n)
-    preds = ck.predict_all_modes_flat(a, 4, True)
+    if modes is None:
+        preds = ck.predict_all_modes_flat(a, 4, True)
+        mode_map = None
+    else:
+        preds = ck.predict_modes_subset_flat(a, 4, True, tuple(modes))
+        mode_map = jnp.asarray(np.asarray(modes, np.int32))
     oy_flat = oy.reshape(nctu, n * n)
     satd = ck.satd_flat(preds, oy_flat[:, None, :], 4).astype(jnp.float32)
-    mode0 = jnp.argmin(satd, axis=1).astype(jnp.int32)
+    sel0 = jnp.argmin(satd, axis=1).astype(jnp.int32)
+    mode0 = sel0 if mode_map is None else mode_map[sel0]
     left0 = jnp.roll(mode0.reshape(ch, cw), 1, axis=1).reshape(-1)
     cand_a = jnp.where(jnp.asarray(fl.reshape(-1)), left0, 1)
-    bits = jax.vmap(_mode_bits_table)(cand_a)
+    if mode_map is None:
+        bits = jax.vmap(_mode_bits_table)(cand_a)
+    else:
+        bits_all = jax.vmap(_mode_bits_table)(cand_a)  # (nctu, 35)
+        bits = bits_all[:, jnp.asarray(np.asarray(modes, np.int32))]
     lam2 = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (nctu,))
     cost = satd + lam2[:, None] * bits
-    mode = jnp.argmin(cost, axis=1).astype(jnp.int32)
-    best = jnp.take_along_axis(cost, mode[:, None], 1)[:, 0] + lam2 * 3.0
+    sel = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    mode = sel if mode_map is None else mode_map[sel]
+    best = jnp.take_along_axis(cost, sel[:, None], 1)[:, 0] + lam2 * 3.0
     return mode, best
 
 

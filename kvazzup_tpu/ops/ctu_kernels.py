@@ -206,3 +206,53 @@ def predict_all_modes_flat(a, log2: int, is_luma: bool):
         preds = preds.at[:, 10].set(p10.reshape(-1, n * n))
         preds = preds.at[:, 26].set(p26.reshape(-1, n * n))
     return preds
+
+
+def predict_modes_subset_flat(a, log2: int, is_luma: bool, modes: tuple):
+    """Subset-of-modes intra prediction (encoder-side search trimming).
+
+    Identical per-mode output to predict_all_modes_flat, but the weight
+    matrix is column-sliced to `modes` so the matmul (and the downstream
+    SATD) scale with len(modes) instead of 35.  Used by the P-frame
+    prepass, where the intra arbiter does not need all 35 candidates.
+    """
+    n = 1 << log2
+    af = intra_ops.filter_refs(a) if is_luma else a
+    a2 = jnp.concatenate([a, af], axis=-1)
+    w, bias, shift = _intra_weights(log2, is_luma)
+    cols = np.concatenate([np.arange(m * n * n, (m + 1) * n * n) for m in modes])
+    wsub = np.ascontiguousarray(w[:, cols])
+    bsub = np.ascontiguousarray(bias[cols])
+    main = (exact_matmul_small(a2, jnp.asarray(wsub))
+            + jnp.asarray(bsub, jnp.int32)) >> shift
+    preds = main.reshape(a.shape[0], len(modes), n * n)
+
+    top = a[:, 2 * n + 1 : 2 * n + 1 + n]
+    left = a[:, 2 * n - 1 : n - 1 : -1]
+    corner = a[:, 2 * n]
+    if 1 in modes:
+        k = modes.index(1)
+        dc = (jnp.sum(top, axis=-1) + jnp.sum(left, axis=-1) + n) >> (log2 + 1)
+        dcpred = jnp.broadcast_to(dc[:, None], (a.shape[0], n * n))
+        if is_luma and n < 32:
+            row0 = (top + 3 * dc[:, None] + 2) >> 2
+            col0 = (left + 3 * dc[:, None] + 2) >> 2
+            corner_px = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
+            d2 = dcpred.reshape(-1, n, n)
+            d2 = d2.at[:, 0, :].set(row0)
+            d2 = d2.at[:, :, 0].set(col0)
+            d2 = d2.at[:, 0, 0].set(corner_px)
+            dcpred = d2.reshape(-1, n * n)
+        preds = preds.at[:, k, :].set(dcpred)
+    if is_luma and n < 32:
+        if 10 in modes:
+            k = modes.index(10)
+            row0 = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1), 0, 255)
+            pk = preds[:, k].reshape(-1, n, n).at[:, 0, :].set(row0)
+            preds = preds.at[:, k].set(pk.reshape(-1, n * n))
+        if 26 in modes:
+            k = modes.index(26)
+            col0 = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1), 0, 255)
+            pk = preds[:, k].reshape(-1, n, n).at[:, :, 0].set(col0)
+            preds = preds.at[:, k].set(pk.reshape(-1, n * n))
+    return preds

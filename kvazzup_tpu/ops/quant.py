@@ -19,6 +19,16 @@ _QUANT = jnp.asarray(QUANT_SCALES)
 _DEQUANT = jnp.asarray(DEQUANT_SCALES)
 
 
+def _table6(table, rem):
+    """table[rem] for a 6-entry table WITHOUT a gather: with traced qp the
+    indexed load lowers to a per-element gather on TPU (profiled ~4.5 ms
+    per 1080p quantize call); six selects are pure VPU ops."""
+    out = jnp.full(rem.shape, int(table[0]), jnp.int32)
+    for k in range(1, 6):
+        out = jnp.where(rem == k, jnp.int32(int(table[k])), out)
+    return out
+
+
 def _bcast(qp, like):
     """Broadcast a scalar or leading-dims qp array against coefficients."""
     qp = jnp.asarray(qp, jnp.int32)
@@ -47,7 +57,7 @@ def quantize(coef: jnp.ndarray, qp, log2: int, intra=True) -> jnp.ndarray:
     per, rem = qp // 6, qp % 6
     qbits = 21 + per - log2  # QUANT_SHIFT(14) + per + transformShift(7-log2)
     offset = jnp.left_shift(_dz_num(intra, coef), qbits - 9)
-    scale = _QUANT[rem]
+    scale = _table6(QUANT_SCALES, rem)
     mag = jnp.right_shift(jnp.abs(coef) * scale + offset, qbits)
     mag = jnp.clip(mag, 0, 32767)
     return jnp.where(coef < 0, -mag, mag)
@@ -63,7 +73,7 @@ def dequantize(level: jnp.ndarray, qp, log2: int, bd: int = 8) -> jnp.ndarray:
     qp = _bcast(qp, level)
     per, rem = qp // 6, qp % 6
     bd_shift = bd + log2 - 5  # BitDepth + log2 + 10 - 15
-    scale = _DEQUANT[rem] * 16
+    scale = _table6(DEQUANT_SCALES, rem) * 16
     sh = bd_shift - per
     rsh = jnp.maximum(sh, 1)
     d_right = jnp.right_shift(level * scale + jnp.left_shift(1, rsh - 1), rsh)
@@ -83,7 +93,7 @@ def dequantize_scaled(level: jnp.ndarray, qp, log2: int, m: jnp.ndarray,
     qp = _bcast(qp, level)
     per, rem = qp // 6, qp % 6
     bd_shift = bd + log2 - 5
-    x = level * (jnp.asarray(m, jnp.int32) * _DEQUANT[rem])
+    x = level * (jnp.asarray(m, jnp.int32) * _table6(DEQUANT_SCALES, rem))
     sh = bd_shift - per
     rsh = jnp.maximum(sh, 1)
     d_right = jnp.right_shift(x + jnp.left_shift(1, rsh - 1), rsh)
@@ -107,7 +117,7 @@ def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra=True) -> jnp.ndar
     qp = _bcast(qp, coef)
     per, rem = qp // 6, qp % 6
     qbits = 21 + per - log2
-    scale = _QUANT[rem]
+    scale = _table6(QUANT_SCALES, rem)
     lam = jnp.asarray(lam, jnp.float32)
     while lam.ndim < coef.ndim:
         lam = lam[..., None]

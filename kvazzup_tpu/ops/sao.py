@@ -166,20 +166,22 @@ def sao_apply(rec, typ, aux, offs, *, ctb: int, bd: int = 8):
     up = lambda m: jnp.repeat(jnp.repeat(m, ctb, 0), ctb, 1)[:h, :w]
     typ_px = up(typ)
     aux_px = up(aux)
-    # EO offset per pixel: select class map, then category offset
-    eo_idx = jnp.take_along_axis(emaps, aux_px[None], axis=0)[0]  # (H, W) in 0..4
-    offs_px = jnp.repeat(jnp.repeat(offs, ctb, 0), ctb, 1)[:h, :w]  # (H, W, 4)
-    cat_off = jnp.take_along_axis(
-        jnp.concatenate([jnp.zeros((h, w, 1), jnp.int32), offs_px], axis=-1),
-        eo_idx[..., None],
-        axis=-1,
-    )[..., 0]
+    # per-pixel dynamic indexing (take_along_axis on 4/5-wide minor axes)
+    # lowers to gather soup on TPU (profiled 97 ms for one 1080p plane);
+    # unrolled one-hot selects are pure VPU selects instead (~100x)
+    eo_idx = jnp.zeros_like(r)
+    for k in range(4):
+        eo_idx = jnp.where(aux_px == k, emaps[k], eo_idx)  # (H, W) in 0..4
+    offs_up = [up(offs[..., j]) for j in range(4)]  # 4 x (H, W)
+    cat_off = jnp.zeros_like(r)
+    for j in range(4):
+        cat_off = jnp.where(eo_idx == j + 1, offs_up[j], cat_off)
     # BO offset per pixel (band window wraps modulo 32)
     band = r >> (bd - 5)
     brel = (band - aux_px) & 31
-    in_win = brel < 4
-    bo_off = jnp.take_along_axis(offs_px, jnp.clip(brel, 0, 3)[..., None], axis=-1)[..., 0]
-    bo_val = jnp.where(in_win, bo_off, 0)
+    bo_val = jnp.zeros_like(r)
+    for j in range(4):
+        bo_val = jnp.where(brel == j, offs_up[j], bo_val)
     delta = jnp.where(typ_px == SAO_EDGE, cat_off, jnp.where(typ_px == SAO_BAND, bo_val, 0))
     return jnp.clip(r + delta, 0, (1 << bd) - 1).astype(
         jnp.uint8 if bd == 8 else jnp.uint16)
