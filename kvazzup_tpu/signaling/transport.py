@@ -365,6 +365,13 @@ class SipEndpoint:
                 advertised_host = self.server.host
         self.host, self.port = advertised_host, self.server.port
         self.routing = SipRouting(self.host, self.port, username)
+        # middleware pipe (sipmessageflow.h): dialog side first, transport
+        # side last; incoming messages traverse in reverse (sanity before
+        # routing).  Extend with SipFlow.add (e.g. auth, logging).
+        from .flow import RoutingProcessor, SanityProcessor, SipFlow
+
+        self.flow = SipFlow([RoutingProcessor(self.routing),
+                             SanityProcessor()])
         self.controller = Controller(
             username, self.host, send_fn=self._send_bytes, **controller_kw)
         self._flows: dict[tuple, _Flow] = {}  # (host, port) -> flow
@@ -388,13 +395,15 @@ class SipEndpoint:
     def _send_bytes(self, data: bytes) -> None:
         msg = parse_message(data)
         if msg.method is not None:
-            self.routing.prepare_request(msg)
-            if msg.get("Max-Forwards") is None:
-                msg.add("Max-Forwards", "70")
+            msg = self.flow.outgoing_request(msg, {})
+            if msg is None:
+                return  # a processor absorbed it
             dest = (msg.request_uri.host,
                     msg.request_uri.port or SIP_PORT)
         else:
-            self.routing.prepare_response(msg)
+            msg = self.flow.outgoing_response(msg, {})
+            if msg is None:
+                return
             dest = self.routing.response_destination(msg)
         flow = self._get_flow(dest)
         flow.conn.send(compose_message(msg))
@@ -420,35 +429,38 @@ class SipEndpoint:
     def _on_message(self, conn: SipTcpConnection, raw: bytes) -> None:
         try:
             msg = parse_message(raw)
-            sanity_check(msg)
-        except (ValueError, SanityError) as e:
-            self._log.warning("SipEndpoint", f"dropping insane message: {e}")
-            if b"SIP/2.0\r\n" in raw.split(b"\r\n", 1)[0] + b"\r\n":
-                # a request we could at least parse a frame for -> 400
-                try:
-                    bad = parse_message(raw)
-                    if bad.method and bad.method != "ACK":
-                        resp = SipMessage(status=400, reason="Bad Request")
-                        for h in ("Via", "From", "To", "Call-ID", "CSeq"):
-                            v = bad.get(h)
-                            if v:
-                                resp.add(h, v)
-                        conn.send(compose_message(resp))
-                except Exception:
-                    pass
+        except ValueError as e:
+            self._log.warning("SipEndpoint", f"dropping unparseable message: {e}")
             return
+        ctx = {"source": conn.remote_addr}
         if msg.method is not None:
-            self.routing.stamp_received(msg, conn.remote_addr)
+            out = self.flow.incoming_request(msg, ctx)
+            gen = ctx.get("generated_response")
+            if gen is not None:  # e.g. sanity -> 400
+                self._log.warning(
+                    "SipEndpoint",
+                    f"rejecting request: {ctx.get('sanity_error', 'refused')}")
+                conn.send(compose_message(gen))
+                return
+            if out is None:
+                self._log.warning(
+                    "SipEndpoint",
+                    f"dropped request: {ctx.get('sanity_error', 'absorbed')}")
+                return
             # responses for this request ride the same connection
             with self._lock:
                 self._flows.setdefault(
-                    SipRouting.response_destination(msg),
+                    SipRouting.response_destination(out),
                     _Flow(conn, conn.remote_addr))
+            self.controller.receive(compose_message(out))
         else:
-            if not self.routing.learn_from_response(msg):
-                self._log.warning("SipEndpoint", "response not for us, dropped")
+            out = self.flow.incoming_response(msg, ctx)
+            if out is None:
+                reason = ("not for us" if ctx.get("not_for_us")
+                          else ctx.get("sanity_error", "absorbed"))
+                self._log.warning("SipEndpoint", f"response dropped: {reason}")
                 return
-        self.controller.receive(compose_message(msg))
+            self.controller.receive(compose_message(out))
 
     def _on_closed(self, conn: SipTcpConnection) -> None:
         with self._lock:

@@ -296,3 +296,88 @@ def test_cli_call_two_processes(tmp_path):
     assert callee.returncode == 0, out_callee
     assert "call over: sent" in caller.stdout
     assert "received" in out_callee
+
+
+# ------------------------------------------------------ middleware flow
+
+
+def test_sip_flow_middleware_seam():
+    """SipFlow (sipmessageprocessor/sipmessageflow parity): processors
+    chain in order (reverse for incoming), can rewrite, absorb, or
+    generate a response."""
+    from kvazzup_tpu.signaling.flow import SipFlow, SipProcessor
+
+    log = []
+
+    class Tag(SipProcessor):
+        def __init__(self, name):
+            self.name = name
+
+        def outgoing_request(self, msg, ctx):
+            log.append(("out", self.name))
+            msg.add("X-Tag", self.name)
+            return msg
+
+        def incoming_request(self, msg, ctx):
+            log.append(("in", self.name))
+            return msg
+
+    class Absorb(SipProcessor):
+        def incoming_request(self, msg, ctx):
+            if msg.get("X-Drop"):
+                return None
+            return msg
+
+    flow = SipFlow([Tag("a"), Tag("b"), Absorb()])
+    m = _req("OPTIONS")
+    out = flow.outgoing_request(m, {})
+    assert out.get_all("X-Tag") == ["a", "b"]  # in order
+    assert log == [("out", "a"), ("out", "b")]
+
+    log.clear()
+    inc = _req("OPTIONS")
+    assert flow.incoming_request(inc, {}) is inc
+    assert log == [("in", "b"), ("in", "a")]  # reverse order
+
+    dropped = _req("OPTIONS", extra=[("X-Drop", "1")])
+    assert flow.incoming_request(dropped, {}) is None
+
+
+def test_sip_flow_generated_response():
+    from kvazzup_tpu.signaling.flow import SanityProcessor, SipFlow
+
+    flow = SipFlow([SanityProcessor()])
+    bad = _req("INVITE")
+    bad.set("CSeq", "1 BYE")
+    ctx = {}
+    assert flow.incoming_request(bad, ctx) is None
+    gen = ctx["generated_response"]
+    assert gen.status == 400 and gen.call_id == bad.call_id
+
+
+def test_endpoint_custom_processor_extension():
+    """A user-added processor sees endpoint traffic (the seam round-1
+    dropped when it folded the middleware into hardcoded calls)."""
+    from kvazzup_tpu.signaling.dialog import CallState
+    from kvazzup_tpu.signaling.flow import SipProcessor
+
+    seen = []
+
+    class Logger(SipProcessor):
+        def incoming_request(self, msg, ctx):
+            seen.append(msg.method)
+            return msg
+
+    alice = SipEndpoint("alice", "127.0.0.1", 0)
+    bob = SipEndpoint("bob", "127.0.0.1", 0)
+    try:
+        bob.flow.add(Logger())
+        bob.controller.on_incoming_call = lambda s: bob.controller.accept_call(s)
+        sess = alice.controller.start_call(bob.uri)
+        assert _wait(lambda: sess.invite.state == CallState.CONNECTED)
+        alice.controller.end_call(sess)
+        assert _wait(lambda: "BYE" in seen)
+        assert "INVITE" in seen and "ACK" in seen
+    finally:
+        alice.close()
+        bob.close()
