@@ -208,12 +208,21 @@ def cmd_call(args) -> int:
     state = {"dest": None, "rx_frames": 0, "tx_frames": 0, "done": threading.Event()}
     pk = H265Packetizer(mtu=1200)
 
-    def media_sink(data: bytes, frame) -> None:
+    from .delivery.rtp import PacketPacer
+
+    def _udp_send(data: bytes) -> None:
         dest = state["dest"]
-        if dest is None:
+        if dest is not None:
+            vsock.sendto(data, dest)
+
+    # paced release + NAT keepalive (delivery.cpp parity)
+    pacer = PacketPacer(_udp_send, fps=args.fps)
+
+    def media_sink(data: bytes, frame) -> None:
+        if state["dest"] is None:
             return
-        for pkt in pk.packetize(data, state["tx_frames"] / args.fps):
-            vsock.sendto(pkt.pack(), dest)
+        pacer.send_frame([pkt.pack() for pkt in
+                          pk.packetize(data, state["tx_frames"] / args.fps)])
         state["tx_frames"] += 1
 
     def display(y, u, v) -> None:
@@ -255,6 +264,8 @@ def cmd_call(args) -> int:
                 data, _ = vsock.recvfrom(65536)
             except (socketlib.timeout, OSError):
                 continue
+            if not data:
+                continue  # peer's NAT keepalive
             try:
                 au = de.push(RtpPacket.parse(data))
             except ValueError:
@@ -298,6 +309,7 @@ def cmd_call(args) -> int:
     elif not args.uri:
         state["done"].wait(timeout=15)
     state["done"].set()
+    pacer.stop()
     for sess in sessions:
         if sess.media is not None:
             sess.media.stop()

@@ -216,3 +216,117 @@ def parse_rtcp(data: bytes) -> list:
             out.append(("sr" if pt == 200 else "rr", ssrc, blocks))
         pos += size
     return out
+
+
+def pack_sdes(ssrc: int, cname: str) -> bytes:
+    """RTCP SDES with one CNAME chunk (RFC 3550 6.5; uvgRTP emits this in
+    every compound report)."""
+    item = bytes([1, len(cname)]) + cname.encode()
+    chunk = struct.pack("!I", ssrc) + item + b"\x00"
+    pad = (4 - len(chunk) % 4) % 4
+    chunk += b"\x00" * pad
+    hdr = struct.pack("!BBH", (RTP_VERSION << 6) | 1, 202, len(chunk) // 4)
+    return hdr + chunk
+
+
+def pack_bye(ssrc: int, reason: str = "") -> bytes:
+    """RTCP BYE (RFC 3550 6.6): session teardown on the media plane (the
+    reference's uvgRTP sends this when a stream is destroyed)."""
+    body = struct.pack("!I", ssrc)
+    if reason:
+        r = reason.encode()[:255]
+        body += bytes([len(r)]) + r
+        pad = (4 - len(body) % 4) % 4
+        body += b"\x00" * pad
+    hdr = struct.pack("!BBH", (RTP_VERSION << 6) | 1, 203, len(body) // 4)
+    return hdr + body
+
+
+def parse_rtcp_full(data: bytes) -> list:
+    """Parse a compound RTCP packet including SDES ('sdes', ssrc, cname)
+    and BYE ('bye', ssrc, reason) entries alongside SR/RR."""
+    out = list(parse_rtcp(data))
+    pos = 0
+    while pos + 4 <= len(data):
+        b0, pt, length = struct.unpack("!BBH", data[pos : pos + 4])
+        size = 4 * (length + 1)
+        body = data[pos + 4 : pos + size]
+        if pt == 202 and len(body) >= 6:
+            ssrc = struct.unpack("!I", body[:4])[0]
+            if body[4] == 1:
+                n = body[5]
+                out.append(("sdes", ssrc, body[6 : 6 + n].decode(errors="replace")))
+        elif pt == 203 and len(body) >= 4:
+            ssrc = struct.unpack("!I", body[:4])[0]
+            reason = ""
+            if len(body) > 4:
+                n = body[4]
+                reason = body[5 : 5 + n].decode(errors="replace")
+            out.append(("bye", ssrc, reason))
+        pos += size
+    return out
+
+
+class PacketPacer:
+    """Frame-burst pacing (delivery.cpp:309-343 parity): an encoded frame
+    fragments into many RTP packets; blasting them back-to-back overflows
+    home-router queues, so packets are released spread over a pace window
+    (a fraction of the frame interval).  Also owns the hole-punch
+    keepalive: when nothing was sent for `keepalive_s`, a zero-length UDP
+    datagram keeps the NAT binding alive (delivery.cpp keepalive timer).
+    """
+
+    def __init__(self, send_fn, fps: float = 30.0, window_frac: float = 0.5,
+                 keepalive_s: float = 2.0, max_burst: int = 4) -> None:
+        import threading
+        import time as _time
+
+        self.send_fn = send_fn
+        self.window = window_frac / max(fps, 1.0)
+        self.keepalive_s = keepalive_s
+        self.max_burst = max_burst
+        self._q: list = []
+        self._lock = threading.Lock()
+        self._kick = threading.Event()
+        self._stop = threading.Event()
+        self._last_send = _time.monotonic()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def send_frame(self, packets: list) -> None:
+        """Queue one frame's packets for paced release."""
+        with self._lock:
+            self._q.append(list(packets))
+        self._kick.set()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._kick.set()
+        self._thread.join(timeout=2)
+
+    def _run(self) -> None:
+        import time as _time
+
+        while not self._stop.is_set():
+            with self._lock:
+                frame = self._q.pop(0) if self._q else None
+            if frame is None:
+                if self._kick.wait(timeout=self.keepalive_s):
+                    self._kick.clear()
+                    continue
+                # idle for keepalive_s: punch the NAT
+                if _time.monotonic() - self._last_send >= self.keepalive_s:
+                    self.send_fn(b"")
+                    self._last_send = _time.monotonic()
+                continue
+            n = len(frame)
+            bursts = [frame[i : i + self.max_burst]
+                      for i in range(0, n, self.max_burst)]
+            gap = self.window / max(len(bursts), 1)
+            for burst in bursts:
+                for pkt in burst:
+                    self.send_fn(pkt)
+                self._last_send = _time.monotonic()
+                if self._stop.is_set():
+                    return
+                _time.sleep(gap)

@@ -253,3 +253,44 @@ def test_srtp_header_extension_not_encrypted():
     assert ext in wire
     assert b"payload-bytes" not in wire
     assert rx.unprotect(wire) == pkt
+
+
+def test_rtcp_sdes_bye_roundtrip():
+    """SDES CNAME + BYE compose/parse (RFC 3550 6.5/6.6; uvgRTP parity)."""
+    from kvazzup_tpu.delivery.rtp import pack_bye, pack_sdes, parse_rtcp_full
+
+    compound = pack_sdes(0x1234, "alice@host") + pack_bye(0x1234, "teardown")
+    entries = parse_rtcp_full(compound)
+    assert ("sdes", 0x1234, "alice@host") in entries
+    assert ("bye", 0x1234, "teardown") in entries
+    # word alignment of every sub-packet
+    assert len(compound) % 4 == 0
+
+
+def test_packet_pacer_spreads_bursts_and_keeps_alive():
+    import time
+
+    from kvazzup_tpu.delivery.rtp import PacketPacer
+
+    sent = []
+    pacer = PacketPacer(lambda p: sent.append((time.monotonic(), p)),
+                        fps=50.0, window_frac=0.5, keepalive_s=0.3,
+                        max_burst=2)
+    try:
+        pkts = [bytes([i]) * 100 for i in range(8)]
+        t0 = time.monotonic()
+        pacer.send_frame(pkts)
+        deadline = time.monotonic() + 2
+        while len(sent) < 8 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert [p for _, p in sent[:8]] == pkts  # order preserved
+        # paced: the frame spread over ~the pace window, not back-to-back
+        spread = sent[7][0] - sent[0][0]
+        assert spread >= 0.004, spread
+        # idle -> keepalive datagrams appear
+        n0 = len(sent)
+        time.sleep(0.8)
+        keepalives = [p for _, p in sent[n0:] if p == b""]
+        assert keepalives, "no keepalive while idle"
+    finally:
+        pacer.stop()
