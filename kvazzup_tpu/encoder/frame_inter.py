@@ -321,7 +321,8 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     Output format matches encode_frame_p."""
     from ..ops import ctu_kernels as ck
     from ..ops.mc import (extract_mc_neighborhoods, mc_chroma_window_batch,
-                          mc_luma_window_batch)
+                          mc_luma_window_batch, sheared_ref_strips,
+                          strip_window_slice)
     from .frame_intra import (_code_flat_sel, _ring_boundary, _ring_push,
                               intra_cost_prepass)
     from .wavefront import schedule_r
@@ -348,11 +349,15 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     refp_y8 = jnp.pad(ref_y, REF_PAD, mode="edge")
     refp_u8 = jnp.pad(ref_u, REF_PAD // 2, mode="edge")
     refp_v8 = jnp.pad(ref_v, REF_PAD // 2, mode="edge")
+    # dense ME prediction: the one-shot window tensor fuses into its single
+    # consumer here; the WAVE's windows come from sheared strips instead
+    # (scan-invariant, one dynamic_slice per wave — see sheared_ref_strips)
     win_y = extract_mc_neighborhoods(refp_y8, n, SEARCH_RANGE, cw, ch, REF_PAD)
-    win_u = extract_mc_neighborhoods(refp_u8, n // 2, SEARCH_RANGE, cw, ch,
-                                     REF_PAD // 2, chroma=True)
-    win_v = extract_mc_neighborhoods(refp_v8, n // 2, SEARCH_RANGE, cw, ch,
-                                     REF_PAD // 2, chroma=True)
+    strips_y = sheared_ref_strips(refp_y8, n, SEARCH_RANGE, ch, REF_PAD)
+    strips_u = sheared_ref_strips(refp_u8, n // 2, SEARCH_RANGE, ch,
+                                  REF_PAD // 2, chroma=True)
+    strips_v = sheared_ref_strips(refp_v8, n // 2, SEARCH_RANGE, ch,
+                                  REF_PAD // 2, chroma=True)
 
     pred_me = mc_luma_window_batch(win_y, me_mv, n, SEARCH_RANGE)  # (nctu,n,n)
     oy_flat_all = oy.reshape(nctu, n * n)
@@ -364,18 +369,19 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                                       height=height, modes=P_PREPASS_MODES)
 
     # ---- wave inputs
-    (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, winy_w, winu_w,
-     winv_w, qp_w, qpc_w, lam_w, colmv_w, colok_w) = wave_inputs(
+    (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w,
+     qp_w, qpc_w, lam_w, colmv_w, colok_w) = wave_inputs(
         sched, nctu,
         [oy, ou, ov, me_mv, pred_me.astype(jnp.uint8), satd_me, imode, icost,
-         win_y, win_u, win_v, qp, qp_c, lam, col_mv, col_inter])
+         qp, qp_c, lam, col_mv, col_inter])
     fl_w = jnp.asarray(sched["cs"] > 0)
     fa_w = jnp.asarray(sched["rs"] > 0)
     ftr_w = jnp.asarray((sched["rs"] > 0) & (sched["cs"] + 1 < cw))
     fal_w = fl_w & fa_w
     xpos_w = jnp.asarray(sched["cs"].astype(np.int32) * n)
-    xs = (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, winy_w, winu_w,
-          winv_w, qp_w, qpc_w, lam_w, fl_w, fa_w, ftr_w, fal_w, xpos_w,
+    dwave = jnp.arange(sched["n_waves"], dtype=jnp.int32)
+    xs = (oy_w, ou_w, ov_w, memv_w, pme_w, csme_w, im_w, ic_w, dwave,
+          qp_w, qpc_w, lam_w, fl_w, fa_w, ftr_w, fal_w, xpos_w,
           colmv_w, colok_w)
 
     ring0 = lambda m: (jnp.zeros((3, lanes, m), jnp.int32),
@@ -384,8 +390,13 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
 
     def wave(carry, x):
         ry, ru, rv, mv_ring, if_ring = carry
-        (oyw, ouw, ovw, memv, pme, csme, imode_w, icost_w, winy, winu, winv,
+        (oyw, ouw, ovw, memv, pme, csme, imode_w, icost_w, dw,
          qpw, qpcw, lamw, fl, fa, ftr, fal, xpos, colmv, colok) = x
+        winy = strip_window_slice(strips_y, dw, n, SEARCH_RANGE)
+        winu = strip_window_slice(strips_u, dw, n // 2, SEARCH_RANGE,
+                                  chroma=True)
+        winv = strip_window_slice(strips_v, dw, n // 2, SEARCH_RANGE,
+                                  chroma=True)
         lamf = lamw.astype(jnp.float32)
         lam2 = lamf * lamf
 

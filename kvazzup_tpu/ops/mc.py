@@ -219,12 +219,17 @@ def mc_chroma_window(win, mv_x, mv_y, size: int, search_range: int):
 # work, exact: one-hot rows x uint8 samples) + static tap arithmetic, so a
 # whole wave's MC is a handful of dense ops.
 
-def window_select_batch(wins, oy, ox, oh: int, ow: int):
+def window_select_batch(wins, oy, ox, oh: int, ow: int,
+                        channels_last: bool = False):
     """Batched (oh, ow) sub-window at per-lane offsets (oy, ox).
 
     wins: (L, Hw, Ww) integer samples (values < 2^15); oy/ox: (L,) int32.
     Exact: selection matrices are one-hot; f32 HIGHEST keeps integers
-    below 2^24 exact on the MXU."""
+    below 2^24 exact on the MXU.
+
+    channels_last: emit (oh, ow, L) with the batch axis MINOR — the layout
+    positional sweeps want (slices on major axes, lane-parallel reductions)
+    — straight out of the einsum so no separate relayout op."""
     L, Hw, Ww = wins.shape
     wf = wins.astype(jnp.float32)
     hh = jnp.arange(Hw, dtype=jnp.int32)[None, None, :]
@@ -233,7 +238,10 @@ def window_select_batch(wins, oy, ox, oh: int, ow: int):
     C = (ww_ == (ox[:, None] + jnp.arange(ow, dtype=jnp.int32)[None, :])[..., None])
     hp = jax.lax.Precision.HIGHEST
     t = jnp.einsum("lih,lhw->liw", R.astype(jnp.float32), wf, precision=hp)
-    out = jnp.einsum("ljw,liw->lij", C.astype(jnp.float32), t, precision=hp)
+    if channels_last:
+        out = jnp.einsum("ljw,liw->ijl", C.astype(jnp.float32), t, precision=hp)
+    else:
+        out = jnp.einsum("ljw,liw->lij", C.astype(jnp.float32), t, precision=hp)
     return jnp.round(out).astype(jnp.int32)
 
 
@@ -277,6 +285,61 @@ def mc_chroma_window_batch(wins, mvs, size: int, search_range: int):
     for k in range(4):
         out = out + cfv[:, k, None, None] * acc[:, k : k + size, :]
     return jnp.clip(((out >> 6) + 32) >> 6, 0, 255)
+
+
+def sheared_ref_strips(ref_pad, n: int, search_range: int, ch: int,
+                       pad: int, chroma: bool = False):
+    """Per-lane reference strips, SHEARED so the wavefront anti-diagonal is
+    axis-aligned.
+
+    Lane k of the row-aligned wavefront (wavefront.schedule_r) always holds
+    CTU row k, so its vertical MC window range is static: rows
+    off + n*k .. + win of the padded reference (off = pad - range - taps_lo).
+    Horizontally, wave d puts lane k at CTU column c = d - 2k, i.e. pixel
+    x0 = off + n*d - 2n*k.  Placing lane k's strip at column 2n*k makes the
+    window start column off + n*d — IDENTICAL for every lane — so a whole
+    wave's MC windows are ONE `dynamic_slice` of this array (see
+    strip_window_slice) instead of a materialized (nctu, win, win) tensor
+    re-gathered into wave order (profiled ~40 ms/frame at 1080p, the
+    round-2 P bottleneck).
+
+    Returns (ch, win, 2n*(ch-1) + ref_pad.shape[1]) in ref_pad's dtype.
+    """
+    taps_lo, taps_hi = (1, 2) if chroma else (3, 4)
+    rng = search_range // 2 if chroma else search_range
+    win = n + 2 * rng + taps_lo + taps_hi
+    off = pad - rng - taps_lo
+    _, w = ref_pad.shape
+    shear = 2 * n
+    # columns are laid out so wave d's windows start at column n*d exactly:
+    # lane k's strip (ref_pad cols off..w) sits at columns shear*k .. —
+    # i.e. ref_pad col x maps to strip col (x - off) + shear*k
+    total = shear * (ch - 1) + (w - off)
+    rows = []
+    for k in range(ch):
+        y0 = off + n * k
+        s = jax.lax.slice(ref_pad, (y0, off), (y0 + win, w))
+        rows.append(jnp.pad(
+            s, ((0, 0), (shear * k, total - (w - off) - shear * k))))
+    return jnp.stack(rows)
+
+
+def strip_window_slice(strips, d, n: int, search_range: int,
+                       chroma: bool = False):
+    """Wave d's per-lane MC windows from sheared strips: (lanes, win, win).
+
+    Bit-identical to indexing the extract_mc_neighborhoods output at the
+    wave's CTU indices (garbage in lanes whose CTU column is out of range —
+    callers mask by wave validity, as with the pre-gathered form)."""
+    taps_lo, taps_hi = (1, 2) if chroma else (3, 4)
+    rng = search_range // 2 if chroma else search_range
+    win = n + 2 * rng + taps_lo + taps_hi
+    # strips col (off + n*d) holds padded-ref col (off + n*c) for lane k:
+    # the per-lane shear 2n*k cancels the schedule's c = d - 2k skew.  The
+    # `off` placement offset is already baked into the strip columns.
+    lanes = strips.shape[0]
+    return jax.lax.dynamic_slice(
+        strips, (0, 0, n * d), (lanes, win, win))
 
 
 def extract_windows_static(ref_pad, n: int, win: int, cw: int, ch: int,

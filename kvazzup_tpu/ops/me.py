@@ -154,24 +154,41 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     # ---- stage 2: +-2 full-pel refinement around stage-1 MV, per block.
     # Per-CTU static windows cover the whole +-R reach; MV-dependent
     # sub-windows come from gather-free one-hot selects (ops/mc.py).
+    #
+    # LAYOUT: everything below runs CHANNELS-LAST — (win_i, win_j, nctu)
+    # with the block axis minor.  The position sweeps slice the MAJOR axes
+    # (free) and reduce over them with the block axis riding the vector
+    # lanes; the (nctu, 20, 20) layout this replaces burned ~7 ms/frame in
+    # lane shuffles at 1080p (minor dims 16/20 vs the 128-lane tile).
     from .mc import extract_windows_static, window_select_batch
 
+    # One select serves BOTH refinement stages: the per-CTU winS extraction
+    # fuses into its one-hot-select consumer, and that fused extraction —
+    # not the matmul — is the dominant cost (~3.7 ms/einsum at 1080p), so
+    # stage 2 and the fractional sweep share a single (bs+12)^2 window
+    # around the stage-1 anchor; stage 3's +-2 re-anchor becomes ten masked
+    # shift-adds (below) instead of a second select.  The winS side stays
+    # at bs+2(R+4) — wider sources trip a 6x-slower XLA layout (measured:
+    # 28-from-60 select 32 ms vs 28-from-56 5.5 ms) — so the anchor is
+    # clamped to +-(R-2); the +-2 refine still reaches +-R.
     pad2 = search_range + 4
     ref_pad8 = jnp.pad(ref_y, pad2, mode="edge")  # uint8: compact windows
-    orig_blocks = orig.reshape(ch, bs, cw, bs).transpose(0, 2, 1, 3).reshape(nctu, bs, bs)
+    orig_t = orig.reshape(ch, bs, cw, bs).transpose(1, 3, 0, 2).reshape(bs, bs, nctu)
 
     win_side = bs + 2 * (search_range + 4)
     winS = extract_windows_static(ref_pad8, bs, win_side, cw, ch, pad2, 4, search_range)
     org_s = search_range + 4  # static-window offset of the block origin
 
-    win2 = window_select_batch(
-        winS, best_mv[:, 1] + org_s - 2, best_mv[:, 0] + org_s - 2, bs + 4, bs + 4)
+    best_mv = jnp.clip(best_mv, -(search_range - 2), search_range - 2)
+    win23 = window_select_batch(
+        winS, best_mv[:, 1] + org_s - 6, best_mv[:, 0] + org_s - 6,
+        bs + 12, bs + 12, channels_last=True)
     best_cost = jnp.full((nctu,), 1 << 30, jnp.int32)
     best_d = jnp.zeros((nctu, 2), jnp.int32)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            cand = win2[:, 2 + dy : 2 + dy + bs, 2 + dx : 2 + dx + bs]
-            sad = jnp.abs(orig_blocks - cand).sum(axis=(1, 2))
+            cand = win23[6 + dy : 6 + dy + bs, 6 + dx : 6 + dx + bs, :]
+            sad = jnp.abs(orig_t - cand).sum(axis=(0, 1))
             mvx = 4 * (best_mv[:, 0] + dx)
             mvy = 4 * (best_mv[:, 1] + dy)
             cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
@@ -193,8 +210,19 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     # (7 passes) instead of once per position (49), and the half-pel
     # stage's 9 extra interpolations disappear entirely (TPU ablation:
     # dense ME was 23 ms of the 54 ms 1080p P frame).
-    win3 = window_select_batch(
-        winS, int_mv[:, 1] + org_s - 4, int_mv[:, 0] + org_s - 4, bs + 8, bs + 8)
+    #
+    # win3 = the (bs+8)^2 window around int_mv, re-anchored from win23 by
+    # the stage-2 shift d = int_mv - best_mv via masked shift-adds (d is
+    # one of 5 values per axis; slices are on MAJOR axes, channels-last).
+    sh = int_mv - best_mv  # (nctu, 2) in [-2, 2]
+    rows3 = jnp.zeros((bs + 8, bs + 12, nctu), jnp.int32)
+    for s in range(5):
+        rows3 = rows3 + jnp.where((sh[:, 1] == s - 2)[None, None, :],
+                                  win23[s : s + bs + 8, :, :], 0)
+    win3 = jnp.zeros((bs + 8, bs + 8, nctu), jnp.int32)
+    for s in range(5):
+        win3 = win3 + jnp.where((sh[:, 0] == s - 2)[None, None, :],
+                                rows3[:, s : s + bs + 8, :], 0)
     qx = 4 * int_mv[:, 0]
     qy = 4 * int_mv[:, 1]
 
@@ -204,16 +232,16 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
         fx = sx & 3
         w = win3
         if fx == 0:
-            return w[:, :, ox : ox + bs] * 64
+            return w[:, ox : ox + bs, :] * 64
         cf = LUMA_FILTERS[fx]
-        acc = jnp.zeros((w.shape[0], w.shape[1], bs), jnp.int32)
+        acc = jnp.zeros((w.shape[0], bs, nctu), jnp.int32)
         for k in range(8):
-            acc = acc + int(cf[k]) * w[:, :, ox - 3 + k : ox - 3 + k + bs]
+            acc = acc + int(cf[k]) * w[:, ox - 3 + k : ox - 3 + k + bs, :]
         return acc
 
     # integer-position seed
-    cand0 = win3[:, 4 : 4 + bs, 4 : 4 + bs]
-    best_cost_q = jnp.abs(orig_blocks - cand0).sum(axis=(1, 2)) + (
+    cand0 = win3[4 : 4 + bs, 4 : 4 + bs, :]
+    best_cost_q = jnp.abs(orig_t - cand0).sum(axis=(0, 1)) + (
         lam * (_mv_bits(qx) + _mv_bits(qy))
     ).astype(jnp.int32)
     if constrained:
@@ -227,14 +255,14 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
             oy = 4 + (sy >> 2)
             fy = sy & 3
             if fy == 0:
-                pred = jnp.clip((horiz[:, oy : oy + bs, :] + 32) >> 6, 0, 255)
+                pred = jnp.clip((horiz[oy : oy + bs, :, :] + 32) >> 6, 0, 255)
             else:
                 cf = LUMA_FILTERS[fy]
-                acc = jnp.zeros((horiz.shape[0], bs, bs), jnp.int32)
+                acc = jnp.zeros((bs, bs, nctu), jnp.int32)
                 for k in range(8):
-                    acc = acc + int(cf[k]) * horiz[:, oy - 3 + k : oy - 3 + k + bs, :]
+                    acc = acc + int(cf[k]) * horiz[oy - 3 + k : oy - 3 + k + bs, :, :]
                 pred = jnp.clip(((acc >> 6) + 32) >> 6, 0, 255)
-            sad = jnp.abs(orig_blocks - pred).sum(axis=(1, 2))
+            sad = jnp.abs(orig_t - pred).sum(axis=(0, 1))
             mvx = qx + sx
             mvy = qy + sy
             cost = sad + (lam * (_mv_bits(mvx) + _mv_bits(mvy))).astype(jnp.int32)
@@ -248,9 +276,9 @@ def motion_search(orig_y, ref_y, lam_x1k, *, block: int = 16, search_range: int 
     if constrained:
         # zero-MV fallback: the stage-2 clip can in rare corners land on an
         # invalid anchor; (0, 0) is always MCTS-valid.
-        ref_blocks = ref.reshape(ch, bs, cw, bs).transpose(0, 2, 1, 3).reshape(
-            nctu, bs, bs)
-        sad0 = jnp.abs(orig_blocks - ref_blocks).sum(axis=(1, 2)) + (
+        ref_t = ref.reshape(ch, bs, cw, bs).transpose(1, 3, 0, 2).reshape(
+            bs, bs, nctu)
+        sad0 = jnp.abs(orig_t - ref_t).sum(axis=(0, 1)) + (
             2.0 * lam).astype(jnp.int32)
         ok = vx(best_mv_q[:, 0], x0_ctu)
         best_mv_q = jnp.where(ok[:, None], best_mv_q, 0)
