@@ -87,6 +87,19 @@ def main() -> None:
     p_ms = 1000.0 / p_fps
     del outs
 
+    # ---- P at the BD operating point (merge 1..5 + TMVP threaded)
+    @jax.jit
+    def runp5(y, u, v, ry, ru, rv):
+        return checksum(encode_frame_p_fast(y, u, v, ry, ru, rv, qp,
+                                            width=w, height=h, merge_cand=5))
+
+    int(runp5(*dev[1], *dev[0]))
+    t0 = time.time()
+    outs = [runp5(*dev[i], *dev[i - 1]) for i in range(1, reps)]
+    int(outs[-1])
+    p5_fps = (reps - 1) / (time.time() - t0)
+    del outs
+
     # ---- end-to-end pipelined encoder (device | fetch | native CABAC)
     cfg = StreamConfig(width=w, height=h, qp=32, wpp=True)
     with PipelinedEncoder(cfg, intra_period=1, depth=3, materialize_recon=False) as pe:
@@ -120,10 +133,24 @@ def main() -> None:
     fps_4k = reps4 / (time.time() - t0)
     del outs
 
+    # ---- 4K low-delay P device figure
+    @jax.jit
+    def runp4(y, u, v, ry, ru, rv):
+        return checksum(encode_frame_p_fast(y, u, v, ry, ru, rv, qp,
+                                            width=w4, height=h4))
+
+    int(runp4(*dev4[1], *dev4[0]))
+    t0 = time.time()
+    outs = [runp4(*dev4[i], *dev4[i - 1]) for i in range(1, reps4)]
+    int(outs[-1])
+    p_fps_4k = (reps4 - 1) / (time.time() - t0)
+    del outs
+
     print(
         f"[bench] 1080p: device intra {dev_fps:.2f} fps, device P {p_fps:.2f} fps "
-        f"({p_ms:.0f} ms), e2e pipelined {e2e_fps:.2f} fps "
-        f"({nbytes // reps} bytes/frame); 4K intra {fps_4k:.2f} fps; "
+        f"({p_ms:.0f} ms, merge5 {p5_fps:.2f}), e2e pipelined {e2e_fps:.2f} fps "
+        f"({nbytes // reps} bytes/frame); 4K intra {fps_4k:.2f} fps, "
+        f"4K P {p_fps_4k:.2f} fps; "
         f"compile {compile_s:.1f}s on {jax.devices()[0].platform}",
         file=sys.stderr,
     )
@@ -139,6 +166,8 @@ def main() -> None:
                 "unit": "frames/s/chip",
                 "vs_baseline": round(dev_fps / 30.0, 4),
                 "p_fps_1080p_device": round(p_fps, 3),
+                "p_fps_1080p_merge5_device": round(p5_fps, 3),
+                "p_fps_4k_device": round(p_fps_4k, 3),
                 "e2e_fps_1080p_pipelined": round(e2e_fps, 3),
                 "intra_fps_4k_device": round(fps_4k, 3),
             }

@@ -165,11 +165,30 @@ class Encoder:
 
             if not is_idr:
                 raise NotImplementedError("CTB32/64 quadtree is intra-only for now")
-            out = encode_frame_intra_quad_ref(
-                np.asarray(y), np.asarray(u), np.asarray(v), qp,
-                width=cfg.width, height=cfg.height, ctb_log2=cfg.ctb_log2,
-                td_intra=cfg.max_transform_hierarchy_depth_intra,
+            use_device = (
+                cfg.ctb_log2 == 5
+                and cfg.fast_decision
+                and cfg.max_transform_hierarchy_depth_intra == 0
             )
+            if use_device:
+                from .frame_intra32 import (encode_frame_intra32_fast,
+                                            quad_trees_from_device)
+
+                dev = encode_frame_intra32_fast(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+                    width=cfg.width, height=cfg.height)
+                out = {
+                    "trees": quad_trees_from_device(dev, cfg.width, cfg.height),
+                    "recon_y": dev["recon_y"],
+                    "recon_u": dev["recon_u"],
+                    "recon_v": dev["recon_v"],
+                }
+            else:
+                out = encode_frame_intra_quad_ref(
+                    np.asarray(y), np.asarray(u), np.asarray(v), qp,
+                    width=cfg.width, height=cfg.height, ctb_log2=cfg.ctb_log2,
+                    td_intra=cfg.max_transform_hierarchy_depth_intra,
+                )
             ry = jnp.asarray(out["recon_y"])
             ru = jnp.asarray(out["recon_u"])
             rv = jnp.asarray(out["recon_v"])

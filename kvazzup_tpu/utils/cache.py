@@ -2,14 +2,46 @@
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint() -> str:
+    """Host-CPU feature fingerprint for the cache path.
+
+    XLA:CPU persists AOT-compiled kernels into the cache; loading an entry
+    compiled on a host with different CPU features executes foreign machine
+    code (observed: SIGABRT/SIGILL mid-suite after the 'machine type used
+    for XLA:CPU compilation doesn't match' warning).  Keying the directory
+    on the feature set makes stale entries unreachable instead of fatal.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    # Key the directory on the active backend as well: a process holding
+    # the axon (TPU tunnel) plugin compiles its CPU executables with
+    # different LLVM pseudo-features (+prefer-no-scatter/+prefer-no-gather
+    # observed) than a plain CPU-only process on the same host, and
+    # cross-loading those AOT entries aborts the process.
+    backend = jax.default_backend()
     cache_dir = path or os.environ.get(
-        "KVZ_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "kvazzup_tpu_xla")
+        "KVZ_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     f"kvazzup_tpu_xla_{_host_fingerprint()}_{backend}"),
     )
     os.makedirs(cache_dir, exist_ok=True)
     try:
