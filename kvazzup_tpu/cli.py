@@ -46,7 +46,8 @@ def cmd_encode(args) -> int:
         width=w, height=h, qp=args.qp,
         ctb_log2=ctb_log2,
         deblocking_enabled=not args.no_deblock,
-        sao_enabled=args.sao, wpp=args.wpp or args.sao,
+        sao_enabled=args.sao,
+        wpp=args.wpp or (args.sao and ctb_log2 == 4),
         tile_cols=args.tiles, slices=args.slices,
         min_cb_log2=3 if (args.cu8 or ctb_log2 > 4) else 4,
         max_tb_log2=5 if ctb_log2 > 4 else 4,
@@ -57,7 +58,10 @@ def cmd_encode(args) -> int:
         temporal_mvp=args.tmvp,
     )
     if ctb_log2 > 4 and args.intra_period != 1:
-        raise SystemExit("--ctu 32/64 currently requires all-intra (--intra-period 1)")
+        if ctb_log2 != 5 or ra or args.wpp or args.tmvp or args.tu_intra_depth != 1:
+            raise SystemExit(
+                "--ctu 32 inter supports --gop ld without wpp/tmvp/tu-depth; "
+                "--ctu 64 requires all-intra (--intra-period 1)")
     if args.tiles > 1 and (ra or args.intra_period != 1):
         raise SystemExit("--tiles currently requires all-intra (--intra-period 1, --gop ld)")
     t0 = time.time()

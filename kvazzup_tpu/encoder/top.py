@@ -66,8 +66,14 @@ class Encoder:
                 raise ValueError("CTB32/64 coding uses min_cb_log2=3 / max_tb_log2=5")
             if cfg.max_transform_hierarchy_depth_intra not in (0, 1):
                 raise NotImplementedError("quad path supports max_td_intra 0/1")
-            if intra_period != 1:
-                raise NotImplementedError("CTB32/64 quadtree currently requires all-intra")
+            if intra_period != 1 and not (
+                cfg.ctb_log2 == 5 and cfg.fast_decision and not cfg.wpp
+                and cfg.max_transform_hierarchy_depth_intra == 0
+                and not cfg.temporal_mvp
+            ):
+                raise NotImplementedError(
+                    "CTB32/64 inter needs the device quad path: ctb 32, "
+                    "fast_decision, td_intra 0, no wpp/tmvp")
             if cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
                 raise NotImplementedError("CTB32/64 excludes qp_map/tiles/slices for now")
         elif cfg.min_cb_log2 == 3:
@@ -163,13 +169,63 @@ class Encoder:
         if cfg.ctb_log2 in (5, 6):
             from .cu32 import encode_frame_intra_quad_ref, quad_bs_maps
 
-            if not is_idr:
-                raise NotImplementedError("CTB32/64 quadtree is intra-only for now")
             use_device = (
                 cfg.ctb_log2 == 5
                 and cfg.fast_decision
                 and cfg.max_transform_hierarchy_depth_intra == 0
             )
+            if not is_idr:
+                from .frame_inter32 import (encode_frame_p32_fast,
+                                            quad_p_bs_maps,
+                                            quad_p_cell_maps,
+                                            quad_p_trees_from_device)
+
+                pry, pru, prv = self._ref
+                dev = encode_frame_p32_fast(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    pry, pru, prv, qp, width=cfg.width, height=cfg.height,
+                    merge_cand=cfg.merge_cand)
+                trees = quad_p_trees_from_device(dev, cfg.width, cfg.height)
+                ry = jnp.asarray(dev["recon_y"])
+                ru = jnp.asarray(dev["recon_u"])
+                rv = jnp.asarray(dev["recon_v"])
+                if cfg.deblocking_enabled:
+                    mv4, inter4, cbf4 = quad_p_cell_maps(
+                        trees, cfg.width, cfg.height)
+                    bv, bh = quad_p_bs_maps(trees, mv4, inter4, cbf4,
+                                            cfg.width, cfg.height)
+                    ry, ru, rv = deblock_frame(
+                        ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
+                        bs_h=jnp.asarray(bh), chroma_every=2, bs_rep=4,
+                    )
+                sao_state = None
+                if cfg.sao_enabled:
+                    lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+                    t_l, aux_l, off_l, _ = sao_decide(
+                        jnp.asarray(np.asarray(y)), ry, lam, ctb=cfg.ctb_size)
+                    t_c, _cls, aux_cb, aux_cr, off_cb, off_cr = sao_decide_chroma(
+                        jnp.asarray(np.asarray(u)), ru,
+                        jnp.asarray(np.asarray(v)), rv, lam,
+                        ctb=cfg.ctb_size // 2)
+                    sao_state = SaoState(
+                        cfg.ctbs_w, cfg.ctbs_h,
+                        typ=np.stack([np.asarray(t_l), np.asarray(t_c),
+                                      np.asarray(t_c)]),
+                        aux=np.stack([np.asarray(aux_l), np.asarray(aux_cb),
+                                      np.asarray(aux_cr)]),
+                        offs=np.stack([np.asarray(off_l), np.asarray(off_cb),
+                                       np.asarray(off_cr)]),
+                    )
+                    ry = sao_apply(ry, t_l, aux_l, off_l, ctb=cfg.ctb_size)
+                    ru = sao_apply(ru, t_c, aux_cb, off_cb, ctb=cfg.ctb_size // 2)
+                    rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
+                first = self._frame_count == 0
+                self._frame_count += 1
+                self._poc += 1
+                self._ref = (ry, ru, rv)
+                return {"kind": "quad_p", "out": {"trees": trees}, "qp": qp,
+                        "first": first, "poc": self._poc,
+                        "sao_state": sao_state, "recon": (ry, ru, rv)}
             if use_device:
                 from .frame_intra32 import (encode_frame_intra32_fast,
                                             quad_trees_from_device)
@@ -220,6 +276,7 @@ class Encoder:
                 rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
             first = self._frame_count == 0
             self._frame_count += 1
+            self._poc = 0
             self._ref = (ry, ru, rv)
             return {"kind": "quad", "out": out, "qp": qp, "first": first,
                     "sao_state": sao_state, "recon": (ry, ru, rv)}
@@ -423,6 +480,26 @@ class Encoder:
             if entry_offsets:
                 entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
             w = compose_slice_header(cfg, sh, entry_offsets)
+            w.write_bytes(payload)
+            stream = self.headers() if first else b""
+            stream += compose_nal(NalUnit(sh.nal_type, w.data()))
+            if materialize_recon:
+                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+            return stream, (ry, ru, rv)
+        if ctx["kind"] == "quad_p":
+            from ..entropy.quad import encode_slice_data_p_quad
+
+            payload = encode_slice_data_p_quad(
+                cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"],
+                merge_k=cfg.merge_cand)
+            sh = SliceHeader(
+                slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
+                pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
+                num_negative_pics=1, delta_pocs=(-1,),
+                max_num_merge_cand=cfg.merge_cand,
+                sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
+            )
+            w = compose_slice_header(cfg, sh, None)
             w.write_bytes(payload)
             stream = self.headers() if first else b""
             stream += compose_nal(NalUnit(sh.nal_type, w.data()))

@@ -188,6 +188,89 @@ class _QuadWriter:
                             residual_scan_idx(dm, log2 - 1, 2))
 
 
+class _QuadWriterP(_QuadWriter):
+    """P-slice quadtree writer: inter leaves (2Nx2N merge/AMVP/skip, TU ==
+    CU) alongside the intra leaf syntax — mirrors
+    decoder/generic_inter.py's _coding_unit/_inter_tt parse exactly."""
+
+    def __init__(self, cfg, slice_qp, merge_k=1):
+        super().__init__(cfg, slice_qp)
+        self.skip4 = np.zeros((self.h // 4, self.w // 4), np.int32)
+        self.merge_k = merge_k
+
+    def _coding_unit(self, enc, node, x0, y0, log2):
+        from .slice_data import _encode_merge_idx, _encode_mvd
+
+        ctx = 0
+        if x0 > 0 and self.skip4[y0 >> 2, (x0 - 1) >> 2]:
+            ctx += 1
+        if y0 > 0 and self.skip4[(y0 - 1) >> 2, x0 >> 2]:
+            ctx += 1
+        ct = int(node.get("ctype", 0))
+        n = 1 << log2
+        is_skip = ct == 3
+        enc.encode_bin(OFFSETS["cu_skip_flag"] + ctx, 1 if is_skip else 0)
+        s = slice(y0 >> 2, (y0 + n) >> 2), slice(x0 >> 2, (x0 + n) >> 2)
+        self.skip4[s] = 1 if is_skip else 0
+        if is_skip:
+            _encode_merge_idx(enc, int(node["merge_idx"]), self.merge_k)
+            return
+        enc.encode_bin(OFFSETS["pred_mode_flag"], 1 if ct == 0 else 0)
+        if ct == 0:
+            super()._coding_unit(enc, node, x0, y0, log2)
+            return
+        # inter CU, PART_2Nx2N
+        enc.encode_bin(OFFSETS["part_mode"], 1)
+        enc.encode_bin(OFFSETS["merge_flag"], 1 if ct == 1 else 0)
+        if ct == 1:
+            _encode_merge_idx(enc, int(node["merge_idx"]), self.merge_k)
+        else:
+            # single reference: ref_idx_l0 absent
+            _encode_mvd(enc, int(node["mvd"][0]), int(node["mvd"][1]))
+            enc.encode_bin(OFFSETS["mvp_flag"], int(node["mvp_flag"]))
+        lev_y, lev_cb, lev_cr = node["lev_y"], node["lev_cb"], node["lev_cr"]
+        cbf_y = 1 if np.any(lev_y) else 0
+        cbf_cb = 1 if np.any(lev_cb) else 0
+        cbf_cr = 1 if np.any(lev_cr) else 0
+        root = cbf_y or cbf_cb or cbf_cr
+        if ct == 2:
+            enc.encode_bin(OFFSETS["rqt_root_cbf"], 1 if root else 0)
+            if not root:
+                return
+        else:
+            assert root, "zero-residual merge must be coded as skip"
+        # transform tree at depth 0, TU == CU (max_td_inter 0, 2Nx2N)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+        enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+        # else: cbf_luma inferred 1 (rqt_root_cbf / merge residual present)
+        if cbf_y:
+            encode_residual(enc, lev_y, log2, 0)
+        if cbf_cb:
+            encode_residual(enc, lev_cb, log2 - 1, 1)
+        if cbf_cr:
+            encode_residual(enc, lev_cr, log2 - 1, 2)
+
+
+def encode_slice_data_p_quad(cfg, trees, slice_qp=None, sao=None,
+                             merge_k: int = 1) -> bytes:
+    """P-slice data for the quad-P tree representation (single slice):
+    CTBs in raster order, init_type 1."""
+    sq = cfg.qp if slice_qp is None else slice_qp
+    enc = CabacEncoder(init_type=1, slice_qp=sq)
+    wr = _QuadWriterP(cfg, sq, merge_k)
+    cw = cfg.ctbs_w
+    nctu = cw * cfg.ctbs_h
+    n = cfg.ctb_size
+    for i, node in enumerate(trees):
+        if sao is not None:
+            sao.encode(enc, i)
+        wr.ctu(enc, node, (i % cw) * n, (i // cw) * n)
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    return enc.data()
+
+
 def encode_slice_data_intra_quad(cfg, trees, slice_qp=None, sao=None) -> bytes:
     """I-slice data for the cu32.py tree representation (single slice,
     no WPP/tiles); CTBs in raster order with end_of_slice flags.  When

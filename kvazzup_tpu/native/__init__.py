@@ -38,8 +38,12 @@ def _build() -> str:
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None on failure."""
+    """Load (building if needed) the native library, or None on failure.
+    KVZ_TPU_NO_NATIVE=1 disables it (Python entropy fallback) — the
+    production kill switch and the memory-bug bisection lever."""
     global _LIB, _LOAD_FAILED
+    if os.environ.get("KVZ_TPU_NO_NATIVE"):
+        return None
     if _LIB is not None or _LOAD_FAILED:
         return _LIB
     with _LOCK:

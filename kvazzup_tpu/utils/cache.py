@@ -44,6 +44,29 @@ def enable_compilation_cache(path: str | None = None) -> None:
                      f"kvazzup_tpu_xla_{_host_fingerprint()}_{backend}"),
     )
     os.makedirs(cache_dir, exist_ok=True)
+
+    # Serialize persistent-cache writes: jaxlib's executable.serialize()
+    # segfaults when two threads hit it concurrently (observed: simultaneous
+    # SIGSEGV in libjax_common.so from the pipelined-encoder worker thread
+    # and the main thread during the test suite).  One process-wide lock
+    # around the put path removes the race; reads go through it too since
+    # deserialize shares the underlying proto machinery.
+    import threading
+
+    from jax._src import compilation_cache as _cc
+
+    if not getattr(_cc, "_kvz_tpu_locked", False):
+        _lock = threading.Lock()
+
+        def _locked(fn):
+            def wrap(*a, **k):
+                with _lock:
+                    return fn(*a, **k)
+            return wrap
+
+        _cc.put_executable_and_time = _locked(_cc.put_executable_and_time)
+        _cc.get_executable_and_time = _locked(_cc.get_executable_and_time)
+        _cc._kvz_tpu_locked = True
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
