@@ -226,6 +226,11 @@ class Encoder:
                 return {"kind": "quad_p", "out": {"trees": trees}, "qp": qp,
                         "first": first, "poc": self._poc,
                         "sao_state": sao_state, "recon": (ry, ru, rv)}
+            use_device64 = (
+                cfg.ctb_log2 == 6
+                and cfg.fast_decision
+                and cfg.max_transform_hierarchy_depth_intra == 0
+            )
             if use_device:
                 from .frame_intra32 import (encode_frame_intra32_fast,
                                             quad_trees_from_device)
@@ -235,6 +240,20 @@ class Encoder:
                     width=cfg.width, height=cfg.height)
                 out = {
                     "trees": quad_trees_from_device(dev, cfg.width, cfg.height),
+                    "recon_y": dev["recon_y"],
+                    "recon_u": dev["recon_u"],
+                    "recon_v": dev["recon_v"],
+                }
+            elif use_device64:
+                from .frame_intra64 import (encode_frame_intra64_fast,
+                                            quad_trees_from_device64)
+
+                dev = encode_frame_intra64_fast(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+                    width=cfg.width, height=cfg.height)
+                out = {
+                    "trees": quad_trees_from_device64(dev, cfg.width,
+                                                      cfg.height),
                     "recon_y": dev["recon_y"],
                     "recon_u": dev["recon_u"],
                     "recon_v": dev["recon_v"],
