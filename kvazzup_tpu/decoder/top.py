@@ -329,6 +329,11 @@ class Decoder:
                 sao_state.decode(dec, i)
             gd.decode_ctu(dec, i)
 
+        from .native_parse import try_parse_picture
+
+        replay = try_parse_picture(gd, sps, pps, slices, starts, ends,
+                                   sids, init_type, sao_state)
+
         carry_ctx = None
         for k, (nal_k, sh_k) in enumerate(slices):
             gd.cur_slice = sids[k]
@@ -339,7 +344,18 @@ class Decoder:
                 gd._qg_key = None
             payload = nal_k.rbsp[sh_k.data_offset_bits // 8 :]
             st, en = starts[k], ends[k]
-            if pps.entropy_sync:
+            if replay is not None:
+                cw_ = gd.cw
+                wpp_ = bool(pps.entropy_sync)
+                for i in range(st, en):
+                    ctu_fn(replay, i)
+                    end = replay.decode_terminate()
+                    if end != (1 if i == en - 1 else 0):
+                        raise ValueError(f"end_of_slice mismatch at CTU {i}")
+                    if wpp_ and i != en - 1 and i % cw_ == cw_ - 1:
+                        if replay.decode_terminate() != 1:
+                            raise ValueError("missing end_of_subset_one_bit")
+            elif pps.entropy_sync:
                 from ..entropy.slice_data import decode_slice_data_wpp
 
                 if sh_k.dependent:

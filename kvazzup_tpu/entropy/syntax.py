@@ -266,6 +266,9 @@ def decode_residual(
     tskip=True: PPS transform_skip is enabled and this is a 4x4 TB, so
     transform_skip_flag is the first element (7.3.8.11); the return
     becomes (coeffs, transform_skip_flag)."""
+    nr = getattr(dec, "next_residual", None)
+    if nr is not None:  # replay from the native parser's record
+        return nr(log2, c_idx, tskip)
     ts_flag = False
     if tskip:
         ts_flag = bool(dec.decode_bin(

@@ -285,3 +285,92 @@ def decode_slice_data_intra_cu8_native(cfg, payload: bytes, slice_qp: int):
     if rc != 0:
         raise ValueError(f"native cu8 slice decode failed: {rc}")
     return split, modes8, lev_y, lev_cb, lev_cr
+
+
+# ---------------------------------------------------------------- generic
+# quadtree parser (openHEVC-replacement decode path): C CABAC parse of a
+# full generic slice segment into a replay record consumed by
+# decoder/replay.ReplayDecoder — the Python generic tier's decode logic
+# runs unchanged with zero CABAC math.
+
+def _bind_generic(lib):
+    import ctypes
+
+    if hasattr(lib, "_generic_bound"):
+        return
+    lib.parse_generic_slice_c.restype = ctypes.c_long
+    lib.parse_generic_slice_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_int, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p,
+    ]
+    lib._generic_bound = True
+
+
+class GenericParseState:
+    """Per-picture persistent state across slice-segment parse calls."""
+
+    def __init__(self, w: int, h: int):
+        from ..entropy.cabac_tables import NUM_CONTEXTS
+
+        self.depth4 = np.zeros((h // 4) * (w // 4), np.int32)
+        self.skip4 = np.zeros((h // 4) * (w // 4), np.int32)
+        self.mode4 = np.ones((h // 4) * (w // 4), np.int32)
+        self.ctx = np.zeros(2 * NUM_CONTEXTS, np.uint8)
+
+
+def parse_generic_segment(cfgv, payload: bytes, init_type: int, slice_qp: int,
+                          dependent: bool, ctb_from: int, ctb_to: int,
+                          slice_of, cur_slice: int, state: GenericParseState,
+                          npix: int, slice_last: int | None = None,
+                          subset_term: bool = False, snap_after: int = -1,
+                          ctx_snap=None):
+    """Parse one slice segment; returns (bins, levs, meta, pcm) numpy
+    arrays or None (native unavailable / parse error -> caller falls back
+    to the pure-Python path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_generic(lib)
+    buf = np.frombuffer(payload, np.uint8)
+    bins = np.empty(16 * npix + 65536, np.uint8)
+    levs = np.empty(2 * npix + 65536, np.int32)
+    meta = np.empty(npix // 8 + 4096, np.int32)
+    pcm = np.empty(3 * npix // 2 + 64, np.int32)
+    out_lens = np.zeros(4, np.int64)
+    so = None if slice_of is None else np.ascontiguousarray(slice_of, np.int32)
+    if slice_last is None:
+        slice_last = ctb_to - 1
+    rc = lib.parse_generic_slice_c(
+        buf.ctypes.data, len(payload), init_type, slice_qp,
+        1 if dependent else 0, np.ascontiguousarray(cfgv, np.int32).ctypes.data,
+        ctb_from, ctb_to,
+        slice_last, 1 if subset_term else 0, snap_after,
+        None if ctx_snap is None else ctx_snap.ctypes.data,
+        None if so is None else so.ctypes.data, cur_slice,
+        state.depth4.ctypes.data, state.skip4.ctypes.data,
+        state.mode4.ctypes.data, state.ctx.ctypes.data,
+        bins.ctypes.data, len(bins),
+        levs.ctypes.data, len(levs),
+        meta.ctypes.data, len(meta),
+        pcm.ctypes.data, len(pcm),
+        out_lens.ctypes.data,
+    )
+    if rc != 0:
+        if os.environ.get("KVZ_TPU_PARSE_DEBUG"):
+            import sys
+
+            print(f"[native-parse] rc={rc} ctb[{ctb_from},{ctb_to}) "
+                  f"len={len(payload)}", file=sys.stderr)
+        return None
+    nb, nl, nm, npc = (int(x) for x in out_lens)
+    return bins[:nb], levs[:nl], meta[:nm], pcm[:npc]

@@ -1335,3 +1335,679 @@ int decode_slice_data_intra_cu8_c(
     }
     return 0;
 }
+
+/* ==================================================================== */
+/* Generic quadtree parser (openHEVC-replacement scope)                 */
+/*                                                                      */
+/* Parses a full generic slice segment — any CTB size, CU/TU quadtrees, */
+/* NxN/AMP partitions, PCM, SDH, transform-skip, SAO, cu_qp_delta,      */
+/* P/B inter syntax — into a REPLAY record: every structural bin value  */
+/* in decode order (bins[]), residual blocks as level arrays (levs[] +  */
+/* per-call tsflag meta[]), and raw PCM samples (pcm[]).  The Python    */
+/* generic tier (decoder/generic_*.py) then re-runs its unchanged       */
+/* decode logic against a ReplayDecoder that pops these values — no     */
+/* CABAC math on the Python side.  Grammar mirrors generic_intra.py /   */
+/* generic_inter.py / generic_b.py element for element.                 */
+
+typedef struct {
+    CabacDec d;
+    uint8_t *bins; long bins_cap, bins_n;
+    int32_t *levs; long levs_cap, levs_n;
+    int32_t *meta; long meta_cap, meta_n;
+    int32_t *pcm;  long pcm_cap, pcm_n;
+    int err;
+    int w, h, cl, min_cb, min_tb, max_tb, td_intra, td_inter;
+    int amp, sdh, tskip, cuqp, qg_log2;
+    int pcm_min, pcm_max, pcm_bd, pcm_bd_c;
+    int slice_type, nref0, nref1, max_merge, mvd_l1_zero;
+    int sao_luma, sao_chroma;
+    int cw, ch, w4, h4;
+    int32_t *depth4, *skip4, *mode4;
+    const int32_t *slice_of; int cur_slice;
+    int delta_pending; long qg_key;
+} GP;
+
+static void gp_emit(GP *g, int v) {
+    if (g->bins_n >= g->bins_cap) { g->err = -20; return; }
+    g->bins[g->bins_n++] = (uint8_t)v;
+}
+static int gp_bin(GP *g, int ctx) { int v = dec_bin(&g->d, ctx); gp_emit(g, v); return v; }
+static int gp_byp(GP *g) { int v = dec_bypass(&g->d); gp_emit(g, v); return v; }
+static uint32_t gp_byp_bits(GP *g, int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | (uint32_t)gp_byp(g);
+    return v;
+}
+static int gp_term(GP *g) { int v = dec_terminate(&g->d); gp_emit(g, v); return v; }
+
+static int gp_same_slice(GP *g, int x, int y) {
+    if (!g->slice_of) return 1;
+    long i = ((long)(y >> g->cl)) * g->cw + (x >> g->cl);
+    return g->slice_of[i] == g->cur_slice;
+}
+
+/* ---- residual_coding into the levs arena (NOT the bins stream) ---- */
+static void gp_residual(GP *g, int log2, int c_idx, int scan_idx) {
+    CabacDec *d = &g->d;
+    int ts_flag = 0;
+    if (g->tskip && log2 == 2)
+        ts_flag = dec_bin(d, CTX_TRANSFORM_SKIP_FLAG + (c_idx ? 1 : 0));
+    if (g->meta_n >= g->meta_cap) { g->err = -21; return; }
+    g->meta[g->meta_n++] = ts_flag;
+    int n = 1 << log2;
+    if (g->levs_n + (long)n * n > g->levs_cap) { g->err = -22; return; }
+    int32_t *coeffs = g->levs + g->levs_n;
+    g->levs_n += (long)n * n;
+
+    int pos4[16], sbpos[64];
+    int nsb_dim = n >> 2; if (nsb_dim < 1) nsb_dim = 1;
+    get_scan(scan_idx, 4, pos4);
+    get_scan(scan_idx, nsb_dim, sbpos);
+    memset(coeffs, 0, sizeof(int32_t) * n * n);
+
+    int cmax = (log2 << 1) - 1;
+    int pref_x = 0, pref_y = 0;
+    while (pref_x < cmax && dec_bin(d, CTX_LAST_SIG_COEFF_X_PREFIX + last_prefix_ctx(log2, c_idx, pref_x))) pref_x++;
+    while (pref_y < cmax && dec_bin(d, CTX_LAST_SIG_COEFF_Y_PREFIX + last_prefix_ctx(log2, c_idx, pref_y))) pref_y++;
+    int last_x, last_y;
+    if (pref_x > 3) { int nb = (pref_x >> 1) - 1; last_x = (int)(((2 + (pref_x & 1)) << nb) + dec_bypass_bits(d, nb)); }
+    else last_x = pref_x;
+    if (pref_y > 3) { int nb = (pref_y >> 1) - 1; last_y = (int)(((2 + (pref_y & 1)) << nb) + dec_bypass_bits(d, nb)); }
+    else last_y = pref_y;
+    if (scan_idx == 2) { int t = last_x; last_x = last_y; last_y = t; }
+
+    int last_pos = -1;
+    int nsb = nsb_dim * nsb_dim;
+    for (int i = 0; i < nsb && last_pos < 0; i++) {
+        int sb = sbpos[i];
+        int sx = sb % nsb_dim, sy = sb / nsb_dim;
+        for (int k = 0; k < 16; k++) {
+            int px = pos4[k] % 4, py = pos4[k] / 4;
+            if ((sx << 2) + px == last_x && (sy << 2) + py == last_y) { last_pos = i * 16 + k; break; }
+        }
+    }
+    if (last_pos < 0) { g->err = -23; return; }
+    int last_sb = last_pos >> 4, last_scan = last_pos & 15;
+
+    uint8_t csbf[64];
+    memset(csbf, 0, sizeof csbf);
+    int prev_c1 = 1;
+    for (int i = last_sb; i >= 0; i--) {
+        int sb = sbpos[i];
+        int sx = sb % nsb_dim, sy = sb / nsb_dim;
+        int infer_dc = 0, coded;
+        if (i > 0 && i < last_sb) {
+            int ctx = 0;
+            if (sx < nsb_dim - 1) ctx += csbf[sy * nsb_dim + sx + 1];
+            if (sy < nsb_dim - 1) ctx += csbf[(sy + 1) * nsb_dim + sx];
+            coded = dec_bin(d, CTX_CODED_SUB_BLOCK_FLAG + (ctx > 1 ? 1 : ctx) + (c_idx ? 2 : 0));
+            infer_dc = 1;
+        } else coded = 1;
+        csbf[sy * nsb_dim + sx] = (uint8_t)coded;
+        if (!coded) continue;
+
+        int sig[16];
+        memset(sig, 0, sizeof sig);
+        int start = (i == last_sb) ? last_scan - 1 : 15;
+        if (i == last_sb) sig[last_scan] = 1;
+        for (int k = start; k >= 0; k--) {
+            if (k > 0 || !infer_dc) {
+                int px = pos4[k] % 4, py = pos4[k] / 4;
+                sig[k] = dec_bin(d, sig_ctx(log2, c_idx, scan_idx, (sx << 2) + px, (sy << 2) + py, csbf, nsb_dim));
+                if (sig[k]) infer_dc = 0;
+            } else sig[0] = 1;
+        }
+
+        int sig_pos[16], nsig = 0;
+        int kmax = (i == last_sb) ? last_scan : 15;
+        for (int k = kmax; k >= 0; k--) if (sig[k]) sig_pos[nsig++] = k;
+        if (!nsig) continue;
+        int ctx_set = ((i > 0 && c_idx == 0) ? 2 : 0) + (prev_c1 == 0 ? 1 : 0);
+        int c1 = 1;
+        int g1_base = CTX_COEFF_ABS_LEVEL_GREATER1_FLAG + (c_idx ? 16 : 0);
+        int g2_base = CTX_COEFF_ABS_LEVEL_GREATER2_FLAG + (c_idx ? 4 : 0);
+        int num_g1 = nsig < 8 ? nsig : 8;
+        int g1_flag[16], has_g1[16], g2_val = 0, has_g2 = 0, first_g1 = -1;
+        memset(has_g1, 0, sizeof has_g1);
+        for (int idx = 0; idx < num_g1; idx++) {
+            int k = sig_pos[idx];
+            int flag = dec_bin(d, g1_base + ctx_set * 4 + c1);
+            g1_flag[k] = flag; has_g1[k] = 1;
+            if (flag) { if (first_g1 < 0) first_g1 = k; c1 = 0; }
+            else if (c1 > 0 && c1 < 3) c1++;
+        }
+        if (first_g1 >= 0) { g2_val = dec_bin(d, g2_base + ctx_set); has_g2 = 1; }
+        /* sign data hiding: sign of the lowest sig position inferred */
+        int sign_hidden = g->sdh && (sig_pos[0] - sig_pos[nsig - 1] > 3);
+        int sign[16];
+        int ncoded = sign_hidden ? nsig - 1 : nsig;
+        for (int idx = 0; idx < ncoded; idx++) sign[idx] = dec_bypass(d);
+        int rice = 0;
+        int64_t abs_sum = 0;
+        int32_t absv[16];
+        for (int idx = 0; idx < nsig; idx++) {
+            int k = sig_pos[idx];
+            int g1 = has_g1[k] ? g1_flag[k] : 0;
+            int g2 = (has_g2 && k == first_g1) ? g2_val : 0;
+            int base_level = 1 + g1 + g2;
+            int saturated = (idx >= 8) || (has_g1[k] && g1 == 1 && !(has_g2 && k == first_g1)) || g2 == 1;
+            int32_t a = base_level;
+            if (saturated) {
+                a = base_level + (int32_t)dec_remaining(d, rice);
+                if (a > (3 << rice) && rice < 4) rice++;
+            }
+            absv[idx] = a;
+            abs_sum += a;
+        }
+        if (sign_hidden) sign[nsig - 1] = (int)(abs_sum & 1);
+        for (int idx = 0; idx < nsig; idx++) {
+            int k = sig_pos[idx];
+            int px = pos4[k] % 4, py = pos4[k] / 4;
+            coeffs[((sy << 2) + py) * n + (sx << 2) + px] = sign[idx] ? -absv[idx] : absv[idx];
+        }
+        prev_c1 = c1;
+    }
+}
+
+/* ---- helpers mirroring the Python generic tier ---- */
+
+static void gp_cands(GP *g, int x0, int y0, int *a, int *b) {
+    int cl1 = 1 << g->cl;
+    if (x0 == 0 || !gp_same_slice(g, x0 - 1, y0)) *a = 1;
+    else *a = g->mode4[(long)(y0 >> 2) * g->w4 + ((x0 - 1) >> 2)];
+    if (y0 == 0 || ((y0 - 1) / cl1) != (y0 / cl1)) *b = 1;
+    else *b = g->mode4[(long)((y0 - 1) >> 2) * g->w4 + (x0 >> 2)];
+}
+
+static int gp_luma_mode(GP *g, int x0, int y0) {
+    int a, b, mpm[3];
+    gp_cands(g, x0, y0, &a, &b);
+    mpm_list(a, b, mpm);
+    if (gp_bin(g, CTX_PREV_INTRA_LUMA_PRED_FLAG)) {
+        int idx = 0;
+        if (gp_byp(g)) idx = 1 + gp_byp(g);
+        return mpm[idx];
+    }
+    int rem = (int)gp_byp_bits(g, 5);
+    int s[3] = {mpm[0], mpm[1], mpm[2]};
+    for (int i = 0; i < 2; i++) for (int j = i + 1; j < 3; j++) if (s[j] < s[i]) { int t = s[i]; s[i] = s[j]; s[j] = t; }
+    for (int i = 0; i < 3; i++) if (rem >= s[i]) rem++;
+    return rem;
+}
+
+/* mode-tail only (NxN: the four prev flags precede the four tails) */
+static int gp_luma_mode_tail(GP *g, int a, int b, int prev) {
+    int mpm[3];
+    mpm_list(a, b, mpm);
+    if (prev) {
+        int idx = 0;
+        if (gp_byp(g)) idx = 1 + gp_byp(g);
+        return mpm[idx];
+    }
+    int rem = (int)gp_byp_bits(g, 5);
+    int s[3] = {mpm[0], mpm[1], mpm[2]};
+    for (int i = 0; i < 2; i++) for (int j = i + 1; j < 3; j++) if (s[j] < s[i]) { int t = s[i]; s[i] = s[j]; s[j] = t; }
+    for (int i = 0; i < 3; i++) if (rem >= s[i]) rem++;
+    return rem;
+}
+
+static int gp_chroma_mode(GP *g, int luma_mode) {
+    static const int cand_tab[4] = {0, 26, 10, 1};
+    if (gp_bin(g, CTX_INTRA_CHROMA_PRED_MODE) == 0) return luma_mode;
+    int idx = (gp_byp(g) << 1) | gp_byp(g);
+    int cand = cand_tab[idx];
+    return cand == luma_mode ? 34 : cand;
+}
+
+static void gp_read_egk(GP *g, int k) {
+    while (gp_byp(g)) k++;
+    gp_byp_bits(g, k);
+}
+
+static void gp_mvd(GP *g) {
+    int g0x = gp_bin(g, CTX_ABS_MVD_GREATER_FLAG);
+    int g0y = gp_bin(g, CTX_ABS_MVD_GREATER_FLAG);
+    int g1x = g0x ? gp_bin(g, CTX_ABS_MVD_GREATER_FLAG + 1) : 0;
+    int g1y = g0y ? gp_bin(g, CTX_ABS_MVD_GREATER_FLAG + 1) : 0;
+    if (g0x) { if (g1x) gp_read_egk(g, 1); gp_byp(g); }
+    if (g0y) { if (g1y) gp_read_egk(g, 1); gp_byp(g); }
+}
+
+static void gp_merge_idx(GP *g) {
+    if (g->max_merge > 1) {
+        if (gp_bin(g, CTX_MERGE_IDX)) {
+            int idx = 1;
+            while (idx < g->max_merge - 1 && gp_byp(g)) idx++;
+        }
+    }
+}
+
+static void gp_ref_idx(GP *g, int nref) {
+    if (nref <= 1) return;
+    if (!gp_bin(g, CTX_REF_IDX)) return;
+    if (nref > 2) {
+        if (gp_bin(g, CTX_REF_IDX + 1)) {
+            int idx = 2;
+            while (idx < nref - 1 && gp_byp(g)) idx++;
+        }
+    }
+}
+
+static void gp_qp_delta(GP *g) {
+    int prefix = 0;
+    while (prefix < 5 && gp_bin(g, CTX_CU_QP_DELTA_ABS + (prefix == 0 ? 0 : 1))) prefix++;
+    int a = prefix;
+    if (prefix >= 5) { gp_read_egk(g, 0); a = 5; }
+    if (a) gp_byp(g);
+}
+
+static void gp_maybe_qp_delta(GP *g) {
+    if (g->cuqp && g->delta_pending) {
+        g->delta_pending = 0;
+        gp_qp_delta(g);
+    }
+}
+
+static void gp_enter_qg(GP *g, int x0, int y0) {
+    long key = ((long)(y0 >> g->qg_log2) << 20) | (x0 >> g->qg_log2);
+    if (key == g->qg_key) return;
+    g->qg_key = key;
+    g->delta_pending = 1;
+}
+
+/* ---- SAO (7.3.8.3) ---- */
+static void gp_sao(GP *g, long i, int prev_chroma_type[1]) {
+    int c = (int)(i % g->cw), r = (int)(i / g->cw);
+    if (c > 0) {
+        int avail_l = (g->slice_of == NULL) || (g->slice_of[i - 1] == g->slice_of[i]);
+        if (avail_l && gp_bin(g, CTX_SAO_MERGE_FLAG)) return;
+    }
+    if (r > 0) {
+        int avail_u = (g->slice_of == NULL) || (g->slice_of[i - g->cw] == g->slice_of[i]);
+        if (avail_u && gp_bin(g, CTX_SAO_MERGE_FLAG)) return;
+    }
+    int chroma_t = 0;
+    for (int cidx = 0; cidx < 3; cidx++) {
+        if ((cidx == 0 && !g->sao_luma) || (cidx > 0 && !g->sao_chroma)) continue;
+        int t;
+        if (cidx != 2) {
+            t = 0;
+            if (gp_bin(g, CTX_SAO_TYPE_IDX)) t = gp_byp(g) ? 2 : 1;
+            if (cidx == 1) chroma_t = t;
+        } else t = chroma_t;
+        if (t == 0) continue;
+        int absv[4];
+        for (int k = 0; k < 4; k++) {
+            int v = 0;
+            while (v < 7 && gp_byp(g)) v++;
+            absv[k] = v;
+        }
+        if (t == 1) {
+            for (int k = 0; k < 4; k++) if (absv[k]) gp_byp(g);
+            gp_byp_bits(g, 5);
+        } else if (cidx != 2) {
+            gp_byp_bits(g, 2);
+        }
+    }
+    (void)prev_chroma_type;
+}
+
+/* ---- PCM (7.3.8.7): align, raw reads into the pcm arena, re-init ---- */
+static void gp_pcm(GP *g, int log2) {
+    CabacDec *d = &g->d;
+    d->bitpos = ((d->bitpos + 7) / 8) * 8;
+    int n = 1 << log2, nc = n >> 1;
+    long count = (long)n * n + 2L * nc * nc;
+    if (g->pcm_n + count > g->pcm_cap) { g->err = -24; return; }
+    for (long j = 0; j < (long)n * n; j++) {
+        uint32_t v = 0;
+        for (int b = 0; b < g->pcm_bd; b++) v = (v << 1) | (uint32_t)dec_read_bit(d);
+        g->pcm[g->pcm_n++] = (int32_t)v;
+    }
+    for (long j = 0; j < 2L * nc * nc; j++) {
+        uint32_t v = 0;
+        for (int b = 0; b < g->pcm_bd_c; b++) v = (v << 1) | (uint32_t)dec_read_bit(d);
+        g->pcm[g->pcm_n++] = (int32_t)v;
+    }
+    /* re-init arithmetic engine; contexts persist (9.3.1) */
+    d->range = 510; d->offset = 0;
+    for (int j = 0; j < 9; j++) d->offset = (d->offset << 1) | dec_read_bit(d);
+}
+
+/* ---- transform tree (intra: 7.3.8.8 with IntraSplitFlag) ---- */
+static void gp_tt_intra(GP *g, int x0, int y0, int log2, int depth,
+                        int intra_split, const int *modes, int cmode,
+                        int cbf_cb_p, int cbf_cr_p) {
+    if (g->err) return;
+    int max_depth = g->td_intra + (intra_split ? 1 : 0);
+    int split;
+    if (log2 <= g->max_tb && log2 > g->min_tb && depth < max_depth
+            && !(intra_split && depth == 0))
+        split = gp_bin(g, CTX_SPLIT_TRANSFORM_FLAG + 5 - log2);
+    else
+        split = (log2 > g->max_tb) || (intra_split && depth == 0);
+    int cbf_cb = 0, cbf_cr = 0;
+    if (log2 > 2) {
+        if (cbf_cb_p) cbf_cb = gp_bin(g, CTX_CBF_CHROMA + depth);
+        if (cbf_cr_p) cbf_cr = gp_bin(g, CTX_CBF_CHROMA + depth);
+    } else { cbf_cb = cbf_cb_p; cbf_cr = cbf_cr_p; }
+    if (split) {
+        int hh = 1 << (log2 - 1);
+        static const int zo[4][2] = {{0,0},{0,1},{1,0},{1,1}};
+        for (int j = 0; j < 4; j++) {
+            gp_tt_intra(g, x0 + zo[j][1] * hh, y0 + zo[j][0] * hh, log2 - 1,
+                        depth + 1, intra_split, modes, cmode, cbf_cb, cbf_cr);
+            if (log2 - 1 == 2 && j == 3) {
+                /* chroma of four 4x4 luma TUs at the parent */
+                int scan = resid_scan_intra(cmode, 2, 1);
+                if (cbf_cb) gp_residual(g, 2, 1, scan);
+                if (cbf_cr) gp_residual(g, 2, 2, scan);
+            }
+            if (g->err) return;
+        }
+        return;
+    }
+    int cbf_luma = gp_bin(g, CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
+    int mode = modes[0];
+    if (intra_split) {
+        int j = ((y0 >> log2) & 1) * 2 + ((x0 >> log2) & 1);
+        mode = modes[j];
+    }
+    int chroma_here = (log2 > 2) && (cbf_cb || cbf_cr);
+    int last4 = (log2 == 2) && ((y0 >> 2) & 1) && ((x0 >> 2) & 1);
+    if (cbf_luma || chroma_here || (last4 && (cbf_cb || cbf_cr)))
+        gp_maybe_qp_delta(g);
+    if (cbf_luma)
+        gp_residual(g, log2, 0, resid_scan_intra(mode, log2, 0));
+    if (log2 > 2) {
+        int scan = resid_scan_intra(cmode, log2 - 1, 1);
+        if (cbf_cb) gp_residual(g, log2 - 1, 1, scan);
+        if (cbf_cr) gp_residual(g, log2 - 1, 2, scan);
+    }
+}
+
+/* ---- intra CU (shared by I slices and intra CUs in P/B) ---- */
+static void gp_cu_intra(GP *g, int x0, int y0, int log2) {
+    int n = 1 << log2;
+    int nxn = 0;
+    if (log2 == g->min_cb)
+        nxn = gp_bin(g, CTX_PART_MODE) == 0;
+    if (g->pcm_min >= 0 && !nxn && log2 >= g->pcm_min && log2 <= g->pcm_max) {
+        if (gp_term(g)) {
+            gp_pcm(g, log2);
+            for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+                for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+                    g->mode4[(long)yy * g->w4 + xx] = 1;
+            return;
+        }
+    }
+    int modes[4] = {1, 1, 1, 1};
+    if (!nxn) {
+        int m = gp_luma_mode(g, x0, y0);
+        modes[0] = modes[1] = modes[2] = modes[3] = m;
+        for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+            for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+                g->mode4[(long)yy * g->w4 + xx] = m;
+    } else {
+        int hh = n >> 1;
+        int flags[4];
+        for (int j = 0; j < 4; j++) flags[j] = gp_bin(g, CTX_PREV_INTRA_LUMA_PRED_FLAG);
+        static const int zo[4][2] = {{0,0},{0,1},{1,0},{1,1}};
+        for (int j = 0; j < 4; j++) {
+            int px = x0 + zo[j][1] * hh, py = y0 + zo[j][0] * hh;
+            int a, b;
+            gp_cands(g, px, py, &a, &b);
+            int m = gp_luma_mode_tail(g, a, b, flags[j]);
+            modes[j] = m;
+            for (int yy = py >> 2; yy < (py + hh) >> 2; yy++)
+                for (int xx = px >> 2; xx < (px + hh) >> 2; xx++)
+                    g->mode4[(long)yy * g->w4 + xx] = m;
+        }
+    }
+    int cmode = gp_chroma_mode(g, modes[0]);
+    gp_tt_intra(g, x0, y0, log2, 0, nxn, modes, cmode, 1, 1);
+}
+
+/* ---- inter transform tree (mirror generic_inter._inter_tt) ---- */
+static void gp_tt_inter(GP *g, int x0, int y0, int log2, int depth,
+                        int cbf_cb_p, int cbf_cr_p, int inter_split) {
+    if (g->err) return;
+    int isf = (inter_split && g->td_inter == 0) ? 1 : 0;
+    int max_depth = g->td_inter + isf;
+    int forced = (isf == 1 && depth == 0);
+    int split;
+    if (log2 <= g->max_tb && log2 > g->min_tb && depth < max_depth && !forced)
+        split = gp_bin(g, CTX_SPLIT_TRANSFORM_FLAG + 5 - log2);
+    else
+        split = (log2 > g->max_tb) || forced;
+    int cbf_cb = 0, cbf_cr = 0;
+    if (log2 > 2) {
+        if (cbf_cb_p) cbf_cb = gp_bin(g, CTX_CBF_CHROMA + depth);
+        if (cbf_cr_p) cbf_cr = gp_bin(g, CTX_CBF_CHROMA + depth);
+    } else { cbf_cb = cbf_cb_p; cbf_cr = cbf_cr_p; }
+    if (split) {
+        int hh = 1 << (log2 - 1);
+        static const int zo[4][2] = {{0,0},{0,1},{1,0},{1,1}};
+        for (int j = 0; j < 4; j++) {
+            gp_tt_inter(g, x0 + zo[j][1] * hh, y0 + zo[j][0] * hh, log2 - 1,
+                        depth + 1, cbf_cb, cbf_cr, inter_split);
+            if (log2 - 1 == 2 && j == 3) {
+                if (cbf_cb) gp_residual(g, 2, 1, 0);
+                if (cbf_cr) gp_residual(g, 2, 2, 0);
+            }
+            if (g->err) return;
+        }
+        return;
+    }
+    int cbf_luma;
+    if (depth == 0 && !(cbf_cb || cbf_cr)) cbf_luma = 1;  /* inferred */
+    else cbf_luma = gp_bin(g, CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
+    int last4 = (log2 == 2) && ((y0 >> 2) & 1) && ((x0 >> 2) & 1);
+    if (cbf_luma || ((cbf_cb || cbf_cr) && log2 > 2) || (last4 && (cbf_cb || cbf_cr)))
+        gp_maybe_qp_delta(g);
+    if (cbf_luma) gp_residual(g, log2, 0, 0);
+    if (log2 > 2) {
+        if (cbf_cb) gp_residual(g, log2 - 1, 1, 0);
+        if (cbf_cr) gp_residual(g, log2 - 1, 2, 0);
+    }
+}
+
+/* ---- inter PU prediction syntax ---- */
+static void gp_pu_p(GP *g) {
+    /* P slice AMVP PU: ref_idx, mvd, mvp_flag */
+    gp_ref_idx(g, g->nref0);
+    gp_mvd(g);
+    gp_bin(g, CTX_MVP_FLAG);
+}
+
+static void gp_pu_b(GP *g, int pw, int ph, int log2) {
+    int kinds;  /* 0 L0, 1 L1, 2 BI */
+    if (pw + ph == 12) {
+        kinds = gp_bin(g, CTX_INTER_PRED_IDC + 4) ? 1 : 0;
+    } else {
+        if (gp_bin(g, CTX_INTER_PRED_IDC + (g->cl - log2))) kinds = 2;
+        else kinds = gp_bin(g, CTX_INTER_PRED_IDC + 4) ? 1 : 0;
+    }
+    if (kinds == 0 || kinds == 2) {
+        gp_ref_idx(g, g->nref0);
+        gp_mvd(g);
+        gp_bin(g, CTX_MVP_FLAG);
+    }
+    if (kinds == 1 || kinds == 2) {
+        gp_ref_idx(g, g->nref1);
+        if (!(g->mvd_l1_zero && kinds == 2)) gp_mvd(g);
+        gp_bin(g, CTX_MVP_FLAG);
+    }
+}
+
+/* ---- coding unit (P/B inter dispatch; mirrors generic_inter/_b) ---- */
+static void gp_cu(GP *g, int x0, int y0, int log2) {
+    int n = 1 << log2;
+    if (g->slice_type == 2) { gp_cu_intra(g, x0, y0, log2); return; }
+    int ctx = 0;
+    if (x0 > 0 && gp_same_slice(g, x0 - 1, y0)
+            && g->skip4[(long)(y0 >> 2) * g->w4 + ((x0 - 1) >> 2)]) ctx++;
+    if (y0 > 0 && gp_same_slice(g, x0, y0 - 1)
+            && g->skip4[(long)((y0 - 1) >> 2) * g->w4 + (x0 >> 2)]) ctx++;
+    int skip = gp_bin(g, CTX_CU_SKIP_FLAG + ctx);
+    for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+        for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+            g->skip4[(long)yy * g->w4 + xx] = skip;
+    if (skip) {
+        gp_merge_idx(g);
+        for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+            for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+                g->mode4[(long)yy * g->w4 + xx] = 1;
+        return;
+    }
+    if (gp_bin(g, CTX_PRED_MODE_FLAG)) {
+        gp_cu_intra(g, x0, y0, log2);
+        return;
+    }
+    /* inter CU: part_mode (9.3.3.7 incl. AMP suffix) */
+    int amp_here = g->amp && log2 > g->min_cb;
+    int part = 0;  /* 0 2Nx2N, 1 2NxN, 2 Nx2N, 3 2NxnU, 4 2NxnD, 5 nLx2N, 6 nRx2N */
+    if (!gp_bin(g, CTX_PART_MODE)) {
+        int horiz = gp_bin(g, CTX_PART_MODE + 1);
+        if (amp_here) {
+            if (gp_bin(g, CTX_PART_MODE + 3)) part = horiz ? 1 : 2;
+            else if (gp_byp(g)) part = horiz ? 4 : 6;
+            else part = horiz ? 3 : 5;
+        } else part = horiz ? 1 : 2;
+    }
+    for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+        for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+            g->mode4[(long)yy * g->w4 + xx] = 1;
+    int q = n >> 2;
+    int pw[2], ph[2], npu;
+    switch (part) {
+        case 0: npu = 1; pw[0] = n; ph[0] = n; break;
+        case 1: npu = 2; pw[0] = n; ph[0] = n >> 1; pw[1] = n; ph[1] = n >> 1; break;
+        case 2: npu = 2; pw[0] = n >> 1; ph[0] = n; pw[1] = n >> 1; ph[1] = n; break;
+        case 3: npu = 2; pw[0] = n; ph[0] = q; pw[1] = n; ph[1] = n - q; break;
+        case 4: npu = 2; pw[0] = n; ph[0] = 3 * q; pw[1] = n; ph[1] = n - 3 * q; break;
+        case 5: npu = 2; pw[0] = q; ph[0] = n; pw[1] = n - q; ph[1] = n; break;
+        default: npu = 2; pw[0] = 3 * q; ph[0] = n; pw[1] = n - 3 * q; ph[1] = n; break;
+    }
+    int merged_2nx2n = 0;
+    for (int pi = 0; pi < npu; pi++) {
+        if (gp_bin(g, CTX_MERGE_FLAG)) {
+            gp_merge_idx(g);
+            if (part == 0) merged_2nx2n = 1;
+        } else {
+            if (g->slice_type == 0) gp_pu_b(g, pw[pi], ph[pi], log2);
+            else gp_pu_p(g);
+        }
+    }
+    /* rqt_root_cbf coded unless 2Nx2N merge (7.3.8.5) */
+    int root = 1;
+    if (!merged_2nx2n) root = gp_bin(g, CTX_RQT_ROOT_CBF);
+    if (root)
+        gp_tt_inter(g, x0, y0, log2, 0, 1, 1, part != 0);
+}
+
+/* ---- coding quadtree ---- */
+static void gp_cqt(GP *g, int x0, int y0, int log2, int depth) {
+    if (g->err) return;
+    int n = 1 << log2;
+    int inside = (x0 + n <= g->w) && (y0 + n <= g->h);
+    int split;
+    if (log2 > g->min_cb && inside) {
+        int ctx = 0;
+        if (x0 > 0 && gp_same_slice(g, x0 - 1, y0)
+                && g->depth4[(long)(y0 >> 2) * g->w4 + ((x0 - 1) >> 2)] > depth) ctx++;
+        if (y0 > 0 && gp_same_slice(g, x0, y0 - 1)
+                && g->depth4[(long)((y0 - 1) >> 2) * g->w4 + (x0 >> 2)] > depth) ctx++;
+        split = gp_bin(g, CTX_SPLIT_CU_FLAG + ctx);
+    } else split = log2 > g->min_cb;
+    if (split) {
+        int hh = n >> 1;
+        static const int zo[4][2] = {{0,0},{0,1},{1,0},{1,1}};
+        for (int j = 0; j < 4; j++) {
+            int nx = x0 + zo[j][1] * hh, ny = y0 + zo[j][0] * hh;
+            if (nx < g->w && ny < g->h)
+                gp_cqt(g, nx, ny, log2 - 1, depth + 1);
+        }
+        return;
+    }
+    for (int yy = y0 >> 2; yy < (y0 + n) >> 2 && yy < g->h4; yy++)
+        for (int xx = x0 >> 2; xx < (x0 + n) >> 2 && xx < g->w4; xx++)
+            g->depth4[(long)yy * g->w4 + xx] = depth;
+    if (g->cuqp) gp_enter_qg(g, x0, y0);
+    gp_cu(g, x0, y0, log2);
+}
+
+/* cfgv layout (see native/__init__.py parse_generic_slice):
+   [0] w  [1] h  [2] ctb_log2  [3] min_cb_log2  [4] min_tb_log2
+   [5] max_tb_log2  [6] td_intra  [7] td_inter  [8] amp  [9] sdh
+   [10] tskip  [11] cu_qp_delta  [12] qg_log2  [13] pcm_min(-1 off)
+   [14] pcm_max  [15] pcm_bd  [16] pcm_bd_c  [17] slice_type
+   [18] nref0  [19] nref1  [20] max_merge  [21] mvd_l1_zero
+   [22] sao_luma  [23] sao_chroma */
+long parse_generic_slice_c(
+    const uint8_t *payload, long len, int init_type, int slice_qp,
+    int continue_ctx, const int32_t *cfgv,
+    long ctb_from, long ctb_to,
+    long slice_last, int subset_term, long snap_after, uint8_t *ctx_snap,
+    const int32_t *slice_of, int cur_slice,
+    int32_t *depth4, int32_t *skip4, int32_t *mode4,
+    uint8_t *ctx_state,
+    uint8_t *bins, long bins_cap,
+    int32_t *levs, long levs_cap,
+    int32_t *meta, long meta_cap,
+    int32_t *pcm, long pcm_cap,
+    long *out_lens)
+{
+    GP g;
+    memset(&g, 0, sizeof g);
+    g.w = cfgv[0]; g.h = cfgv[1]; g.cl = cfgv[2]; g.min_cb = cfgv[3];
+    g.min_tb = cfgv[4]; g.max_tb = cfgv[5]; g.td_intra = cfgv[6];
+    g.td_inter = cfgv[7]; g.amp = cfgv[8]; g.sdh = cfgv[9];
+    g.tskip = cfgv[10]; g.cuqp = cfgv[11]; g.qg_log2 = cfgv[12];
+    g.pcm_min = cfgv[13]; g.pcm_max = cfgv[14]; g.pcm_bd = cfgv[15];
+    g.pcm_bd_c = cfgv[16]; g.slice_type = cfgv[17]; g.nref0 = cfgv[18];
+    g.nref1 = cfgv[19]; g.max_merge = cfgv[20]; g.mvd_l1_zero = cfgv[21];
+    g.sao_luma = cfgv[22]; g.sao_chroma = cfgv[23];
+    g.cw = (g.w + (1 << g.cl) - 1) >> g.cl;
+    g.ch = (g.h + (1 << g.cl) - 1) >> g.cl;
+    g.w4 = g.w >> 2; g.h4 = g.h >> 2;
+    g.depth4 = depth4; g.skip4 = skip4; g.mode4 = mode4;
+    g.slice_of = slice_of; g.cur_slice = cur_slice;
+    g.bins = bins; g.bins_cap = bins_cap;
+    g.levs = levs; g.levs_cap = levs_cap;
+    g.meta = meta; g.meta_cap = meta_cap;
+    g.pcm = pcm; g.pcm_cap = pcm_cap;
+    g.qg_key = -1;
+    dec_init(&g.d, payload, len, init_type, slice_qp);
+    if (continue_ctx) {
+        memcpy(g.d.state, ctx_state, NUM_CONTEXTS);
+        memcpy(g.d.mps, ctx_state + NUM_CONTEXTS, NUM_CONTEXTS);
+    }
+    int sao_on = g.sao_luma || g.sao_chroma;
+    int prev_ct[1] = {0};
+    for (long i = ctb_from; i < ctb_to; i++) {
+        if (sao_on) gp_sao(&g, i, prev_ct);
+        int x0 = (int)(i % g.cw) << g.cl;
+        int y0 = (int)(i / g.cw) << g.cl;
+        gp_cqt(&g, x0, y0, g.cl, 0);
+        if (i == snap_after && ctx_snap) {
+            memcpy(ctx_snap, g.d.state, NUM_CONTEXTS);
+            memcpy(ctx_snap + NUM_CONTEXTS, g.d.mps, NUM_CONTEXTS);
+        }
+        int end = gp_term(&g);
+        if (g.err) return g.err;
+        if (end != ((i == slice_last) ? 1 : 0)) return -25;
+    }
+    if (subset_term && ctb_to - 1 != slice_last) {
+        /* end_of_subset_one_bit terminating a WPP row substream */
+        if (gp_term(&g) != 1) return -26;
+        if (g.err) return g.err;
+    }
+    memcpy(ctx_state, g.d.state, NUM_CONTEXTS);
+    memcpy(ctx_state + NUM_CONTEXTS, g.d.mps, NUM_CONTEXTS);
+    out_lens[0] = g.bins_n;
+    out_lens[1] = g.levs_n;
+    out_lens[2] = g.meta_n;
+    out_lens[3] = g.pcm_n;
+    return 0;
+}
