@@ -330,12 +330,20 @@ class Decoder:
             gd.decode_ctu(dec, i)
 
         from .native_parse import try_parse_picture
+        from .native_recon import try_recon_picture
 
-        replay = try_parse_picture(gd, sps, pps, slices, starts, ends,
-                                   sids, init_type, sao_state)
+        # fastest tier: full C reconstruction into gd's own buffers
+        if try_recon_picture(gd, sps, pps, slices, starts, ends, sids,
+                             init_type, sao_state):
+            slices_to_run = []
+            replay = None
+        else:
+            slices_to_run = slices
+            replay = try_parse_picture(gd, sps, pps, slices, starts, ends,
+                                       sids, init_type, sao_state)
 
         carry_ctx = None
-        for k, (nal_k, sh_k) in enumerate(slices):
+        for k, (nal_k, sh_k) in enumerate(slices_to_run):
             gd.cur_slice = sids[k]
             if k:  # per-SEGMENT QP prediction / quant-group reset (8.6.1)
                 gd._set_qp(sh_k.qp)

@@ -298,6 +298,27 @@ def _bind_generic(lib):
 
     if hasattr(lib, "_generic_bound"):
         return
+    lib.recon_generic_slice_c.restype = ctypes.c_long
+    lib.recon_generic_slice_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_int, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,                                   # rcfg
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # y u v
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # qp4 ev eh
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # inter4 mv4 ref4
+        ctypes.c_void_p, ctypes.c_void_p,                   # refpoc4 cbf4
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pf4 mv4l rp4l
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sao t a o
+        ctypes.c_void_p, ctypes.c_void_p,                   # ref0 ptrs/poc
+        ctypes.c_void_p, ctypes.c_void_p,                   # ref1 ptrs/poc
+        ctypes.c_void_p,                                    # col ptrs
+        ctypes.c_void_p,                                    # weights
+    ]
     lib.parse_generic_slice_c.restype = ctypes.c_long
     lib.parse_generic_slice_c.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
@@ -374,3 +395,59 @@ def parse_generic_segment(cfgv, payload: bytes, init_type: int, slice_qp: int,
         return None
     nb, nl, nm, npc = (int(x) for x in out_lens)
     return bins[:nb], levs[:nl], meta[:nm], pcm[:npc]
+
+
+def _ptr(a):
+    return None if a is None else a.ctypes.data
+
+
+def recon_generic_segment(cfgv, payload: bytes, init_type: int, slice_qp: int,
+                          dependent: bool, ctb_from: int, ctb_to: int,
+                          slice_of, cur_slice: int, state: GenericParseState,
+                          rcfg, bufs: dict, refs, col_ptrs, wt,
+                          slice_last: int | None = None,
+                          subset_term: bool = False, snap_after: int = -1,
+                          ctx_snap=None) -> bool:
+    """Decode + reconstruct one slice segment natively into the decoder's
+    buffers (bufs: y u v qp4 edge_v edge_h inter4 mv4 ref4 refpoc4 cbf4
+    pf4 mv4l refpoc4l sao_typ sao_aux sao_offs as numpy arrays or None).
+    refs = (ref0_ptrs, ref0_poc, ref1_ptrs, ref1_poc) int64/int32 arrays or
+    Nones.  Returns True, or False on a native parse error (caller falls
+    back to the Python path)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    _bind_generic(lib)
+    buf = np.frombuffer(payload, np.uint8)
+    if slice_last is None:
+        slice_last = ctb_to - 1
+    so = None if slice_of is None else np.ascontiguousarray(slice_of, np.int32)
+    r0p, r0poc, r1p, r1poc = refs
+    rc = lib.recon_generic_slice_c(
+        buf.ctypes.data, len(payload), init_type, slice_qp,
+        1 if dependent else 0,
+        np.ascontiguousarray(cfgv, np.int32).ctypes.data,
+        ctb_from, ctb_to,
+        slice_last, 1 if subset_term else 0, snap_after,
+        None if ctx_snap is None else ctx_snap.ctypes.data,
+        None if so is None else so.ctypes.data, cur_slice,
+        state.depth4.ctypes.data, state.skip4.ctypes.data,
+        state.mode4.ctypes.data, state.ctx.ctypes.data,
+        rcfg.ctypes.data,
+        _ptr(bufs["y"]), _ptr(bufs["u"]), _ptr(bufs["v"]),
+        _ptr(bufs["qp4"]), _ptr(bufs["edge_v"]), _ptr(bufs["edge_h"]),
+        _ptr(bufs["inter4"]), _ptr(bufs["mv4"]), _ptr(bufs["ref4"]),
+        _ptr(bufs["refpoc4"]), _ptr(bufs["cbf4"]),
+        _ptr(bufs["pf4"]), _ptr(bufs["mv4l"]), _ptr(bufs["refpoc4l"]),
+        _ptr(bufs["sao_typ"]), _ptr(bufs["sao_aux"]), _ptr(bufs["sao_offs"]),
+        _ptr(r0p), _ptr(r0poc), _ptr(r1p), _ptr(r1poc),
+        _ptr(col_ptrs), _ptr(wt),
+    )
+    if rc != 0:
+        if os.environ.get("KVZ_TPU_PARSE_DEBUG"):
+            import sys
+
+            print(f"[native-recon] rc={rc} ctb[{ctb_from},{ctb_to}) "
+                  f"len={len(payload)}", file=sys.stderr)
+        return False
+    return True

@@ -1349,6 +1349,31 @@ int decode_slice_data_intra_cu8_c(
 /* CABAC math on the Python side.  Grammar mirrors generic_intra.py /   */
 /* generic_inter.py / generic_b.py element for element.                 */
 
+/* Recon mode (decode-side reconstruction in C, openHEVC-class): when
+   GP.rc is set the walker reconstructs pixels/maps directly into the
+   Python decoder's numpy buffers instead of emitting a replay record. */
+typedef struct {
+    int32_t *y, *u, *v;                 /* canvases h*w, (h/2)*(w/2) */
+    int32_t *qp4;                       /* h4*w4 */
+    uint8_t *edge_v, *edge_h;           /* h8*w8 deblock edge marks */
+    int32_t *inter4, *ref4, *refpoc4, *cbf4;  /* h4*w4 (P/B) */
+    int32_t *mv4;                       /* h4*w4*2 (L0 view) */
+    uint8_t *pf4;                       /* h4*w4*2 (B) */
+    int32_t *mv4l;                      /* h4*w4*2*2 (B) */
+    int32_t *refpoc4l;                  /* h4*w4*2 (B) */
+    int32_t *sao_typ, *sao_aux, *sao_offs;  /* 3*nctb, 3*nctb, 3*nctb*4 */
+    const int64_t *ref0, *ref1;         /* plane addresses, 3 per ref pic */
+    const int32_t *ref0_poc, *ref1_poc;
+    const int32_t *col_inter4, *col_mv4, *col_refpoc4;
+    const int32_t *wt;                  /* weights or NULL (layout: see
+                                           recon_generic_slice_c) */
+    int has_col, col_poc, cur_poc;
+    int strong_smoothing, cb_off, cr_off;
+    int w2, h2, w8, h8;
+    /* QP chain state (8.6.1) */
+    int qp, qp_y, qp_cb, qp_cr, qp_prev, slice_qp, qg_pred;
+} RC;
+
 typedef struct {
     CabacDec d;
     uint8_t *bins; long bins_cap, bins_n;
@@ -1365,9 +1390,11 @@ typedef struct {
     int32_t *depth4, *skip4, *mode4;
     const int32_t *slice_of; int cur_slice;
     int delta_pending; long qg_key;
+    RC *rc;
 } GP;
 
 static void gp_emit(GP *g, int v) {
+    if (!g->bins) return;  /* recon mode: no replay record */
     if (g->bins_n >= g->bins_cap) { g->err = -20; return; }
     g->bins[g->bins_n++] = (uint8_t)v;
 }
@@ -1386,18 +1413,15 @@ static int gp_same_slice(GP *g, int x, int y) {
     return g->slice_of[i] == g->cur_slice;
 }
 
-/* ---- residual_coding into the levs arena (NOT the bins stream) ---- */
-static void gp_residual(GP *g, int log2, int c_idx, int scan_idx) {
+/* ---- residual_coding (7.3.8.11) into a caller buffer ---- */
+static void gp_residual_into(GP *g, int log2, int c_idx, int scan_idx,
+                             int32_t *coeffs, int *ts_out) {
     CabacDec *d = &g->d;
     int ts_flag = 0;
     if (g->tskip && log2 == 2)
         ts_flag = dec_bin(d, CTX_TRANSFORM_SKIP_FLAG + (c_idx ? 1 : 0));
-    if (g->meta_n >= g->meta_cap) { g->err = -21; return; }
-    g->meta[g->meta_n++] = ts_flag;
+    *ts_out = ts_flag;
     int n = 1 << log2;
-    if (g->levs_n + (long)n * n > g->levs_cap) { g->err = -22; return; }
-    int32_t *coeffs = g->levs + g->levs_n;
-    g->levs_n += (long)n * n;
 
     int pos4[16], sbpos[64];
     int nsb_dim = n >> 2; if (nsb_dim < 1) nsb_dim = 1;
@@ -1509,6 +1533,18 @@ static void gp_residual(GP *g, int log2, int c_idx, int scan_idx) {
     }
 }
 
+/* arena wrapper (replay/parse mode) */
+static void gp_residual(GP *g, int log2, int c_idx, int scan_idx) {
+    if (g->meta_n >= g->meta_cap) { g->err = -21; return; }
+    int n = 1 << log2;
+    if (g->levs_n + (long)n * n > g->levs_cap) { g->err = -22; return; }
+    int32_t *coeffs = g->levs + g->levs_n;
+    g->levs_n += (long)n * n;
+    int tsf = 0;
+    gp_residual_into(g, log2, c_idx, scan_idx, coeffs, &tsf);
+    g->meta[g->meta_n++] = tsf;
+}
+
 /* ---- helpers mirroring the Python generic tier ---- */
 
 static void gp_cands(GP *g, int x0, int y0, int *a, int *b) {
@@ -1559,52 +1595,74 @@ static int gp_chroma_mode(GP *g, int luma_mode) {
     return cand == luma_mode ? 34 : cand;
 }
 
-static void gp_read_egk(GP *g, int k) {
-    while (gp_byp(g)) k++;
-    gp_byp_bits(g, k);
+static int gp_read_egk(GP *g, int k) {
+    int v = 0;
+    while (gp_byp(g)) { v += 1 << k; k++; }
+    return v + (int)gp_byp_bits(g, k);
 }
 
-static void gp_mvd(GP *g) {
+static void gp_mvd(GP *g, int *mx, int *my) {
     int g0x = gp_bin(g, CTX_ABS_MVD_GREATER_FLAG);
     int g0y = gp_bin(g, CTX_ABS_MVD_GREATER_FLAG);
     int g1x = g0x ? gp_bin(g, CTX_ABS_MVD_GREATER_FLAG + 1) : 0;
     int g1y = g0y ? gp_bin(g, CTX_ABS_MVD_GREATER_FLAG + 1) : 0;
-    if (g0x) { if (g1x) gp_read_egk(g, 1); gp_byp(g); }
-    if (g0y) { if (g1y) gp_read_egk(g, 1); gp_byp(g); }
+    int out[2] = {0, 0};
+    int gg0[2] = {g0x, g0y}, gg1[2] = {g1x, g1y};
+    for (int i = 0; i < 2; i++) {
+        int a = 0;
+        if (gg0[i]) {
+            a = 1;
+            if (gg1[i]) a = 2 + gp_read_egk(g, 1);
+            if (gp_byp(g)) a = -a;
+        }
+        out[i] = a;
+    }
+    *mx = out[0]; *my = out[1];
 }
 
-static void gp_merge_idx(GP *g) {
+static int gp_merge_idx(GP *g) {
+    int idx = 0;
     if (g->max_merge > 1) {
         if (gp_bin(g, CTX_MERGE_IDX)) {
-            int idx = 1;
+            idx = 1;
             while (idx < g->max_merge - 1 && gp_byp(g)) idx++;
         }
     }
+    return idx;
 }
 
-static void gp_ref_idx(GP *g, int nref) {
-    if (nref <= 1) return;
-    if (!gp_bin(g, CTX_REF_IDX)) return;
+static int gp_ref_idx(GP *g, int nref) {
+    if (nref <= 1) return 0;
+    if (!gp_bin(g, CTX_REF_IDX)) return 0;
+    int idx = 1;
     if (nref > 2) {
         if (gp_bin(g, CTX_REF_IDX + 1)) {
-            int idx = 2;
+            idx = 2;
             while (idx < nref - 1 && gp_byp(g)) idx++;
         }
     }
+    return idx;
 }
 
-static void gp_qp_delta(GP *g) {
+static int gp_qp_delta(GP *g) {
     int prefix = 0;
     while (prefix < 5 && gp_bin(g, CTX_CU_QP_DELTA_ABS + (prefix == 0 ? 0 : 1))) prefix++;
     int a = prefix;
-    if (prefix >= 5) { gp_read_egk(g, 0); a = 5; }
-    if (a) gp_byp(g);
+    if (prefix >= 5) a = 5 + gp_read_egk(g, 0);
+    if (a && gp_byp(g)) return -a;
+    return a;
 }
+
+static void rc_set_qp(GP *g, int qp);
 
 static void gp_maybe_qp_delta(GP *g) {
     if (g->cuqp && g->delta_pending) {
         g->delta_pending = 0;
-        gp_qp_delta(g);
+        int delta = gp_qp_delta(g);
+        if (g->rc) {
+            int q = g->rc->qg_pred + delta + 52;
+            rc_set_qp(g, ((q % 52) + 52) % 52);
+        }
     }
 }
 
@@ -1613,18 +1671,50 @@ static void gp_enter_qg(GP *g, int x0, int y0) {
     if (key == g->qg_key) return;
     g->qg_key = key;
     g->delta_pending = 1;
+    RC *rc = g->rc;
+    if (rc) {
+        /* quant-group QP prediction (8.6.1) */
+        int xqg = (x0 >> g->qg_log2) << g->qg_log2;
+        int yqg = (y0 >> g->qg_log2) << g->qg_log2;
+        int cl1 = 1 << g->cl;
+        int qp_a = (xqg % cl1 != 0)
+            ? rc->qp4[((long)(yqg >> 2)) * g->w4 + ((xqg - 1) >> 2)] : rc->qp_prev;
+        int qp_b = (yqg % cl1 != 0)
+            ? rc->qp4[((long)((yqg - 1) >> 2)) * g->w4 + (xqg >> 2)] : rc->qp_prev;
+        rc->qg_pred = (qp_a + qp_b + 1) >> 1;
+        rc_set_qp(g, rc->qg_pred);
+    }
 }
 
-/* ---- SAO (7.3.8.3) ---- */
+/* ---- SAO (7.3.8.3); recon mode also decodes params into the arrays ---- */
+static void sao_copy(GP *g, long dst, long src) {
+    RC *rc = g->rc;
+    long n = (long)g->cw * g->ch;
+    for (int c = 0; c < 3; c++) {
+        rc->sao_typ[c * n + dst] = rc->sao_typ[c * n + src];
+        rc->sao_aux[c * n + dst] = rc->sao_aux[c * n + src];
+        for (int k = 0; k < 4; k++)
+            rc->sao_offs[(c * n + dst) * 4 + k] = rc->sao_offs[(c * n + src) * 4 + k];
+    }
+}
+
 static void gp_sao(GP *g, long i, int prev_chroma_type[1]) {
+    RC *rc = g->rc;
+    long nctb = (long)g->cw * g->ch;
     int c = (int)(i % g->cw), r = (int)(i / g->cw);
     if (c > 0) {
         int avail_l = (g->slice_of == NULL) || (g->slice_of[i - 1] == g->slice_of[i]);
-        if (avail_l && gp_bin(g, CTX_SAO_MERGE_FLAG)) return;
+        if (avail_l && gp_bin(g, CTX_SAO_MERGE_FLAG)) {
+            if (rc) sao_copy(g, i, i - 1);
+            return;
+        }
     }
     if (r > 0) {
         int avail_u = (g->slice_of == NULL) || (g->slice_of[i - g->cw] == g->slice_of[i]);
-        if (avail_u && gp_bin(g, CTX_SAO_MERGE_FLAG)) return;
+        if (avail_u && gp_bin(g, CTX_SAO_MERGE_FLAG)) {
+            if (rc) sao_copy(g, i, i - g->cw);
+            return;
+        }
     }
     int chroma_t = 0;
     for (int cidx = 0; cidx < 3; cidx++) {
@@ -1635,6 +1725,7 @@ static void gp_sao(GP *g, long i, int prev_chroma_type[1]) {
             if (gp_bin(g, CTX_SAO_TYPE_IDX)) t = gp_byp(g) ? 2 : 1;
             if (cidx == 1) chroma_t = t;
         } else t = chroma_t;
+        if (rc) rc->sao_typ[cidx * nctb + i] = t;
         if (t == 0) continue;
         int absv[4];
         for (int k = 0; k < 4; k++) {
@@ -1643,35 +1734,966 @@ static void gp_sao(GP *g, long i, int prev_chroma_type[1]) {
             absv[k] = v;
         }
         if (t == 1) {
-            for (int k = 0; k < 4; k++) if (absv[k]) gp_byp(g);
-            gp_byp_bits(g, 5);
-        } else if (cidx != 2) {
-            gp_byp_bits(g, 2);
+            int offs[4];
+            for (int k = 0; k < 4; k++) {
+                int s = absv[k] ? gp_byp(g) : 0;
+                offs[k] = s ? -absv[k] : absv[k];
+            }
+            int band = (int)gp_byp_bits(g, 5);
+            if (rc) {
+                for (int k = 0; k < 4; k++)
+                    rc->sao_offs[(cidx * nctb + i) * 4 + k] = offs[k];
+                rc->sao_aux[cidx * nctb + i] = band;
+            }
+        } else {
+            int eo = -1;
+            if (cidx != 2) eo = (int)gp_byp_bits(g, 2);
+            if (rc) {
+                rc->sao_offs[(cidx * nctb + i) * 4 + 0] = absv[0];
+                rc->sao_offs[(cidx * nctb + i) * 4 + 1] = absv[1];
+                rc->sao_offs[(cidx * nctb + i) * 4 + 2] = -absv[2];
+                rc->sao_offs[(cidx * nctb + i) * 4 + 3] = -absv[3];
+                rc->sao_aux[cidx * nctb + i] =
+                    (cidx != 2) ? eo : rc->sao_aux[1 * nctb + i];
+            }
         }
     }
     (void)prev_chroma_type;
 }
 
-/* ---- PCM (7.3.8.7): align, raw reads into the pcm arena, re-init ---- */
-static void gp_pcm(GP *g, int log2) {
+/* ---- PCM (7.3.8.7): align, raw reads (arena or canvases), re-init ---- */
+static void gp_pcm(GP *g, int x0, int y0, int log2) {
     CabacDec *d = &g->d;
     d->bitpos = ((d->bitpos + 7) / 8) * 8;
     int n = 1 << log2, nc = n >> 1;
-    long count = (long)n * n + 2L * nc * nc;
-    if (g->pcm_n + count > g->pcm_cap) { g->err = -24; return; }
-    for (long j = 0; j < (long)n * n; j++) {
-        uint32_t v = 0;
-        for (int b = 0; b < g->pcm_bd; b++) v = (v << 1) | (uint32_t)dec_read_bit(d);
-        g->pcm[g->pcm_n++] = (int32_t)v;
-    }
-    for (long j = 0; j < 2L * nc * nc; j++) {
-        uint32_t v = 0;
-        for (int b = 0; b < g->pcm_bd_c; b++) v = (v << 1) | (uint32_t)dec_read_bit(d);
-        g->pcm[g->pcm_n++] = (int32_t)v;
+    RC *rc = g->rc;
+    if (!rc) {
+        long count = (long)n * n + 2L * nc * nc;
+        if (g->pcm_n + count > g->pcm_cap) { g->err = -24; return; }
+        for (long j = 0; j < (long)n * n; j++) {
+            uint32_t v = 0;
+            for (int b = 0; b < g->pcm_bd; b++) v = (v << 1) | (uint32_t)dec_read_bit(d);
+            g->pcm[g->pcm_n++] = (int32_t)v;
+        }
+        for (long j = 0; j < 2L * nc * nc; j++) {
+            uint32_t v = 0;
+            for (int b = 0; b < g->pcm_bd_c; b++) v = (v << 1) | (uint32_t)dec_read_bit(d);
+            g->pcm[g->pcm_n++] = (int32_t)v;
+        }
+    } else {
+        int sh = 8 - g->pcm_bd, shc = 8 - g->pcm_bd_c;
+        for (int r = 0; r < n; r++)
+            for (int c = 0; c < n; c++) {
+                uint32_t v = 0;
+                for (int b = 0; b < g->pcm_bd; b++) v = (v << 1) | (uint32_t)dec_read_bit(d);
+                rc->y[(long)(y0 + r) * g->w + x0 + c] = (int32_t)(v << sh);
+            }
+        int xc = x0 >> 1, yc = y0 >> 1;
+        int32_t *planes[2] = {rc->u, rc->v};
+        for (int p = 0; p < 2; p++)
+            for (int r = 0; r < nc; r++)
+                for (int c = 0; c < nc; c++) {
+                    uint32_t v = 0;
+                    for (int b = 0; b < g->pcm_bd_c; b++) v = (v << 1) | (uint32_t)dec_read_bit(d);
+                    planes[p][(long)(yc + r) * rc->w2 + xc + c] = (int32_t)(v << shc);
+                }
     }
     /* re-init arithmetic engine; contexts persist (9.3.1) */
     d->range = 510; d->offset = 0;
     for (int j = 0; j < 9; j++) d->offset = (d->offset << 1) | dec_read_bit(d);
+}
+
+/* ==================================================================== */
+/* Reconstruction toolbox (recon mode): intra prediction 8.4.4, dequant */
+/* 8.6.3, inverse transform 8.6.4, MC 8.5.4, motion derivation 8.5.3.   */
+/* Ports the repo's OWN Python generic tier (decoder/generic_*.py,      */
+/* ops/intra.py, ops/transforms.py, ops/quant.py, ops/mc.py) to C;      */
+/* bit depth 8, flat scaling lists (callers gate).                      */
+
+static void rc_set_qp(GP *g, int qp) {
+    RC *rc = g->rc;
+    rc->qp = qp;
+    rc->qp_y = qp;  /* QpBdOffset = 0 at 8 bit */
+    int qpi = qp + rc->cb_off;
+    qpi = qpi < 0 ? 0 : qpi > 57 ? 57 : qpi;
+    rc->qp_cb = CHROMA_QP_TABLE[qpi];
+    qpi = qp + rc->cr_off;
+    qpi = qpi < 0 ? 0 : qpi > 57 ? 57 : qpi;
+    rc->qp_cr = CHROMA_QP_TABLE[qpi];
+}
+
+/* z-scan order of the 4x4 cell holding pixel (x, y) of a plane (6.4.1) */
+static long rc_zaddr(GP *g, int x, int y, int chroma) {
+    if (chroma) { x <<= 1; y <<= 1; }
+    int cl = g->cl;
+    long ctb = ((long)(y >> cl)) * g->cw + (x >> cl);
+    int r4 = (y & ((1 << cl) - 1)) >> 2;
+    int c4 = (x & ((1 << cl) - 1)) >> 2;
+    int bits = cl - 2;
+    long z = 0;
+    for (int b = bits - 1; b >= 0; b--)
+        z = (z << 2) | (((long)((r4 >> b) & 1) << 1) | ((c4 >> b) & 1));
+    return (ctb << (2 * bits)) + z;
+}
+
+static int rc_same_slice(GP *g, int x, int y, int chroma) {
+    if (!g->slice_of) return 1;
+    if (chroma) { x <<= 1; y <<= 1; }
+    long i = ((long)(y >> g->cl)) * g->cw + (x >> g->cl);
+    return g->slice_of[i] == g->cur_slice;
+}
+
+/* CU/TU boundary marks on the 8-pel grid (generic_intra._mark_edges) */
+static void rc_mark_edges(GP *g, int x0, int y0, int n) {
+    RC *rc = g->rc;
+    if (!rc) return;
+    if ((x0 & 7) == 0 && (x0 >> 3) < rc->w8) {
+        int r1 = y0 >> 3, r2 = (y0 + n + 7) >> 3;
+        if (r2 > rc->h8) r2 = rc->h8;
+        for (int r = r1; r < r2; r++) rc->edge_v[(long)r * rc->w8 + (x0 >> 3)] = 1;
+    }
+    if ((y0 & 7) == 0 && (y0 >> 3) < rc->h8) {
+        int c1 = x0 >> 3, c2 = (x0 + n + 7) >> 3;
+        if (c2 > rc->w8) c2 = rc->w8;
+        for (int c = c1; c < c2; c++) rc->edge_h[(long)(y0 >> 3) * rc->w8 + c] = 1;
+    }
+}
+
+/* boundary walk A[0..4N]: below-left+left bottom-up, corner, top+top-right */
+static void rc_boundary(GP *g, const int32_t *canvas, int W, int H,
+                        int x0, int y0, int n, int chroma,
+                        int32_t *a, uint8_t *av) {
+    long cur = rc_zaddr(g, x0, y0, chroma);
+    memset(a, 0, sizeof(int32_t) * (4 * n + 1));
+    memset(av, 0, (size_t)(4 * n + 1));
+    for (int j = 0; j < 2 * n; j++) {
+        int x = x0 - 1, y = y0 + 2 * n - 1 - j;
+        if (x >= 0 && y >= 0 && x < W && y < H && rc_zaddr(g, x, y, chroma) < cur
+                && rc_same_slice(g, x, y, chroma)) {
+            a[j] = canvas[(long)y * W + x]; av[j] = 1;
+        }
+    }
+    if (x0 - 1 >= 0 && y0 - 1 >= 0 && rc_zaddr(g, x0 - 1, y0 - 1, chroma) < cur
+            && rc_same_slice(g, x0 - 1, y0 - 1, chroma)) {
+        a[2 * n] = canvas[(long)(y0 - 1) * W + x0 - 1]; av[2 * n] = 1;
+    }
+    for (int j = 0; j < 2 * n; j++) {
+        int x = x0 + j, y = y0 - 1;
+        if (x >= 0 && y >= 0 && x < W && y < H && rc_zaddr(g, x, y, chroma) < cur
+                && rc_same_slice(g, x, y, chroma)) {
+            a[2 * n + 1 + j] = canvas[(long)y * W + x]; av[2 * n + 1 + j] = 1;
+        }
+    }
+}
+
+/* reference sample substitution (8.4.4.2.2) */
+static void rc_substitute(int32_t *a, const uint8_t *av, int ln) {
+    int first = -1;
+    for (int j = 0; j < ln; j++) if (av[j]) { first = j; break; }
+    if (first < 0) {
+        for (int j = 0; j < ln; j++) a[j] = 128;
+        return;
+    }
+    int32_t last = a[first];
+    for (int j = 0; j < ln; j++) {
+        if (av[j]) last = a[j];
+        else a[j] = last;
+    }
+    for (int j = 0; j < first; j++) a[j] = a[first];
+}
+
+static void rc_filter_refs(const int32_t *a, int32_t *af, int ln) {
+    af[0] = a[0];
+    for (int j = 1; j < ln - 1; j++)
+        af[j] = (a[j - 1] + 2 * a[j] + a[j + 1] + 2) >> 2;
+    af[ln - 1] = a[ln - 1];
+}
+
+static void rc_strong_filter_refs(const int32_t *a, int32_t *af, int log2) {
+    int n = 1 << log2;
+    for (int j = 0; j <= 2 * n; j++) {
+        int32_t left = (a[0] * (2 * n - j) + a[2 * n] * j + n) >> (log2 + 1);
+        if (j < 2 * n) af[j] = left;
+        int32_t top = (a[2 * n] * (2 * n - j) + a[4 * n] * j + n) >> (log2 + 1);
+        af[2 * n + j] = top;
+    }
+}
+
+static int rc_filter_flag(int mode, int n, int is_luma) {
+    if (!is_luma || mode == 1 || n == 4) return 0;
+    int d26 = mode - 26; if (d26 < 0) d26 = -d26;
+    int d10 = mode - 10; if (d10 < 0) d10 = -d10;
+    int md = d26 < d10 ? d26 : d10;
+    int thr = (n == 8) ? 7 : (n == 16) ? 1 : (n == 32) ? 0 : (1 << 30);
+    return md > thr;
+}
+
+/* single-mode intra prediction (ops/intra.py predict_mode semantics) */
+static void rc_predict(GP *g, const int32_t *canvas, int W, int H,
+                       int x0, int y0, int log2, int is_luma, int mode,
+                       int chroma, int32_t *out) {
+    int n = 1 << log2;
+    int32_t a[129], af[129];
+    uint8_t av[129];
+    rc_boundary(g, canvas, W, H, x0, y0, n, chroma, a, av);
+    rc_substitute(a, av, 4 * n + 1);
+    int strong = 0;
+    if (is_luma && g->rc->strong_smoothing && log2 == 5) {
+        int thr = 1 << 3;
+        int d1 = a[2 * n] + a[4 * n] - 2 * a[3 * n]; if (d1 < 0) d1 = -d1;
+        int d2 = a[2 * n] + a[0] - 2 * a[n]; if (d2 < 0) d2 = -d2;
+        strong = d1 < thr && d2 < thr;
+    }
+    if (is_luma) {
+        if (strong) rc_strong_filter_refs(a, af, log2);
+        else rc_filter_refs(a, af, 4 * n + 1);
+    } else memcpy(af, a, sizeof(int32_t) * (4 * n + 1));
+    const int32_t *top = a + 2 * n + 1;      /* top[x], x = 0..n-1 */
+    int32_t corner = a[2 * n];
+    /* left[y] = a[2n-1-y] */
+    if (mode == 0) {  /* planar (8.4.4.2.4) */
+        int use_f = is_luma && n >= 8;
+        const int32_t *S = use_f ? af : a;
+        int32_t tr = S[3 * n + 1], bl = S[n - 1];
+        for (int y = 0; y < n; y++) {
+            int32_t pl = S[2 * n - 1 - y];
+            for (int x = 0; x < n; x++) {
+                int32_t pt = S[2 * n + 1 + x];
+                out[y * n + x] = ((n - 1 - x) * pl + (x + 1) * tr
+                                  + (n - 1 - y) * pt + (y + 1) * bl + n)
+                                 >> (log2 + 1);
+            }
+        }
+        return;
+    }
+    if (mode == 1) {  /* DC (8.4.4.2.5) */
+        long s = 0;
+        for (int j = 0; j < n; j++) s += top[j] + a[2 * n - 1 - j];
+        int32_t dc = (int32_t)((s + n) >> (log2 + 1));
+        for (int j = 0; j < n * n; j++) out[j] = dc;
+        if (is_luma && n < 32) {
+            for (int x = 0; x < n; x++) out[x] = (top[x] + 3 * dc + 2) >> 2;
+            for (int y = 0; y < n; y++) out[y * n] = (a[2 * n - 1 - y] + 3 * dc + 2) >> 2;
+            out[0] = (a[2 * n - 1] + 2 * dc + top[0] + 2) >> 2;
+        }
+        return;
+    }
+    /* angular 2..34 (8.4.4.2.6) */
+    int filt = rc_filter_flag(mode, n, is_luma);
+    const int32_t *S = filt ? af : a;
+    int ang = INTRA_PRED_ANGLE[mode - 2];
+    int vertical = mode >= 18;
+    int inv = (mode >= 11 && mode <= 25) ? INTRA_INV_ANGLE[mode - 11] : 0;
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) {
+            int u = vertical ? x : y;
+            int v = vertical ? y : x;
+            int idx = ((v + 1) * ang) >> 5;
+            int fact = ((v + 1) * ang) & 31;
+            int k1 = u + idx + 1, k2 = fact ? u + idx + 2 : u + idx + 1;
+            int a1, a2;
+            if (k1 >= 0) a1 = vertical ? 2 * n + k1 : 2 * n - k1;
+            else { int proj = (k1 * inv + 128) >> 8; a1 = vertical ? 2 * n - proj : 2 * n + proj; }
+            if (k2 >= 0) a2 = vertical ? 2 * n + k2 : 2 * n - k2;
+            else { int proj = (k2 * inv + 128) >> 8; a2 = vertical ? 2 * n - proj : 2 * n + proj; }
+            out[y * n + x] = ((32 - fact) * S[a1] + fact * S[a2] + 16) >> 5;
+        }
+    if (is_luma && n < 32) {
+        if (mode == 10) {
+            for (int x = 0; x < n; x++) {
+                int32_t v = a[2 * n - 1] + ((top[x] - corner) >> 1);
+                out[x] = v < 0 ? 0 : v > 255 ? 255 : v;
+            }
+        } else if (mode == 26) {
+            for (int y = 0; y < n; y++) {
+                int32_t v = top[0] + ((a[2 * n - 1 - y] - corner) >> 1);
+                out[y * n] = v < 0 ? 0 : v > 255 ? 255 : v;
+            }
+        }
+    }
+}
+
+/* ---- dequant (8.6.3, flat lists) + inverse transform (8.6.4) ---- */
+static const int16_t *rc_mat(int n, int dst) {
+    if (n == 4) return dst ? &DST4[0][0] : &DCT4[0][0];
+    if (n == 8) return &DCT8[0][0];
+    if (n == 16) return &DCT16[0][0];
+    return &DCT32[0][0];
+}
+
+static void rc_dequant(const int32_t *lev, int log2, int qp, int32_t *out) {
+    int n = 1 << log2;
+    int per = qp / 6, rem = qp % 6;
+    int bd_shift = 8 + log2 - 5;
+    int scale = (int)DEQUANT_SCALES[rem] * 16;
+    int sh = bd_shift - per;
+    for (int i = 0; i < n * n; i++) {
+        int64_t x = (int64_t)lev[i] * scale;
+        int64_t d = sh > 0 ? (x + (1LL << (sh - 1))) >> sh : x << (-sh);
+        out[i] = d < -32768 ? -32768 : d > 32767 ? 32767 : (int32_t)d;
+    }
+}
+
+static void rc_inv_transform(const int32_t *coef, int log2, int dst, int32_t *out) {
+    int n = 1 << log2;
+    const int16_t *M = rc_mat(n, dst);
+    int32_t tmp[1024];
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+            int64_t acc = 0;
+            for (int k = 0; k < n; k++)
+                acc += (int64_t)M[k * n + i] * coef[k * n + j];
+            acc = (acc + 64) >> 7;
+            tmp[i * n + j] = acc < -32768 ? -32768 : acc > 32767 ? 32767 : (int32_t)acc;
+        }
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+            int64_t acc = 0;
+            for (int k = 0; k < n; k++)
+                acc += (int64_t)tmp[i * n + k] * M[k * n + j];
+            acc = (acc + 2048) >> 12;  /* bdShift = 20 - 8 */
+            out[i * n + j] = acc < -32768 ? -32768 : acc > 32767 ? 32767 : (int32_t)acc;
+        }
+}
+
+/* residual -> pixel-domain block: regular or transform-skip (8.6.4.2) */
+static void rc_resid(GP *g, const int32_t *lev, int log2, int qp, int dst,
+                     int tsf, int32_t *out) {
+    int n = 1 << log2;
+    if (!tsf) {
+        int32_t deq[1024];
+        rc_dequant(lev, log2, qp, deq);
+        rc_inv_transform(deq, log2, dst, out);
+        return;
+    }
+    int32_t deq[16];
+    rc_dequant(lev, log2, qp, deq);
+    for (int i = 0; i < n * n; i++) {
+        int64_t r = (int64_t)deq[i] << 7;  /* tsShift = 5 + log2 (log2 == 2) */
+        int64_t v = (r + 2048) >> 12;      /* bdShift = 20 - 8 */
+        out[i] = v < -32768 ? -32768 : v > 32767 ? 32767 : (int32_t)v;
+    }
+}
+
+/* intra luma TU (generic_intra._luma_unit) */
+static void rc_luma_tu_intra(GP *g, int x0, int y0, int log2, int mode, int cbf) {
+    RC *rc = g->rc;
+    int n = 1 << log2;
+    rc_mark_edges(g, x0, y0, n);
+    int32_t pred[1024];
+    rc_predict(g, rc->y, g->w, g->h, x0, y0, log2, 1, mode, 0, pred);
+    int32_t res[1024];
+    int have = 0;
+    if (cbf) {
+        int32_t lev[1024]; int tsf = 0;
+        gp_residual_into(g, log2, 0, resid_scan_intra(mode, log2, 0), lev, &tsf);
+        rc_resid(g, lev, log2, rc->qp_y, log2 == 2, tsf, res);
+        have = 1;
+    }
+    for (int r = 0; r < n; r++)
+        for (int c = 0; c < n; c++) {
+            int32_t v = pred[r * n + c] + (have ? res[r * n + c] : 0);
+            rc->y[(long)(y0 + r) * g->w + x0 + c] = v < 0 ? 0 : v > 255 ? 255 : v;
+        }
+}
+
+/* intra chroma pair (generic_intra._chroma_unit); x0/y0 luma coords */
+static void rc_chroma_unit_intra(GP *g, int x0, int y0, int log2c, int cmode,
+                                 int cbf_cb, int cbf_cr) {
+    RC *rc = g->rc;
+    int xc = x0 >> 1, yc = y0 >> 1, n = 1 << log2c;
+    int scan = resid_scan_intra(cmode, log2c, 1);
+    int32_t *planes[2] = {rc->u, rc->v};
+    int cbfs[2] = {cbf_cb, cbf_cr};
+    int qps[2] = {rc->qp_cb, rc->qp_cr};
+    for (int p = 0; p < 2; p++) {
+        int32_t pred[1024], res[1024];
+        rc_predict(g, planes[p], rc->w2, rc->h2, xc, yc, log2c, 0, cmode, 1, pred);
+        int have = 0;
+        if (cbfs[p]) {
+            int32_t lev[1024]; int tsf = 0;
+            gp_residual_into(g, log2c, p + 1, scan, lev, &tsf);
+            rc_resid(g, lev, log2c, qps[p], 0, tsf, res);
+            have = 1;
+        }
+        for (int r = 0; r < n; r++)
+            for (int c = 0; c < n; c++) {
+                int32_t v = pred[r * n + c] + (have ? res[r * n + c] : 0);
+                planes[p][(long)(yc + r) * rc->w2 + xc + c] = v < 0 ? 0 : v > 255 ? 255 : v;
+            }
+    }
+}
+
+/* inter luma residual add (generic_inter._inter_tt leaf) */
+static void rc_add_luma_resid(GP *g, int x0, int y0, int log2) {
+    RC *rc = g->rc;
+    int n = 1 << log2;
+    int32_t lev[1024], res[1024];
+    int tsf = 0;
+    gp_residual_into(g, log2, 0, 0, lev, &tsf);
+    rc_resid(g, lev, log2, rc->qp_y, 0, tsf, res);
+    for (int r = 0; r < n; r++)
+        for (int c = 0; c < n; c++) {
+            long o = (long)(y0 + r) * g->w + x0 + c;
+            int32_t v = rc->y[o] + res[r * n + c];
+            rc->y[o] = v < 0 ? 0 : v > 255 ? 255 : v;
+        }
+    for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+        for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+            rc->cbf4[(long)yy * g->w4 + xx] = 1;
+}
+
+static void rc_add_chroma_resid(GP *g, int x0, int y0, int log2c,
+                                int cbf_cb, int cbf_cr) {
+    RC *rc = g->rc;
+    int xc = x0 >> 1, yc = y0 >> 1, n = 1 << log2c;
+    int32_t *planes[2] = {rc->u, rc->v};
+    int cbfs[2] = {cbf_cb, cbf_cr};
+    int qps[2] = {rc->qp_cb, rc->qp_cr};
+    for (int p = 0; p < 2; p++) {
+        if (!cbfs[p]) continue;
+        int32_t lev[1024], res[1024];
+        int tsf = 0;
+        gp_residual_into(g, log2c, p + 1, 0, lev, &tsf);
+        rc_resid(g, lev, log2c, qps[p], 0, tsf, res);
+        for (int r = 0; r < n; r++)
+            for (int c = 0; c < n; c++) {
+                long o = (long)(yc + r) * rc->w2 + xc + c;
+                int32_t v = planes[p][o] + res[r * n + c];
+                planes[p][o] = v < 0 ? 0 : v > 255 ? 255 : v;
+            }
+    }
+}
+
+/* ---- motion compensation (8.5.4.2; generic_inter._mc_np) ---- */
+/* wt: NULL or (w, o, denom); raw14 leaves the 14-bit domain value */
+static void rc_mc(const int32_t *ref, int W, int H, int x0, int y0,
+                  int w, int h, int mvx, int mvy, int luma, int raw14,
+                  const int *wt, int32_t *out) {
+    int ix, iy, fx, fy, reach, ntap;
+    const int8_t *th, *tv;
+    if (luma) {
+        ix = x0 + (mvx >> 2); iy = y0 + (mvy >> 2);
+        fx = mvx & 3; fy = mvy & 3;
+        th = LUMA_FILTERS[fx]; tv = LUMA_FILTERS[fy];
+        reach = 3; ntap = 8;
+    } else {
+        ix = x0 + (mvx >> 3); iy = y0 + (mvy >> 3);
+        fx = mvx & 7; fy = mvy & 7;
+        th = CHROMA_FILTERS[fx]; tv = CHROMA_FILTERS[fy];
+        reach = 1; ntap = 4;
+    }
+    int32_t tmp[(64 + 7) * 64];
+    for (int r = 0; r < h + ntap - 1; r++) {
+        int yy = iy - reach + r;
+        yy = yy < 0 ? 0 : yy >= H ? H - 1 : yy;
+        const int32_t *row = ref + (long)yy * W;
+        for (int c = 0; c < w; c++) {
+            int32_t acc = 0;
+            for (int k = 0; k < ntap; k++) {
+                int xx = ix - reach + c + k;
+                xx = xx < 0 ? 0 : xx >= W ? W - 1 : xx;
+                acc += th[k] * row[xx];
+            }
+            tmp[r * w + c] = acc;
+        }
+    }
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++) {
+            int64_t acc = 0;
+            for (int k = 0; k < ntap; k++)
+                acc += (int64_t)tv[k] * tmp[(r + k) * w + c];
+            acc >>= 6;  /* 14-bit intermediate domain */
+            if (raw14) { out[r * w + c] = (int32_t)acc; continue; }
+            int64_t v;
+            if (wt) {
+                int log2wd = wt[2] + 6;
+                v = ((acc * wt[0] + (1LL << (log2wd - 1))) >> log2wd) + wt[1];
+            } else v = (acc + 32) >> 6;
+            out[r * w + c] = v < 0 ? 0 : v > 255 ? 255 : (int32_t)v;
+        }
+}
+
+/* ---- motion derivation (8.5.3.2) ---- */
+#define REFPLANE(arr, i) ((const int32_t *)(intptr_t)(arr)[i])
+
+typedef struct { int mvx, mvy, ridx; } PM;
+typedef struct { int pf[2]; int mv[2][2]; int rp[2]; } BM;
+
+static int pm_eq(PM a, PM b) {
+    return a.mvx == b.mvx && a.mvy == b.mvy && a.ridx == b.ridx;
+}
+
+static int bm_eq(const BM *a, const BM *b) {
+    return a->pf[0] == b->pf[0] && a->pf[1] == b->pf[1]
+        && a->mv[0][0] == b->mv[0][0] && a->mv[0][1] == b->mv[0][1]
+        && a->mv[1][0] == b->mv[1][0] && a->mv[1][1] == b->mv[1][1]
+        && a->rp[0] == b->rp[0] && a->rp[1] == b->rp[1];
+}
+
+static int rc_nb_mv(GP *g, int x, int y, PM *out) {
+    if (x < 0 || y < 0 || x >= g->w || y >= g->h) return 0;
+    if (!rc_same_slice(g, x, y, 0)) return 0;
+    RC *rc = g->rc;
+    long c = ((long)(y >> 2)) * g->w4 + (x >> 2);
+    if (!rc->inter4[c]) return 0;
+    out->mvx = rc->mv4[c * 2]; out->mvy = rc->mv4[c * 2 + 1];
+    out->ridx = rc->ref4[c];
+    return 1;
+}
+
+static int rc_nb_full(GP *g, int x, int y, BM *out) {
+    if (x < 0 || y < 0 || x >= g->w || y >= g->h) return 0;
+    if (!rc_same_slice(g, x, y, 0)) return 0;
+    RC *rc = g->rc;
+    long c = ((long)(y >> 2)) * g->w4 + (x >> 2);
+    if (!rc->inter4[c]) return 0;
+    out->pf[0] = rc->pf4[c * 2]; out->pf[1] = rc->pf4[c * 2 + 1];
+    for (int l = 0; l < 2; l++)
+        for (int k = 0; k < 2; k++)
+            out->mv[l][k] = rc->mv4l[c * 4 + l * 2 + k];
+    out->rp[0] = rc->refpoc4l[c * 2]; out->rp[1] = rc->refpoc4l[c * 2 + 1];
+    return 1;
+}
+
+/* temporal MV scaling (8.5.3.2.9), exact integers */
+static void rc_scale_mv(int mvx, int mvy, int tb, int td, int *ox, int *oy) {
+    tb = tb < -128 ? -128 : tb > 127 ? 127 : tb;
+    td = td < -128 ? -128 : td > 127 ? 127 : td;
+    int atd = td < 0 ? -td : td;
+    int tx = (16384 + (atd >> 1)) / (atd > 1 ? atd : 1);
+    if (td < 0) tx = -tx;
+    long dsf = ((long)tb * tx + 32) >> 6;
+    dsf = dsf < -4096 ? -4096 : dsf > 4095 ? 4095 : dsf;
+    int v[2] = {mvx, mvy};
+    int *o[2] = {ox, oy};
+    for (int i = 0; i < 2; i++) {
+        long prod = dsf * v[i];
+        long ap = prod < 0 ? -prod : prod;
+        long r = (prod < 0 ? -1 : 1) * ((ap + 127) >> 8);
+        *o[i] = r < -32768 ? -32768 : r > 32767 ? 32767 : (int)r;
+    }
+}
+
+static int rc_tmvp_probe(GP *g, int x, int y, int *mvx, int *mvy, int *crp) {
+    if (x >= g->w || y >= g->h) return 0;
+    RC *rc = g->rc;
+    int xg = (x >> 4) << 4, yg = (y >> 4) << 4;
+    long c = ((long)(yg >> 2)) * g->w4 + (xg >> 2);
+    if (!rc->col_inter4[c]) return 0;
+    *mvx = rc->col_mv4[c * 2]; *mvy = rc->col_mv4[c * 2 + 1];
+    *crp = rc->col_refpoc4[c];
+    return 1;
+}
+
+/* temporal candidate scaled to target_poc (8.5.3.2.8) */
+static int rc_tmvp(GP *g, int x0, int y0, int nw, int nh, int target_poc,
+                   int *ox, int *oy) {
+    RC *rc = g->rc;
+    if (!rc->has_col) return 0;
+    int mvx = 0, mvy = 0, crp = 0, got = 0;
+    if (((y0 + nh) >> g->cl) == (y0 >> g->cl))
+        got = rc_tmvp_probe(g, x0 + nw, y0 + nh, &mvx, &mvy, &crp);
+    if (!got) got = rc_tmvp_probe(g, x0 + (nw >> 1), y0 + (nh >> 1), &mvx, &mvy, &crp);
+    if (!got) return 0;
+    int tb = rc->cur_poc - target_poc;
+    int td = rc->col_poc - crp;
+    if (tb == td) { *ox = mvx; *oy = mvy; return 1; }
+    rc_scale_mv(mvx, mvy, tb, td, ox, oy);
+    return 1;
+}
+
+/* part codes: 0 2Nx2N, 1 2NxN, 2 Nx2N, 3 2NxnU, 4 2NxnD, 5 nLx2N, 6 nRx2N */
+#define PART_HORIZ(p) ((p) == 1 || (p) == 3 || (p) == 4)
+#define PART_VERT(p)  ((p) == 2 || (p) == 5 || (p) == 6)
+
+/* P merge list (8.5.3.2.3 pruned spatial + TMVP + zero cands) */
+static void rc_merge_list_p(GP *g, int x0, int y0, int nw, int nh,
+                            int part, int pi, PM *list) {
+    RC *rc = g->rc;
+    PM a1, b1, b0, a0;
+    int ha1 = rc_nb_mv(g, x0 - 1, y0 + nh - 1, &a1);
+    int hb1 = rc_nb_mv(g, x0 + nw - 1, y0 - 1, &b1);
+    int hb0 = rc_nb_mv(g, x0 + nw, y0 - 1, &b0);
+    int ha0 = rc_nb_mv(g, x0 - 1, y0 + nh, &a0);
+    if (pi == 1 && PART_VERT(part)) ha1 = 0;
+    if (pi == 1 && PART_HORIZ(part)) hb1 = 0;
+    int nc = 0;
+    if (ha1) list[nc++] = a1;
+    if (hb1 && !(ha1 && pm_eq(b1, a1))) list[nc++] = b1;
+    if (hb0 && !(hb1 && pm_eq(b0, b1))) list[nc++] = b0;
+    if (ha0 && !(ha1 && pm_eq(a0, a1))) list[nc++] = a0;
+    if (nc < 4) {
+        PM b2;
+        int hb2 = rc_nb_mv(g, x0 - 1, y0 - 1, &b2);
+        if (hb2 && !(ha1 && pm_eq(b2, a1)) && !(hb1 && pm_eq(b2, b1)))
+            list[nc++] = b2;
+    }
+    int tx_, ty_;
+    if (rc_tmvp(g, x0, y0, nw, nh, rc->ref0_poc[0], &tx_, &ty_)) {
+        list[nc].mvx = tx_; list[nc].mvy = ty_; list[nc].ridx = 0; nc++;
+    }
+    int zr = 0;
+    while (nc < g->max_merge) {
+        list[nc].mvx = 0; list[nc].mvy = 0;
+        list[nc].ridx = zr < g->nref0 - 1 ? zr : g->nref0 - 1;
+        nc++; zr++;
+    }
+}
+
+/* P AMVP (8.5.3.2.7): same-ref pass, scaled pass, B->A promotion */
+static void rc_amvp_p(GP *g, int x0, int y0, int nw, int nh, int ridx,
+                      int mvp[2][2]) {
+    RC *rc = g->rc;
+    int tpoc = rc->ref0_poc[ridx];
+    int apos[2][2] = {{x0 - 1, y0 + nh}, {x0 - 1, y0 + nh - 1}};
+    int bpos[3][2] = {{x0 + nw, y0 - 1}, {x0 + nw - 1, y0 - 1}, {x0 - 1, y0 - 1}};
+    int ha = 0, hb = 0;
+    int av[2] = {0, 0}, bv[2] = {0, 0};
+    /* same-ref passes */
+    for (int p = 0; p < 2 && !ha; p++) {
+        PM nb;
+        if (rc_nb_mv(g, apos[p][0], apos[p][1], &nb)
+                && rc->ref0_poc[nb.ridx] == tpoc) {
+            av[0] = nb.mvx; av[1] = nb.mvy; ha = 1;
+        }
+    }
+    for (int p = 0; p < 3 && !hb; p++) {
+        PM nb;
+        if (rc_nb_mv(g, bpos[p][0], bpos[p][1], &nb)
+                && rc->ref0_poc[nb.ridx] == tpoc) {
+            bv[0] = nb.mvx; bv[1] = nb.mvy; hb = 1;
+        }
+    }
+    int is_scaled = 0;
+    for (int p = 0; p < 2; p++) {
+        PM nb;
+        if (rc_nb_mv(g, apos[p][0], apos[p][1], &nb)) { is_scaled = 1; break; }
+    }
+    if (!ha && is_scaled) {
+        for (int p = 0; p < 2 && !ha; p++) {
+            PM nb;
+            if (rc_nb_mv(g, apos[p][0], apos[p][1], &nb)) {
+                if (rc->ref0_poc[nb.ridx] == tpoc) { av[0] = nb.mvx; av[1] = nb.mvy; }
+                else rc_scale_mv(nb.mvx, nb.mvy, rc->cur_poc - tpoc,
+                                 rc->cur_poc - rc->ref0_poc[nb.ridx], &av[0], &av[1]);
+                ha = 1;
+            }
+        }
+    }
+    if (!is_scaled) {
+        if (!ha && hb) { av[0] = bv[0]; av[1] = bv[1]; ha = 1; }
+        hb = 0;
+        for (int p = 0; p < 3 && !hb; p++) {
+            PM nb;
+            if (rc_nb_mv(g, bpos[p][0], bpos[p][1], &nb)) {
+                if (rc->ref0_poc[nb.ridx] == tpoc) { bv[0] = nb.mvx; bv[1] = nb.mvy; }
+                else rc_scale_mv(nb.mvx, nb.mvy, rc->cur_poc - tpoc,
+                                 rc->cur_poc - rc->ref0_poc[nb.ridx], &bv[0], &bv[1]);
+                hb = 1;
+            }
+        }
+    }
+    int nc = 0;
+    if (ha) { mvp[nc][0] = av[0]; mvp[nc][1] = av[1]; nc++; }
+    if (hb && !(ha && bv[0] == av[0] && bv[1] == av[1])) {
+        mvp[nc][0] = bv[0]; mvp[nc][1] = bv[1]; nc++;
+    }
+    if (nc < 2) {
+        int tx_, ty_;
+        if (rc_tmvp(g, x0, y0, nw, nh, tpoc, &tx_, &ty_)) {
+            mvp[nc][0] = tx_; mvp[nc][1] = ty_; nc++;
+        }
+    }
+    while (nc < 2) { mvp[nc][0] = 0; mvp[nc][1] = 0; nc++; }
+}
+
+/* P commit (generic_inter._commit_inter_rect): MC + state stores */
+static void rc_commit_p(GP *g, int x0, int y0, int nw, int nh, PM m, int skip) {
+    RC *rc = g->rc;
+    const int32_t *ry = REFPLANE(rc->ref0, m.ridx * 3 + 0);
+    const int32_t *ru = REFPLANE(rc->ref0, m.ridx * 3 + 1);
+    const int32_t *rv = REFPLANE(rc->ref0, m.ridx * 3 + 2);
+    int rpoc = rc->ref0_poc[m.ridx];
+    int wl[3], wcb[3], wcr[3];
+    int has_w = rc->wt != NULL;
+    if (has_w) {
+        const int32_t *e = rc->wt + 2 + m.ridx * 6;
+        wl[0] = e[0]; wl[1] = e[1]; wl[2] = rc->wt[0];
+        wcb[0] = e[2]; wcb[1] = e[3]; wcb[2] = rc->wt[1];
+        wcr[0] = e[4]; wcr[1] = e[5]; wcr[2] = rc->wt[1];
+    }
+    int32_t blk[64 * 64];
+    rc_mc(ry, g->w, g->h, x0, y0, nw, nh, m.mvx, m.mvy, 1, 0,
+          has_w ? wl : NULL, blk);
+    for (int r = 0; r < nh; r++)
+        memcpy(rc->y + (long)(y0 + r) * g->w + x0, blk + r * nw,
+               sizeof(int32_t) * nw);
+    int xc = x0 >> 1, yc = y0 >> 1, wc = nw >> 1, hc = nh >> 1;
+    rc_mc(ru, rc->w2, rc->h2, xc, yc, wc, hc, m.mvx, m.mvy, 0, 0,
+          has_w ? wcb : NULL, blk);
+    for (int r = 0; r < hc; r++)
+        memcpy(rc->u + (long)(yc + r) * rc->w2 + xc, blk + r * wc,
+               sizeof(int32_t) * wc);
+    rc_mc(rv, rc->w2, rc->h2, xc, yc, wc, hc, m.mvx, m.mvy, 0, 0,
+          has_w ? wcr : NULL, blk);
+    for (int r = 0; r < hc; r++)
+        memcpy(rc->v + (long)(yc + r) * rc->w2 + xc, blk + r * wc,
+               sizeof(int32_t) * wc);
+    for (int yy = y0 >> 2; yy < (y0 + nh) >> 2; yy++)
+        for (int xx = x0 >> 2; xx < (x0 + nw) >> 2; xx++) {
+            long c = (long)yy * g->w4 + xx;
+            rc->inter4[c] = 1;
+            rc->mv4[c * 2] = m.mvx; rc->mv4[c * 2 + 1] = m.mvy;
+            rc->ref4[c] = m.ridx;
+            rc->refpoc4[c] = rpoc;
+            g->skip4[c] = skip;
+            g->mode4[c] = 1;
+        }
+}
+
+/* ---- B-slice motion (generic_b.py) ---- */
+
+/* B merge list (full-motion spatial + TMVP + combined-bi + zeros) */
+static int rc_tmvp_full(GP *g, int x0, int y0, int nw, int nh, BM *out) {
+    RC *rc = g->rc;
+    int t0x, t0y;
+    if (!rc_tmvp(g, x0, y0, nw, nh, rc->ref0_poc[0], &t0x, &t0y)) return 0;
+    if (!rc->has_col || g->nref1 == 0) return 0;
+    int mvx = 0, mvy = 0, crp = 0, got = 0;
+    if (((y0 + nh) >> g->cl) == (y0 >> g->cl))
+        got = rc_tmvp_probe(g, x0 + nw, y0 + nh, &mvx, &mvy, &crp);
+    if (!got) got = rc_tmvp_probe(g, x0 + (nw >> 1), y0 + (nh >> 1), &mvx, &mvy, &crp);
+    if (!got) return 0;
+    int tb1 = rc->cur_poc - rc->ref1_poc[0];
+    int td = rc->col_poc - crp;
+    int t1x = mvx, t1y = mvy;
+    if (tb1 != td) rc_scale_mv(mvx, mvy, tb1, td, &t1x, &t1y);
+    out->pf[0] = 1; out->pf[1] = 1;
+    out->mv[0][0] = t0x; out->mv[0][1] = t0y;
+    out->mv[1][0] = t1x; out->mv[1][1] = t1y;
+    out->rp[0] = rc->ref0_poc[0]; out->rp[1] = rc->ref1_poc[0];
+    return 1;
+}
+
+static void rc_merge_list_b(GP *g, int x0, int y0, int nw, int nh,
+                            int part, int pi, BM *list) {
+    RC *rc = g->rc;
+    BM a1, b1, b0, a0;
+    int ha1 = rc_nb_full(g, x0 - 1, y0 + nh - 1, &a1);
+    int hb1 = rc_nb_full(g, x0 + nw - 1, y0 - 1, &b1);
+    int hb0 = rc_nb_full(g, x0 + nw, y0 - 1, &b0);
+    int ha0 = rc_nb_full(g, x0 - 1, y0 + nh, &a0);
+    if (pi == 1 && PART_VERT(part)) ha1 = 0;
+    if (pi == 1 && PART_HORIZ(part)) hb1 = 0;
+    int nc = 0;
+    if (ha1) list[nc++] = a1;
+    if (hb1 && !(ha1 && bm_eq(&b1, &a1))) list[nc++] = b1;
+    if (hb0 && !(hb1 && bm_eq(&b0, &b1))) list[nc++] = b0;
+    if (ha0 && !(ha1 && bm_eq(&a0, &a1))) list[nc++] = a0;
+    if (nc < 4) {
+        BM b2;
+        int hb2 = rc_nb_full(g, x0 - 1, y0 - 1, &b2);
+        if (hb2 && !(ha1 && bm_eq(&b2, &a1)) && !(hb1 && bm_eq(&b2, &b1)))
+            list[nc++] = b2;
+    }
+    BM t;
+    if (rc_tmvp_full(g, x0, y0, nw, nh, &t)) list[nc++] = t;
+    /* combined bi-predictive candidates (8.5.3.2.4) */
+    static const int order[12][2] = {{0,1},{1,0},{0,2},{2,0},{1,2},{2,1},
+                                     {0,3},{3,0},{1,3},{3,1},{2,3},{3,2}};
+    BM base[8];
+    int nbase = nc;
+    memcpy(base, list, sizeof(BM) * (size_t)nc);
+    for (int oi = 0; oi < 12; oi++) {
+        if (nc >= g->max_merge) break;
+        int i = order[oi][0], j = order[oi][1];
+        if (i >= nbase || j >= nbase) continue;
+        if (base[i].pf[0] && base[j].pf[1]) {
+            BM comb;
+            comb.pf[0] = 1; comb.pf[1] = 1;
+            comb.mv[0][0] = base[i].mv[0][0]; comb.mv[0][1] = base[i].mv[0][1];
+            comb.mv[1][0] = base[j].mv[1][0]; comb.mv[1][1] = base[j].mv[1][1];
+            comb.rp[0] = base[i].rp[0]; comb.rp[1] = base[j].rp[1];
+            if (!(comb.rp[0] == comb.rp[1]
+                  && comb.mv[0][0] == comb.mv[1][0]
+                  && comb.mv[0][1] == comb.mv[1][1]))
+                list[nc++] = comb;
+        }
+    }
+    int zr = 0;
+    while (nc < g->max_merge) {
+        BM z;
+        z.pf[0] = 1; z.pf[1] = 1;
+        z.mv[0][0] = z.mv[0][1] = z.mv[1][0] = z.mv[1][1] = 0;
+        z.rp[0] = rc->ref0_poc[zr < g->nref0 - 1 ? zr : g->nref0 - 1];
+        z.rp[1] = rc->ref1_poc[zr < g->nref1 - 1 ? zr : g->nref1 - 1];
+        list[nc++] = z;
+        zr++;
+    }
+}
+
+/* per-list B AMVP (generic_b._amvp_rect_list) */
+static void rc_amvp_b_list(GP *g, int x0, int y0, int nw, int nh,
+                           int lx, int ridx, int mvp[2][2]) {
+    RC *rc = g->rc;
+    int tpoc = (lx == 0 ? rc->ref0_poc : rc->ref1_poc)[ridx];
+    int apos[2][2] = {{x0 - 1, y0 + nh}, {x0 - 1, y0 + nh - 1}};
+    int bpos[3][2] = {{x0 + nw, y0 - 1}, {x0 + nw - 1, y0 - 1}, {x0 - 1, y0 - 1}};
+
+    /* cand_at: same-list-then-other same-poc pass; optional scaled pass */
+    int ha = 0, hb = 0;
+    int av[2] = {0, 0}, bv[2] = {0, 0};
+
+#define CAND_AT(px, py, allow_scale, ok, vx, vy) do { \
+    BM nb; ok = 0; \
+    if (rc_nb_full(g, (px), (py), &nb)) { \
+        for (int l = 0; l < 2 && !ok; l++) { \
+            int ll = l == 0 ? lx : 1 - lx; \
+            if (nb.pf[ll] && nb.rp[ll] == tpoc) { \
+                vx = nb.mv[ll][0]; vy = nb.mv[ll][1]; ok = 1; \
+            } \
+        } \
+        if (!ok && (allow_scale)) { \
+            for (int l = 0; l < 2 && !ok; l++) { \
+                int ll = l == 0 ? lx : 1 - lx; \
+                if (nb.pf[ll]) { \
+                    rc_scale_mv(nb.mv[ll][0], nb.mv[ll][1], \
+                                rc->cur_poc - tpoc, rc->cur_poc - nb.rp[ll], \
+                                &vx, &vy); \
+                    ok = 1; \
+                } \
+            } \
+        } \
+    } \
+} while (0)
+
+    int is_scaled = 0;
+    for (int p = 0; p < 2; p++) {
+        BM nb;
+        if (rc_nb_full(g, apos[p][0], apos[p][1], &nb)) { is_scaled = 1; break; }
+    }
+    for (int p = 0; p < 2 && !ha; p++)
+        CAND_AT(apos[p][0], apos[p][1], 0, ha, av[0], av[1]);
+    if (!ha && is_scaled)
+        for (int p = 0; p < 2 && !ha; p++)
+            CAND_AT(apos[p][0], apos[p][1], 1, ha, av[0], av[1]);
+    for (int p = 0; p < 3 && !hb; p++)
+        CAND_AT(bpos[p][0], bpos[p][1], 0, hb, bv[0], bv[1]);
+    if (!is_scaled) {
+        if (!ha && hb) { av[0] = bv[0]; av[1] = bv[1]; ha = 1; }
+        hb = 0;
+        for (int p = 0; p < 3 && !hb; p++)
+            CAND_AT(bpos[p][0], bpos[p][1], 1, hb, bv[0], bv[1]);
+    }
+#undef CAND_AT
+    int nc = 0;
+    if (ha) { mvp[nc][0] = av[0]; mvp[nc][1] = av[1]; nc++; }
+    if (hb && !(ha && bv[0] == av[0] && bv[1] == av[1])) {
+        mvp[nc][0] = bv[0]; mvp[nc][1] = bv[1]; nc++;
+    }
+    if (nc < 2 && rc->has_col) {
+        int tx_, ty_;
+        if (rc_tmvp(g, x0, y0, nw, nh, tpoc, &tx_, &ty_)) {
+            mvp[nc][0] = tx_; mvp[nc][1] = ty_; nc++;
+        }
+    }
+    while (nc < 2) { mvp[nc][0] = 0; mvp[nc][1] = 0; nc++; }
+}
+
+/* B commit (generic_b._commit_b): per-list MC, bi/weighted combine */
+static void rc_commit_b(GP *g, int x0, int y0, int nw, int nh,
+                        const BM *m, int skip) {
+    RC *rc = g->rc;
+    int has_w = rc->wt != NULL;
+    int raw14 = (m->pf[0] && m->pf[1]) || has_w;
+    int ridxs[2] = {0, 0};
+    static int32_t py_[2][64 * 64], pu_[2][32 * 32], pv_[2][32 * 32];
+    for (int l = 0; l < 2; l++) {
+        if (!m->pf[l]) continue;
+        const int64_t *refs = l == 0 ? rc->ref0 : rc->ref1;
+        const int32_t *pocs = l == 0 ? rc->ref0_poc : rc->ref1_poc;
+        int nrefs = l == 0 ? g->nref0 : g->nref1;
+        int ridx = 0;
+        for (int k = 0; k < nrefs; k++)
+            if (pocs[k] == m->rp[l]) { ridx = k; break; }
+        ridxs[l] = ridx;
+        int mvx = m->mv[l][0], mvy = m->mv[l][1];
+        rc_mc(REFPLANE(refs, ridx * 3 + 0), g->w, g->h, x0, y0, nw, nh,
+              mvx, mvy, 1, raw14, NULL, py_[l]);
+        rc_mc(REFPLANE(refs, ridx * 3 + 1), rc->w2, rc->h2, x0 >> 1, y0 >> 1,
+              nw >> 1, nh >> 1, mvx, mvy, 0, raw14, NULL, pu_[l]);
+        rc_mc(REFPLANE(refs, ridx * 3 + 2), rc->w2, rc->h2, x0 >> 1, y0 >> 1,
+              nw >> 1, nh >> 1, mvx, mvy, 0, raw14, NULL, pv_[l]);
+    }
+    int wc2 = nw >> 1, hc2 = nh >> 1;
+    /* weight entries: wt[2 + r*6 ..] for l0, wt[2 + nref0*6 + r*6 ..] l1 */
+    const int32_t *w0e = NULL, *w1e = NULL;
+    int ld = 0, cd = 0;
+    if (has_w) {
+        ld = rc->wt[0]; cd = rc->wt[1];
+        w0e = rc->wt + 2 + ridxs[0] * 6;
+        w1e = rc->wt + 2 + g->nref0 * 6 + ridxs[1] * 6;
+    }
+    for (int comp = 0; comp < 3; comp++) {
+        int W = comp == 0 ? g->w : rc->w2;
+        int bw = comp == 0 ? nw : wc2, bh = comp == 0 ? nh : hc2;
+        int bx = comp == 0 ? x0 : x0 >> 1, by = comp == 0 ? y0 : y0 >> 1;
+        int32_t *dst = comp == 0 ? rc->y : comp == 1 ? rc->u : rc->v;
+        const int32_t *p0 = comp == 0 ? py_[0] : comp == 1 ? pu_[0] : pv_[0];
+        const int32_t *p1 = comp == 0 ? py_[1] : comp == 1 ? pu_[1] : pv_[1];
+        int denom = comp == 0 ? ld : cd;
+        /* per-component weight (w, o) per list */
+        int wA = 0, oA = 0, wB = 0, oB = 0;
+        if (has_w) {
+            int off = comp == 0 ? 0 : comp == 1 ? 2 : 4;
+            wA = w0e[off]; oA = w0e[off + 1];
+            wB = w1e[off]; oB = w1e[off + 1];
+        }
+        for (int r = 0; r < bh; r++)
+            for (int c = 0; c < bw; c++) {
+                long o = (long)(by + r) * W + bx + c;
+                int64_t v;
+                if (m->pf[0] && m->pf[1]) {
+                    int64_t A = p0[r * bw + c], B = p1[r * bw + c];
+                    if (!has_w) v = (A + B + 64) >> 7;
+                    else {
+                        int log2wd = denom + 6;
+                        v = (A * wA + B * wB
+                             + ((int64_t)(oA + oB + 1) << log2wd)) >> (log2wd + 1);
+                    }
+                } else {
+                    int l = m->pf[0] ? 0 : 1;
+                    const int32_t *P = l == 0 ? p0 : p1;
+                    if (!has_w) v = P[r * bw + c];  /* already clipped (raw14 off) */
+                    else {
+                        int log2wd = denom + 6;
+                        int wU = l == 0 ? wA : wB, oU = l == 0 ? oA : oB;
+                        v = (((int64_t)P[r * bw + c] * wU
+                              + (1LL << (log2wd - 1))) >> log2wd) + oU;
+                    }
+                }
+                if (raw14) v = v < 0 ? 0 : v > 255 ? 255 : v;
+                dst[o] = (int32_t)v;
+            }
+    }
+    for (int yy = y0 >> 2; yy < (y0 + nh) >> 2; yy++)
+        for (int xx = x0 >> 2; xx < (x0 + nw) >> 2; xx++) {
+            long c = (long)yy * g->w4 + xx;
+            rc->inter4[c] = 1;
+            rc->pf4[c * 2] = (uint8_t)m->pf[0];
+            rc->pf4[c * 2 + 1] = (uint8_t)m->pf[1];
+            for (int l = 0; l < 2; l++)
+                for (int k = 0; k < 2; k++)
+                    rc->mv4l[c * 4 + l * 2 + k] = m->mv[l][k];
+            rc->refpoc4l[c * 2] = m->rp[0];
+            rc->refpoc4l[c * 2 + 1] = m->rp[1];
+            int l0 = m->pf[0] ? 0 : 1;
+            rc->mv4[c * 2] = m->mv[l0][0]; rc->mv4[c * 2 + 1] = m->mv[l0][1];
+            rc->refpoc4[c] = m->rp[l0];
+            g->skip4[c] = skip;
+            g->mode4[c] = 1;
+        }
 }
 
 /* ---- transform tree (intra: 7.3.8.8 with IntraSplitFlag) ---- */
@@ -1699,9 +2721,12 @@ static void gp_tt_intra(GP *g, int x0, int y0, int log2, int depth,
                         depth + 1, intra_split, modes, cmode, cbf_cb, cbf_cr);
             if (log2 - 1 == 2 && j == 3) {
                 /* chroma of four 4x4 luma TUs at the parent */
-                int scan = resid_scan_intra(cmode, 2, 1);
-                if (cbf_cb) gp_residual(g, 2, 1, scan);
-                if (cbf_cr) gp_residual(g, 2, 2, scan);
+                if (g->rc) rc_chroma_unit_intra(g, x0, y0, 2, cmode, cbf_cb, cbf_cr);
+                else {
+                    int scan = resid_scan_intra(cmode, 2, 1);
+                    if (cbf_cb) gp_residual(g, 2, 1, scan);
+                    if (cbf_cr) gp_residual(g, 2, 2, scan);
+                }
             }
             if (g->err) return;
         }
@@ -1717,12 +2742,16 @@ static void gp_tt_intra(GP *g, int x0, int y0, int log2, int depth,
     int last4 = (log2 == 2) && ((y0 >> 2) & 1) && ((x0 >> 2) & 1);
     if (cbf_luma || chroma_here || (last4 && (cbf_cb || cbf_cr)))
         gp_maybe_qp_delta(g);
-    if (cbf_luma)
+    if (g->rc) rc_luma_tu_intra(g, x0, y0, log2, mode, cbf_luma);
+    else if (cbf_luma)
         gp_residual(g, log2, 0, resid_scan_intra(mode, log2, 0));
     if (log2 > 2) {
-        int scan = resid_scan_intra(cmode, log2 - 1, 1);
-        if (cbf_cb) gp_residual(g, log2 - 1, 1, scan);
-        if (cbf_cr) gp_residual(g, log2 - 1, 2, scan);
+        if (g->rc) rc_chroma_unit_intra(g, x0, y0, log2 - 1, cmode, cbf_cb, cbf_cr);
+        else {
+            int scan = resid_scan_intra(cmode, log2 - 1, 1);
+            if (cbf_cb) gp_residual(g, log2 - 1, 1, scan);
+            if (cbf_cr) gp_residual(g, log2 - 1, 2, scan);
+        }
     }
 }
 
@@ -1732,9 +2761,10 @@ static void gp_cu_intra(GP *g, int x0, int y0, int log2) {
     int nxn = 0;
     if (log2 == g->min_cb)
         nxn = gp_bin(g, CTX_PART_MODE) == 0;
+    rc_mark_edges(g, x0, y0, n);
     if (g->pcm_min >= 0 && !nxn && log2 >= g->pcm_min && log2 <= g->pcm_max) {
         if (gp_term(g)) {
-            gp_pcm(g, log2);
+            gp_pcm(g, x0, y0, log2);
             for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
                 for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
                     g->mode4[(long)yy * g->w4 + xx] = 1;
@@ -1792,8 +2822,11 @@ static void gp_tt_inter(GP *g, int x0, int y0, int log2, int depth,
             gp_tt_inter(g, x0 + zo[j][1] * hh, y0 + zo[j][0] * hh, log2 - 1,
                         depth + 1, cbf_cb, cbf_cr, inter_split);
             if (log2 - 1 == 2 && j == 3) {
-                if (cbf_cb) gp_residual(g, 2, 1, 0);
-                if (cbf_cr) gp_residual(g, 2, 2, 0);
+                if (g->rc) rc_add_chroma_resid(g, x0, y0, 2, cbf_cb, cbf_cr);
+                else {
+                    if (cbf_cb) gp_residual(g, 2, 1, 0);
+                    if (cbf_cr) gp_residual(g, 2, 2, 0);
+                }
             }
             if (g->err) return;
         }
@@ -1805,22 +2838,37 @@ static void gp_tt_inter(GP *g, int x0, int y0, int log2, int depth,
     int last4 = (log2 == 2) && ((y0 >> 2) & 1) && ((x0 >> 2) & 1);
     if (cbf_luma || ((cbf_cb || cbf_cr) && log2 > 2) || (last4 && (cbf_cb || cbf_cr)))
         gp_maybe_qp_delta(g);
-    if (cbf_luma) gp_residual(g, log2, 0, 0);
+    rc_mark_edges(g, x0, y0, 1 << log2);
+    if (cbf_luma) {
+        if (g->rc) rc_add_luma_resid(g, x0, y0, log2);
+        else gp_residual(g, log2, 0, 0);
+    }
     if (log2 > 2) {
-        if (cbf_cb) gp_residual(g, log2 - 1, 1, 0);
-        if (cbf_cr) gp_residual(g, log2 - 1, 2, 0);
+        if (g->rc) rc_add_chroma_resid(g, x0, y0, log2 - 1, cbf_cb, cbf_cr);
+        else {
+            if (cbf_cb) gp_residual(g, log2 - 1, 1, 0);
+            if (cbf_cr) gp_residual(g, log2 - 1, 2, 0);
+        }
     }
 }
 
-/* ---- inter PU prediction syntax ---- */
-static void gp_pu_p(GP *g) {
+/* ---- inter PU prediction syntax (+ recon-mode motion derivation) ---- */
+static void gp_pu_p(GP *g, int px, int py, int pw, int ph, PM *out) {
     /* P slice AMVP PU: ref_idx, mvd, mvp_flag */
-    gp_ref_idx(g, g->nref0);
-    gp_mvd(g);
-    gp_bin(g, CTX_MVP_FLAG);
+    int ridx = gp_ref_idx(g, g->nref0);
+    int mdx, mdy;
+    gp_mvd(g, &mdx, &mdy);
+    int use1 = gp_bin(g, CTX_MVP_FLAG);
+    if (g->rc) {
+        int mvp[2][2];
+        rc_amvp_p(g, px, py, pw, ph, ridx, mvp);
+        out->mvx = mvp[use1][0] + mdx;
+        out->mvy = mvp[use1][1] + mdy;
+        out->ridx = ridx;
+    }
 }
 
-static void gp_pu_b(GP *g, int pw, int ph, int log2) {
+static void gp_pu_b(GP *g, int px, int py, int pw, int ph, int log2, BM *out) {
     int kinds;  /* 0 L0, 1 L1, 2 BI */
     if (pw + ph == 12) {
         kinds = gp_bin(g, CTX_INTER_PRED_IDC + 4) ? 1 : 0;
@@ -1828,15 +2876,34 @@ static void gp_pu_b(GP *g, int pw, int ph, int log2) {
         if (gp_bin(g, CTX_INTER_PRED_IDC + (g->cl - log2))) kinds = 2;
         else kinds = gp_bin(g, CTX_INTER_PRED_IDC + 4) ? 1 : 0;
     }
-    if (kinds == 0 || kinds == 2) {
-        gp_ref_idx(g, g->nref0);
-        gp_mvd(g);
-        gp_bin(g, CTX_MVP_FLAG);
+    memset(out, 0, sizeof *out);
+    out->pf[0] = (kinds == 0 || kinds == 2);
+    out->pf[1] = (kinds == 1 || kinds == 2);
+    if (out->pf[0]) {
+        int r0 = gp_ref_idx(g, g->nref0);
+        int mdx, mdy;
+        gp_mvd(g, &mdx, &mdy);
+        int use1 = gp_bin(g, CTX_MVP_FLAG);
+        if (g->rc) {
+            int mvp[2][2];
+            rc_amvp_b_list(g, px, py, pw, ph, 0, r0, mvp);
+            out->mv[0][0] = mvp[use1][0] + mdx;
+            out->mv[0][1] = mvp[use1][1] + mdy;
+            out->rp[0] = g->rc->ref0_poc[r0];
+        }
     }
-    if (kinds == 1 || kinds == 2) {
-        gp_ref_idx(g, g->nref1);
-        if (!(g->mvd_l1_zero && kinds == 2)) gp_mvd(g);
-        gp_bin(g, CTX_MVP_FLAG);
+    if (out->pf[1]) {
+        int r1 = gp_ref_idx(g, g->nref1);
+        int mdx = 0, mdy = 0;
+        if (!(g->mvd_l1_zero && kinds == 2)) gp_mvd(g, &mdx, &mdy);
+        int use1 = gp_bin(g, CTX_MVP_FLAG);
+        if (g->rc) {
+            int mvp[2][2];
+            rc_amvp_b_list(g, px, py, pw, ph, 1, r1, mvp);
+            out->mv[1][0] = mvp[use1][0] + mdx;
+            out->mv[1][1] = mvp[use1][1] + mdy;
+            out->rp[1] = g->rc->ref1_poc[r1];
+        }
     }
 }
 
@@ -1854,7 +2921,19 @@ static void gp_cu(GP *g, int x0, int y0, int log2) {
         for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
             g->skip4[(long)yy * g->w4 + xx] = skip;
     if (skip) {
-        gp_merge_idx(g);
+        int idx = gp_merge_idx(g);
+        if (g->rc) {
+            if (g->slice_type == 0) {
+                BM lst[8];
+                rc_merge_list_b(g, x0, y0, n, n, 0, 0, lst);
+                rc_commit_b(g, x0, y0, n, n, &lst[idx], 1);
+            } else {
+                PM lst[8];
+                rc_merge_list_p(g, x0, y0, n, n, 0, 0, lst);
+                rc_commit_p(g, x0, y0, n, n, lst[idx], 1);
+            }
+            rc_mark_edges(g, x0, y0, n);
+        }
         for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
             for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
                 g->mode4[(long)yy * g->w4 + xx] = 1;
@@ -1878,6 +2957,7 @@ static void gp_cu(GP *g, int x0, int y0, int log2) {
     for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
         for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
             g->mode4[(long)yy * g->w4 + xx] = 1;
+    rc_mark_edges(g, x0, y0, n);
     int q = n >> 2;
     int pw[2], ph[2], npu;
     switch (part) {
@@ -1889,14 +2969,40 @@ static void gp_cu(GP *g, int x0, int y0, int log2) {
         case 5: npu = 2; pw[0] = q; ph[0] = n; pw[1] = n - q; ph[1] = n; break;
         default: npu = 2; pw[0] = 3 * q; ph[0] = n; pw[1] = n - 3 * q; ph[1] = n; break;
     }
+    int pux[2] = {x0, x0}, puy[2] = {y0, y0};
+    if (npu == 2) {
+        if (PART_HORIZ(part)) { puy[1] = y0 + ph[0]; rc_mark_edges(g, x0, puy[1], n); }
+        else { pux[1] = x0 + pw[0]; rc_mark_edges(g, pux[1], y0, n); }
+    }
     int merged_2nx2n = 0;
     for (int pi = 0; pi < npu; pi++) {
         if (gp_bin(g, CTX_MERGE_FLAG)) {
-            gp_merge_idx(g);
+            int idx = gp_merge_idx(g);
             if (part == 0) merged_2nx2n = 1;
+            if (g->rc) {
+                if (g->slice_type == 0) {
+                    BM lst[8];
+                    rc_merge_list_b(g, pux[pi], puy[pi], pw[pi], ph[pi], part, pi, lst);
+                    BM m = lst[idx];
+                    if (pw[pi] + ph[pi] == 12 && m.pf[0] && m.pf[1])
+                        m.pf[1] = 0;  /* 8x4/4x8 may not be bi (8.5.3.2.3) */
+                    rc_commit_b(g, pux[pi], puy[pi], pw[pi], ph[pi], &m, 0);
+                } else {
+                    PM lst[8];
+                    rc_merge_list_p(g, pux[pi], puy[pi], pw[pi], ph[pi], part, pi, lst);
+                    rc_commit_p(g, pux[pi], puy[pi], pw[pi], ph[pi], lst[idx], 0);
+                }
+            }
         } else {
-            if (g->slice_type == 0) gp_pu_b(g, pw[pi], ph[pi], log2);
-            else gp_pu_p(g);
+            if (g->slice_type == 0) {
+                BM m;
+                gp_pu_b(g, pux[pi], puy[pi], pw[pi], ph[pi], log2, &m);
+                if (g->rc) rc_commit_b(g, pux[pi], puy[pi], pw[pi], ph[pi], &m, 0);
+            } else {
+                PM m;
+                gp_pu_p(g, pux[pi], puy[pi], pw[pi], ph[pi], &m);
+                if (g->rc) rc_commit_p(g, pux[pi], puy[pi], pw[pi], ph[pi], m, 0);
+            }
         }
     }
     /* rqt_root_cbf coded unless 2Nx2N merge (7.3.8.5) */
@@ -1935,6 +3041,14 @@ static void gp_cqt(GP *g, int x0, int y0, int log2, int depth) {
             g->depth4[(long)yy * g->w4 + xx] = depth;
     if (g->cuqp) gp_enter_qg(g, x0, y0);
     gp_cu(g, x0, y0, log2);
+    if (g->cuqp && g->rc) {
+        /* the CU's final QpY feeds the prediction chain + maps (8.6.1) */
+        RC *rc = g->rc;
+        rc->qp_prev = rc->qp;
+        for (int yy = y0 >> 2; yy < (y0 + n) >> 2 && yy < g->h4; yy++)
+            for (int xx = x0 >> 2; xx < (x0 + n) >> 2 && xx < g->w4; xx++)
+                rc->qp4[(long)yy * g->w4 + xx] = rc->qp;
+    }
 }
 
 /* cfgv layout (see native/__init__.py parse_generic_slice):
@@ -1944,6 +3058,57 @@ static void gp_cqt(GP *g, int x0, int y0, int log2, int depth) {
    [14] pcm_max  [15] pcm_bd  [16] pcm_bd_c  [17] slice_type
    [18] nref0  [19] nref1  [20] max_merge  [21] mvd_l1_zero
    [22] sao_luma  [23] sao_chroma */
+static void gp_config(GP *g, const int32_t *cfgv) {
+    g->w = cfgv[0]; g->h = cfgv[1]; g->cl = cfgv[2]; g->min_cb = cfgv[3];
+    g->min_tb = cfgv[4]; g->max_tb = cfgv[5]; g->td_intra = cfgv[6];
+    g->td_inter = cfgv[7]; g->amp = cfgv[8]; g->sdh = cfgv[9];
+    g->tskip = cfgv[10]; g->cuqp = cfgv[11]; g->qg_log2 = cfgv[12];
+    g->pcm_min = cfgv[13]; g->pcm_max = cfgv[14]; g->pcm_bd = cfgv[15];
+    g->pcm_bd_c = cfgv[16]; g->slice_type = cfgv[17]; g->nref0 = cfgv[18];
+    g->nref1 = cfgv[19]; g->max_merge = cfgv[20]; g->mvd_l1_zero = cfgv[21];
+    g->sao_luma = cfgv[22]; g->sao_chroma = cfgv[23];
+    g->cw = (g->w + (1 << g->cl) - 1) >> g->cl;
+    g->ch = (g->h + (1 << g->cl) - 1) >> g->cl;
+    g->w4 = g->w >> 2; g->h4 = g->h >> 2;
+    g->qg_key = -1;
+}
+
+/* shared segment driver: CABAC init/ctx carry, CTU loop, terminates */
+static long gp_run(GP *g, const uint8_t *payload, long len, int init_type,
+                   int slice_qp, int continue_ctx,
+                   long ctb_from, long ctb_to, long slice_last,
+                   int subset_term, long snap_after, uint8_t *ctx_snap,
+                   uint8_t *ctx_state) {
+    dec_init(&g->d, payload, len, init_type, slice_qp);
+    if (continue_ctx) {
+        memcpy(g->d.state, ctx_state, NUM_CONTEXTS);
+        memcpy(g->d.mps, ctx_state + NUM_CONTEXTS, NUM_CONTEXTS);
+    }
+    int sao_on = g->sao_luma || g->sao_chroma;
+    int prev_ct[1] = {0};
+    for (long i = ctb_from; i < ctb_to; i++) {
+        if (sao_on) gp_sao(g, i, prev_ct);
+        int x0 = (int)(i % g->cw) << g->cl;
+        int y0 = (int)(i / g->cw) << g->cl;
+        gp_cqt(g, x0, y0, g->cl, 0);
+        if (i == snap_after && ctx_snap) {
+            memcpy(ctx_snap, g->d.state, NUM_CONTEXTS);
+            memcpy(ctx_snap + NUM_CONTEXTS, g->d.mps, NUM_CONTEXTS);
+        }
+        int end = gp_term(g);
+        if (g->err) return g->err;
+        if (end != ((i == slice_last) ? 1 : 0)) return -25;
+    }
+    if (subset_term && ctb_to - 1 != slice_last) {
+        /* end_of_subset_one_bit terminating a WPP row substream */
+        if (gp_term(g) != 1) return -26;
+        if (g->err) return g->err;
+    }
+    memcpy(ctx_state, g->d.state, NUM_CONTEXTS);
+    memcpy(ctx_state + NUM_CONTEXTS, g->d.mps, NUM_CONTEXTS);
+    return 0;
+}
+
 long parse_generic_slice_c(
     const uint8_t *payload, long len, int init_type, int slice_qp,
     int continue_ctx, const int32_t *cfgv,
@@ -1960,54 +3125,81 @@ long parse_generic_slice_c(
 {
     GP g;
     memset(&g, 0, sizeof g);
-    g.w = cfgv[0]; g.h = cfgv[1]; g.cl = cfgv[2]; g.min_cb = cfgv[3];
-    g.min_tb = cfgv[4]; g.max_tb = cfgv[5]; g.td_intra = cfgv[6];
-    g.td_inter = cfgv[7]; g.amp = cfgv[8]; g.sdh = cfgv[9];
-    g.tskip = cfgv[10]; g.cuqp = cfgv[11]; g.qg_log2 = cfgv[12];
-    g.pcm_min = cfgv[13]; g.pcm_max = cfgv[14]; g.pcm_bd = cfgv[15];
-    g.pcm_bd_c = cfgv[16]; g.slice_type = cfgv[17]; g.nref0 = cfgv[18];
-    g.nref1 = cfgv[19]; g.max_merge = cfgv[20]; g.mvd_l1_zero = cfgv[21];
-    g.sao_luma = cfgv[22]; g.sao_chroma = cfgv[23];
-    g.cw = (g.w + (1 << g.cl) - 1) >> g.cl;
-    g.ch = (g.h + (1 << g.cl) - 1) >> g.cl;
-    g.w4 = g.w >> 2; g.h4 = g.h >> 2;
+    gp_config(&g, cfgv);
     g.depth4 = depth4; g.skip4 = skip4; g.mode4 = mode4;
     g.slice_of = slice_of; g.cur_slice = cur_slice;
     g.bins = bins; g.bins_cap = bins_cap;
     g.levs = levs; g.levs_cap = levs_cap;
     g.meta = meta; g.meta_cap = meta_cap;
     g.pcm = pcm; g.pcm_cap = pcm_cap;
-    g.qg_key = -1;
-    dec_init(&g.d, payload, len, init_type, slice_qp);
-    if (continue_ctx) {
-        memcpy(g.d.state, ctx_state, NUM_CONTEXTS);
-        memcpy(g.d.mps, ctx_state + NUM_CONTEXTS, NUM_CONTEXTS);
-    }
-    int sao_on = g.sao_luma || g.sao_chroma;
-    int prev_ct[1] = {0};
-    for (long i = ctb_from; i < ctb_to; i++) {
-        if (sao_on) gp_sao(&g, i, prev_ct);
-        int x0 = (int)(i % g.cw) << g.cl;
-        int y0 = (int)(i / g.cw) << g.cl;
-        gp_cqt(&g, x0, y0, g.cl, 0);
-        if (i == snap_after && ctx_snap) {
-            memcpy(ctx_snap, g.d.state, NUM_CONTEXTS);
-            memcpy(ctx_snap + NUM_CONTEXTS, g.d.mps, NUM_CONTEXTS);
-        }
-        int end = gp_term(&g);
-        if (g.err) return g.err;
-        if (end != ((i == slice_last) ? 1 : 0)) return -25;
-    }
-    if (subset_term && ctb_to - 1 != slice_last) {
-        /* end_of_subset_one_bit terminating a WPP row substream */
-        if (gp_term(&g) != 1) return -26;
-        if (g.err) return g.err;
-    }
-    memcpy(ctx_state, g.d.state, NUM_CONTEXTS);
-    memcpy(ctx_state + NUM_CONTEXTS, g.d.mps, NUM_CONTEXTS);
+    long ret = gp_run(&g, payload, len, init_type, slice_qp, continue_ctx,
+                      ctb_from, ctb_to, slice_last, subset_term, snap_after,
+                      ctx_snap, ctx_state);
+    if (ret != 0) return ret;
     out_lens[0] = g.bins_n;
     out_lens[1] = g.levs_n;
     out_lens[2] = g.meta_n;
     out_lens[3] = g.pcm_n;
     return 0;
+}
+
+/* Recon entry: decode-and-reconstruct one slice segment directly into the
+   Python decoder's buffers (canvases, 4x4 maps, SAO params, edge marks).
+   rcfg: [0] strong_smoothing [1] cb_off [2] cr_off [3] cur_poc
+         [4] has_col [5] col_poc [6] has_weights
+   wt (when has_weights): [0] luma_denom [1] chroma_denom, then per l0 ref
+   (lw, lo, cbw, cbo, crw, cro) x nref0, then the same x nref1. */
+long recon_generic_slice_c(
+    const uint8_t *payload, long len, int init_type, int slice_qp,
+    int continue_ctx, const int32_t *cfgv,
+    long ctb_from, long ctb_to,
+    long slice_last, int subset_term, long snap_after, uint8_t *ctx_snap,
+    const int32_t *slice_of, int cur_slice,
+    int32_t *depth4, int32_t *skip4, int32_t *mode4,
+    uint8_t *ctx_state,
+    const int32_t *rcfg,
+    int32_t *ycv, int32_t *ucv, int32_t *vcv,
+    int32_t *qp4, uint8_t *edge_v, uint8_t *edge_h,
+    int32_t *inter4, int32_t *mv4, int32_t *ref4, int32_t *refpoc4,
+    int32_t *cbf4, uint8_t *pf4, int32_t *mv4l, int32_t *refpoc4l,
+    int32_t *sao_typ, int32_t *sao_aux, int32_t *sao_offs,
+    const int64_t *ref0_ptrs, const int32_t *ref0_poc,
+    const int64_t *ref1_ptrs, const int32_t *ref1_poc,
+    const int64_t *col_ptrs,
+    const int32_t *wt)
+{
+    GP g;
+    RC rc;
+    memset(&g, 0, sizeof g);
+    memset(&rc, 0, sizeof rc);
+    gp_config(&g, cfgv);
+    g.depth4 = depth4; g.skip4 = skip4; g.mode4 = mode4;
+    g.slice_of = slice_of; g.cur_slice = cur_slice;
+    g.rc = &rc;
+    rc.y = ycv; rc.u = ucv; rc.v = vcv;
+    rc.qp4 = qp4; rc.edge_v = edge_v; rc.edge_h = edge_h;
+    rc.inter4 = inter4; rc.mv4 = mv4; rc.ref4 = ref4; rc.refpoc4 = refpoc4;
+    rc.cbf4 = cbf4; rc.pf4 = pf4; rc.mv4l = mv4l; rc.refpoc4l = refpoc4l;
+    rc.sao_typ = sao_typ; rc.sao_aux = sao_aux; rc.sao_offs = sao_offs;
+    rc.ref0 = ref0_ptrs; rc.ref0_poc = ref0_poc;
+    rc.ref1 = ref1_ptrs; rc.ref1_poc = ref1_poc;
+    rc.strong_smoothing = rcfg[0];
+    rc.cb_off = rcfg[1]; rc.cr_off = rcfg[2];
+    rc.cur_poc = rcfg[3];
+    rc.has_col = rcfg[4]; rc.col_poc = rcfg[5];
+    if (rc.has_col && col_ptrs) {
+        rc.col_inter4 = (const int32_t *)(intptr_t)col_ptrs[0];
+        rc.col_mv4 = (const int32_t *)(intptr_t)col_ptrs[1];
+        rc.col_refpoc4 = (const int32_t *)(intptr_t)col_ptrs[2];
+    }
+    rc.wt = rcfg[6] ? wt : NULL;
+    rc.w2 = g.w >> 1; rc.h2 = g.h >> 1;
+    rc.w8 = g.w >> 3; rc.h8 = g.h >> 3;
+    rc.slice_qp = slice_qp;
+    rc.qp_prev = slice_qp;  /* qPY_PREV init per slice segment (8.6.1) */
+    rc.qg_pred = slice_qp;
+    rc_set_qp(&g, slice_qp);
+    return gp_run(&g, payload, len, init_type, slice_qp, continue_ctx,
+                  ctb_from, ctb_to, slice_last, subset_term, snap_after,
+                  ctx_snap, ctx_state);
 }

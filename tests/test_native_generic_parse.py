@@ -17,6 +17,7 @@ import numpy as np
 import pytest
 
 import kvazzup_tpu.decoder.native_parse as native_parse
+import kvazzup_tpu.decoder.native_recon as native_recon
 from kvazzup_tpu.decoder.top import Decoder
 from kvazzup_tpu.io.yuv import synthetic_frames, write_yuv420
 from kvazzup_tpu.native import get_lib
@@ -38,19 +39,31 @@ def _x265(tmp_path, params, w=192, h=128, n=3, qp=30):
 
 
 def _decode_both(stream):
-    """Decode with native parse and with the Python fallback; return
-    (native_frames, python_frames, ok_delta, fb_delta)."""
+    """Decode with the native tiers and with the Python fallback; return
+    (native_frames, python_frames, ok_delta, fb_delta).  ok counts
+    pictures handled natively by EITHER tier (full C recon preferred,
+    replay parse as fallback); fb counts pictures neither tier took."""
     if get_lib() is None:
         pytest.skip("native library unavailable")
-    ok0, fb0 = native_parse.PARSE_OK, native_parse.PARSE_FALLBACK
+    rok0, pok0 = native_recon.RECON_OK, native_parse.PARSE_OK
+    pfb0 = native_parse.PARSE_FALLBACK
     nat = Decoder().decode(stream)
-    ok1, fb1 = native_parse.PARSE_OK, native_parse.PARSE_FALLBACK
+    rok1, pok1 = native_recon.RECON_OK, native_parse.PARSE_OK
+    pfb1 = native_parse.PARSE_FALLBACK
     os.environ["KVZ_TPU_NO_NATIVE"] = "1"
     try:
         py = Decoder().decode(stream)
     finally:
         del os.environ["KVZ_TPU_NO_NATIVE"]
-    return nat, py, ok1 - ok0, fb1 - fb0
+    return nat, py, (rok1 - rok0) + (pok1 - pok0), pfb1 - pfb0
+
+
+def _decode_recon_only(stream):
+    """Decode asserting the FULL-RECON tier took every picture."""
+    rok0, rfb0 = native_recon.RECON_OK, native_recon.RECON_FALLBACK
+    nat = Decoder().decode(stream)
+    rok1, rfb1 = native_recon.RECON_OK, native_recon.RECON_FALLBACK
+    return nat, rok1 - rok0, rfb1 - rfb0
 
 
 CASES = [
@@ -77,3 +90,16 @@ def test_native_parse_engages_and_matches(tmp_path, tag, params):
         for p in range(3):
             assert np.array_equal(np.asarray(nat[i][p]),
                                   np.asarray(py[i][p])), (i, p)
+
+
+@pytest.mark.parametrize("tag,params", CASES, ids=[c[0] for c in CASES])
+def test_native_full_recon_engages(tmp_path, tag, params):
+    """The full C-reconstruction tier (not just replay parse) must take
+    every picture of these 8-bit flat-scaling streams."""
+    stream = _x265(tmp_path, params)
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    nat, ok, fb = _decode_recon_only(stream)
+    assert ok > 0, "full-recon tier never engaged"
+    assert fb == 0, "full-recon tier fell back on some picture"
+    assert len(nat) >= 3
