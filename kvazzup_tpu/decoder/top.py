@@ -392,7 +392,10 @@ class Decoder:
         if not pps.deblocking_disabled:
             bs_rep = 0
             if hasattr(gd, "bs_maps"):
-                bs_v, bs_h = gd.bs_maps()
+                from ..native import native_bs_maps
+
+                bs = native_bs_maps(gd, is_b=hasattr(gd, "pf4"))
+                bs_v, bs_h = bs if bs is not None else gd.bs_maps()
                 bs_rep = 4
             else:
                 # all-intra: every recorded CU/TU edge is bS 2

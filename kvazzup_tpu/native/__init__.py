@@ -451,3 +451,35 @@ def recon_generic_segment(cfgv, payload: bytes, init_type: int, slice_qp: int,
                   f"len={len(payload)}", file=sys.stderr)
         return False
     return True
+
+
+def native_bs_maps(gd, is_b: bool):
+    """Deblock boundary strengths from the decoder's 4x4 maps in C
+    (bs_maps_c), or None to use the Python gd.bs_maps().  Pure function
+    of the maps, so it serves every decode tier."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h4, w4 = gd.inter4.shape
+    h8, w8 = gd.edge_v.shape
+    if h4 != 2 * h8 or w4 != 2 * w8:
+        return None  # partial 8-grid geometry: keep the Python reference
+    if not hasattr(lib, "_bs_bound"):
+        lib.bs_maps_c.restype = None
+        lib.bs_maps_c.argtypes = [ctypes.c_int] * 5 + [ctypes.c_void_p] * 11
+        lib._bs_bound = True
+    bs_v = np.zeros((w8 - 1, h4), np.int32)
+    bs_h = np.zeros((h8 - 1, w4), np.int32)
+    args = [gd.inter4, gd.cbf4, gd.edge_v, gd.edge_h, gd.mv4, gd.refpoc4]
+    if is_b:
+        args += [gd.pf4, gd.mv4l, gd.refpoc4l]
+    else:
+        args += [None, None, None]
+    for a in args:
+        if a is not None and not a.flags.c_contiguous:
+            return None
+    lib.bs_maps_c(
+        1 if is_b else 0, w4, h4, w8, h8,
+        *[None if a is None else a.ctypes.data for a in args],
+        bs_v.ctypes.data, bs_h.ctypes.data)
+    return bs_v, bs_h

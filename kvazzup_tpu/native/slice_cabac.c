@@ -3203,3 +3203,80 @@ long recon_generic_slice_c(
                   ctb_from, ctb_to, slice_last, subset_term, snap_after,
                   ctx_snap, ctx_state);
 }
+
+/* ==================================================================== */
+/* Deblock boundary strengths (8.7.2.4) from the decoded 4x4 maps,      */
+/* mirroring generic_inter.bs_maps (P rule) / generic_b.bs_maps (B      */
+/* full rule: hypothesis counts, ref-picture sets, per-list or          */
+/* cross-list MV compares).  bs_v: (w8-1, h4); bs_h: (h8-1, w4).        */
+
+static int bs_big(const int32_t *m0, const int32_t *m1) {
+    int dx = m0[0] - m1[0]; if (dx < 0) dx = -dx;
+    int dy = m0[1] - m1[1]; if (dy < 0) dy = -dy;
+    return dx >= 4 || dy >= 4;
+}
+
+static int bs_mv_cell_b(const uint8_t *pf4, const int32_t *mv4l,
+                        const int32_t *rp4l, long ca, long cb) {
+    const uint8_t *pa = pf4 + ca * 2, *pb = pf4 + cb * 2;
+    const int32_t *ma = mv4l + ca * 4, *mb = mv4l + cb * 4;
+    const int32_t *ra = rp4l + ca * 2, *rb = rp4l + cb * 2;
+    int na = pa[0] + pa[1], nb = pb[0] + pb[1];
+    if (na != nb) return 1;
+    if (na == 1) {
+        int la = pa[0] ? 0 : 1, lb = pb[0] ? 0 : 1;
+        if (ra[la] != rb[lb]) return 1;
+        return bs_big(ma + la * 2, mb + lb * 2);
+    }
+    /* bi vs bi: ref-picture sets must match */
+    int same = (ra[0] == rb[0] && ra[1] == rb[1])
+            || (ra[0] == rb[1] && ra[1] == rb[0]);
+    if (!same) return 1;
+    if (ra[0] != ra[1]) {  /* two distinct pictures: match by picture */
+        for (int l = 0; l < 2; l++) {
+            int lb = (rb[0] == ra[l]) ? 0 : 1;
+            if (bs_big(ma + l * 2, mb + lb * 2)) return 1;
+        }
+        return 0;
+    }
+    /* same picture both hypotheses: either pairing may satisfy */
+    int straight = !bs_big(ma, mb) && !bs_big(ma + 2, mb + 2);
+    int crossed = !bs_big(ma, mb + 2) && !bs_big(ma + 2, mb);
+    return !(straight || crossed);
+}
+
+void bs_maps_c(int is_b, int w4, int h4, int w8, int h8,
+               const int32_t *inter4, const int32_t *cbf4,
+               const uint8_t *edge_v, const uint8_t *edge_h,
+               const int32_t *mv4, const int32_t *refpoc4,
+               const uint8_t *pf4, const int32_t *mv4l,
+               const int32_t *refpoc4l,
+               int32_t *bs_v, int32_t *bs_h)
+{
+    for (int e = 1; e < w8; e++) {
+        int c4 = 2 * e;
+        int32_t *row = bs_v + (long)(e - 1) * h4;
+        for (int r = 0; r < h4; r++) {
+            if (!edge_v[(long)(r >> 1) * w8 + e]) { row[r] = 0; continue; }
+            long cp = (long)r * w4 + c4 - 1, cq = (long)r * w4 + c4;
+            if (!inter4[cp] || !inter4[cq]) { row[r] = 2; continue; }
+            if (cbf4[cp] || cbf4[cq]) { row[r] = 1; continue; }
+            if (is_b) row[r] = bs_mv_cell_b(pf4, mv4l, refpoc4l, cp, cq);
+            else row[r] = (refpoc4[cp] != refpoc4[cq]
+                           || bs_big(mv4 + cp * 2, mv4 + cq * 2)) ? 1 : 0;
+        }
+    }
+    for (int e = 1; e < h8; e++) {
+        int r4 = 2 * e;
+        int32_t *row = bs_h + (long)(e - 1) * w4;
+        for (int c = 0; c < w4; c++) {
+            if (!edge_h[(long)e * w8 + (c >> 1)]) { row[c] = 0; continue; }
+            long cp = (long)(r4 - 1) * w4 + c, cq = (long)r4 * w4 + c;
+            if (!inter4[cp] || !inter4[cq]) { row[c] = 2; continue; }
+            if (cbf4[cp] || cbf4[cq]) { row[c] = 1; continue; }
+            if (is_b) row[c] = bs_mv_cell_b(pf4, mv4l, refpoc4l, cp, cq);
+            else row[c] = (refpoc4[cp] != refpoc4[cq]
+                           || bs_big(mv4 + cp * 2, mv4 + cq * 2)) ? 1 : 0;
+        }
+    }
+}
