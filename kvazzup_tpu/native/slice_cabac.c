@@ -2183,19 +2183,41 @@ static void rc_mc(const int32_t *ref, int W, int H, int x0, int y0,
         th = CHROMA_FILTERS[fx]; tv = CHROMA_FILTERS[fy];
         reach = 1; ntap = 4;
     }
+    int inside = ix - reach >= 0 && iy - reach >= 0
+        && ix - reach + w + ntap - 1 <= W && iy - reach + h + ntap - 1 <= H;
+    if (inside && fx == 0 && fy == 0 && !raw14 && !wt) {
+        /* integer position, plain uni-pred: straight copy */
+        for (int r = 0; r < h; r++)
+            memcpy(out + r * w, ref + (long)(iy + r) * W + ix,
+                   sizeof(int32_t) * w);
+        return;
+    }
     int32_t tmp[(64 + 7) * 64];
-    for (int r = 0; r < h + ntap - 1; r++) {
-        int yy = iy - reach + r;
-        yy = yy < 0 ? 0 : yy >= H ? H - 1 : yy;
-        const int32_t *row = ref + (long)yy * W;
-        for (int c = 0; c < w; c++) {
-            int32_t acc = 0;
-            for (int k = 0; k < ntap; k++) {
-                int xx = ix - reach + c + k;
-                xx = xx < 0 ? 0 : xx >= W ? W - 1 : xx;
-                acc += th[k] * row[xx];
+    if (inside) {
+        /* fully interior window: no per-sample clamps (vectorizable) */
+        for (int r = 0; r < h + ntap - 1; r++) {
+            const int32_t *row = ref + (long)(iy - reach + r) * W + ix - reach;
+            int32_t *dst = tmp + r * w;
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int k = 0; k < ntap; k++) acc += th[k] * row[c + k];
+                dst[c] = acc;
             }
-            tmp[r * w + c] = acc;
+        }
+    } else {
+        for (int r = 0; r < h + ntap - 1; r++) {
+            int yy = iy - reach + r;
+            yy = yy < 0 ? 0 : yy >= H ? H - 1 : yy;
+            const int32_t *row = ref + (long)yy * W;
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int k = 0; k < ntap; k++) {
+                    int xx = ix - reach + c + k;
+                    xx = xx < 0 ? 0 : xx >= W ? W - 1 : xx;
+                    acc += th[k] * row[xx];
+                }
+                tmp[r * w + c] = acc;
+            }
         }
     }
     for (int r = 0; r < h; r++)
