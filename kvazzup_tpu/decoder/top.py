@@ -72,13 +72,22 @@ class Decoder:
         return sh.poc
 
     def decode(self, stream: bytes):
-        """Decode an Annex-B stream; returns frames in output (POC) order."""
-        frames = []
-        pending = []  # slice NALs of the picture being collected
+        """Decode an Annex-B stream; returns frames in output (POC) order.
+
+        Generic-tier pictures run frame-parallel (the openHEVC
+        frame-threads analogue, openhevcfilter.cpp:36-47): slice headers
+        and POCs parse sequentially, then each picture executes on a
+        worker pool as soon as every reference POC it lists is decoded.
+        IDR (DPB clear), long-term refs, parameter-set changes, and the
+        sequential fast tiers are barriers.  KVZ_TPU_DECODE_THREADS=1
+        disables it."""
+        sched = _FrameScheduler(self)
         for nal in split_annexb(stream):
             if nal.nal_type == NalType.SPS:
+                sched.flush()
                 self.sps = parse_sps(nal.rbsp)
             elif nal.nal_type == NalType.PPS:
+                sched.flush()
                 self.pps = parse_pps(nal.rbsp)
             elif nal.nal_type in (NalType.VPS, NalType.AUD, NalType.PREFIX_SEI, NalType.SUFFIX_SEI):
                 continue
@@ -88,12 +97,8 @@ class Decoder:
                     # openhevcfilter.cpp:116-143 discards until VPS/SPS/PPS)
                 # first bit of the slice RBSP = first_slice_segment_in_pic_flag
                 # (7.3.6.1): a 1 opens a new picture, a 0 continues the last
-                if nal.rbsp[0] & 0x80 and pending:
-                    frames.append(self._decode_picture_nals(pending))
-                    pending = []
-                pending.append(nal)
-        if pending:
-            frames.append(self._decode_picture_nals(pending))
+                sched.add_nal(nal)
+        frames = sched.finish()
         frames.sort(key=lambda t: t[0])
         out = [f for _, f in frames]
         cw = getattr(self.sps, "conf_win", (0, 0, 0, 0)) if self.sps else (0, 0, 0, 0)
@@ -136,9 +141,9 @@ class Decoder:
             or sh.list_entry_l0 is not None or sh.list_entry_l1 is not None
         )
 
-    def _decode_picture_nals(self, nals):
-        if len(nals) == 1:
-            return self._decode_picture(nals[0])
+    def _analyze_picture(self, nals):
+        """Sequential pre-pass: parse every slice header of one picture,
+        derive its POC (stateful 8.3.1), and fix entry-point offsets."""
         sps, pps = self.sps, self.pps
         headers = []
         prev_ind = None
@@ -157,9 +162,39 @@ class Decoder:
 
                 hh.entry_points = rbsp_entry_offsets(
                     x.removals, hh.data_offset_bits // 8, hh.entry_points)
-        if (self._alien_shape(sps, headers[0]) or any(h.dependent for h in headers)
-                or any(h.slice_type != 2 for h in headers)) \
-                and headers[0].slice_type in (0, 1, 2):
+        return headers
+
+    def _is_generic_tier(self, nals, headers):
+        """Mirror of the tier dispatch: True when this picture will run in
+        the generic engine (the frame-parallel tier)."""
+        sh0 = headers[0]
+        if sh0.slice_type not in (0, 1, 2):
+            return False
+        if len(nals) == 1:
+            return self._alien_shape(self.sps, sh0)
+        return (self._alien_shape(self.sps, sh0)
+                or any(h.dependent for h in headers)
+                or any(h.slice_type != 2 for h in headers))
+
+    def _ref_poc_set(self, sh):
+        """POCs this picture's RPS marks used (its decode dependencies),
+        or None when readiness cannot be derived locally (long-term refs
+        resolve against the live DPB)."""
+        if sh.slice_type == 2:
+            return set()
+        if sh.lt_pics:
+            return None
+        negs, poss, used = sh.rps
+        used_neg = used[: len(negs)] if used else [True] * len(negs)
+        used_pos = used[len(negs) :] if used else [True] * len(poss)
+        return ({sh.poc + d for d, u in zip(negs, used_neg) if u}
+                | {sh.poc + d for d, u in zip(poss, used_pos) if u})
+
+    def _decode_picture_group(self, nals, headers):
+        """Decode one picture from pre-parsed headers (tier dispatch)."""
+        if len(nals) == 1:
+            return self._decode_picture_one(nals[0], headers[0])
+        if self._is_generic_tier(nals, headers):
             # multi-slice inter pictures decode via the generic engine (the
             # fast multislice tier is intra-only)
             if is_idr(nals[0].nal_type):
@@ -500,18 +535,9 @@ class Decoder:
                 np.zeros((sps.height // 4, sps.width // 4), np.int32))
         return (self._period, sh.poc), frame
 
-    def _decode_picture(self, nal):
-        """Returns ((period, poc), frame)."""
+    def _decode_picture_one(self, nal, sh):
+        """Returns ((period, poc), frame); sh is pre-parsed."""
         sps, pps = self.sps, self.pps
-        sh = parse_slice_header(nal.rbsp, nal.nal_type, sps, pps)
-        self._derive_poc(sh, nal.nal_type)
-        if sh.entry_points:
-            from ..core.nal import rbsp_entry_offsets
-
-            # entry_point_offsets count emulation bytes (7.4.7.1); our
-            # substream slicing works on the RBSP
-            sh.entry_points = rbsp_entry_offsets(
-                nal.removals, sh.data_offset_bits // 8, sh.entry_points)
         from ..core.nal import is_idr as _is_idr
 
         if _is_idr(nal.nal_type):
@@ -811,3 +837,103 @@ class Decoder:
             for k in sorted(self._dpb)[: len(self._dpb) - 8]:
                 del self._dpb[k]
         return (self._period, poc), out
+
+
+class _FrameScheduler:
+    """Frame-parallel decode scheduler (openHEVC frame-threads analogue).
+
+    The caller feeds slice NALs in stream order; pictures are grouped by
+    first_slice_segment_in_pic_flag, their headers/POCs parsed on the
+    caller thread (sequential state), and generic-tier non-IDR pictures
+    execute on a thread pool once every POC in their RPS is decoded (the
+    C recon releases the GIL, so pictures genuinely overlap).  Everything
+    else — IDR (DPB clear), long-term refs, fast/multislice tiers, and
+    parameter-set changes (via flush()) — runs inline behind a barrier,
+    preserving the sequential decoder's exact behavior."""
+
+    def __init__(self, decoder):
+        import os as _os
+
+        self.dec = decoder
+        n = int(_os.environ.get("KVZ_TPU_DECODE_THREADS", "0") or 0)
+        if n <= 0:
+            n = min(4, _os.cpu_count() or 1)
+        self.workers = n
+        self.pool = None
+        self.results = []
+        self.waiting = []  # (deps, nals, headers)
+        self.running = []  # (future, poc)
+        self.done_pocs = set(decoder._dpb.keys())
+        self.pending = []  # NALs of the picture being collected
+
+    def add_nal(self, nal):
+        if nal.rbsp[0] & 0x80 and self.pending:
+            self._group(self.pending)
+            self.pending = []
+        self.pending.append(nal)
+
+    def _group(self, nals):
+        dec = self.dec
+        headers = dec._analyze_picture(nals)
+        sh0 = headers[0]
+        deps = dec._ref_poc_set(sh0) if sh0.slice_type in (0, 1, 2) else None
+        parallel = (
+            self.workers > 1
+            and deps is not None
+            and not is_idr(nals[0].nal_type)
+            and dec._is_generic_tier(nals, headers)
+        )
+        if not parallel:
+            self.flush()
+            self.results.append(dec._decode_picture_group(nals, headers))
+            self.done_pocs.add(sh0.poc)
+            return
+        self.waiting.append((deps, nals, headers))
+        self._pump()
+
+    def _pump(self, block=False):
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+        from concurrent.futures import wait as _fwait
+
+        if block and self.running:
+            _fwait([f for f, _ in self.running], return_when=FIRST_COMPLETED)
+        still = []
+        for fut, poc in self.running:
+            if fut.done():
+                self.results.append(fut.result())
+                self.done_pocs.add(poc)
+            else:
+                still.append((fut, poc))
+        self.running = still
+        still_w = []
+        for deps, nals, headers in self.waiting:
+            if deps <= self.done_pocs:
+                if self.pool is None:
+                    self.pool = ThreadPoolExecutor(self.workers)
+                fut = self.pool.submit(self.dec._decode_picture_group,
+                                       nals, headers)
+                self.running.append((fut, headers[0].poc))
+            else:
+                still_w.append((deps, nals, headers))
+        self.waiting = still_w
+
+    def flush(self):
+        while self.waiting or self.running:
+            made_progress = bool(self.running)
+            self._pump(block=True)
+            if not self.running and self.waiting and not made_progress:
+                # unsatisfiable dependency (missing reference): run inline
+                # so the generic tier raises its precise error
+                deps, nals, headers = self.waiting.pop(0)
+                self.results.append(
+                    self.dec._decode_picture_group(nals, headers))
+                self.done_pocs.add(headers[0].poc)
+
+    def finish(self):
+        if self.pending:
+            self._group(self.pending)
+            self.pending = []
+        self.flush()
+        if self.pool is not None:
+            self.pool.shutdown(wait=False)
+        return self.results

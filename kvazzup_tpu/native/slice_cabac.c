@@ -2630,7 +2630,7 @@ static void rc_commit_b(GP *g, int x0, int y0, int nw, int nh,
     int has_w = rc->wt != NULL;
     int raw14 = (m->pf[0] && m->pf[1]) || has_w;
     int ridxs[2] = {0, 0};
-    static int32_t py_[2][64 * 64], pu_[2][32 * 32], pv_[2][32 * 32];
+    int32_t py_[2][64 * 64], pu_[2][32 * 32], pv_[2][32 * 32];
     for (int l = 0; l < 2; l++) {
         if (!m->pf[l]) continue;
         const int64_t *refs = l == 0 ? rc->ref0 : rc->ref1;
