@@ -420,6 +420,16 @@ class Decoder:
                         raise ValueError(f"end_of_slice mismatch at CTU {i}")
                 carry_ctx = dec.ctx
 
+        restrict = (getattr(gd, "slice_of_ctu", None) is not None
+                    and not sh.loop_filter_across_slices)
+        if gd.bd == 8 and not restrict:
+            # native in-loop filters (deblock + SAO in C); the JAX path
+            # below is the reference and covers restrict/10-bit
+            from ..native import native_filters
+
+            frame = native_filters(gd, sps, pps, sh, sao_state)
+            if frame is not None:
+                return self._commit_picture(gd, sps, sh, frame)
         pix = np.uint8 if gd.bd == 8 else np.uint16
         y = jnp.asarray(gd.y.astype(pix))
         u = jnp.asarray(gd.u.astype(pix))
@@ -519,7 +529,11 @@ class Decoder:
                 y = fix(y, pre[0], 0, 1)
                 u = fix(u, pre[1], 1, 2)
                 v = fix(v, pre[2], 2, 2)
-        frame = (np.asarray(y), np.asarray(u), np.asarray(v))
+        return self._commit_picture(
+            gd, sps, sh, (np.asarray(y), np.asarray(u), np.asarray(v)))
+
+    def _commit_picture(self, gd, sps, sh, frame):
+        """DPB + TMVP-motion commit shared by the filter paths."""
         self._ref = frame
         self._dpb[sh.poc] = frame
         # retain the motion field for TMVP from pictures that follow

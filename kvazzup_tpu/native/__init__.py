@@ -483,3 +483,59 @@ def native_bs_maps(gd, is_b: bool):
         *[None if a is None else a.ctypes.data for a in args],
         bs_v.ctypes.data, bs_h.ctypes.data)
     return bs_v, bs_h
+
+
+def native_filters(gd, sps, pps, sh, sao_state):
+    """In-loop filters in C (deblock_sao_c) for the generic decode tier:
+    deblock (spacing 8, 4-sample bS segments) then SAO, byte-identical to
+    ops/deblock.deblock_frame + ops/sao.sao_apply.  Returns (y, u, v)
+    uint8 numpy planes, or None to use the JAX reference path.  Callers
+    gate bd == 8 and the slice-restricted filter cases."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w, h = gd.w, gd.h
+    if w % 8 or h % 8:
+        return None
+    h4, w4 = h // 4, w // 4
+    h8, w8 = h // 8, w // 8
+    do_deblock = 0 if pps.deblocking_disabled else 1
+    if do_deblock:
+        if hasattr(gd, "bs_maps"):
+            bs = native_bs_maps(gd, is_b=hasattr(gd, "pf4"))
+            if bs is None:
+                bs = gd.bs_maps()
+            bs_v, bs_h = (np.ascontiguousarray(b, np.int32) for b in bs)
+            if bs_v.shape != (w8 - 1, h4) or bs_h.shape != (h8 - 1, w4):
+                return None
+        else:
+            # all-intra: every recorded CU/TU edge is bS 2, 4-granular
+            bs_v = np.repeat(
+                2 * gd.edge_v.T[1:].astype(np.int32), 2, axis=1)
+            bs_h = np.repeat(
+                2 * gd.edge_h[1:].astype(np.int32), 2, axis=1)
+        qp_map8 = None
+        if gd.cu_qp_delta:
+            qp_map8 = np.ascontiguousarray(gd.qp4[::2, ::2], np.int32)
+    else:
+        bs_v = bs_h = qp_map8 = None
+    if not hasattr(lib, "_filters_bound"):
+        lib.deblock_sao_c.restype = None
+        lib.deblock_sao_c.argtypes = [ctypes.c_int] * 11 + [ctypes.c_void_p] * 12
+        lib._filters_bound = True
+    sao_luma = 1 if (sao_state is not None and sao_state.luma) else 0
+    sao_chroma = 1 if (sao_state is not None and sao_state.chroma) else 0
+    oy = np.empty((h, w), np.uint8)
+    ou = np.empty((h // 2, w // 2), np.uint8)
+    ov = np.empty((h // 2, w // 2), np.uint8)
+    lib.deblock_sao_c(
+        w, h, sps.ctb_log2,
+        sh.qp, sh.beta_offset_div2, sh.tc_offset_div2, gd.cb_off, gd.cr_off,
+        do_deblock, sao_luma, sao_chroma,
+        gd.y.ctypes.data, gd.u.ctypes.data, gd.v.ctypes.data,
+        _ptr(bs_v), _ptr(bs_h), _ptr(qp_map8),
+        None if sao_state is None else sao_state.typ.ctypes.data,
+        None if sao_state is None else sao_state.aux.ctypes.data,
+        None if sao_state is None else sao_state.offs.ctypes.data,
+        oy.ctypes.data, ou.ctypes.data, ov.ctypes.data)
+    return oy, ou, ov

@@ -3302,3 +3302,249 @@ void bs_maps_c(int is_b, int w4, int h4, int w8, int h8,
         }
     }
 }
+
+/* ==================================================================== */
+/* In-loop filters for the decode path: deblocking (8.7.2, spacing 8,   */
+/* 4-sample bS segments) then SAO (8.7.3), mirroring ops/deblock.py     */
+/* deblock_frame + ops/sao.py sao_apply exactly (V pass over the whole  */
+/* picture, H pass on the V-filtered samples, SAO classifying on the    */
+/* fully deblocked picture).  8-bit.                                    */
+
+static const uint8_t DB_BETA[52] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    6,7,8,9,10,11,12,13,14,15,16,17,18,20,22,24,26,28,
+    30,32,34,36,38,40,42,44,46,48,50,52,54,56,58,60,62,64};
+static const uint8_t DB_TC[54] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    1,1,1,1,1,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,5,5,
+    6,6,7,8,9,10,11,13,14,16,18,20,22,24};
+
+static int db_clip3(int x, int lo, int hi) {
+    return x < lo ? lo : x > hi ? hi : x;
+}
+
+/* filter one 4-line luma group across an edge; px(line, i) returns a
+   pointer to sample i of the 8-slab [p3 p2 p1 p0 q0 q1 q2 q3] */
+static void db_luma_group(int32_t *s[4][8], int beta, int tc) {
+    if (tc == 0 && beta == 0) return;
+#define P(l, i) (*s[l][3 - (i)])
+#define Q(l, i) (*s[l][4 + (i)])
+    int dp0 = abs(P(0,2) - 2 * P(0,1) + P(0,0));
+    int dq0 = abs(Q(0,2) - 2 * Q(0,1) + Q(0,0));
+    int dp3 = abs(P(3,2) - 2 * P(3,1) + P(3,0));
+    int dq3 = abs(Q(3,2) - 2 * Q(3,1) + Q(3,0));
+    int d = dp0 + dq0 + dp3 + dq3;
+    if (d >= beta) return;
+    int strong = 1;
+    for (int i = 0; i < 4; i += 3) {
+        int dpi = abs(P(i,2) - 2 * P(i,1) + P(i,0));
+        int dqi = abs(Q(i,2) - 2 * Q(i,1) + Q(i,0));
+        if (!(2 * (dpi + dqi) < (beta >> 2)
+              && abs(P(i,3) - P(i,0)) + abs(Q(i,0) - Q(i,3)) < (beta >> 3)
+              && abs(P(i,0) - Q(i,0)) < ((5 * tc + 1) >> 1)))
+            strong = 0;
+    }
+    int side = (beta + (beta >> 1)) >> 3;
+    int dEp = (dp0 + dp3) < side, dEq = (dq0 + dq3) < side;
+    for (int l = 0; l < 4; l++) {
+        int p3 = P(l,3), p2 = P(l,2), p1 = P(l,1), p0 = P(l,0);
+        int q0 = Q(l,0), q1 = Q(l,1), q2 = Q(l,2), q3 = Q(l,3);
+        if (strong) {
+            int t2 = 2 * tc;
+            P(l,0) = db_clip3(p0 + db_clip3(((p2 + 2*p1 + 2*p0 + 2*q0 + q1 + 4) >> 3) - p0, -t2, t2), 0, 255);
+            P(l,1) = db_clip3(p1 + db_clip3(((p2 + p1 + p0 + q0 + 2) >> 2) - p1, -t2, t2), 0, 255);
+            P(l,2) = db_clip3(p2 + db_clip3(((2*p3 + 3*p2 + p1 + p0 + q0 + 4) >> 3) - p2, -t2, t2), 0, 255);
+            Q(l,0) = db_clip3(q0 + db_clip3(((q2 + 2*q1 + 2*q0 + 2*p0 + p1 + 4) >> 3) - q0, -t2, t2), 0, 255);
+            Q(l,1) = db_clip3(q1 + db_clip3(((q2 + q1 + q0 + p0 + 2) >> 2) - q1, -t2, t2), 0, 255);
+            Q(l,2) = db_clip3(q2 + db_clip3(((2*q3 + 3*q2 + q1 + q0 + p0 + 4) >> 3) - q2, -t2, t2), 0, 255);
+        } else {
+            int delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4;
+            if (abs(delta) < 10 * tc) {
+                int dlt = db_clip3(delta, -tc, tc);
+                P(l,0) = db_clip3(p0 + dlt, 0, 255);
+                Q(l,0) = db_clip3(q0 - dlt, 0, 255);
+                if (dEp)
+                    P(l,1) = db_clip3(p1 + db_clip3((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -(tc >> 1), tc >> 1), 0, 255);
+                if (dEq)
+                    Q(l,1) = db_clip3(q1 + db_clip3((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -(tc >> 1), tc >> 1), 0, 255);
+            }
+        }
+    }
+#undef P
+#undef Q
+}
+
+static int db_edge_qp(const int32_t *qm, int w8, int slice_qp,
+                      int blk_a, int blk_b) {
+    if (!qm) return slice_qp;
+    return (qm[blk_a] + qm[blk_b] + 1) >> 1;
+    (void)w8;
+}
+
+/* SAO for one plane: src (deblocked int32) -> dst uint8 */
+static void sao_plane_c(const int32_t *src, uint8_t *dst, int W, int H,
+                        int ctb, int cw, long nctb, int comp,
+                        const int32_t *typ, const int32_t *aux,
+                        const int32_t *offs) {
+    static const int EOD[4][4] = {   /* hPos0 vPos0 hPos1 vPos1 */
+        {-1, 0, 1, 0}, {0, -1, 0, 1}, {-1, -1, 1, 1}, {1, -1, -1, 1}};
+    for (long yy = 0; yy < H; yy++) {
+        long crow = (yy / ctb) * cw;
+        for (long xx = 0; xx < W; xx++) {
+            long ci = crow + xx / ctb;
+            int t = typ[comp * nctb + ci];
+            int r = src[yy * W + xx];
+            int off = 0;
+            if (t == 2) {
+                int cls = aux[comp * nctb + ci];
+                int dx0 = EOD[cls][0], dy0 = EOD[cls][1];
+                int dx1 = EOD[cls][2], dy1 = EOD[cls][3];
+                if (xx + dx0 >= 0 && xx + dx0 < W && xx + dx1 >= 0 && xx + dx1 < W
+                        && yy + dy0 >= 0 && yy + dy0 < H
+                        && yy + dy1 >= 0 && yy + dy1 < H) {
+                    int n0 = src[(yy + dy0) * W + xx + dx0];
+                    int n1 = src[(yy + dy1) * W + xx + dx1];
+                    int raw = 2 + (r > n0 ? 1 : r < n0 ? -1 : 0)
+                                + (r > n1 ? 1 : r < n1 ? -1 : 0);
+                    int idx = raw == 2 ? 0 : raw < 2 ? raw + 1 : raw;
+                    if (idx > 0) off = offs[(comp * nctb + ci) * 4 + idx - 1];
+                }
+            } else if (t == 1) {
+                int brel = ((r >> 3) - aux[comp * nctb + ci]) & 31;
+                if (brel < 4) off = offs[(comp * nctb + ci) * 4 + brel];
+            }
+            int vout = r + off;
+            dst[yy * W + xx] = (uint8_t)(vout < 0 ? 0 : vout > 255 ? 255 : vout);
+        }
+    }
+}
+
+/* bs_v: (w8-1, h4); bs_h: (h8-1, w4) — 4-sample segments (native
+   bs_maps_c layout).  qp_map8: (h8, w8) per-8-block QpY or NULL. */
+void deblock_sao_c(
+    int w, int h, int ctb_log2,
+    int slice_qp, int beta_off, int tc_off, int cb_off, int cr_off,
+    int do_deblock, int sao_luma, int sao_chroma,
+    int32_t *y, int32_t *u, int32_t *v,
+    const int32_t *bs_v, const int32_t *bs_h,
+    const int32_t *qp_map8,
+    const int32_t *sao_typ, const int32_t *sao_aux, const int32_t *sao_offs,
+    uint8_t *oy, uint8_t *ou, uint8_t *ov)
+{
+    int w8 = w >> 3, h8 = h >> 3, h4 = h >> 2, w4 = w >> 2;
+    int w2 = w >> 1, h2 = h >> 1;
+    if (do_deblock) {
+        /* ---- luma vertical edges */
+        for (int e = 1; e < w8; e++) {
+            int x = 8 * e;
+            for (int t = 0; t < h4; t++) {
+                int bs = bs_v[(long)(e - 1) * h4 + t];
+                if (!bs) continue;
+                int qpe = db_edge_qp(qp_map8, w8, slice_qp,
+                                     (t >> 1) * w8 + e - 1, (t >> 1) * w8 + e);
+                int beta = DB_BETA[db_clip3(qpe + (beta_off << 1), 0, 51)];
+                int tc = DB_TC[db_clip3(qpe + 2 * (bs - 1) + (tc_off << 1), 0, 53)];
+                int32_t *s[4][8];
+                for (int l = 0; l < 4; l++)
+                    for (int i = 0; i < 8; i++)
+                        s[l][i] = y + (long)(4 * t + l) * w + x - 4 + i;
+                db_luma_group(s, beta, tc);
+            }
+        }
+        /* ---- luma horizontal edges on the V-filtered picture */
+        for (int e = 1; e < h8; e++) {
+            int yy = 8 * e;
+            for (int t = 0; t < w4; t++) {
+                int bs = bs_h[(long)(e - 1) * w4 + t];
+                if (!bs) continue;
+                int qpe = db_edge_qp(qp_map8, w8, slice_qp,
+                                     (e - 1) * w8 + (t >> 1), e * w8 + (t >> 1));
+                int beta = DB_BETA[db_clip3(qpe + (beta_off << 1), 0, 51)];
+                int tc = DB_TC[db_clip3(qpe + 2 * (bs - 1) + (tc_off << 1), 0, 53)];
+                int32_t *s[4][8];
+                for (int l = 0; l < 4; l++)
+                    for (int i = 0; i < 8; i++)
+                        s[l][i] = y + (long)(yy - 4 + i) * w + 4 * t + l;
+                db_luma_group(s, beta, tc);
+            }
+        }
+        /* ---- chroma: bS==2 edges on the chroma 8-sample grid only
+           (luma-16 edges; pair-max over the two 4-segments per 8 rows) */
+        int32_t *planes[2] = {u, v};
+        int coffs[2] = {cb_off, cr_off};
+        for (int p = 0; p < 2; p++) {
+            int32_t *c = planes[p];
+            /* vertical chroma edges at xc = 4*e; filter when (e % 2 == 0) */
+            for (int e = 1; e < (w2 >> 2); e++) {
+                if (e % 2) continue;  /* on_grid: (idx+1) % 2 == 0, idx = e-1 */
+                int le = e;           /* luma-8 edge at x = 2*xc = 8e */
+                int xc = 4 * e;
+                for (int g = 0; g < (h2 >> 2); g++) {
+                    /* 4 chroma rows 4g..4g+3 = luma rows 8g..8g+7 ->
+                       luma segments 2g, 2g+1 */
+                    int b0 = bs_v[(long)(le - 1) * h4 + 2 * g];
+                    int b1 = bs_v[(long)(le - 1) * h4 + 2 * g + 1];
+                    int bs = b0 > b1 ? b0 : b1;
+                    if (bs != 2) continue;
+                    int qpe = db_edge_qp(qp_map8, w8, slice_qp,
+                                         g * w8 + le - 1, g * w8 + le);
+                    int qpc = CHROMA_QP_TABLE[db_clip3(qpe + coffs[p], 0, 57)];
+                    int tc = DB_TC[db_clip3(qpc + 2 + (tc_off << 1), 0, 53)];
+                    if (!tc) continue;
+                    for (int l = 0; l < 4; l++) {
+                        int32_t *row = c + (long)(4 * g + l) * w2;
+                        int p1 = row[xc - 2], p0 = row[xc - 1];
+                        int q0 = row[xc], q1 = row[xc + 1];
+                        int delta = db_clip3((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc);
+                        row[xc - 1] = db_clip3(p0 + delta, 0, 255);
+                        row[xc] = db_clip3(q0 - delta, 0, 255);
+                    }
+                }
+            }
+            /* horizontal chroma edges */
+            for (int e = 1; e < (h2 >> 2); e++) {
+                if (e % 2) continue;
+                int le = e;
+                int yc = 4 * e;
+                for (int g = 0; g < (w2 >> 2); g++) {
+                    int b0 = bs_h[(long)(le - 1) * w4 + 2 * g];
+                    int b1 = bs_h[(long)(le - 1) * w4 + 2 * g + 1];
+                    int bs = b0 > b1 ? b0 : b1;
+                    if (bs != 2) continue;
+                    int qpe = db_edge_qp(qp_map8, w8, slice_qp,
+                                         (le - 1) * w8 + g, le * w8 + g);
+                    int qpc = CHROMA_QP_TABLE[db_clip3(qpe + coffs[p], 0, 57)];
+                    int tc = DB_TC[db_clip3(qpc + 2 + (tc_off << 1), 0, 53)];
+                    if (!tc) continue;
+                    for (int l = 0; l < 4; l++) {
+                        int32_t *col = c + 4 * g + l;
+                        int p1 = col[(long)(yc - 2) * w2], p0 = col[(long)(yc - 1) * w2];
+                        int q0 = col[(long)yc * w2], q1 = col[(long)(yc + 1) * w2];
+                        int delta = db_clip3((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc);
+                        col[(long)(yc - 1) * w2] = db_clip3(p0 + delta, 0, 255);
+                        col[(long)yc * w2] = db_clip3(q0 - delta, 0, 255);
+                    }
+                }
+            }
+        }
+    }
+    /* ---- SAO on the deblocked picture (or plain clip-copy) */
+    int ctb = 1 << ctb_log2;
+    int cw = (w + ctb - 1) >> ctb_log2;
+    int chh = (h + ctb - 1) >> ctb_log2;
+    long nctb = (long)cw * chh;
+    if (sao_luma)
+        sao_plane_c(y, oy, w, h, ctb, cw, nctb, 0, sao_typ, sao_aux, sao_offs);
+    else
+        for (long i = 0; i < (long)w * h; i++)
+            oy[i] = (uint8_t)db_clip3(y[i], 0, 255);
+    if (sao_chroma) {
+        sao_plane_c(u, ou, w2, h2, ctb >> 1, cw, nctb, 1, sao_typ, sao_aux, sao_offs);
+        sao_plane_c(v, ov, w2, h2, ctb >> 1, cw, nctb, 2, sao_typ, sao_aux, sao_offs);
+    } else {
+        for (long i = 0; i < (long)w2 * h2; i++) {
+            ou[i] = (uint8_t)db_clip3(u[i], 0, 255);
+            ov[i] = (uint8_t)db_clip3(v[i], 0, 255);
+        }
+    }
+}
