@@ -158,6 +158,7 @@ def main() -> None:
     # management tunnel (coefficient fetch), which a co-located TPU-VM host
     # does not have; the device path is the number that transfers to
     # production.  All lines are recorded in the JSON for the judge.
+    dec_fps = _decode_bench()
     print(
         json.dumps(
             {
@@ -170,9 +171,54 @@ def main() -> None:
                 "p_fps_4k_device": round(p_fps_4k, 3),
                 "e2e_fps_1080p_pipelined": round(e2e_fps, 3),
                 "intra_fps_4k_device": round(fps_4k, 3),
+                "decode_fps_1080p_x265_medium": dec_fps,
             }
         )
     )
+
+
+def _decode_bench():
+    """Alien-decode throughput: 1080p x265-medium (full default toolset)
+    via the native recon + filter tiers with frame threads — the
+    openHEVC-replacement figure.  Host-side (no device); returns fps
+    rounded or None when libx265 is unavailable on the rig."""
+    import pathlib
+    import subprocess
+    import tempfile
+
+    from kvazzup_tpu.decoder.top import Decoder
+    from kvazzup_tpu.io.yuv import synthetic_frames, write_yuv420
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "hevcref")
+    src_c = tool + ".c"
+    try:
+        if not os.path.exists(tool) or \
+                os.path.getmtime(tool) < os.path.getmtime(src_c):
+            subprocess.run(["gcc", "-O2", src_c, "-o", tool,
+                            "-lavcodec", "-lavutil"], check=True,
+                           capture_output=True)
+        w, h, n = 1920, 1080, 12
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        yuv = tmp / "in.yuv"
+        seed = int.from_bytes(os.urandom(4), "little") % 1_000_000
+        write_yuv420(str(yuv), synthetic_frames(w, h, n, seed=seed))
+        out = tmp / "out.265"
+        subprocess.run(
+            [tool, "encode", str(yuv), f"{w}x{h}", "30", str(out),
+             "no-scenecut=1:repeat-headers=1:frame-threads=1:keyint=25"],
+            check=True, capture_output=True)
+        bits = out.read_bytes()
+        Decoder().decode(bits)  # warm (compile any JAX edges once)
+        t0 = time.time()
+        got = Decoder().decode(bits)
+        fps = len(got) / (time.time() - t0)
+        print(f"[bench] decode 1080p x265-medium: {fps:.2f} fps",
+              file=sys.stderr)
+        return round(fps, 3)
+    except Exception as e:  # libx265 missing on the rig: report encode only
+        print(f"[bench] decode bench skipped: {e}", file=sys.stderr)
+        return None
 
 
 if __name__ == "__main__":
