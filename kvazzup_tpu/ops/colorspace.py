@@ -14,6 +14,8 @@ reference's integer math.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -83,3 +85,45 @@ def _upsample2(c: jnp.ndarray) -> jnp.ndarray:
 
 def _box2(p: jnp.ndarray) -> jnp.ndarray:
     return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def scale_plane(plane: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Generic plane resize, bilinear with half-pel centers — the
+    ScaleFilter analogue (/root/reference/src/media/processing/
+    scalefilter.cpp:21-79, which delegates to Qt's smooth scaler).
+
+    plane: (H, W) uint8/int32.  Separable gather + lerp in fixed point
+    (8-bit fractions), batched over the whole plane."""
+    p = plane.astype(jnp.int32)
+    h, w = p.shape
+
+    def axis_idx(n_out, n_in):
+        # source coordinate of each output center, in 1/256 units
+        pos = ((jnp.arange(n_out, dtype=jnp.int32) * 2 + 1) * n_in * 128
+               // n_out - 128)
+        pos = jnp.clip(pos, 0, (n_in - 1) * 256)
+        i0 = pos >> 8
+        f = pos & 255
+        i1 = jnp.minimum(i0 + 1, n_in - 1)
+        return i0, i1, f
+
+    y0, y1, fy = axis_idx(out_h, h)
+    x0, x1, fx = axis_idx(out_w, w)
+    top = p[y0][:, x0] * (256 - fx)[None, :] + p[y0][:, x1] * fx[None, :]
+    bot = p[y1][:, x0] * (256 - fx)[None, :] + p[y1][:, x1] * fx[None, :]
+    out = (top * (256 - fy)[:, None] + bot * fy[:, None] + 32768) >> 16
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def scale_i420(y, u, v, out_h: int, out_w: int):
+    """Scale a full I420 frame (luma + both chroma planes)."""
+    return (scale_plane(y, out_h, out_w),
+            scale_plane(u, out_h // 2, out_w // 2),
+            scale_plane(v, out_h // 2, out_w // 2))
+
+
+def scale_rgb(rgb: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Scale interleaved (H, W, 3) RGB (display-path generic resize)."""
+    planes = [scale_plane(rgb[..., c], out_h, out_w) for c in range(3)]
+    return jnp.stack(planes, axis=-1)

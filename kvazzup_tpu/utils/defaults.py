@@ -1,12 +1,13 @@
-"""Hardware auto-tuning: pick an operating point from what's available.
+"""Hardware auto-tuning: pick default call settings from the machine.
 
-Parity with the reference's DefaultSettings
-(/root/reference/src/ui/settings/defaultsettings.cpp:179-380: thread
-budget -> "complexity points" -> resolution/framerate -> bitrate guess).
-The TPU build's budget is device FLOPs instead of CPU threads: one chip
-comfortably carries 1080p30 through the wavefront path, host cores bound
-the CABAC side, and more mesh devices raise the ceiling via tiles/GOP
-sharding (parallel/tiles.py).
+The DefaultSettings analogue (/root/reference/src/ui/settings/
+defaultsettings.cpp:179-380): the reference converts a CPU thread budget
+into "complexity points", then walks resolution/format tiers until the
+point budget covers capture + conversion + encode, and guesses a bitrate
+from the chosen tier.  Here the budget comes from the accelerator tier
+(TPU devices run the codec core) with host cores as the fallback, and the
+output is a StreamConfig-shaped dict the controller/settings layer can
+apply as initial values.
 """
 
 from __future__ import annotations
@@ -15,47 +16,85 @@ import os
 from dataclasses import dataclass
 
 
-@dataclass
-class OperatingPoint:
+# (height, width, fps, complexity points needed) — points mirror the
+# reference's pixels-per-second tiers (defaultsettings.cpp:265-331)
+_TIERS = (
+    (2160, 3840, 30, 64),
+    (1440, 2560, 30, 32),
+    (1080, 1920, 30, 16),
+    (720, 1280, 30, 8),
+    (480, 640, 30, 4),
+    (288, 352, 30, 2),
+    (144, 176, 30, 1),
+)
+
+
+@dataclass(frozen=True)
+class AutoSettings:
     width: int
     height: int
-    fps: float
-    bitrate: int  # bits/s
-    tiles: int  # tile columns to shard over devices
+    fps: int
+    bitrate: int          # initial target, bit/s
     wpp: bool
+    owf: int              # pipelined encode depth
+    intra_period: int
+    complexity_points: int
+    tier_source: str      # "tpu" | "cpu"
 
 
-# (complexity tiers mirror defaultsettings.cpp's table shape)
-_TIERS = [
-    (0, OperatingPoint(640, 368, 30.0, 800_000, 1, True)),
-    (2, OperatingPoint(1280, 720, 30.0, 2_000_000, 1, True)),
-    (4, OperatingPoint(1920, 1088, 30.0, 4_000_000, 1, True)),
-    (12, OperatingPoint(1920, 1088, 60.0, 6_000_000, 2, True)),
-    (24, OperatingPoint(3840, 2176, 30.0, 12_000_000, 4, True)),
-    (48, OperatingPoint(3840, 2176, 60.0, 20_000_000, 8, True)),
-]
+def _device_points() -> tuple[int, str]:
+    """Complexity budget: TPU chips carry the codec core (one chip
+    sustains ≥1080p30 on the device path), host cores otherwise."""
+    try:
+        import jax
+
+        devs = jax.devices()
+        if devs and devs[0].platform not in ("cpu",):
+            return 16 * len(devs), "tpu"
+    except Exception:
+        pass
+    ncpu = os.cpu_count() or 1
+    # the reference grants ~1 point per hardware thread after overheads
+    return max(1, ncpu - 1), "cpu"
 
 
-def complexity_points(n_devices: int | None = None, host_threads: int | None = None) -> int:
-    """Budget: 4 points per accelerator chip + 1 per 2 host threads
-    (CABAC rows scale with host cores; device work with chips)."""
-    if n_devices is None:
-        try:
-            import jax
-
-            n_devices = len(jax.devices())
-        except Exception:
-            n_devices = 1
-    if host_threads is None:
-        host_threads = os.cpu_count() or 4
-    return 4 * n_devices + host_threads // 2
+def _bitrate_guess(width: int, height: int, fps: int) -> int:
+    """The reference's bitrate heuristic shape: ~0.1 bit/pixel at 30 fps
+    scaled by framerate (defaultsettings.cpp:333-366)."""
+    return int(0.1 * width * height * (fps / 30.0) * 30.0)
 
 
-def default_operating_point(points: int | None = None) -> OperatingPoint:
-    if points is None:
-        points = complexity_points()
-    best = _TIERS[0][1]
-    for need, op in _TIERS:
+def auto_settings(max_height: int | None = None) -> AutoSettings:
+    """Pick default resolution/fps/bitrate/tooling for this machine."""
+    points, source = _device_points()
+    for h, w, fps, need in _TIERS:
+        if max_height is not None and h > max_height:
+            continue
         if points >= need:
-            best = op
-    return best
+            return AutoSettings(
+                width=w, height=h, fps=fps,
+                bitrate=_bitrate_guess(w, h, fps),
+                wpp=points >= 4,
+                owf=3 if points >= 8 else 2,
+                intra_period=64,
+                complexity_points=points,
+                tier_source=source,
+            )
+    h, w, fps, _ = _TIERS[-1]
+    return AutoSettings(width=w, height=h, fps=fps,
+                        bitrate=_bitrate_guess(w, h, fps), wpp=False, owf=1,
+                        intra_period=64, complexity_points=points,
+                        tier_source=source)
+
+
+def apply_defaults(settings) -> AutoSettings:
+    """Write the auto-tuned values into a utils.settings.Settings registry
+    (only keys not already set by the user)."""
+    a = auto_settings()
+    for key, val in (("video/width", a.width), ("video/height", a.height),
+                     ("video/fps", a.fps), ("video/bitrate", a.bitrate),
+                     ("video/wpp", a.wpp), ("video/owf", a.owf),
+                     ("video/intra_period", a.intra_period)):
+        if settings.value(key) is None:
+            settings.set(key, val)
+    return a
