@@ -86,6 +86,22 @@ def run_x265(frames, w, h, qp, params, tag):
         return bits / nf, float(np.mean(ps))
 
 
+def run_ours_quad32(frames, w, h, qp):
+    """The CTB32 inter CU-quadtree operating point (CU32-vs-4xCU16 split,
+    TU==CU) — sao+deblock+merge5, no wpp/tmvp (path constraints)."""
+    cfg = StreamConfig(width=w, height=h, qp=qp, ctb_log2=5, min_cb_log2=3,
+                       max_tb_log2=5, sao_enabled=True,
+                       deblocking_enabled=True, merge_cand=5)
+    enc = Encoder(cfg, intra_period=64)
+    bits = 0
+    ps = []
+    for (y, u, v) in frames:
+        s, rec = enc.encode_frame(y, u, v)
+        bits += len(s) * 8
+        ps.append(psnr(y, np.asarray(rec[0])))
+    return bits / len(frames), float(np.mean(ps))
+
+
 def main():
     size = sys.argv[1] if len(sys.argv) > 1 else "1280x720"
     nf = int(sys.argv[2]) if len(sys.argv) > 2 else 24
@@ -97,24 +113,31 @@ def main():
                     "no-scenecut=1:repeat-headers=1:frame-threads=1:"
                     "rc-lookahead=0")
 
-    curves = {"ours": [], "x265-medium": [], "x265-matched": []}
+    curves = {"ours": [], "ours-quad32": [], "x265-medium": [],
+              "x265-matched": []}
     for qp in QPS:
         t0 = time.time()
         curves["ours"].append(run_ours(frames, w, h, qp))
+        curves["ours-quad32"].append(run_ours_quad32(frames, w, h, qp))
         curves["x265-medium"].append(run_x265(frames, w, h, qp, x265_medium, "medium"))
         curves["x265-matched"].append(run_x265(frames, w, h, qp, x265_matched, "matched"))
-        o, m, t = curves["ours"][-1], curves["x265-medium"][-1], curves["x265-matched"][-1]
+        o, q = curves["ours"][-1], curves["ours-quad32"][-1]
+        m, t = curves["x265-medium"][-1], curves["x265-matched"][-1]
         print(f"qp{qp}: ours {o[0]/1000:.0f} kb/f {o[1]:.2f} dB | "
+              f"quad32 {q[0]/1000:.0f} kb/f {q[1]:.2f} dB | "
               f"x265-med {m[0]/1000:.0f} kb/f {m[1]:.2f} dB | "
               f"x265-match {t[0]/1000:.0f} kb/f {t[1]:.2f} dB "
               f"({time.time()-t0:.0f}s)", flush=True)
 
-    ro, po = np.array([c[0] for c in curves["ours"]]), np.array([c[1] for c in curves["ours"]])
-    for ref in ("x265-medium", "x265-matched"):
-        rr = np.array([c[0] for c in curves[ref]])
-        pr = np.array([c[1] for c in curves[ref]])
-        bdp, bdr = bd_metrics(rr, pr, ro, po)
-        print(f"BD vs {ref} @{size}: BD-PSNR {bdp:+.2f} dB, BD-rate {bdr:+.1f}%")
+    for ours_key in ("ours", "ours-quad32"):
+        ro = np.array([c[0] for c in curves[ours_key]])
+        po = np.array([c[1] for c in curves[ours_key]])
+        for ref in ("x265-medium", "x265-matched"):
+            rr = np.array([c[0] for c in curves[ref]])
+            pr = np.array([c[1] for c in curves[ref]])
+            bdp, bdr = bd_metrics(rr, pr, ro, po)
+            print(f"BD {ours_key} vs {ref} @{size}: BD-PSNR {bdp:+.2f} dB, "
+                  f"BD-rate {bdr:+.1f}%")
 
 
 if __name__ == "__main__":
