@@ -87,6 +87,44 @@ def auto_settings(max_height: int | None = None) -> AutoSettings:
                         tier_source=source)
 
 
+@dataclass(frozen=True)
+class OperatingPoint:
+    width: int
+    height: int
+    fps: int
+    bitrate: int
+    wpp: bool
+    tiles: int  # suggested tile-column shards across the device budget
+
+
+def complexity_points(n_devices: int = 0, host_threads: int | None = None) -> int:
+    """Explicit-budget variant of _device_points: accelerator chips carry
+    the codec core (4 points each — one chip sustains ≥1080p30 on the
+    device path), host threads contribute half a point each (capture,
+    conversion, CABAC — defaultsettings.cpp:179-263's thread budget)."""
+    if host_threads is None:
+        host_threads = os.cpu_count() or 1
+    return 4 * n_devices + host_threads // 2
+
+
+def default_operating_point(points: int, max_height: int | None = None) -> OperatingPoint:
+    """Resolution/bitrate/tool tier for a given complexity budget (the
+    reference's tier walk, defaultsettings.cpp:265-331), plus a suggested
+    tile-shard count for the parallel encoder."""
+    tiles = min(8, max(1, points // 12))
+    for h, w, fps, need in _TIERS:
+        if max_height is not None and h > max_height:
+            continue
+        if points >= need:
+            return OperatingPoint(width=w, height=h, fps=fps,
+                                  bitrate=_bitrate_guess(w, h, fps),
+                                  wpp=points >= 4, tiles=tiles)
+    h, w, fps, _ = _TIERS[-1]
+    return OperatingPoint(width=w, height=h, fps=fps,
+                          bitrate=_bitrate_guess(w, h, fps), wpp=False,
+                          tiles=1)
+
+
 def apply_defaults(settings) -> AutoSettings:
     """Write the auto-tuned values into a utils.settings.Settings registry
     (only keys not already set by the user)."""
