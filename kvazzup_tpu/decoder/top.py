@@ -899,6 +899,10 @@ class _FrameScheduler:
         )
         if not parallel:
             self.flush()
+            if is_idr(nals[0].nal_type):
+                # the IDR clears the DPB: earlier POC numbers no longer
+                # satisfy dependencies (intra_period streams reuse POCs)
+                self.done_pocs = set()
             self.results.append(dec._decode_picture_group(nals, headers))
             self.done_pocs.add(sh0.poc)
             return

@@ -35,7 +35,7 @@ from ..ops.mc import (extract_mc_neighborhoods, mc_chroma_window_batch,
                       strip_window_slice)
 from ..ops.me import _mv_bits, motion_search
 from .frame_inter import (CT_AMVP, CT_INTRA, CT_MERGE, CT_SKIP,
-                          SEARCH_RANGE, REF_PAD, _amvp_list,
+                          SEARCH_RANGE, REF_PAD, _amvp_list, _amvp_list_t,
                           _first_inter_mv_batch, _mvd_bits)
 from .frame_intra import (_avail_flags, _code_flat_sel, _mode_bits_table,
                           _orig_boundaries, _ring_boundary, _ring_push,
@@ -82,10 +82,11 @@ def _cost_prepass_grid(yp, oyb, qp, lam, *, log2: int, cw: int, ch: int,
     return mode, best
 
 
-def _merge_list_cells(cands, K: int):
+def _merge_list_cells(cands, K: int, temporal=None):
     """Spec merge list (8.5.3.2.3) from per-position (avail, mv) pairs in
     order A1, B1, B0, A0, B2 — B2 appended only when fewer than 4 prior
-    candidates; pruning pairs per spec; zero-MV fill (single reference).
+    candidates; pruning pairs per spec; temporal candidate (never pruned)
+    appended after B2 when given; zero-MV fill (single reference).
 
     cands: dict with keys a1, b1, b0, a0, b2 -> (avail (L,), mv (L, 2)).
     Returns list of K (L, 2) candidate MVs (positions beyond list length
@@ -105,26 +106,35 @@ def _merge_list_cells(cands, K: int):
     pos_b0 = pos_b1 + i32(p_b1)
     pos_a0 = pos_b0 + i32(p_b0)
     pos_b2 = pos_a0 + i32(p_a0)
+    pos_t = pos_b2 + i32(p_b2)
     zero = jnp.zeros_like(ma1)
     out = []
     for k in range(K):
+        tail = zero
+        if temporal is not None:
+            tv, tmv = temporal
+            tail = jnp.where((tv & (pos_t == k))[:, None], tmv, zero)
         mvk = jnp.where((p_a1 & (k == 0))[:, None], ma1,
               jnp.where((p_b1 & (pos_b1 == k))[:, None], mb1,
               jnp.where((p_b0 & (pos_b0 == k))[:, None], mb0,
               jnp.where((p_a0 & (pos_a0 == k))[:, None], ma0,
-              jnp.where((p_b2 & (pos_b2 == k))[:, None], mb2, zero)))))
+              jnp.where((p_b2 & (pos_b2 == k))[:, None], mb2, tail)))))
         out.append(mvk)
     return out
 
 
-def _amvp_cells(a_pairs, b_pairs):
+def _amvp_cells(a_pairs, b_pairs, temporal=None):
     """AMVP (8.5.3.2.7, single reference): A = first inter of the A
     positions, B = first inter of the B positions, then the two-slot
     dedupe/zero-fill list (same collapse as frame_inter._amvp_list — with
     one reference every neighbor is same-POC, so the scaled passes and
-    the B->A promotion reduce to exactly this)."""
+    the B->A promotion reduce to exactly this).  With temporal given, the
+    collocated MV fills remaining slots (8.5.3.2.6)."""
     va, ma = _first_inter_mv_batch(a_pairs)
     vb, mb = _first_inter_mv_batch(b_pairs)
+    if temporal is not None:
+        tv, tmv = temporal
+        return jax.vmap(_amvp_list_t)(va, ma, vb, mb, tv, tmv)
     return jax.vmap(_amvp_list)(va, ma, vb, mb)
 
 
@@ -180,10 +190,18 @@ def _code_flat_mode(ck, orig, pred, q, log2, use_intra):
     return lev, rec
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "merge_cand"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "merge_cand",
+                                              "tmvp"))
 def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
-                          height: int, merge_cand: int = 1):
-    """Dense-decision CTB32 quadtree P encode (ring-carry 32-wave)."""
+                          height: int, merge_cand: int = 1,
+                          tmvp: bool = False, col_mv=None, col_inter=None):
+    """Dense-decision CTB32 quadtree P encode (ring-carry 32-wave).
+
+    tmvp: temporal merge/AMVP candidates (8.5.3.2.8) from the collocated
+    picture's motion, supplied as col_mv (h/16*w/16, 2) + col_inter
+    (h/16*w/16,) on the raster 16-grid — the spec's 16x16-compressed
+    motion store.  Low-delay single-reference: all POC distances are 1,
+    so the 8.5.3.2.8 scaling is the identity."""
     from ..core.tables import CHROMA_QP_TABLE
     from ..ops import ctu_kernels as ck
 
@@ -257,19 +275,49 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     me16z = jnp.stack([me16_2[dy::2, dx::2].reshape(-1, 2) for dy, dx in _ZO],
                       axis=1)  # (nctb, 4, 2)
 
+    # ---- temporal candidate cells (8.5.3.2.8: colBr first — available
+    # only inside the picture and the current CTB row — else colCtr; the
+    # col store is the 16x16-compressed motion field, so both positions
+    # resolve to 16-grid cells)
+    if tmvp:
+        cmv2 = col_mv.astype(jnp.int32).reshape(2 * ch, 2 * cw, 2)
+        cif2 = col_inter.astype(jnp.int32).reshape(2 * ch, 2 * cw)
+        zmv = [cmv2[dy::2, dx::2].reshape(nctb, 2) for dy, dx in _ZO]
+        zif = [cif2[dy::2, dx::2].reshape(nctb) for dy, dx in _ZO]
+        has_r = ((jnp.arange(nctb) % cw) + 1 < cw)
+        # right-neighbor CTB's BL cell = the TR quadrant's colBr position
+        rz2mv = jnp.roll(zmv[2].reshape(ch, cw, 2), -1, axis=1).reshape(nctb, 2)
+        rz2ok = jnp.where(has_r, jnp.roll(zif[2].reshape(ch, cw), -1,
+                                          axis=1).reshape(nctb), 0) != 0
+        ok3, ok0, ok1, ok2 = (zif[3] != 0), (zif[0] != 0), (zif[1] != 0), (zif[2] != 0)
+        pick = lambda c, a, b: jnp.where(c[:, None], a, b)
+        t_mv = jnp.stack([
+            pick(ok3, zmv[3], zmv[0]),          # TL: BR own z3 -> ctr z0
+            pick(rz2ok, rz2mv, zmv[1]),          # TR: BR right z2 -> ctr z1
+            zmv[2],                              # BL: ctr z2
+            zmv[3],                              # BR: ctr z3
+            zmv[3],                              # CU32: ctr z3
+        ], axis=1)
+        t_ok = jnp.stack([ok3 | ok0, rz2ok | ok1, ok2, ok3, ok3],
+                         axis=1).astype(jnp.int32)
+    else:
+        t_mv = jnp.zeros((nctb, 5, 2), jnp.int32)
+        t_ok = jnp.zeros((nctb, 5), jnp.int32)
+
     # ---- wave inputs over the 32-grid
     (oy_w, ou_w, ov_w, me32_w, me16_w, im32_w, ic32_w, im16_w, ic16_w,
-     sp_w, qp_w, qpc_w, lam_w) = wave_inputs(
+     sp_w, qp_w, qpc_w, lam_w, tmv_w, tok_w) = wave_inputs(
         sched, nctb,
         [oy32, ou16, ov16, me32, me16z, imode32, icost32, imode16z, icost16z,
-         split, qpb, qp_c, lam])
+         split, qpb, qp_c, lam, t_mv, t_ok])
     fl_w = jnp.asarray(sched["cs"] > 0)
     fa_w = jnp.asarray(sched["rs"] > 0)
     ftr_w = jnp.asarray((sched["rs"] > 0) & (sched["cs"] + 1 < cw))
     fal_w = fl_w & fa_w
     dwave = jnp.arange(sched["n_waves"], dtype=jnp.int32)
     xs = (oy_w, ou_w, ov_w, me32_w, me16_w, im32_w, ic32_w, im16_w, ic16_w,
-          sp_w, qp_w, qpc_w, lam_w, dwave, fl_w, fa_w, ftr_w, fal_w)
+          sp_w, qp_w, qpc_w, lam_w, dwave, fl_w, fa_w, ftr_w, fal_w,
+          tmv_w, tok_w)
 
     ring0 = lambda m: (jnp.zeros((3, lanes, m), jnp.int32),
                        jnp.zeros((3, lanes, m), jnp.int32))
@@ -278,7 +326,7 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     def wave(carry, x):
         (ry, ru, rv, mvb_ring, mvr_ring, ifb_ring, ifr_ring) = carry
         (oyw, ouw, ovw, me32w, me16w, im32, ic32, im16, ic16,
-         spl, qpw, qpcw, lamw, dw, fl, fa, ftr, fal) = x
+         spl, qpw, qpcw, lamw, dw, fl, fa, ftr, fal, tmvw, tokw) = x
         lamf = lamw.astype(jnp.float32)
         lam2 = lamf * lamf
         tru = jnp.ones_like(fl)
@@ -311,12 +359,13 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
             "a0": (fls, jnp.zeros_like(mvC)),
             "b2": (fal & inter(ifC), mvC),
         }
-        merge32 = _merge_list_cells(cands32, K)
+        t32 = (tokw[:, 4] != 0, tmvw[:, 4]) if tmvp else None
+        merge32 = _merge_list_cells(cands32, K, temporal=t32)
         mvp0_32, mvp1_32 = _amvp_cells(
             [(fls, jnp.zeros_like(mvC)), (fl & inter(ifL[:, 1]), mvL[:, 1])],
             [(ftr & inter(ifTR[:, 0]), mvTR[:, 0]),
              (fa & inter(ifT[:, 1]), mvT[:, 1]),
-             (fal & inter(ifC), mvC)])
+             (fal & inter(ifC), mvC)], temporal=t32)
         arb32 = _arbitrate(ck, oy_flat, 5, win32, merge32, me32w,
                            mvp0_32, mvp1_32, ic32, lamf, K)
 
@@ -426,8 +475,9 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                 a_pairs = [(fls, zmv), (prev_if(2), prev_mv(2))]
                 b_pairs = [(fls, zmv), (prev_if(1), prev_mv(1)),
                            (prev_if(0), prev_mv(0))]
-            mcands = _merge_list_cells(cands, K)
-            mvp0q, mvp1q = _amvp_cells(a_pairs, b_pairs)
+            tq = (tokw[:, qi] != 0, tmvw[:, qi]) if tmvp else None
+            mcands = _merge_list_cells(cands, K, temporal=tq)
+            mvp0q, mvp1q = _amvp_cells(a_pairs, b_pairs, temporal=tq)
             arb = _arbitrate(ck, o16f, 4, w16, mcands, me16w[:, qi],
                              mvp0q, mvp1q, ic16[:, qi], lamf, K)
 

@@ -69,11 +69,10 @@ class Encoder:
             if intra_period != 1 and not (
                 cfg.ctb_log2 == 5 and cfg.fast_decision and not cfg.wpp
                 and cfg.max_transform_hierarchy_depth_intra == 0
-                and not cfg.temporal_mvp
             ):
                 raise NotImplementedError(
                     "CTB32/64 inter needs the device quad path: ctb 32, "
-                    "fast_decision, td_intra 0, no wpp/tmvp")
+                    "fast_decision, td_intra 0, no wpp")
             if cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
                 raise NotImplementedError("CTB32/64 excludes qp_map/tiles/slices for now")
         elif cfg.min_cb_log2 == 3:
@@ -181,14 +180,29 @@ class Encoder:
                                             quad_p_trees_from_device)
 
                 pry, pru, prv = self._ref
+                tmvp_kw = {}
+                if cfg.temporal_mvp:
+                    n16 = (cfg.width // 16) * (cfg.height // 16)
+                    col = self._col
+                    if col is None or col[0].shape[0] != n16:
+                        col = (jnp.zeros((n16, 2), jnp.int32),
+                               jnp.zeros((n16,), jnp.int32))
+                    tmvp_kw = dict(tmvp=True, col_mv=col[0], col_inter=col[1])
                 dev = encode_frame_p32_fast(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     pry, pru, prv, qp, width=cfg.width, height=cfg.height,
-                    merge_cand=cfg.merge_cand)
+                    merge_cand=cfg.merge_cand, **tmvp_kw)
                 trees = quad_p_trees_from_device(dev, cfg.width, cfg.height)
                 ry = jnp.asarray(dev["recon_y"])
                 ru = jnp.asarray(dev["recon_u"])
                 rv = jnp.asarray(dev["recon_v"])
+                if cfg.temporal_mvp:
+                    # publish the 16x16-compressed motion store (spec
+                    # compression reads each cell's top-left 4x4)
+                    mv4, inter4, _ = quad_p_cell_maps(trees, cfg.width,
+                                                      cfg.height)
+                    self._col = (jnp.asarray(mv4[::4, ::4].reshape(-1, 2)),
+                                 jnp.asarray(inter4[::4, ::4].reshape(-1)))
                 if cfg.deblocking_enabled:
                     mv4, inter4, cbf4 = quad_p_cell_maps(
                         trees, cfg.width, cfg.height)
@@ -297,6 +311,7 @@ class Encoder:
             self._frame_count += 1
             self._poc = 0
             self._ref = (ry, ru, rv)
+            self._col = None  # IDR: all-intra collocated motion
             return {"kind": "quad", "out": out, "qp": qp, "first": first,
                     "sao_state": sao_state, "recon": (ry, ru, rv)}
         if cfg.min_cb_log2 == 3:

@@ -21,10 +21,10 @@ from kvazzup_tpu.io.yuv import synthetic_frames
 from test_e2e_intra import _ensure_oracle
 
 
-def _cfg(w, h, qp, merge=1, sao=False):
+def _cfg(w, h, qp, merge=1, sao=False, tmvp=False):
     return StreamConfig(width=w, height=h, qp=qp, ctb_log2=5, min_cb_log2=3,
                         max_tb_log2=5, deblocking_enabled=True,
-                        sao_enabled=sao, merge_cand=merge)
+                        sao_enabled=sao, merge_cand=merge, temporal_mvp=tmvp)
 
 
 def _frames(w, h, nf, seed=5, moving=True):
@@ -110,6 +110,35 @@ def test_p32_oracle(tmp_path, merge, sao, moving, qp):
     w, h = 160, 96
     stream, recons = _roundtrip(_cfg(w, h, qp, merge, sao),
                                 _frames(w, h, 4, seed=3, moving=moving))
+    f = tmp_path / "s.265"
+    f.write_bytes(stream)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([tool, "decode", str(f), str(out)], capture_output=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libavcodec oracle unavailable")
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8))
+                    for rec in recons for p in rec)
+    assert out.read_bytes() == mine
+
+
+def test_p32_tmvp_oracle(tmp_path):
+    """TMVP in the quad path: the temporal merge/AMVP candidate (8.5.3.2.8
+    colBr-then-center on the 16x16-compressed store) must change the
+    stream AND stay libavcodec-exact, across an IDR refresh (collocated
+    resets to all-intra)."""
+    tool = _ensure_oracle()
+    w, h = 160, 96
+    frames = _frames(w, h, 6, seed=3)
+    stream, recons = _roundtrip(_cfg(w, h, 29, merge=5, sao=True, tmvp=True),
+                                frames, intra_period=3)
+    base, _ = _roundtrip(_cfg(w, h, 29, merge=5, sao=True), frames,
+                         intra_period=3)
+    assert stream != base, "temporal candidate never engaged"
+    dec = Decoder().decode(stream)
+    for fi in range(6):
+        for p in range(3):
+            assert np.array_equal(np.asarray(dec[fi][p]),
+                                  np.asarray(recons[fi][p])), (fi, p)
     f = tmp_path / "s.265"
     f.write_bytes(stream)
     out = tmp_path / "o.yuv"
