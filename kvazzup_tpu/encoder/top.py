@@ -67,12 +67,12 @@ class Encoder:
             if cfg.max_transform_hierarchy_depth_intra not in (0, 1):
                 raise NotImplementedError("quad path supports max_td_intra 0/1")
             if intra_period != 1 and not (
-                cfg.ctb_log2 == 5 and cfg.fast_decision and not cfg.wpp
+                cfg.ctb_log2 == 5 and cfg.fast_decision
                 and cfg.max_transform_hierarchy_depth_intra == 0
             ):
                 raise NotImplementedError(
                     "CTB32/64 inter needs the device quad path: ctb 32, "
-                    "fast_decision, td_intra 0, no wpp")
+                    "fast_decision, td_intra 0")
             if cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
                 raise NotImplementedError("CTB32/64 excludes qp_map/tiles/slices for now")
         elif cfg.min_cb_log2 == 3:
@@ -521,11 +521,18 @@ class Encoder:
                 return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
             return stream, (ry, ru, rv)
         if ctx["kind"] == "quad_p":
-            from ..entropy.quad import encode_slice_data_p_quad
+            from ..entropy.quad import (encode_slice_data_p_quad,
+                                        encode_slice_data_p_quad_wpp)
 
-            payload = encode_slice_data_p_quad(
-                cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"],
-                merge_k=cfg.merge_cand)
+            entry_offsets = None
+            if cfg.wpp:
+                payload, entry_offsets = encode_slice_data_p_quad_wpp(
+                    cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"],
+                    merge_k=cfg.merge_cand)
+            else:
+                payload = encode_slice_data_p_quad(
+                    cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"],
+                    merge_k=cfg.merge_cand)
             sh = SliceHeader(
                 slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
                 pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
@@ -533,7 +540,9 @@ class Encoder:
                 max_num_merge_cand=cfg.merge_cand,
                 sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
             )
-            w = compose_slice_header(cfg, sh, None)
+            if entry_offsets:
+                entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
+            w = compose_slice_header(cfg, sh, entry_offsets)
             w.write_bytes(payload)
             stream = self.headers() if first else b""
             stream += compose_nal(NalUnit(sh.nal_type, w.data()))

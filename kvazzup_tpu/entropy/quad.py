@@ -271,6 +271,28 @@ def encode_slice_data_p_quad(cfg, trees, slice_qp=None, sao=None,
     return enc.data()
 
 
+def encode_slice_data_p_quad_wpp(cfg, trees, slice_qp=None, sao=None,
+                                 merge_k: int = 1):
+    """WPP variant of the P-quad writer (entropy_coding_sync): per-row
+    substreams with CABAC context inheritance; skip/depth/mode maps are
+    picture state and persist across rows.  Returns
+    (payload, entry_point_offsets)."""
+    from .slice_data import encode_slice_data_wpp
+
+    sq = cfg.qp if slice_qp is None else slice_qp
+    wr = _QuadWriterP(cfg, sq, merge_k)
+    cw = cfg.ctbs_w
+    n = cfg.ctb_size
+
+    def fn(enc, i):
+        if sao is not None:
+            sao.encode(enc, i)
+        wr.ctu(enc, trees[i], (i % cw) * n, (i // cw) * n)
+
+    fn.init_type = 1
+    return encode_slice_data_wpp(cfg, fn, slice_qp=sq)
+
+
 def encode_slice_data_intra_quad(cfg, trees, slice_qp=None, sao=None) -> bytes:
     """I-slice data for the cu32.py tree representation (single slice,
     no WPP/tiles); CTBs in raster order with end_of_slice flags.  When

@@ -21,10 +21,11 @@ from kvazzup_tpu.io.yuv import synthetic_frames
 from test_e2e_intra import _ensure_oracle
 
 
-def _cfg(w, h, qp, merge=1, sao=False, tmvp=False):
+def _cfg(w, h, qp, merge=1, sao=False, tmvp=False, wpp=False):
     return StreamConfig(width=w, height=h, qp=qp, ctb_log2=5, min_cb_log2=3,
                         max_tb_log2=5, deblocking_enabled=True,
-                        sao_enabled=sao, merge_cand=merge, temporal_mvp=tmvp)
+                        sao_enabled=sao, merge_cand=merge, temporal_mvp=tmvp,
+                        wpp=wpp)
 
 
 def _frames(w, h, nf, seed=5, moving=True):
@@ -136,6 +137,32 @@ def test_p32_tmvp_oracle(tmp_path):
     assert stream != base, "temporal candidate never engaged"
     dec = Decoder().decode(stream)
     for fi in range(6):
+        for p in range(3):
+            assert np.array_equal(np.asarray(dec[fi][p]),
+                                  np.asarray(recons[fi][p])), (fi, p)
+    f = tmp_path / "s.265"
+    f.write_bytes(stream)
+    out = tmp_path / "o.yuv"
+    r = subprocess.run([tool, "decode", str(f), str(out)], capture_output=True)
+    if r.returncode != 0 or not out.exists():
+        pytest.skip("libavcodec oracle unavailable")
+    mine = b"".join(bytes(np.asarray(p).astype(np.uint8))
+                    for rec in recons for p in rec)
+    assert out.read_bytes() == mine
+
+
+def test_p32_production_combo_oracle(tmp_path):
+    """The kvazaar-style production toolset composed at CTB32: quadtree
+    inter + WPP substreams + SAO + deblock + TMVP + merge 5 — self-decode
+    and libavcodec byte-exact."""
+    tool = _ensure_oracle()
+    w, h = 160, 96
+    frames = _frames(w, h, 5, seed=11)
+    stream, recons = _roundtrip(
+        _cfg(w, h, 28, merge=5, sao=True, tmvp=True, wpp=True), frames,
+        intra_period=4)
+    dec = Decoder().decode(stream)
+    for fi in range(5):
         for p in range(3):
             assert np.array_equal(np.asarray(dec[fi][p]),
                                   np.asarray(recons[fi][p])), (fi, p)
