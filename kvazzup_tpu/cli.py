@@ -58,10 +58,10 @@ def cmd_encode(args) -> int:
         temporal_mvp=args.tmvp,
     )
     if ctb_log2 > 4 and args.intra_period != 1:
-        if ctb_log2 != 5 or ra or args.wpp or args.tmvp or args.tu_intra_depth != 1:
+        if ra or args.tu_intra_depth != 1:
             raise SystemExit(
-                "--ctu 32 inter supports --gop ld without wpp/tmvp/tu-depth; "
-                "--ctu 64 requires all-intra (--intra-period 1)")
+                "--ctu 32/64 inter is low-delay (--gop ld) without --tu-intra-depth; "
+                "use --gop ra / --tu-intra-depth with --ctu 16 or all-intra")
     if args.tiles > 1 and (ra or args.intra_period != 1):
         raise SystemExit("--tiles currently requires all-intra (--intra-period 1, --gop ld)")
     t0 = time.time()
@@ -351,7 +351,7 @@ def main(argv=None) -> int:
     pe.add_argument("--slices", type=int, default=1, metavar="N",
                     help="N row-aligned slices per picture (all-intra; RTP loss unit)")
     pe.add_argument("--ctu", type=int, choices=(16, 32, 64), default=16,
-                    help="CTU size (kvazaar --ctu; 32/64 are all-intra for now)")
+                    help="CTU size (kvazaar --ctu; 32/64 quadtree, intra + low-delay P)")
     pe.add_argument("--tu-intra-depth", type=int, choices=(1, 2), default=1,
                     help="intra TU tree depth (kvazaar --tr-depth-intra analog)")
     pe.add_argument("--cu8", action="store_true",

@@ -695,10 +695,30 @@ def quad_p_trees_from_device(out, width: int, height: int):
     return trees
 
 
-def quad_p_bs_maps(trees, mv4, inter4, cbf4, width: int, height: int):
+def _walk_p_leaves(trees, width: int, ctb: int):
+    """(node, x0, y0, n) for every leaf of a (possibly nested) quad-P
+    forest on the ctb grid."""
+    cw = width // ctb
+
+    def rec(node, x0, y0, nn):
+        if "split" in node:
+            h = nn >> 1
+            for (dy, dx), sub in zip(_ZO, node["split"]):
+                yield from rec(sub, x0 + dx * h, y0 + dy * h, h)
+        else:
+            yield node, x0, y0, nn
+
+    for i, t in enumerate(trees):
+        yield from rec(t, (i % cw) * ctb, (i // cw) * ctb, ctb)
+
+
+def quad_p_bs_maps(trees, mv4, inter4, cbf4, width: int, height: int,
+                   ctb: int = 32):
     """Deblock boundary strengths for a quad-P picture, mirroring
     GenericInterDecoder.bs_maps exactly (4x4-cell p/q comparison on the
-    8-pel edge grid; single reference so refpoc never differs)."""
+    8-pel edge grid; single reference so refpoc never differs).  CU64
+    inter leaves mark their four forced TU32 edges (the decoder marks
+    per-TU, _inter_tt)."""
     h8, w8 = height // 8, width // 8
     ev = np.zeros((h8, w8), bool)
     eh = np.zeros((h8, w8), bool)
@@ -709,14 +729,12 @@ def quad_p_bs_maps(trees, mv4, inter4, cbf4, width: int, height: int):
         if y0 % 8 == 0 and y0 // 8 < h8:
             eh[y0 // 8, x0 // 8 : -(-(x0 + nn) // 8)] = True
 
-    cw = width // 32
-    for i, t in enumerate(trees):
-        x0, y0 = (i % cw) * 32, (i // cw) * 32
-        if "split" in t:
-            for (dy, dx), s in zip(_ZO, t["split"]):
-                mark(x0 + dx * 16, y0 + dy * 16, 16)
+    for node, x0, y0, nn in _walk_p_leaves(trees, width, ctb):
+        if nn == 64 and "ctype" in node:
+            for dy, dx in _ZO:
+                mark(x0 + dx * 32, y0 + dy * 32, 32)
         else:
-            mark(x0, y0, 32)
+            mark(x0, y0, nn)
 
     intra4 = inter4 == 0
     bs_v = np.zeros((w8 - 1, 2 * h8), np.int32)
@@ -738,30 +756,33 @@ def quad_p_bs_maps(trees, mv4, inter4, cbf4, width: int, height: int):
     return bs_v, bs_h
 
 
-def quad_p_cell_maps(trees, width: int, height: int):
+def quad_p_cell_maps(trees, width: int, height: int, ctb: int = 32):
     """(mv4, inter4, cbf4) 4x4-cell maps from the trees (host mirror of
-    the decoder's commit loop, for quad_p_bs_maps)."""
+    the decoder's commit loop, for quad_p_bs_maps).  CU64 inter leaves
+    set cbf per forced TU32 (the bS rule reads per-TU cbf)."""
     h4, w4 = height // 4, width // 4
     mv4 = np.zeros((h4, w4, 2), np.int32)
     inter4 = np.zeros((h4, w4), np.int32)
     cbf4 = np.zeros((h4, w4), np.int32)
-    cw = width // 32
 
     def commit(node, x0, y0, nn):
         s = slice(y0 >> 2, (y0 + nn) >> 2), slice(x0 >> 2, (x0 + nn) >> 2)
         if "ctype" in node:
             inter4[s] = 1
             mv4[s] = node["mv"]
-            if node["ctype"] != 3 and np.any(node["lev_y"]):
-                cbf4[s] = 1
+            if node["ctype"] != 3:
+                if nn == 64:
+                    for dy, dx in _ZO:
+                        ty = node["lev_y"][dy * 32 : dy * 32 + 32,
+                                           dx * 32 : dx * 32 + 32]
+                        st = (slice((y0 + dy * 32) >> 2, (y0 + dy * 32 + 32) >> 2),
+                              slice((x0 + dx * 32) >> 2, (x0 + dx * 32 + 32) >> 2))
+                        cbf4[st] = 1 if np.any(ty) else 0
+                elif np.any(node["lev_y"]):
+                    cbf4[s] = 1
         else:
             cbf4[s] = 1 if np.any(node["lev_y"]) else 0
 
-    for i, t in enumerate(trees):
-        x0, y0 = (i % cw) * 32, (i // cw) * 32
-        if "split" in t:
-            for (dy, dx), sub in zip(_ZO, t["split"]):
-                commit(sub, x0 + dx * 16, y0 + dy * 16, 16)
-        else:
-            commit(t, x0, y0, 32)
+    for node, x0, y0, nn in _walk_p_leaves(trees, width, ctb):
+        commit(node, x0, y0, nn)
     return mv4, inter4, cbf4

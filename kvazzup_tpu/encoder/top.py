@@ -67,11 +67,11 @@ class Encoder:
             if cfg.max_transform_hierarchy_depth_intra not in (0, 1):
                 raise NotImplementedError("quad path supports max_td_intra 0/1")
             if intra_period != 1 and not (
-                cfg.ctb_log2 == 5 and cfg.fast_decision
+                cfg.fast_decision
                 and cfg.max_transform_hierarchy_depth_intra == 0
             ):
                 raise NotImplementedError(
-                    "CTB32/64 inter needs the device quad path: ctb 32, "
+                    "CTB32/64 inter needs the device quad path: "
                     "fast_decision, td_intra 0")
             if cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
                 raise NotImplementedError("CTB32/64 excludes qp_map/tiles/slices for now")
@@ -188,26 +188,41 @@ class Encoder:
                         col = (jnp.zeros((n16, 2), jnp.int32),
                                jnp.zeros((n16,), jnp.int32))
                     tmvp_kw = dict(tmvp=True, col_mv=col[0], col_inter=col[1])
-                dev = encode_frame_p32_fast(
-                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                    pry, pru, prv, qp, width=cfg.width, height=cfg.height,
-                    merge_cand=cfg.merge_cand, **tmvp_kw)
-                trees = quad_p_trees_from_device(dev, cfg.width, cfg.height)
+                if cfg.ctb_log2 == 6:
+                    from .frame_inter64 import (encode_frame_p64_fast,
+                                                quad_p64_trees_from_device)
+
+                    dev = encode_frame_p64_fast(
+                        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                        pry, pru, prv, qp, width=cfg.width,
+                        height=cfg.height, merge_cand=cfg.merge_cand,
+                        **tmvp_kw)
+                    trees = quad_p64_trees_from_device(dev, cfg.width,
+                                                       cfg.height)
+                else:
+                    dev = encode_frame_p32_fast(
+                        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                        pry, pru, prv, qp, width=cfg.width,
+                        height=cfg.height, merge_cand=cfg.merge_cand,
+                        **tmvp_kw)
+                    trees = quad_p_trees_from_device(dev, cfg.width,
+                                                     cfg.height)
                 ry = jnp.asarray(dev["recon_y"])
                 ru = jnp.asarray(dev["recon_u"])
                 rv = jnp.asarray(dev["recon_v"])
                 if cfg.temporal_mvp:
                     # publish the 16x16-compressed motion store (spec
                     # compression reads each cell's top-left 4x4)
-                    mv4, inter4, _ = quad_p_cell_maps(trees, cfg.width,
-                                                      cfg.height)
+                    mv4, inter4, _ = quad_p_cell_maps(
+                        trees, cfg.width, cfg.height, ctb=cfg.ctb_size)
                     self._col = (jnp.asarray(mv4[::4, ::4].reshape(-1, 2)),
                                  jnp.asarray(inter4[::4, ::4].reshape(-1)))
                 if cfg.deblocking_enabled:
                     mv4, inter4, cbf4 = quad_p_cell_maps(
-                        trees, cfg.width, cfg.height)
+                        trees, cfg.width, cfg.height, ctb=cfg.ctb_size)
                     bv, bh = quad_p_bs_maps(trees, mv4, inter4, cbf4,
-                                            cfg.width, cfg.height)
+                                            cfg.width, cfg.height,
+                                            ctb=cfg.ctb_size)
                     ry, ru, rv = deblock_frame(
                         ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
                         bs_h=jnp.asarray(bh), chroma_every=2, bs_rep=4,

@@ -239,6 +239,31 @@ class _QuadWriterP(_QuadWriter):
                 return
         else:
             assert root, "zero-residual merge must be coded as skip"
+        if log2 == 6:
+            # inter CU64: log2TrafoSize > MaxTbLog2SizeY forces a TT split
+            # to four TU32s (7.3.8.8); parent chroma cbfs at depth 0, then
+            # per-child cbfs at depth 1 (mirrors generic_inter._inter_tt)
+            enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
+            enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
+            for dy, dx in _ZO:
+                ty = lev_y[dy * 32 : dy * 32 + 32, dx * 32 : dx * 32 + 32]
+                tcb = lev_cb[dy * 16 : dy * 16 + 16, dx * 16 : dx * 16 + 16]
+                tcr = lev_cr[dy * 16 : dy * 16 + 16, dx * 16 : dx * 16 + 16]
+                c_cb = 1 if np.any(tcb) else 0
+                c_cr = 1 if np.any(tcr) else 0
+                if cbf_cb:
+                    enc.encode_bin(OFFSETS["cbf_chroma"] + 1, c_cb)
+                if cbf_cr:
+                    enc.encode_bin(OFFSETS["cbf_chroma"] + 1, c_cr)
+                c_y = 1 if np.any(ty) else 0
+                enc.encode_bin(OFFSETS["cbf_luma"], c_y)  # trafoDepth 1
+                if c_y:
+                    encode_residual(enc, ty, 5, 0)
+                if c_cb:
+                    encode_residual(enc, tcb, 4, 1)
+                if c_cr:
+                    encode_residual(enc, tcr, 4, 2)
+            return
         # transform tree at depth 0, TU == CU (max_td_inter 0, 2Nx2N)
         enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
         enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
