@@ -86,12 +86,14 @@ def run_x265(frames, w, h, qp, params, tag):
         return bits / nf, float(np.mean(ps))
 
 
-def run_ours_quad32(frames, w, h, qp):
-    """The CTB32 inter CU-quadtree operating point (CU32-vs-4xCU16 split,
-    TU==CU) — sao+deblock+merge5, no wpp/tmvp (path constraints)."""
-    cfg = StreamConfig(width=w, height=h, qp=qp, ctb_log2=5, min_cb_log2=3,
-                       max_tb_log2=5, sao_enabled=True,
-                       deblocking_enabled=True, merge_cand=5)
+def run_ours_quad(frames, w, h, qp, ctb_log2):
+    """The CTB32/CTB64 inter CU-quadtree production operating points
+    (nested CU splits, TU==CU below 64, forced TU32 at CU64) —
+    wpp+sao+deblock+merge5+tmvp."""
+    cfg = StreamConfig(width=w, height=h, qp=qp, ctb_log2=ctb_log2,
+                       min_cb_log2=3, max_tb_log2=5, sao_enabled=True,
+                       deblocking_enabled=True, merge_cand=5, wpp=True,
+                       temporal_mvp=True)
     enc = Encoder(cfg, intra_period=64)
     bits = 0
     ps = []
@@ -113,23 +115,30 @@ def main():
                     "no-scenecut=1:repeat-headers=1:frame-threads=1:"
                     "rc-lookahead=0")
 
-    curves = {"ours": [], "ours-quad32": [], "x265-medium": [],
-              "x265-matched": []}
+    curves = {"ours": [], "ours-quad32": [], "ours-quad64": [],
+              "x265-medium": [], "x265-matched": []}
     for qp in QPS:
         t0 = time.time()
         curves["ours"].append(run_ours(frames, w, h, qp))
-        curves["ours-quad32"].append(run_ours_quad32(frames, w, h, qp))
+        curves["ours-quad32"].append(run_ours_quad(frames, w, h, qp, 5))
+        if w % 64 == 0 and h % 64 == 0:
+            curves["ours-quad64"].append(run_ours_quad(frames, w, h, qp, 6))
         curves["x265-medium"].append(run_x265(frames, w, h, qp, x265_medium, "medium"))
         curves["x265-matched"].append(run_x265(frames, w, h, qp, x265_matched, "matched"))
         o, q = curves["ours"][-1], curves["ours-quad32"][-1]
+        q6 = curves["ours-quad64"][-1] if curves["ours-quad64"] else (0, 0)
         m, t = curves["x265-medium"][-1], curves["x265-matched"][-1]
         print(f"qp{qp}: ours {o[0]/1000:.0f} kb/f {o[1]:.2f} dB | "
               f"quad32 {q[0]/1000:.0f} kb/f {q[1]:.2f} dB | "
+              f"quad64 {q6[0]/1000:.0f} kb/f {q6[1]:.2f} dB | "
               f"x265-med {m[0]/1000:.0f} kb/f {m[1]:.2f} dB | "
               f"x265-match {t[0]/1000:.0f} kb/f {t[1]:.2f} dB "
               f"({time.time()-t0:.0f}s)", flush=True)
 
-    for ours_key in ("ours", "ours-quad32"):
+    ours_keys = ["ours", "ours-quad32"]
+    if curves["ours-quad64"]:
+        ours_keys.append("ours-quad64")
+    for ours_key in ours_keys:
         ro = np.array([c[0] for c in curves[ours_key]])
         po = np.array([c[1] for c in curves[ours_key]])
         for ref in ("x265-medium", "x265-matched"):
