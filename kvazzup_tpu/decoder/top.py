@@ -746,9 +746,13 @@ class Decoder:
                             col=col,
                         )
                     )
+                elif pps.cu_qp_delta_enabled:
+                    (ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr,
+                     qp_actual) = decode_slice_data_p(
+                        cfg, payload, sh.qp, merge_k=sh.max_num_merge_cand,
+                        col=col, cu_qp_delta=True,
+                    )
                 else:
-                    if pps.cu_qp_delta_enabled:
-                        raise NotImplementedError("P cu_qp_delta requires WPP streams")
                     ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = decode_slice_data_p(
                         cfg, payload, sh.qp, merge_k=sh.max_num_merge_cand,
                         col=col,

@@ -302,12 +302,12 @@ def encode_frame_p(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int, height: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "rdoq", "xtile",
-                                    "merge_cand", "tmvp"))
+                                    "merge_cand", "tmvp", "ref_vpad"))
 def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                         height: int, rdoq: bool = False,
                         xtile=(False, False), xflags=None,
                         merge_cand: int = 1, tmvp: bool = False,
-                        col_mv=None, col_inter=None):
+                        col_mv=None, col_inter=None, ref_vpad: bool = False):
     """Dense-decision low-delay P encode (ring-carry scan).
 
     Everything that does not read coded-neighbor state runs as one dense
@@ -341,14 +341,27 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         col_inter = col_inter.astype(jnp.int32)
 
     # ---- dense pre-passes
+    # ref_vpad: reference planes arrive with REF_PAD(/2) rows of VERTICAL
+    # context attached (true neighbor-strip rows for slice strips, spec
+    # picture-edge replication elsewhere) — sliced from the full picture's
+    # padded reference, so cross-slice-boundary MC stays bit-exact (MC may
+    # read any reference row; only in-picture prediction stops at slices).
+    if ref_vpad:
+        refp_y8 = jnp.pad(ref_y, ((0, 0), (REF_PAD, REF_PAD)), mode="edge")
+        refp_u8 = jnp.pad(ref_u, ((0, 0), (REF_PAD // 2, REF_PAD // 2)),
+                          mode="edge")
+        refp_v8 = jnp.pad(ref_v, ((0, 0), (REF_PAD // 2, REF_PAD // 2)),
+                          mode="edge")
+        ref_y_co = ref_y[REF_PAD:-REF_PAD]  # co-located strip for ME
+    else:
+        refp_y8 = jnp.pad(ref_y, REF_PAD, mode="edge")
+        refp_u8 = jnp.pad(ref_u, REF_PAD // 2, mode="edge")
+        refp_v8 = jnp.pad(ref_v, REF_PAD // 2, mode="edge")
+        ref_y_co = ref_y
     lam_x1k = (lam.mean() * 1024.0).astype(jnp.int32)
     me_mv, _ = motion_search(
-        y, ref_y, lam_x1k, block=n, search_range=SEARCH_RANGE, width=width,
+        y, ref_y_co, lam_x1k, block=n, search_range=SEARCH_RANGE, width=width,
         height=height, xtile=xtile, xflags=xflags)
-
-    refp_y8 = jnp.pad(ref_y, REF_PAD, mode="edge")
-    refp_u8 = jnp.pad(ref_u, REF_PAD // 2, mode="edge")
-    refp_v8 = jnp.pad(ref_v, REF_PAD // 2, mode="edge")
     # dense ME prediction: the one-shot window tensor fuses into its single
     # consumer here; the WAVE's windows come from sheared strips instead
     # (scan-invariant, one dynamic_slice per wave — see sheared_ref_strips)

@@ -250,9 +250,14 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     sat16 = ck.satd_flat(pme16.reshape(4 * nctb, -1), oy16.reshape(4 * nctb, -1),
                          4).astype(jnp.float32)
 
-    imode16, icost16 = _cost_prepass_grid(yi, oy16, qp, lam[0], log2=4,
+    # per-block expansion of the CTU grid onto the 16-grid (raster);
+    # qp may be scalar or per-CTU (nctb,) — the cu_qp_delta/ROI hook
+    rep2 = lambda a: jnp.repeat(
+        jnp.repeat(a.reshape(ch, cw), 2, 0), 2, 1).reshape(-1)
+    lam16 = rep2(lam)
+    imode16, icost16 = _cost_prepass_grid(yi, oy16, rep2(qpb), lam16, log2=4,
                                           cw=2 * cw, ch=2 * ch)
-    imode32, icost32 = _cost_prepass_grid(yi, oy32, qp, lam[0], log2=5,
+    imode32, icost32 = _cost_prepass_grid(yi, oy32, qpb, lam, log2=5,
                                           cw=cw, ch=ch)
 
     # ---- split decision (SATD domain, approximate rate for ME)
@@ -260,7 +265,7 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     mebits = lambda mv: jax.vmap(_mv_bits)(mv[:, 0]) + jax.vmap(_mv_bits)(mv[:, 1])
     best32 = jnp.minimum(icost32, sat32 + lamv * (mebits(me32) + 3.0))
     best16 = jnp.minimum(icost16,
-                         sat16 + jnp.repeat(lamv, 4) * (mebits(me16) + 3.0))
+                         sat16 + lam16 * (mebits(me16) + 3.0))
     b16 = best16.reshape(2 * ch, 2 * cw)
     quad = lambda a2: jnp.stack(
         [a2[dy::2, dx::2].reshape(-1) for dy, dx in _ZO], axis=1)

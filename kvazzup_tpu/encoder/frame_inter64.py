@@ -169,28 +169,34 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     sat16 = ck.satd_flat(pme16.reshape(16 * nctb, -1),
                          oy16.reshape(16 * nctb, -1), 4).astype(jnp.float32)
 
-    imode16, icost16 = _cost_prepass_grid(yi, oy16, qp, lam[0], log2=4,
+    # per-block expansions of the CTU grid onto the 16-/32-grids (raster);
+    # qp may be scalar or per-CTU (nctb,) — the cu_qp_delta/ROI hook
+    rep = lambda a, f: jnp.repeat(
+        jnp.repeat(a.reshape(ch, cw), f, 0), f, 1).reshape(-1)
+    qp16, lam16 = rep(qpb, 4), rep(lam, 4)
+    qp32, lam32 = rep(qpb, 2), rep(lam, 2)
+    imode16, icost16 = _cost_prepass_grid(yi, oy16, qp16, lam16, log2=4,
                                           cw=4 * cw, ch=4 * ch)
-    imode32, icost32 = _cost_prepass_grid(yi, oy32, qp, lam[0], log2=5,
+    imode32, icost32 = _cost_prepass_grid(yi, oy32, qp32, lam32, log2=5,
                                           cw=2 * cw, ch=2 * ch)
 
     # ---- split decisions (SATD domain)
-    lamv0 = lam[0]
-    lam2s = lamv0 * lamv0
+    lam2v = lam * lam          # (nctb,)
+    lam2_32 = lam32 * lam32    # (n32,)
     mebits = lambda mv: (jax.vmap(_mv_bits)(mv[:, 0])
                          + jax.vmap(_mv_bits)(mv[:, 1]))
-    best16 = jnp.minimum(icost16, sat16 + lamv0 * (mebits(me16) + 3.0))
-    best32 = jnp.minimum(icost32, sat32 + lamv0 * (mebits(me32) + 3.0))
-    cost64 = sat64 + lamv0 * (mebits(me64) + 3.0)
+    best16 = jnp.minimum(icost16, sat16 + lam16 * (mebits(me16) + 3.0))
+    best32 = jnp.minimum(icost32, sat32 + lam32 * (mebits(me32) + 3.0))
+    cost64 = sat64 + lam * (mebits(me64) + 3.0)
 
     q16g = lambda a2, c2, r2: jnp.stack(
         [a2.reshape(r2, c2)[dy::2, dx::2].reshape(-1) for dy, dx in _ZO],
         axis=1)
     sum16 = jnp.sum(q16g(best16, 4 * cw, 4 * ch), axis=1)       # (n32,)
-    split32_g = (sum16 + lam2s * 5.0 < best32 + lam2s * 1.0)
-    best32sel = jnp.minimum(sum16 + lam2s * 5.0, best32 + lam2s * 1.0)
+    split32_g = (sum16 + lam2_32 * 5.0 < best32 + lam2_32 * 1.0)
+    best32sel = jnp.minimum(sum16 + lam2_32 * 5.0, best32 + lam2_32 * 1.0)
     sum32 = jnp.sum(q16g(best32sel, 2 * cw, 2 * ch), axis=1)    # (nctb,)
-    split64 = (sum32 + lam2s * 1.0 < cost64 + lam2s * 1.0).astype(jnp.int32)
+    split64 = (sum32 + lam2v * 1.0 < cost64 + lam2v * 1.0).astype(jnp.int32)
     split32 = q16g(split32_g.astype(jnp.int32), 2 * cw, 2 * ch)  # (nctb, 4)
 
     # ---- per-CTB z-order gathers

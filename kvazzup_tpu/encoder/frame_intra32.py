@@ -130,6 +130,8 @@ def _pred_sel(ck, a, log2: int, is_luma: bool, mode):
 def encode_frame_intra32_fast(y, u, v, qp, *, width: int, height: int):
     """Dense-decision CTB32 quadtree intra encode (ring-carry 32-wave).
 
+    qp: scalar OR a per-CTU (nctb,) int32 vector (the cu_qp_delta/ROI
+    hook — QG == CTB, so one QP per CTB is the full signalable space).
     Returns dict(split (nctb,) int32, mode32 (nctb,), modes16 (nctb,4)
     z-order, lev_y (nctb,1024), lev_cb/lev_cr (nctb,256) int16 — the
     SELECTED leaf's levels (CU32 raster or 4x CU16 z-order concatenated) —
@@ -152,11 +154,15 @@ def encode_frame_intra32_fast(y, u, v, qp, *, width: int, height: int):
     ou16 = to_blocks(u.astype(jnp.int32), n // 2)
     ov16 = to_blocks(v.astype(jnp.int32), n // 2)
 
+    # per-block expansion of the CTU grid onto the 16-grid (raster)
+    rep2 = lambda a: jnp.repeat(
+        jnp.repeat(a.reshape(ch, cw), 2, 0), 2, 1).reshape(-1)
+
     # ---- dense prepass: modes at both levels + split decision
     oy16 = to_blocks(yi, 16)
-    mode16, rd16 = _rd_prepass_grid(yi, oy16, qp, lam[0], log2=4,
+    mode16, rd16 = _rd_prepass_grid(yi, oy16, rep2(qpb), rep2(lam), log2=4,
                                     cw=2 * cw, ch=2 * ch)
-    mode32, rd32 = _rd_prepass_grid(yi, oy32, qp, lam[0], log2=5,
+    mode32, rd32 = _rd_prepass_grid(yi, oy32, qpb, lam, log2=5,
                                     cw=cw, ch=ch)
     # quadrant gather: 16-grid raster (2ch, 2cw) -> (nctb, 4) z-order
     m16 = mode16.reshape(2 * ch, 2 * cw)

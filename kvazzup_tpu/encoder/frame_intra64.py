@@ -200,7 +200,8 @@ def _rd64_prepass(yp, oy32, qp, lam, *, cw64: int, ch64: int, K: int = 2):
     oy4 = quad(oy_flat.reshape(ch, cw, 1024))            # (n64, 4, 1024)
     resid = oy4[:, :, None, :] - candp                   # (n64, 4, K, 1024)
     coef = ck.fwd_transform_flat(resid.reshape(-1, K, 1024), 5)
-    qpb = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (4 * n64,))
+    # per-quadrant repeat: flat order is (n64, 4) — ctu-major
+    qpb = jnp.repeat(jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (n64,)), 4)
     lev = quantize(coef, qpb, 5, True)
     deq = dequantize(lev, qpb, 5)
     rec = jnp.clip(candp.reshape(-1, K, 1024) + ck.inv_transform_flat(deq, 5),
@@ -234,7 +235,7 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int):
     lanes = sched["lanes"]
 
     qp = jnp.asarray(qp, jnp.int32)
-    qpb = jnp.broadcast_to(qp, (nctb,))
+    qpb = jnp.broadcast_to(qp, (nctb,))  # qp may be scalar or per-CTU (nctb,)
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qpb, 0, 57)]
     lam = jnp.sqrt(0.57 * 2.0 ** ((qpb.astype(jnp.float32) - 12.0) / 3.0))
     yi = y.astype(jnp.int32)
@@ -242,28 +243,35 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int):
     ou32 = to_blocks(u.astype(jnp.int32), S // 2)
     ov32 = to_blocks(v.astype(jnp.int32), S // 2)
 
+    # per-block expansions of the CTU grid onto the 16-/32-grids (raster)
+    rep = lambda a, f: jnp.repeat(
+        jnp.repeat(a.reshape(ch, cw), f, 0), f, 1).reshape(-1)
+    qp16, lam16 = rep(qpb, 4), rep(lam, 4)
+    qp32, lam32 = rep(qpb, 2), rep(lam, 2)
+
     # ---- dense prepass at all three levels
     oy16 = to_blocks(yi, 16)
     oy32 = to_blocks(yi, 32)
-    mode16, rd16 = _rd_prepass_grid(yi, oy16, qp, lam[0], log2=4,
+    mode16, rd16 = _rd_prepass_grid(yi, oy16, qp16, lam16, log2=4,
                                     cw=4 * cw, ch=4 * ch)
-    mode32, rd32 = _rd_prepass_grid(yi, oy32, qp, lam[0], log2=5,
+    mode32, rd32 = _rd_prepass_grid(yi, oy32, qp32, lam32, log2=5,
                                     cw=2 * cw, ch=2 * ch)
-    mode64, rd64 = _rd64_prepass(yi, oy32, qp, lam[0], cw64=cw, ch64=ch)
+    mode64, rd64 = _rd64_prepass(yi, oy32, qpb, lam, cw64=cw, ch64=ch)
 
-    lam2s = (lam[0] * lam[0]).astype(jnp.float32)
+    lam2_32 = (lam32 * lam32).astype(jnp.float32)
+    lam2v = (lam * lam).astype(jnp.float32)
     # split32 per 32-block: 4x CU16 vs CU32 leaf
     q16 = lambda a2, c2, r2: jnp.stack(
         [a2.reshape(r2, c2)[dy::2, dx::2].reshape(-1) for dy, dx in _ZO],
         axis=1)
     rd16q = q16(rd16, 4 * cw, 4 * ch)                    # (n32, 4)
     sum16 = jnp.sum(rd16q, axis=1)
-    split32_g = (sum16 + lam2s * 5.0 < rd32 + lam2s * 1.0)  # (n32,) global
-    best32 = jnp.minimum(sum16 + lam2s * 5.0, rd32 + lam2s * 1.0)
+    split32_g = (sum16 + lam2_32 * 5.0 < rd32 + lam2_32 * 1.0)  # (n32,) raster
+    best32 = jnp.minimum(sum16 + lam2_32 * 5.0, rd32 + lam2_32 * 1.0)
     # split64 per CTB: 4x best-32 subtrees vs CU64 leaf
     best32q = q16(best32, 2 * cw, 2 * ch)                # (nctb, 4)
     sum32 = jnp.sum(best32q, axis=1)
-    split64 = (sum32 + lam2s * 1.0 < rd64 + lam2s * 1.0).astype(jnp.int32)
+    split64 = (sum32 + lam2v * 1.0 < rd64 + lam2v * 1.0).astype(jnp.int32)
     split32 = q16(split32_g.astype(jnp.int32), 2 * cw, 2 * ch)  # (nctb, 4)
 
     # per-CTB gathers in z-order: mode32 (nctb, 4), mode16 (nctb, 4, 4)

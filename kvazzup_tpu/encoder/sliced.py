@@ -84,6 +84,86 @@ def encode_frame_intra_slices(cfg, y, u, v, qp: int, n_slices: int, *,
     return include_headers + entropy_frame_intra_slices(cfg, dev, qp), dev["recon"]
 
 
+def encode_frame_p_slices_device(cfg, y, u, v, ref, qp: int, n_slices: int, *,
+                                 rdoq: bool = False):
+    """Device stage for a multi-slice P picture.
+
+    Each CTU-row strip is encoded by the dense P engine with the slice
+    boundary as its top/bottom prediction edge (6.4.1: intra neighbors and
+    merge/AMVP candidates stop at the slice), while MOTION COMPENSATION
+    reads the full reference picture: the strip's reference planes are
+    sliced out of the picture-level padded reference (REF_PAD rows of true
+    vertical context, ref_vpad), so cross-slice MVs reconstruct bit-exactly
+    (kvazaar slices behave the same — only in-picture prediction is cut).
+    Deblocking runs on the assembled picture (loop filter crosses slice
+    boundaries; pps flag is 1)."""
+    from ..ops.deblock import compute_bs
+    from .frame_inter import REF_PAD, encode_frame_p_fast
+
+    n = cfg.ctb_size
+    rows = slice_rows(cfg.ctbs_h, n_slices)
+    ry0, ru0, rv0 = (jnp.asarray(p) for p in ref)
+    refp_y = jnp.pad(ry0, ((REF_PAD, REF_PAD), (0, 0)), mode="edge")
+    refp_u = jnp.pad(ru0, ((REF_PAD // 2, REF_PAD // 2), (0, 0)), mode="edge")
+    refp_v = jnp.pad(rv0, ((REF_PAD // 2, REF_PAD // 2), (0, 0)), mode="edge")
+    strips = []
+    for r0, r1 in rows:
+        py0, py1 = r0 * n, r1 * n
+        strips.append(encode_frame_p_fast(
+            jnp.asarray(y[py0:py1]), jnp.asarray(u[py0 // 2 : py1 // 2]),
+            jnp.asarray(v[py0 // 2 : py1 // 2]),
+            refp_y[py0 : py1 + 2 * REF_PAD],
+            refp_u[py0 // 2 : py1 // 2 + REF_PAD],
+            refp_v[py0 // 2 : py1 // 2 + REF_PAD],
+            qp, width=cfg.width, height=py1 - py0, rdoq=rdoq,
+            merge_cand=cfg.merge_cand, ref_vpad=True,
+        ))
+    ry = jnp.concatenate([s["recon_y"] for s in strips], axis=0)
+    ru = jnp.concatenate([s["recon_u"] for s in strips], axis=0)
+    rv = jnp.concatenate([s["recon_v"] for s in strips], axis=0)
+    cat = lambda k: jnp.concatenate([s[k] for s in strips], axis=0)
+    ctype, mv, lev_y = cat("ctype"), cat("mv"), cat("lev_y")
+    if cfg.deblocking_enabled:
+        bs_v, bs_h = compute_bs(ctype, jnp.any(lev_y != 0, axis=(1, 2)), mv,
+                                cfg.ctbs_w, cfg.ctbs_h)
+        ry, ru, rv = deblock_frame(ry, ru, rv, qp, spacing=cfg.ctb_size,
+                                   bs_v=bs_v, bs_h=bs_h)
+    return {"strips": strips, "rows": rows, "recon": (ry, ru, rv)}
+
+
+def entropy_frame_p_slices(cfg, dev, qp: int, poc: int) -> bytes:
+    """Host stage: one TRAIL_R NAL per P slice."""
+    from ..entropy.slice_data import encode_slice_data_p
+
+    n = cfg.ctb_size
+    cw = cfg.ctbs_w
+    nals = []
+    for si, ((r0, r1), out) in enumerate(zip(dev["rows"], dev["strips"])):
+        strip_cfg = replace(cfg, height=(r1 - r0) * n)
+        merge_kw = {}
+        if cfg.merge_cand > 1:
+            merge_kw = dict(merge_idxs=np.asarray(out["merge_idx"]),
+                            merge_k=cfg.merge_cand)
+        payload = encode_slice_data_p(
+            strip_cfg, np.asarray(out["ctype"]),
+            np.asarray(out["intra_mode"]), np.asarray(out["mv"]),
+            np.asarray(out["mvp_flag"]), np.asarray(out["mvd"]),
+            np.asarray(out["lev_y"]), np.asarray(out["lev_cb"]),
+            np.asarray(out["lev_cr"]), slice_qp=qp, **merge_kw,
+        )
+        sh = SliceHeader(
+            slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
+            pic_order_cnt_lsb=poc % (1 << cfg.log2_max_poc_lsb),
+            num_negative_pics=1, delta_pocs=(-1,),
+            max_num_merge_cand=cfg.merge_cand,
+            first_slice=si == 0, segment_address=r0 * cw,
+        )
+        w = compose_slice_header(cfg, sh)
+        w.write_bytes(payload)
+        nals.append(compose_nal(NalUnit(sh.nal_type, w.data())))
+    return b"".join(nals)
+
+
 def encode_frame_intra_dependent_slices(cfg, y, u, v, qp: int, n_segments: int, *,
                                         rdoq: bool = False):
     """One intra slice split into dependent slice SEGMENTS (7.3.6.1).

@@ -73,8 +73,15 @@ class Encoder:
                 raise NotImplementedError(
                     "CTB32/64 inter needs the device quad path: "
                     "fast_decision, td_intra 0")
-            if cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
-                raise NotImplementedError("CTB32/64 excludes qp_map/tiles/slices for now")
+            if cfg.cu_qp_delta and not (
+                cfg.fast_decision
+                and cfg.max_transform_hierarchy_depth_intra == 0
+            ):
+                raise NotImplementedError(
+                    "CTB32/64 cu_qp_delta needs the device quad path: "
+                    "fast_decision, td_intra 0")
+            if cfg.tile_cols > 1 or cfg.slices > 1:
+                raise NotImplementedError("CTB32/64 excludes tiles/slices for now")
         elif cfg.min_cb_log2 == 3:
             if cfg.max_transform_hierarchy_depth_intra:
                 raise NotImplementedError("TU trees require the CTB32/64 path")
@@ -95,8 +102,8 @@ class Encoder:
                 # (kvazaarfilter.cpp mv-constraint disables TMVP too)
                 raise NotImplementedError("temporal_mvp excludes tiles/slices")
         if cfg.slices > 1:
-            if intra_period != 1:
-                raise NotImplementedError("slices currently require all-intra")
+            if intra_period != 1 and not cfg.fast_decision:
+                raise NotImplementedError("sliced P requires cfg.fast_decision")
             if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1:
                 raise NotImplementedError("slices exclude wpp/sao/qp_map/tiles for now")
             if cfg.slices > cfg.ctbs_h:
@@ -136,6 +143,25 @@ class Encoder:
         return b"".join(
             compose_nal(n) for n in (compose_vps(cfg), compose_sps(cfg), compose_pps(cfg))
         )
+
+    @staticmethod
+    def _tree_any_cbf(node) -> bool:
+        if "split" in node:
+            return any(Encoder._tree_any_cbf(s) for s in node["split"])
+        return bool(np.any(node["lev_y"]) or np.any(node["lev_cb"])
+                    or np.any(node["lev_cr"]))
+
+    def _quad_dq8(self, trees, flat_map, qp):
+        """Per-8-block QP grid for the quad paths' deblock (bs maps ride
+        the 8-grid there): the 8.6.1 actual-QP chain expanded per CTB."""
+        cfg = self.cfg
+        any_cbf = np.array([self._tree_any_cbf(t) for t in trees], bool)
+        qp_actual = derive_qp_actual(
+            flat_map, any_cbf, cfg.ctbs_w, cfg.ctbs_h, qp, cfg.wpp)
+        r = cfg.ctb_size // 8
+        return jnp.asarray(np.kron(
+            qp_actual.reshape(cfg.ctbs_h, cfg.ctbs_w),
+            np.ones((r, r), np.int32)))
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int | None = None,
                      qp_map: np.ndarray | None = None):
@@ -194,7 +220,7 @@ class Encoder:
 
                     dev = encode_frame_p64_fast(
                         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                        pry, pru, prv, qp, width=cfg.width,
+                        pry, pru, prv, dev_qp, width=cfg.width,
                         height=cfg.height, merge_cand=cfg.merge_cand,
                         **tmvp_kw)
                     trees = quad_p64_trees_from_device(dev, cfg.width,
@@ -202,7 +228,7 @@ class Encoder:
                 else:
                     dev = encode_frame_p32_fast(
                         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                        pry, pru, prv, qp, width=cfg.width,
+                        pry, pru, prv, dev_qp, width=cfg.width,
                         height=cfg.height, merge_cand=cfg.merge_cand,
                         **tmvp_kw)
                     trees = quad_p_trees_from_device(dev, cfg.width,
@@ -223,9 +249,12 @@ class Encoder:
                     bv, bh = quad_p_bs_maps(trees, mv4, inter4, cbf4,
                                             cfg.width, cfg.height,
                                             ctb=cfg.ctb_size)
+                    dq8 = (self._quad_dq8(trees, flat_map, qp)
+                           if flat_map is not None else None)
                     ry, ru, rv = deblock_frame(
                         ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
                         bs_h=jnp.asarray(bh), chroma_every=2, bs_rep=4,
+                        qp_map=dq8,
                     )
                 sao_state = None
                 if cfg.sao_enabled:
@@ -253,7 +282,7 @@ class Encoder:
                 self._poc += 1
                 self._ref = (ry, ru, rv)
                 return {"kind": "quad_p", "out": {"trees": trees}, "qp": qp,
-                        "first": first, "poc": self._poc,
+                        "first": first, "poc": self._poc, "flat_map": flat_map,
                         "sao_state": sao_state, "recon": (ry, ru, rv)}
             use_device64 = (
                 cfg.ctb_log2 == 6
@@ -265,7 +294,7 @@ class Encoder:
                                             quad_trees_from_device)
 
                 dev = encode_frame_intra32_fast(
-                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
                     width=cfg.width, height=cfg.height)
                 out = {
                     "trees": quad_trees_from_device(dev, cfg.width, cfg.height),
@@ -278,7 +307,7 @@ class Encoder:
                                             quad_trees_from_device64)
 
                 dev = encode_frame_intra64_fast(
-                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
                     width=cfg.width, height=cfg.height)
                 out = {
                     "trees": quad_trees_from_device64(dev, cfg.width,
@@ -288,6 +317,10 @@ class Encoder:
                     "recon_v": dev["recon_v"],
                 }
             else:
+                if flat_map is not None:
+                    raise NotImplementedError(
+                        "quad qp_map needs the device path (fast_decision, "
+                        "td_intra 0)")
                 out = encode_frame_intra_quad_ref(
                     np.asarray(y), np.asarray(u), np.asarray(v), qp,
                     width=cfg.width, height=cfg.height, ctb_log2=cfg.ctb_log2,
@@ -299,9 +332,11 @@ class Encoder:
             if cfg.deblocking_enabled:
                 bv, bh = quad_bs_maps(out["trees"], cfg.width, cfg.height,
                                       cfg.ctb_log2)
+                dq8 = (self._quad_dq8(out["trees"], flat_map, qp)
+                       if flat_map is not None else None)
                 ry, ru, rv = deblock_frame(
                     ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
-                    bs_h=jnp.asarray(bh), chroma_every=2,
+                    bs_h=jnp.asarray(bh), chroma_every=2, qp_map=dq8,
                 )
             sao_state = None
             if cfg.sao_enabled:
@@ -328,7 +363,8 @@ class Encoder:
             self._ref = (ry, ru, rv)
             self._col = None  # IDR: all-intra collocated motion
             return {"kind": "quad", "out": out, "qp": qp, "first": first,
-                    "sao_state": sao_state, "recon": (ry, ru, rv)}
+                    "flat_map": flat_map, "sao_state": sao_state,
+                    "recon": (ry, ru, rv)}
         if cfg.min_cb_log2 == 3:
             from .frame_intra_cu8 import encode_frame_intra_cu8
 
@@ -352,16 +388,26 @@ class Encoder:
             return {"kind": "cu8", "out": out, "qp": qp, "first": first,
                     "recon": (ry, ru, rv)}
         if cfg.slices > 1:
-            from .sliced import encode_frame_intra_slices_device
+            from .sliced import (encode_frame_intra_slices_device,
+                                 encode_frame_p_slices_device)
 
-            dev = encode_frame_intra_slices_device(
-                cfg, y, u, v, qp, cfg.slices, rdoq=cfg.rdoq
-            )
+            if is_idr:
+                dev = encode_frame_intra_slices_device(
+                    cfg, y, u, v, qp, cfg.slices, rdoq=cfg.rdoq
+                )
+                kind = "slices"
+                self._poc = 0
+            else:
+                dev = encode_frame_p_slices_device(
+                    cfg, y, u, v, self._ref, qp, cfg.slices, rdoq=cfg.rdoq
+                )
+                kind = "slices_p"
+                self._poc += 1
             first = self._frame_count == 0
             self._frame_count += 1
             self._ref = dev["recon"]
-            return {"kind": "slices", "dev": dev, "out": {}, "qp": qp,
-                    "first": first, "recon": dev["recon"]}
+            return {"kind": kind, "dev": dev, "out": {}, "qp": qp,
+                    "first": first, "poc": self._poc, "recon": dev["recon"]}
         if cfg.tile_cols > 1:
             from .tiled import encode_frame_intra_tiles, encode_frame_p_tiles
 
@@ -519,11 +565,13 @@ class Encoder:
             entry_offsets = None
             if cfg.wpp:
                 payload, entry_offsets = encode_slice_data_intra_quad_wpp(
-                    cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"]
+                    cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"],
+                    qp_map=ctx.get("flat_map")
                 )
             else:
                 payload = encode_slice_data_intra_quad(cfg, out["trees"], slice_qp=qp,
-                                                       sao=ctx["sao_state"])
+                                                       sao=ctx["sao_state"],
+                                                       qp_map=ctx.get("flat_map"))
             sh = SliceHeader(slice_type=2, qp=qp, nal_type=NalType.IDR_W_RADL,
                              sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled)
             if entry_offsets:
@@ -543,11 +591,11 @@ class Encoder:
             if cfg.wpp:
                 payload, entry_offsets = encode_slice_data_p_quad_wpp(
                     cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"],
-                    merge_k=cfg.merge_cand)
+                    merge_k=cfg.merge_cand, qp_map=ctx.get("flat_map"))
             else:
                 payload = encode_slice_data_p_quad(
                     cfg, out["trees"], slice_qp=qp, sao=ctx["sao_state"],
-                    merge_k=cfg.merge_cand)
+                    merge_k=cfg.merge_cand, qp_map=ctx.get("flat_map"))
             sh = SliceHeader(
                 slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
                 pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
@@ -597,6 +645,14 @@ class Encoder:
 
             stream = self.headers() if first else b""
             stream += entropy_frame_intra_slices(cfg, ctx["dev"], qp)
+            if materialize_recon:
+                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+            return stream, (ry, ru, rv)
+        if ctx["kind"] == "slices_p":
+            from .sliced import entropy_frame_p_slices
+
+            stream = self.headers() if first else b""
+            stream += entropy_frame_p_slices(cfg, ctx["dev"], qp, ctx["poc"])
             if materialize_recon:
                 return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
             return stream, (ry, ru, rv)
@@ -695,7 +751,8 @@ class Encoder:
                 else:
                     payload, entry_offsets = res
             elif flat_map is not None:
-                raise NotImplementedError("P-frame qp_map currently requires cfg.wpp")
+                payload, _qp_actual = encode_slice_data_p(
+                    cfg, *p_arrays, slice_qp=qp, qp_map=flat_map, **merge_kw)
             else:
                 payload = encode_slice_data_p(cfg, *p_arrays, slice_qp=qp,
                                               **merge_kw)

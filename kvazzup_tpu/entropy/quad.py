@@ -25,13 +25,18 @@ _ZO = ((0, 0), (0, 1), (1, 0), (1, 1))
 class _QuadWriter:
     """Frame-level maps mirroring GenericIntraDecoder (depth4/mode4)."""
 
-    def __init__(self, cfg, slice_qp):
+    def __init__(self, cfg, slice_qp, qs=None):
         self.cfg = cfg
         self.w, self.h = cfg.width, cfg.height
         self.ctb_log2 = cfg.ctb_size.bit_length() - 1
         self.min_cb_log2 = cfg.min_cb_log2
         self.depth4 = np.zeros((self.h // 4, self.w // 4), np.int32)
         self.mode4 = np.ones((self.h // 4, self.w // 4), np.int32)
+        self.qs = qs  # QpState: cu_qp_delta coded at the first cbf TU
+
+    def _qp_tu(self, enc, any_cbf) -> None:
+        if self.qs is not None and any_cbf:
+            self.qs.tu(enc)
 
     def _split_ctx(self, x0, y0, depth):
         ctx = 0
@@ -124,6 +129,7 @@ class _QuadWriter:
                     enc.encode_bin(OFFSETS["cbf_chroma"] + 1, c_cr)
                 c_y = 1 if np.any(ty) else 0
                 enc.encode_bin(OFFSETS["cbf_luma"], c_y)  # trafoDepth 1
+                self._qp_tu(enc, c_y or c_cb or c_cr)
                 if c_y:
                     encode_residual(enc, ty, log2 - 1, 0,
                                     residual_scan_idx(m, log2 - 1, 0))
@@ -151,6 +157,7 @@ class _QuadWriter:
                     enc.encode_bin(OFFSETS["cbf_chroma"] + 1, c_cr)
                 c_y = 1 if np.any(ty) else 0
                 enc.encode_bin(OFFSETS["cbf_luma"], c_y)  # trafoDepth 1
+                self._qp_tu(enc, c_y or c_cb or c_cr)
                 if c_y:
                     encode_residual(enc, ty, 5, 0, residual_scan_idx(m, 5, 0))
                 if c_cb:
@@ -161,6 +168,7 @@ class _QuadWriter:
         if not nxn:
             cbf_y = 1 if np.any(lev_y) else 0
             enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+            self._qp_tu(enc, cbf_y or cbf_cb or cbf_cr)
             if cbf_y:
                 encode_residual(enc, lev_y, log2, 0,
                                 residual_scan_idx(modes[0], log2, 0))
@@ -176,6 +184,8 @@ class _QuadWriter:
             t = lev_y[dy * h : (dy + 1) * h, dx * h : (dx + 1) * h]
             cbf_t = 1 if np.any(t) else 0
             enc.encode_bin(OFFSETS["cbf_luma"], cbf_t)  # trafoDepth 1
+            # 4x4 children: chroma rides the last child (7.3.8.10 last4)
+            self._qp_tu(enc, cbf_t or (j == 3 and (cbf_cb or cbf_cr)))
             if cbf_t:
                 encode_residual(enc, t, log2 - 1, 0,
                                 residual_scan_idx(modes[j], log2 - 1, 0))
@@ -193,8 +203,8 @@ class _QuadWriterP(_QuadWriter):
     CU) alongside the intra leaf syntax — mirrors
     decoder/generic_inter.py's _coding_unit/_inter_tt parse exactly."""
 
-    def __init__(self, cfg, slice_qp, merge_k=1):
-        super().__init__(cfg, slice_qp)
+    def __init__(self, cfg, slice_qp, merge_k=1, qs=None):
+        super().__init__(cfg, slice_qp, qs)
         self.skip4 = np.zeros((self.h // 4, self.w // 4), np.int32)
         self.merge_k = merge_k
 
@@ -257,6 +267,7 @@ class _QuadWriterP(_QuadWriter):
                     enc.encode_bin(OFFSETS["cbf_chroma"] + 1, c_cr)
                 c_y = 1 if np.any(ty) else 0
                 enc.encode_bin(OFFSETS["cbf_luma"], c_y)  # trafoDepth 1
+                self._qp_tu(enc, c_y or c_cb or c_cr)
                 if c_y:
                     encode_residual(enc, ty, 5, 0)
                 if c_cb:
@@ -270,6 +281,7 @@ class _QuadWriterP(_QuadWriter):
         if cbf_cb or cbf_cr:
             enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
         # else: cbf_luma inferred 1 (rqt_root_cbf / merge residual present)
+        self._qp_tu(enc, cbf_y or cbf_cb or cbf_cr)
         if cbf_y:
             encode_residual(enc, lev_y, log2, 0)
         if cbf_cb:
@@ -279,80 +291,107 @@ class _QuadWriterP(_QuadWriter):
 
 
 def encode_slice_data_p_quad(cfg, trees, slice_qp=None, sao=None,
-                             merge_k: int = 1) -> bytes:
+                             merge_k: int = 1, qp_map=None) -> bytes:
     """P-slice data for the quad-P tree representation (single slice):
-    CTBs in raster order, init_type 1."""
+    CTBs in raster order, init_type 1.  qp_map: per-CTU QP grid
+    (cu_qp_delta, QG == CTB)."""
+    from .slice_data import QpState
+
     sq = cfg.qp if slice_qp is None else slice_qp
     enc = CabacEncoder(init_type=1, slice_qp=sq)
-    wr = _QuadWriterP(cfg, sq, merge_k)
     cw = cfg.ctbs_w
     nctu = cw * cfg.ctbs_h
+    qs = QpState(sq, qp_map, nctu) if qp_map is not None else None
+    wr = _QuadWriterP(cfg, sq, merge_k, qs)
     n = cfg.ctb_size
     for i, node in enumerate(trees):
         if sao is not None:
             sao.encode(enc, i)
+        if qs is not None:
+            qs.begin_ctu(i)
         wr.ctu(enc, node, (i % cw) * n, (i // cw) * n)
+        if qs is not None:
+            qs.end_ctu()
         enc.encode_terminate(1 if i == nctu - 1 else 0)
     return enc.data()
 
 
 def encode_slice_data_p_quad_wpp(cfg, trees, slice_qp=None, sao=None,
-                                 merge_k: int = 1):
+                                 merge_k: int = 1, qp_map=None):
     """WPP variant of the P-quad writer (entropy_coding_sync): per-row
     substreams with CABAC context inheritance; skip/depth/mode maps are
     picture state and persist across rows.  Returns
     (payload, entry_point_offsets)."""
-    from .slice_data import encode_slice_data_wpp
+    from .slice_data import QpState, encode_slice_data_wpp
 
     sq = cfg.qp if slice_qp is None else slice_qp
-    wr = _QuadWriterP(cfg, sq, merge_k)
     cw = cfg.ctbs_w
+    qs = QpState(sq, qp_map, cw * cfg.ctbs_h) if qp_map is not None else None
+    wr = _QuadWriterP(cfg, sq, merge_k, qs)
     n = cfg.ctb_size
 
     def fn(enc, i):
         if sao is not None:
             sao.encode(enc, i)
+        if qs is not None:
+            qs.begin_ctu(i)
         wr.ctu(enc, trees[i], (i % cw) * n, (i // cw) * n)
+        if qs is not None:
+            qs.end_ctu()
 
     fn.init_type = 1
-    return encode_slice_data_wpp(cfg, fn, slice_qp=sq)
+    return encode_slice_data_wpp(cfg, fn, qs, slice_qp=sq)
 
 
-def encode_slice_data_intra_quad(cfg, trees, slice_qp=None, sao=None) -> bytes:
+def encode_slice_data_intra_quad(cfg, trees, slice_qp=None, sao=None,
+                                 qp_map=None) -> bytes:
     """I-slice data for the cu32.py tree representation (single slice,
     no WPP/tiles); CTBs in raster order with end_of_slice flags.  When
     `sao` (a SaoState) is given its per-CTB parameters precede each CTU's
-    syntax (7.3.8.2)."""
+    syntax (7.3.8.2).  qp_map: per-CTU QP grid (cu_qp_delta, QG == CTB)."""
+    from .slice_data import QpState
+
     sq = cfg.qp if slice_qp is None else slice_qp
     enc = CabacEncoder(init_type=0, slice_qp=sq)
-    wr = _QuadWriter(cfg, sq)
     cw = cfg.ctbs_w
     nctu = cw * cfg.ctbs_h
+    qs = QpState(sq, qp_map, nctu) if qp_map is not None else None
+    wr = _QuadWriter(cfg, sq, qs)
     n = cfg.ctb_size
     for i, node in enumerate(trees):
         if sao is not None:
             sao.encode(enc, i)
+        if qs is not None:
+            qs.begin_ctu(i)
         wr.ctu(enc, node, (i % cw) * n, (i // cw) * n)
+        if qs is not None:
+            qs.end_ctu()
         enc.encode_terminate(1 if i == nctu - 1 else 0)
     return enc.data()
 
 
-def encode_slice_data_intra_quad_wpp(cfg, trees, slice_qp=None, sao=None):
+def encode_slice_data_intra_quad_wpp(cfg, trees, slice_qp=None, sao=None,
+                                     qp_map=None):
     """WPP variant (entropy_coding_sync): per-row substreams with CABAC
     context inheritance; the frame-level depth/mode maps persist across
     rows (they are picture state, not entropy state).  Returns
     (payload, entry_point_offsets)."""
-    from .slice_data import encode_slice_data_wpp
+    from .slice_data import QpState, encode_slice_data_wpp
 
     sq = cfg.qp if slice_qp is None else slice_qp
-    wr = _QuadWriter(cfg, sq)
     cw = cfg.ctbs_w
+    qs = QpState(sq, qp_map, cw * cfg.ctbs_h) if qp_map is not None else None
+    wr = _QuadWriter(cfg, sq, qs)
     n = cfg.ctb_size
 
     def fn(enc, i):
         if sao is not None:
             sao.encode(enc, i)
+        if qs is not None:
+            qs.begin_ctu(i)
         wr.ctu(enc, trees[i], (i % cw) * n, (i // cw) * n)
+        if qs is not None:
+            qs.end_ctu()
 
     fn.init_type = 0
-    return encode_slice_data_wpp(cfg, fn, slice_qp=sq)
+    return encode_slice_data_wpp(cfg, fn, qs, slice_qp=sq)

@@ -446,11 +446,14 @@ def encode_slice_data_p(
     slice_qp: int | None = None,
     merge_idxs: np.ndarray | None = None,
     merge_k: int = 1,
-) -> bytes:
-    """P-slice CTU syntax (CU == CTB == 16, one ref)."""
+    qp_map=None,
+):
+    """P-slice CTU syntax (CU == CTB == 16, one ref).  With qp_map the
+    per-CTU cu_qp_delta chain rides the raster scan; returns
+    (payload, actual_qp) then, plain bytes otherwise."""
     from ..native import encode_slice_native
 
-    if merge_k == 1 or merge_idxs is not None:
+    if (merge_k == 1 or merge_idxs is not None) and qp_map is None:
         out = encode_slice_native(
             cfg, 1, False,
             dict(ctype=ctype, intra_modes=intra_modes, mvs=mvs, mvp_flags=mvp_flags,
@@ -463,18 +466,24 @@ def encode_slice_data_p(
     enc = CabacEncoder(init_type=1, slice_qp=slice_qp if slice_qp is not None else cfg.qp)
     ctbs_w, ctbs_h = cfg.ctbs_w, cfg.ctbs_h
     nctu = ctbs_w * ctbs_h
+    sq = slice_qp if slice_qp is not None else cfg.qp
+    qs = QpState(sq, qp_map, nctu) if qp_map is not None else None
     skip = np.zeros(nctu, dtype=bool)
     for i in range(nctu):
         _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs,
-                          mvp_flags, mvds, lev_y, lev_cb, lev_cr,
+                          mvp_flags, mvds, lev_y, lev_cb, lev_cr, qs,
                           merge_idxs=merge_idxs, merge_k=merge_k)
         enc.encode_terminate(1 if i == nctu - 1 else 0)
+    if qs is not None:
+        return enc.data(), qs.actual
     return enc.data()
 
 
-def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True, merge_k: int = 1, col=None):
-    """Inverse of encode_slice_data_p; also reconstructs per-CTU MVs."""
-    if use_native:
+def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_native: bool = True, merge_k: int = 1, col=None, cu_qp_delta: bool = False):
+    """Inverse of encode_slice_data_p; also reconstructs per-CTU MVs.
+    With cu_qp_delta the per-CTU actual QP array is appended to the
+    returned tuple."""
+    if use_native and not cu_qp_delta:
         from ..native import decode_slice_native
 
         out = decode_slice_native(cfg, 1, False, payload, None, slice_qp,
@@ -494,12 +503,15 @@ def decode_slice_data_p(cfg: StreamConfig, payload: bytes, slice_qp: int, use_na
     lev_y = np.zeros((nctu, n, n), dtype=np.int32)
     lev_cb = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), dtype=np.int32)
+    qs = QpState(slice_qp, np.zeros(nctu), nctu) if cu_qp_delta else None
     for i in range(nctu):
         _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs,
-                          lev_y, lev_cb, lev_cr, merge_k=merge_k, col=col)
+                          lev_y, lev_cb, lev_cr, qs, merge_k=merge_k, col=col)
         end = dec.decode_terminate()
         if end != (1 if i == nctu - 1 else 0):
             raise ValueError(f"end_of_slice mismatch at CTU {i}")
+    if qs is not None:
+        return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qs.actual
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr
 
 
@@ -543,6 +555,28 @@ class QpState:
             actual = pred
         self.actual[i] = actual
         self.prev = actual
+
+    # ---- deferred (in-tree-walk) interface for the quadtree writers:
+    # the delta must be interleaved at the FIRST transform unit with a
+    # coded block flag (7.3.8.10), which only the tree walk knows.
+    def begin_ctu(self, i: int) -> None:
+        self._i = i
+        self._coded = False
+
+    def tu(self, enc) -> None:
+        """Call at every TU whose cbf condition holds; codes the delta once."""
+        if not self.enabled or self._coded:
+            return
+        self._coded = True
+        actual = int(self.map[self._i])
+        _encode_qp_delta(enc, actual - self.prev)
+        self.actual[self._i] = actual
+        self.prev = actual
+
+    def end_ctu(self) -> None:
+        if not self.enabled or self._coded:
+            return
+        self.actual[self._i] = self.prev  # no coded delta: QP stays predicted
 
 
 def _encode_qp_delta(enc: CabacEncoder, delta: int) -> None:

@@ -67,7 +67,9 @@ def test_capture_feeds_send_pipeline():
     pipe.start()
     src = SyntheticSource(pipe.put_frame, width=w, height=h, fps=60.0)
     src.start()
-    deadline = time.monotonic() + 20
+    # generous deadline: first-compile latency under a loaded host (xdist
+    # workers compiling concurrently) can exceed 20s
+    deadline = time.monotonic() + 60
     while len(chunks) < 3 and time.monotonic() < deadline:
         time.sleep(0.05)
     src.stop()

@@ -88,11 +88,12 @@ def test_wpp_ip_stream(tmp_path):
     _run(cfg, _moving_frames(w, h, 4), tmp_path)
 
 
-def test_p_roi_adaptive_qp(tmp_path):
-    """Per-CTU QP maps on the P chain (ROI over WPP streams)."""
+@pytest.mark.parametrize("wpp", [True, False])
+def test_p_roi_adaptive_qp(wpp, tmp_path):
+    """Per-CTU QP maps on the P chain (ROI, both entropy modes)."""
     w, h = 96, 64
     cfg = StreamConfig(width=w, height=h, qp=34, cu_qp_delta=True,
-                       deblocking_enabled=True, wpp=True)
+                       deblocking_enabled=True, wpp=wpp)
     enc = Encoder(cfg, intra_period=8)
     frames = _moving_frames(w, h, 4)
     qp_map = np.full((cfg.ctbs_h, cfg.ctbs_w), 34, np.int32)

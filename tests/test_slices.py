@@ -38,6 +38,34 @@ def test_slices_self_and_oracle(n_slices, tmp_path):
         )
 
 
+@pytest.mark.parametrize("merge_cand", [1, 5])
+def test_slices_ip_chain(merge_cand, tmp_path):
+    """Multi-slice I+P+P: slice boundaries cut in-picture prediction, MC
+    crosses them into the reference (kvazaar slices semantics)."""
+    w, h = 128, 96
+    frames = synthetic_frames(w, h, 3, seed=21)
+    cfg = StreamConfig(width=w, height=h, qp=32, slices=3,
+                       deblocking_enabled=True, merge_cand=merge_cand)
+    enc = Encoder(cfg, intra_period=8)
+    stream = b""
+    recons = []
+    for (y, u, v) in frames:
+        s, rec = enc.encode_frame(y, u, v)
+        stream += s
+        recons.append(rec)
+    outs = Decoder().decode(stream)
+    assert len(outs) == len(frames)
+    for rec, out in zip(recons, outs):
+        for a, b in zip(rec, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    oracle, err = oracle_decode(stream, w, h, tmp_path)
+    assert len(oracle) == len(frames), err
+    for fi, (rec, rf) in enumerate(zip(recons, oracle)):
+        for a, b in zip(rec, rf):
+            np.testing.assert_array_equal(np.asarray(a), b,
+                                          err_msg=f"frame {fi}")
+
+
 def test_slices_pipelined_identical():
     from kvazzup_tpu.encoder.pipelined import PipelinedEncoder
 
