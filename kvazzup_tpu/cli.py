@@ -47,7 +47,7 @@ def cmd_encode(args) -> int:
         ctb_log2=ctb_log2,
         deblocking_enabled=not args.no_deblock,
         sao_enabled=args.sao,
-        wpp=args.wpp or (args.sao and ctb_log2 == 4),
+        wpp=args.wpp or (args.sao and ctb_log2 == 4 and args.tiles == 1),
         tile_cols=args.tiles, slices=args.slices,
         min_cb_log2=3 if (args.cu8 or ctb_log2 > 4) else 4,
         max_tb_log2=5 if ctb_log2 > 4 else 4,
@@ -62,8 +62,10 @@ def cmd_encode(args) -> int:
             raise SystemExit(
                 "--ctu 32/64 inter is low-delay (--gop ld) without --tu-intra-depth; "
                 "use --gop ra / --tu-intra-depth with --ctu 16 or all-intra")
-    if args.tiles > 1 and (ra or args.intra_period != 1):
-        raise SystemExit("--tiles currently requires all-intra (--intra-period 1, --gop ld)")
+    if args.tiles > 1 and ra:
+        raise SystemExit("--tiles requires low-delay GOPs (--gop ld)")
+    if args.slices > 1 and ra:
+        raise SystemExit("--slices requires low-delay GOPs (--gop ld)")
     t0 = time.time()
     total_psnr = 0.0
     nf = 0
@@ -349,7 +351,7 @@ def main(argv=None) -> int:
     pe.add_argument("--tiles", type=int, default=1, metavar="N",
                     help="N tile columns (all-intra; the multi-chip shard axis)")
     pe.add_argument("--slices", type=int, default=1, metavar="N",
-                    help="N row-aligned slices per picture (all-intra; RTP loss unit)")
+                    help="N row-aligned slices per picture (RTP loss unit)")
     pe.add_argument("--ctu", type=int, choices=(16, 32, 64), default=16,
                     help="CTU size (kvazaar --ctu; 32/64 quadtree, intra + low-delay P)")
     pe.add_argument("--tu-intra-depth", type=int, choices=(1, 2), default=1,

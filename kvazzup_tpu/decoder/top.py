@@ -642,12 +642,18 @@ class Decoder:
         qp_actual = None
         sao_state = None
         if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
-            if not pps.entropy_sync and sps.min_cb_log2 != 3:
-                raise NotImplementedError("SAO decode needs WPP or CU8 streams")
+            if not pps.entropy_sync and sps.min_cb_log2 != 3 \
+                    and not pps.tiles_enabled:
+                raise NotImplementedError(
+                    "SAO decode needs WPP, tiles or CU8 streams")
             # (the CU8 branch builds its own state before this point)
             sao_state = SaoState(
                 cfg.ctbs_w, cfg.ctbs_h, luma=sh.sao_luma, chroma=sh.sao_chroma
             )
+            if pps.tiles_enabled:
+                from ..entropy.slice_data import tile_of_map
+
+                sao_state.tile_of = tile_of_map(cfg, pps.num_tile_cols)
         if sh.slice_type == 2:
             if pps.tiles_enabled:
                 if pps.num_tile_rows != 1 or not pps.uniform_spacing:
@@ -655,11 +661,19 @@ class Decoder:
                 from ..encoder.tiled import reconstruct_frame_intra_tiles
                 from ..entropy.slice_data import decode_slice_data_intra_tiles
 
-                modes, lev_y, lev_cb, lev_cr = decode_slice_data_intra_tiles(
-                    cfg, pps.num_tile_cols, payload, sh.entry_points, sh.qp
+                res = decode_slice_data_intra_tiles(
+                    cfg, pps.num_tile_cols, payload, sh.entry_points, sh.qp,
+                    cu_qp_delta=pps.cu_qp_delta_enabled, sao=sao_state,
                 )
+                if pps.cu_qp_delta_enabled:
+                    modes, lev_y, lev_cb, lev_cr, qp_actual = res
+                else:
+                    modes, lev_y, lev_cb, lev_cr = res
+                dec_qp = (np.asarray(qp_actual) if qp_actual is not None
+                          else sh.qp)
                 y, u, v = reconstruct_frame_intra_tiles(
-                    cfg, pps.num_tile_cols, modes, lev_y, lev_cb, lev_cr, sh.qp
+                    cfg, pps.num_tile_cols, modes, lev_y, lev_cb, lev_cr,
+                    dec_qp
                 )
             elif pps.entropy_sync:
                 modes, lev_y, lev_cb, lev_cr, qp_actual = decode_slice_data_intra_wpp(
@@ -726,13 +740,20 @@ class Decoder:
                     if pps.num_tile_rows != 1 or not pps.uniform_spacing:
                         raise NotImplementedError(
                             "decoder supports uniform tile columns")
-                    ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = (
-                        decode_slice_data_p_tiles(
-                            cfg, pps.num_tile_cols, payload, sh.entry_points,
-                            sh.qp, merge_k=sh.max_num_merge_cand))
+                    res = decode_slice_data_p_tiles(
+                        cfg, pps.num_tile_cols, payload, sh.entry_points,
+                        sh.qp, merge_k=sh.max_num_merge_cand,
+                        cu_qp_delta=pps.cu_qp_delta_enabled, sao=sao_state)
+                    if pps.cu_qp_delta_enabled:
+                        (ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr,
+                         qp_actual) = res
+                    else:
+                        ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr = res
+                    dec_qp = (np.asarray(qp_actual) if qp_actual is not None
+                              else sh.qp)
                     y, u, v = reconstruct_frame_p_tiles(
                         cfg, pps.num_tile_cols, ctype, intra_modes, mvs,
-                        lev_y, lev_cb, lev_cr, ref, sh.qp)
+                        lev_y, lev_cb, lev_cr, ref, dec_qp)
                     bs_v, bs_h = compute_bs(
                         jnp.asarray(ctype),
                         jnp.asarray(np.any(lev_y, axis=(1, 2))),

@@ -41,9 +41,12 @@ def raster_to_strip(per_ctu: np.ndarray, cols, tile_idx: int, cw: int, ch: int) 
     return np.concatenate(rows, axis=0)
 
 
-def encode_frame_intra_tiles(cfg, y, u, v, qp: int, *, rdoq: bool = False):
+def encode_frame_intra_tiles(cfg, y, u, v, qp: int, *, rdoq: bool = False,
+                             qp_map=None):
     """Encode one intra frame as `cfg.tile_cols` independent tile columns.
 
+    qp_map: flat per-CTU picture-raster QP grid (cu_qp_delta) — each strip
+    gets its tile-raster slice as the wave's per-CTU QP vector.
     Returns picture-raster {mode, lev_y, lev_cb, lev_cr, recon_y/u/v}
     exactly like `encode_frame_intra`, ready for the tile entropy coder.
     """
@@ -58,9 +61,11 @@ def encode_frame_intra_tiles(cfg, y, u, v, qp: int, *, rdoq: bool = False):
     ry_parts, ru_parts, rv_parts = [], [], []
     for t, (x0, x1) in enumerate(cols):
         px0, px1 = x0 * n, x1 * n
+        strip_qp = (qp if qp_map is None else
+                    jnp.asarray(raster_to_strip(qp_map, cols, t, cw, ch)))
         out = encode_frame_intra(
             jnp.asarray(y[:, px0:px1]), jnp.asarray(u[:, px0 // 2 : px1 // 2]),
-            jnp.asarray(v[:, px0 // 2 : px1 // 2]), qp,
+            jnp.asarray(v[:, px0 // 2 : px1 // 2]), strip_qp,
             width=px1 - px0, height=cfg.height, rdoq=rdoq,
         )
         strip_to_raster(np.asarray(out["mode"]), cols, t, cw, ch, mode)
@@ -79,7 +84,7 @@ def encode_frame_intra_tiles(cfg, y, u, v, qp: int, *, rdoq: bool = False):
 
 
 def encode_frame_p_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
-                         rdoq: bool = False):
+                         rdoq: bool = False, qp_map=None):
     """Low-delay P frame as independent motion-constrained tile columns
     (kvazaar `--mv-constraint frametile`, kvazaarfilter.cpp:246-276).
 
@@ -113,12 +118,14 @@ def encode_frame_p_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
     for t, (x0, x1) in enumerate(cols):
         px0, px1 = x0 * n, x1 * n
         xtile = (t > 0, t < n_tiles - 1)
+        strip_qp = (qp if qp_map is None else
+                    jnp.asarray(raster_to_strip(qp_map, cols, t, cw, ch)))
         out = encode_frame_p_fast(
             jnp.asarray(y[:, px0:px1]), jnp.asarray(u[:, px0 // 2 : px1 // 2]),
             jnp.asarray(v[:, px0 // 2 : px1 // 2]),
             jnp.asarray(ref_y[:, px0:px1]),
             jnp.asarray(ref_u[:, px0 // 2 : px1 // 2]),
-            jnp.asarray(ref_v[:, px0 // 2 : px1 // 2]), qp,
+            jnp.asarray(ref_v[:, px0 // 2 : px1 // 2]), strip_qp,
             width=px1 - px0, height=cfg.height, rdoq=rdoq, xtile=xtile,
             merge_cand=cfg.merge_cand,
         )
@@ -141,6 +148,14 @@ def encode_frame_p_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
     }
 
 
+def _strip_qp(qp, cols, t, cw, ch):
+    """Per-strip QP: scalar passthrough, or tile-raster slice of a flat
+    per-CTU actual-QP vector (cu_qp_delta)."""
+    if np.isscalar(qp) or getattr(qp, "ndim", 0) == 0:
+        return qp
+    return jnp.asarray(raster_to_strip(np.asarray(qp), cols, t, cw, ch))
+
+
 def reconstruct_frame_p_tiles(cfg, n_cols: int, ctype, intra_modes, mvs,
                               lev_y, lev_cb, lev_cr, ref, qp):
     """Decoder-side tiled P reconstruction: each tile column reconstructs
@@ -161,7 +176,7 @@ def reconstruct_frame_p_tiles(cfg, n_cols: int, ctype, intra_modes, mvs,
             strip(ctype), strip(intra_modes), strip(mvs),
             strip(lev_y), strip(lev_cb), strip(lev_cr),
             ref_y[:, px0:px1], ref_u[:, px0 // 2 : px1 // 2],
-            ref_v[:, px0 // 2 : px1 // 2], qp,
+            ref_v[:, px0 // 2 : px1 // 2], _strip_qp(qp, cols, t, cw, ch),
             width=px1 - px0, height=cfg.height,
         )
         ys.append(sy)
@@ -188,7 +203,8 @@ def reconstruct_frame_intra_tiles(cfg, n_cols: int, modes, lev_y, lev_cb, lev_cr
             raster_to_strip(lev_y, cols, t, cw, ch),
             raster_to_strip(lev_cb, cols, t, cw, ch),
             raster_to_strip(lev_cr, cols, t, cw, ch),
-            qp, width=(x1 - x0) * n, height=cfg.height,
+            _strip_qp(qp, cols, t, cw, ch),
+            width=(x1 - x0) * n, height=cfg.height,
         )
         ys.append(sy)
         us.append(su)

@@ -52,13 +52,17 @@ class Encoder:
         setting (kvazaarfilter.cpp:221)."""
         if cfg.width % cfg.ctb_size or cfg.height % cfg.ctb_size:
             raise ValueError("v1 requires CTB-aligned dimensions (pad input)")
-        if cfg.sao_enabled and not cfg.wpp and cfg.ctb_log2 not in (5, 6):
-            raise NotImplementedError("SAO requires cfg.wpp at CTB16 (or the CTB32/64 path)")
+        if cfg.sao_enabled and not cfg.wpp and cfg.ctb_log2 not in (5, 6) \
+                and cfg.tile_cols == 1:
+            raise NotImplementedError(
+                "SAO requires cfg.wpp at CTB16 (or the CTB32/64/tiles paths)")
         if cfg.tile_cols > 1:
             if intra_period != 1 and not cfg.fast_decision:
                 raise NotImplementedError("tiled P requires cfg.fast_decision")
-            if cfg.wpp or cfg.sao_enabled or cfg.cu_qp_delta:
-                raise NotImplementedError("tiles exclude wpp/sao/cu_qp_delta for now")
+            if cfg.cu_qp_delta and not cfg.fast_decision:
+                raise NotImplementedError("tiled cu_qp_delta needs fast_decision")
+            if cfg.wpp:
+                raise NotImplementedError("tiles exclude wpp for now")
             if cfg.tile_cols > cfg.ctbs_w:
                 raise ValueError("more tile columns than CTB columns")
         if cfg.ctb_log2 in (5, 6):
@@ -409,27 +413,68 @@ class Encoder:
             return {"kind": kind, "dev": dev, "out": {}, "qp": qp,
                     "first": first, "poc": self._poc, "recon": dev["recon"]}
         if cfg.tile_cols > 1:
+            from ..entropy.slice_data import derive_qp_actual_tiles, tile_of_map
             from .tiled import encode_frame_intra_tiles, encode_frame_p_tiles
 
             if is_idr:
-                out = encode_frame_intra_tiles(cfg, y, u, v, qp, rdoq=cfg.rdoq)
+                out = encode_frame_intra_tiles(cfg, y, u, v, qp,
+                                               rdoq=cfg.rdoq, qp_map=flat_map)
                 bs_v = bs_h = None
             else:
                 pry, pru, prv = self._ref
                 out = encode_frame_p_tiles(cfg, y, u, v, pry, pru, prv, qp,
-                                           rdoq=cfg.rdoq)
+                                           rdoq=cfg.rdoq, qp_map=flat_map)
                 bs_v, bs_h = compute_bs(
                     jnp.asarray(out["ctype"]),
                     jnp.asarray(np.any(out["lev_y"] != 0, axis=(1, 2))),
                     jnp.asarray(out["mv"]), cfg.ctbs_w, cfg.ctbs_h,
                 )
             ry, ru, rv = out["recon_y"], out["recon_u"], out["recon_v"]
+            qp_pre_actual = None
+            if flat_map is not None:
+                any_cbf = (
+                    np.any(np.asarray(out["lev_y"]), axis=(1, 2))
+                    | np.any(np.asarray(out["lev_cb"]), axis=(1, 2))
+                    | np.any(np.asarray(out["lev_cr"]), axis=(1, 2))
+                )
+                qp_pre_actual = derive_qp_actual_tiles(
+                    flat_map, any_cbf, cfg, cfg.tile_cols, qp)
             if cfg.deblocking_enabled:
                 # picture-level deblock incl. tile-boundary edges
                 # (loop_filter_across_tiles_enabled_flag = 1)
+                dq_map = (
+                    jnp.asarray(qp_pre_actual.reshape(cfg.ctbs_h, cfg.ctbs_w))
+                    if qp_pre_actual is not None else None
+                )
                 ry, ru, rv = deblock_frame(ry, ru, rv, qp,
                                            spacing=cfg.ctb_size,
-                                           bs_v=bs_v, bs_h=bs_h)
+                                           bs_v=bs_v, bs_h=bs_h,
+                                           qp_map=dq_map)
+            sao_state = None
+            if cfg.sao_enabled:
+                # SAO estimation/application on the assembled picture
+                # (loop filter crosses tile boundaries; only the MERGE
+                # flags respect them — SaoState.tile_of in the writer)
+                lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+                t_l, aux_l, off_l, _ = sao_decide(
+                    jnp.asarray(np.asarray(y)), ry, lam, ctb=cfg.ctb_size)
+                t_c, _cls, aux_cb, aux_cr, off_cb, off_cr = sao_decide_chroma(
+                    jnp.asarray(np.asarray(u)), ru,
+                    jnp.asarray(np.asarray(v)), rv, lam,
+                    ctb=cfg.ctb_size // 2)
+                sao_state = SaoState(
+                    cfg.ctbs_w, cfg.ctbs_h,
+                    typ=np.stack([np.asarray(t_l), np.asarray(t_c),
+                                  np.asarray(t_c)]),
+                    aux=np.stack([np.asarray(aux_l), np.asarray(aux_cb),
+                                  np.asarray(aux_cr)]),
+                    offs=np.stack([np.asarray(off_l), np.asarray(off_cb),
+                                   np.asarray(off_cr)]),
+                )
+                sao_state.tile_of = tile_of_map(cfg, cfg.tile_cols)
+                ry = sao_apply(ry, t_l, aux_l, off_l, ctb=cfg.ctb_size)
+                ru = sao_apply(ru, t_c, aux_cb, off_cb, ctb=cfg.ctb_size // 2)
+                rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
             first = self._frame_count == 0 or (
                 is_idr and self.vps_period
                 and (self._idr_count - 1) % self.vps_period == 0)
@@ -438,9 +483,10 @@ class Encoder:
             self._ref = (ry, ru, rv)
             return {"kind": "tiles" if is_idr else "tiles_p", "out": out,
                     "qp": qp, "first": first, "poc": self._poc,
+                    "flat_map": flat_map, "sao_state": sao_state,
                     "recon": (ry, ru, rv)}
         if is_idr:
-            if cfg.fast_decision and flat_map is None:
+            if cfg.fast_decision:
                 from .frame_intra import encode_frame_intra_fast
 
                 out = encode_frame_intra_fast(
@@ -455,7 +501,7 @@ class Encoder:
             bs_v = bs_h = None
         else:
             ry, ru, rv = self._ref
-            if cfg.fast_decision and flat_map is None:
+            if cfg.fast_decision:
                 from .frame_inter import encode_frame_p_fast
 
                 tmvp_kw = {}
@@ -662,17 +708,22 @@ class Encoder:
                 encode_slice_data_p_tiles,
             )
 
+            t_flat_map = ctx.get("flat_map")
+            t_sao = ctx.get("sao_state")
             if ctx["kind"] == "tiles":
-                payload, entry_offsets = encode_slice_data_intra_tiles(
+                res = encode_slice_data_intra_tiles(
                     cfg, cfg.tile_cols,
                     np.asarray(out["mode"]), np.asarray(out["lev_y"]),
                     np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
-                    slice_qp=qp,
+                    slice_qp=qp, qp_map=t_flat_map, sao=t_sao,
                 )
+                payload, entry_offsets = res[0], res[1]
                 sh = SliceHeader(slice_type=2, qp=qp,
-                                 nal_type=NalType.IDR_W_RADL)
+                                 nal_type=NalType.IDR_W_RADL,
+                                 sao_luma=cfg.sao_enabled,
+                                 sao_chroma=cfg.sao_enabled)
             else:
-                payload, entry_offsets = encode_slice_data_p_tiles(
+                res = encode_slice_data_p_tiles(
                     cfg, cfg.tile_cols,
                     np.asarray(out["ctype"]), np.asarray(out["intra_mode"]),
                     np.asarray(out["mv"]), np.asarray(out["mvp_flag"]),
@@ -681,13 +732,15 @@ class Encoder:
                     slice_qp=qp,
                     merge_idxs=(np.asarray(out["merge_idx"])
                                 if cfg.merge_cand > 1 else None),
-                    merge_k=cfg.merge_cand,
+                    merge_k=cfg.merge_cand, qp_map=t_flat_map, sao=t_sao,
                 )
+                payload, entry_offsets = res[0], res[1]
                 sh = SliceHeader(
                     slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
                     pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
                     num_negative_pics=1, delta_pocs=(-1,),
                     max_num_merge_cand=cfg.merge_cand,
+                    sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
                 )
             if entry_offsets:
                 entry_offsets = ebsp_entry_offsets(payload, entry_offsets)

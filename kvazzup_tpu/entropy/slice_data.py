@@ -1008,6 +1008,15 @@ class SaoState:
         self.offs = np.zeros((3, n, 4), np.int32) if offs is None else np.asarray(offs, np.int32).reshape(3, n, 4)
         self.slice_of = None  # per-CTU slice index (merge unavailability
         # across slice boundaries, 7.3.8.3); None = single slice
+        self.tile_of = None  # per-CTU tile index: merge flags are not
+        # even CODED across a tile boundary (7.3.8.3 availability)
+
+    def _avail(self, i, j) -> bool:
+        if self.slice_of is not None and self.slice_of[j] != self.slice_of[i]:
+            return False
+        if self.tile_of is not None and self.tile_of[j] != self.tile_of[i]:
+            return False
+        return True
 
     def _same(self, i, j) -> bool:
         return (
@@ -1023,12 +1032,14 @@ class SaoState:
 
     def encode(self, enc, i: int) -> None:
         c, r = i % self.cw, i // self.cw
-        merge_left = c > 0 and self._same(i, i - 1)
-        if c > 0:
+        left_ok = c > 0 and self._avail(i, i - 1)
+        merge_left = left_ok and self._same(i, i - 1)
+        if left_ok:
             enc.encode_bin(OFFSETS["sao_merge_flag"], 1 if merge_left else 0)
         if not merge_left:
-            merge_up = r > 0 and self._same(i, i - self.cw)
-            if r > 0:
+            up_ok = r > 0 and self._avail(i, i - self.cw)
+            merge_up = up_ok and self._same(i, i - self.cw)
+            if up_ok:
                 enc.encode_bin(OFFSETS["sao_merge_flag"], 1 if merge_up else 0)
             if not merge_up:
                 self._encode_params(enc, i)
@@ -1061,15 +1072,10 @@ class SaoState:
 
     def decode(self, dec, i: int) -> None:
         c, r = i % self.cw, i // self.cw
-        so = self.slice_of
-
-        def avail(j):
-            return so is None or so[j] == so[i]
-
-        if c > 0 and avail(i - 1) and dec.decode_bin(OFFSETS["sao_merge_flag"]):
+        if c > 0 and self._avail(i, i - 1) and dec.decode_bin(OFFSETS["sao_merge_flag"]):
             self._copy(i, i - 1)
             return
-        if r > 0 and avail(i - self.cw) and dec.decode_bin(OFFSETS["sao_merge_flag"]):
+        if r > 0 and self._avail(i, i - self.cw) and dec.decode_bin(OFFSETS["sao_merge_flag"]):
             self._copy(i, i - self.cw)
             return
         for cidx in range(3):
@@ -1103,6 +1109,22 @@ class SaoState:
                     self.aux[cidx, i] = dec.decode_bypass_bits(2)
                 else:
                     self.aux[2, i] = self.aux[1, i]  # chroma EO class shared
+
+
+def derive_qp_actual_tiles(flat_map, any_cbf, cfg, n_cols: int, slice_qp: int):
+    """Per-CTU actual QP under the 8.6.1 chain in TILE-raster order
+    (qPY_PREV resets to SliceQpY at each tile start).  Matches the tile
+    writers' QpState exactly."""
+    cw = cfg.ctbs_w
+    out = np.zeros(cw * cfg.ctbs_h, np.int32)
+    for (x0, x1) in tile_grid(cfg, n_cols):
+        prev = slice_qp
+        for r in range(cfg.ctbs_h):
+            for c in range(x0, x1):
+                i = r * cw + c
+                out[i] = int(flat_map[i]) if any_cbf[i] else prev
+                prev = out[i]
+    return out
 
 
 def derive_qp_actual(flat_map, any_cbf, cw: int, chh: int, slice_qp: int, wpp: bool):
@@ -1442,7 +1464,17 @@ def tile_grid(cfg, n_cols: int):
     return [((i * cw) // n_cols, ((i + 1) * cw) // n_cols) for i in range(n_cols)]
 
 
-def encode_slice_data_tiles(cfg, n_cols: int, ctu_fn, slice_qp=None) -> tuple:
+def tile_of_map(cfg, n_cols: int) -> np.ndarray:
+    """Per-CTU tile index in picture raster (TileId), for availability."""
+    cw = cfg.ctbs_w
+    row = np.zeros(cw, np.int32)
+    for t, (x0, x1) in enumerate(tile_grid(cfg, n_cols)):
+        row[x0:x1] = t
+    return np.tile(row, cfg.ctbs_h)
+
+
+def encode_slice_data_tiles(cfg, n_cols: int, ctu_fn, slice_qp=None,
+                            qp_state=None) -> tuple:
     """Tile-column slice data: independent CABAC substream per tile
     (contexts re-initialized, no inheritance), CTUs in tile-raster order,
     end_of_subset termination between tiles (7.3.8.1).
@@ -1457,6 +1489,8 @@ def encode_slice_data_tiles(cfg, n_cols: int, ctu_fn, slice_qp=None) -> tuple:
     for t, (x0, x1) in enumerate(cols):
         enc = CabacEncoder(init_type=ctu_fn.init_type,
                            slice_qp=cfg.qp if slice_qp is None else slice_qp)
+        if qp_state is not None:
+            qp_state.row_start()  # 8.6.1: qPY_PREV = SliceQpY at tile start
         for r in range(chh):
             for c in range(x0, x1):
                 i = r * cw + c
@@ -1469,7 +1503,7 @@ def encode_slice_data_tiles(cfg, n_cols: int, ctu_fn, slice_qp=None) -> tuple:
     return b"".join(payloads), [len(p) for p in payloads[:-1]]
 
 
-def decode_slice_data_tiles(cfg, n_cols: int, payload, entry_offsets, ctu_fn, init_type, slice_qp):
+def decode_slice_data_tiles(cfg, n_cols: int, payload, entry_offsets, ctu_fn, init_type, slice_qp, qp_state=None):
     cw, chh = cfg.ctbs_w, cfg.ctbs_h
     cols = tile_grid(cfg, n_cols)
     bounds = [0]
@@ -1480,6 +1514,8 @@ def decode_slice_data_tiles(cfg, n_cols: int, payload, entry_offsets, ctu_fn, in
     for t, (x0, x1) in enumerate(cols):
         dec = CabacDecoder(payload[bounds[t] : bounds[t + 1]], init_type=init_type,
                            slice_qp=slice_qp)
+        if qp_state is not None:
+            qp_state.row_start()  # 8.6.1: qPY_PREV = SliceQpY at tile start
         for r in range(chh):
             for c in range(x0, x1):
                 i = r * cw + c
@@ -1493,8 +1529,11 @@ def decode_slice_data_tiles(cfg, n_cols: int, payload, entry_offsets, ctu_fn, in
                         raise ValueError("missing end_of_subset at tile end")
 
 
-def _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr):
+def _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr,
+                       qp_state=None, sao=None):
     """I-slice CTU syntax with tile-left-edge availability."""
+    if sao is not None:
+        sao.encode(enc, i)
     c = i % cfg.ctbs_w
     if cfg.ctb_log2 == cfg.min_cb_log2:
         enc.encode_bin(OFFSETS["part_mode"], 1)
@@ -1507,6 +1546,8 @@ def _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr):
     enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cb)
     enc.encode_bin(OFFSETS["cbf_chroma"], cbf_cr)
     enc.encode_bin(OFFSETS["cbf_luma"] + 1, cbf_y)
+    if qp_state is not None:
+        qp_state.encode(enc, i, bool(cbf_y or cbf_cb or cbf_cr))
     if cbf_y:
         encode_residual(enc, lev_y[i], cfg.ctb_log2, 0)
     if cbf_cb:
@@ -1516,23 +1557,35 @@ def _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr):
 
 
 def encode_slice_data_intra_tiles(cfg, n_cols, modes, lev_y, lev_cb, lev_cr,
-                                  slice_qp=None):
+                                  slice_qp=None, qp_map=None, sao=None):
+    sq = cfg.qp if slice_qp is None else slice_qp
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    qs = QpState(sq, qp_map, nctu) if qp_map is not None else None
+
     def fn(enc, i, x0t, x1t):
-        _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr)
+        _encode_ctu_i_tile(enc, cfg, i, x0t, modes, lev_y, lev_cb, lev_cr,
+                           qs, sao)
 
     fn.init_type = 0
-    return encode_slice_data_tiles(cfg, n_cols, fn, slice_qp)
+    out = encode_slice_data_tiles(cfg, n_cols, fn, slice_qp, qs)
+    if qs is not None:
+        return out[0], out[1], qs.actual
+    return out
 
 
-def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp):
+def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp,
+                                  cu_qp_delta: bool = False, sao=None):
     n = cfg.ctb_size
     nctu = cfg.ctbs_w * cfg.ctbs_h
     modes = np.zeros(nctu, np.int32)
     lev_y = np.zeros((nctu, n, n), np.int32)
     lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    qs = QpState(slice_qp, np.zeros(nctu), nctu) if cu_qp_delta else None
 
     def fn(dec, i, x0t, x1t):
+        if sao is not None:
+            sao.decode(dec, i)
         c = i % cfg.ctbs_w
         if cfg.ctb_log2 == cfg.min_cb_log2:
             if dec.decode_bin(OFFSETS["part_mode"]) != 1:
@@ -1544,6 +1597,8 @@ def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp)
         cbf_cb = dec.decode_bin(OFFSETS["cbf_chroma"])
         cbf_cr = dec.decode_bin(OFFSETS["cbf_chroma"])
         cbf_y = dec.decode_bin(OFFSETS["cbf_luma"] + 1)
+        if qs is not None:
+            qs.decode(dec, i, bool(cbf_y or cbf_cb or cbf_cr))
         if cbf_y:
             lev_y[i] = decode_residual(dec, cfg.ctb_log2, 0)
         if cbf_cb:
@@ -1551,30 +1606,40 @@ def decode_slice_data_intra_tiles(cfg, n_cols, payload, entry_offsets, slice_qp)
         if cbf_cr:
             lev_cr[i] = decode_residual(dec, cfg.ctb_log2 - 1, 2)
 
-    decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 0, slice_qp)
+    decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 0,
+                            slice_qp, qs)
+    if qs is not None:
+        return modes, lev_y, lev_cb, lev_cr, qs.actual
     return modes, lev_y, lev_cb, lev_cr
 
 
 def encode_slice_data_p_tiles(cfg, n_cols, ctype, intra_modes, mvs, mvp_flags,
                               mvds, lev_y, lev_cb, lev_cr, slice_qp=None,
-                              merge_idxs=None, merge_k=1):
+                              merge_idxs=None, merge_k=1, qp_map=None,
+                              sao=None):
     """P-slice tile columns: independent CABAC substream per tile with
     tile-local neighbor availability (the MCTS counterpart of the device
     wave's tile-view encode)."""
+    sq = cfg.qp if slice_qp is None else slice_qp
     nctu = cfg.ctbs_w * cfg.ctbs_h
+    qs = QpState(sq, qp_map, nctu) if qp_map is not None else None
     skip = np.zeros(nctu, dtype=bool)
 
     def fn(enc, i, x0t, x1t):
         _encode_ctu_p_one(enc, cfg, i, skip, ctype, intra_modes, mvs,
-                          mvp_flags, mvds, lev_y, lev_cb, lev_cr, x0t=x0t,
-                          merge_idxs=merge_idxs, merge_k=merge_k)
+                          mvp_flags, mvds, lev_y, lev_cb, lev_cr, qs, sao,
+                          x0t=x0t, merge_idxs=merge_idxs, merge_k=merge_k)
 
     fn.init_type = 1
-    return encode_slice_data_tiles(cfg, n_cols, fn, slice_qp)
+    out = encode_slice_data_tiles(cfg, n_cols, fn, slice_qp, qs)
+    if qs is not None:
+        return out[0], out[1], qs.actual
+    return out
 
 
 def decode_slice_data_p_tiles(cfg, n_cols, payload, entry_offsets, slice_qp,
-                              merge_k: int = 1):
+                              merge_k: int = 1, cu_qp_delta: bool = False,
+                              sao=None, col=None):
     nctu = cfg.ctbs_w * cfg.ctbs_h
     n = cfg.ctb_size
     ctype = np.zeros(nctu, np.int32)
@@ -1585,13 +1650,17 @@ def decode_slice_data_p_tiles(cfg, n_cols, payload, entry_offsets, slice_qp,
     lev_y = np.zeros((nctu, n, n), np.int32)
     lev_cb = np.zeros((nctu, n // 2, n // 2), np.int32)
     lev_cr = np.zeros((nctu, n // 2, n // 2), np.int32)
+    qs = QpState(slice_qp, np.zeros(nctu), nctu) if cu_qp_delta else None
 
     def fn(dec, i, x0t, x1t):
         _decode_ctu_p_one(dec, cfg, i, skip, inter, ctype, intra_modes, mvs,
-                          lev_y, lev_cb, lev_cr, x0t=x0t, x1t=x1t,
-                          merge_k=merge_k)
+                          lev_y, lev_cb, lev_cr, qs, sao, x0t=x0t, x1t=x1t,
+                          merge_k=merge_k, col=col)
 
-    decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 1, slice_qp)
+    decode_slice_data_tiles(cfg, n_cols, payload, entry_offsets, fn, 1,
+                            slice_qp, qs)
+    if qs is not None:
+        return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr, qs.actual
     return ctype, intra_modes, mvs, lev_y, lev_cb, lev_cr
 
 

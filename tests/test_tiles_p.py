@@ -100,3 +100,65 @@ def test_sharded_tiles_byte_identical(tmp_path):
     rec = tuple(np.asarray(p) for p in sharded._enc._ref)
     for p, q in zip(ref[-1], rec):
         assert np.array_equal(p, q)
+
+
+def test_tiles_sao_qp_map(tmp_path):
+    """Tiles compose with SAO + cu_qp_delta: the full tiled production
+    combo (deblock+sao+merge5+ROI qp map) I+P+P, oracle-exact and
+    self-decode-exact.  SAO merge flags stop at tile boundaries
+    (7.3.8.3); the cu_qp_delta chain resets per tile (8.6.1)."""
+    from kvazzup_tpu.decoder.top import Decoder
+
+    w, h = 128, 64
+    frames = _motion_frames(w, h, 3, seed=23)
+    cfg = StreamConfig(width=w, height=h, qp=34, tile_cols=2,
+                       deblocking_enabled=True, sao_enabled=True,
+                       cu_qp_delta=True, merge_cand=5)
+    enc = Encoder(cfg, intra_period=8)
+    qm = np.full((cfg.ctbs_h, cfg.ctbs_w), 36, np.int32)
+    qm[:, : cfg.ctbs_w // 2] = 26  # ROI = left tile
+    qm[1, :] += 2  # exercise the per-tile delta chain
+    stream = b""
+    recons = []
+    for (y, u, v) in frames:
+        s, rec = enc.encode_frame(y, u, v, qp_map=qm)
+        stream += s
+        recons.append(rec)
+    outs = Decoder().decode(stream)
+    assert len(outs) == len(frames)
+    for rec, out in zip(recons, outs):
+        for a, b in zip(rec, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ref, log = oracle_decode(stream, w, h, tmp_path)
+    assert len(ref) == len(frames), log
+    for fi, (rec, rf) in enumerate(zip(recons, ref)):
+        for a, b in zip(rec, rf):
+            np.testing.assert_array_equal(np.asarray(a), b,
+                                          err_msg=f"frame {fi}")
+
+
+def test_tiles_sao_only(tmp_path):
+    """Tiles + SAO without qp maps (merge-flag tile availability path)."""
+    from kvazzup_tpu.decoder.top import Decoder
+
+    w, h = 128, 64
+    frames = _motion_frames(w, h, 3, seed=29)
+    cfg = StreamConfig(width=w, height=h, qp=30, tile_cols=3,
+                       deblocking_enabled=True, sao_enabled=True)
+    enc = Encoder(cfg, intra_period=8)
+    stream = b""
+    recons = []
+    for (y, u, v) in frames:
+        s, rec = enc.encode_frame(y, u, v)
+        stream += s
+        recons.append(rec)
+    outs = Decoder().decode(stream)
+    for rec, out in zip(recons, outs):
+        for a, b in zip(rec, out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ref, log = oracle_decode(stream, w, h, tmp_path)
+    assert len(ref) == len(frames), log
+    for fi, (rec, rf) in enumerate(zip(recons, ref)):
+        for a, b in zip(rec, rf):
+            np.testing.assert_array_equal(np.asarray(a), b,
+                                          err_msg=f"frame {fi}")
