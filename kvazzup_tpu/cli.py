@@ -56,6 +56,7 @@ def cmd_encode(args) -> int:
         max_dec_pic_buffering=5 if ra else 2,
         merge_cand=args.merge,
         temporal_mvp=args.tmvp,
+        rdoq=args.rdoq,
     )
     if ctb_log2 > 4 and args.intra_period != 1:
         if ra or args.tu_intra_depth != 1:
@@ -360,6 +361,8 @@ def main(argv=None) -> int:
                     help="CU quadtree: allow 8x8 CUs (all-intra; better detail)")
     pe.add_argument("--merge", type=int, choices=(1, 2, 3, 4, 5), default=1,
                     help="MaxNumMergeCand for P slices (kvazaar --merge)")
+    pe.add_argument("--rdoq", action="store_true",
+                    help="RD-optimized quantization (kvazaar --rd quant)")
     pe.add_argument("--tmvp", action="store_true",
                     help="temporal MV prediction (kvazaar --tmvp)")
     pe.add_argument("--gop", choices=["ld", "ra"], default="ld",

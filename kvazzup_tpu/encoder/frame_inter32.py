@@ -180,21 +180,30 @@ def _arbitrate(ck, oy_flat, log2, win, cand_mvs, memv, mvp0, mvp1, icost,
                 mvp_flag=mvp_flag, mvd=mvd)
 
 
-def _code_flat_mode(ck, orig, pred, q, log2, use_intra):
+def _code_flat_mode(ck, orig, pred, q, log2, use_intra, lam2=None,
+                    rdoq=False):
     """TQR with the mode-dependent quantizer deadzone (intra 171/512,
-    inter 85/512) riding as a traced per-lane flag — one quant pass."""
+    inter 85/512) riding as a traced per-lane flag — one quant pass.
+    rdoq (static): per-coefficient RD level choice (ops/quant RDOQ-lite),
+    lam2 = per-lane lambda^2."""
+    from ..ops.quant import quantize_rdoq
+
     coef = ck.fwd_transform_flat(orig - pred, log2)
-    lev = quantize(coef, q, log2, use_intra)
+    if rdoq:
+        lev = quantize_rdoq(coef, q, log2, lam2, use_intra)
+    else:
+        lev = quantize(coef, q, log2, use_intra)
     deq = dequantize(lev, q, log2)
     rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
     return lev, rec
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "merge_cand",
-                                              "tmvp"))
+                                              "tmvp", "rdoq"))
 def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                           height: int, merge_cand: int = 1,
-                          tmvp: bool = False, col_mv=None, col_inter=None):
+                          tmvp: bool = False, col_mv=None, col_inter=None,
+                          rdoq: bool = False):
     """Dense-decision CTB32 quadtree P encode (ring-carry 32-wave).
 
     tmvp: temporal merge/AMVP candidates (8.5.3.2.8) from the collocated
@@ -382,7 +391,7 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         pred_y32 = jnp.where(arb32["use_intra"][:, None], pred_i32,
                              arb32["pred_inter"])
         lev32, rec32 = _code_flat_mode(ck, oy_flat, pred_y32, qpw, 5,
-                                       arb32["use_intra"])
+                                       arb32["use_intra"], lam2, rdoq)
         # CU32 chroma (TU16): intra DM or MC at the selected MV
         au = intra_ops.substitute_refs_ctb(_ring_boundary(*ru, 16), fl, fa, ftr, 16)
         av = intra_ops.substitute_refs_ctb(_ring_boundary(*rv, 16), fl, fa, ftr, 16)
@@ -397,10 +406,10 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         ui32 = arb32["use_intra"][:, None]
         levu32, recu32 = _code_flat_mode(
             ck, ouw.reshape(lanes, -1), jnp.where(ui32, pred_iu32, pred_mu32),
-            qpcw, 4, arb32["use_intra"])
+            qpcw, 4, arb32["use_intra"], lam2, rdoq)
         levv32, recv32 = _code_flat_mode(
             ck, ovw.reshape(lanes, -1), jnp.where(ui32, pred_iv32, pred_mv32),
-            qpcw, 4, arb32["use_intra"])
+            qpcw, 4, arb32["use_intra"], lam2, rdoq)
 
         # ---------- CU16 quadrants (z-order, in-step chaining)
         Lcol = ry[1][0]
@@ -510,7 +519,7 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
             pred_yq = jnp.where(arb["use_intra"][:, None], pred_iq,
                                 arb["pred_inter"])
             levq, recq = _code_flat_mode(ck, o16f, pred_yq, qpw, 4,
-                                         arb["use_intra"])
+                                         arb["use_intra"], lam2, rdoq)
 
             # chroma TU8
             lev_cq, rec_cq = [], []
@@ -543,7 +552,7 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                                                  SEARCH_RANGE).reshape(lanes, -1)
                 pred_c = jnp.where(arb["use_intra"][:, None], pred_ic, pred_mc)
                 lev_c, rec_c = _code_flat_mode(ck, o8, pred_c, qpcw, 3,
-                                               arb["use_intra"])
+                                               arb["use_intra"], lam2, rdoq)
                 lev_cq.append(lev_c)
                 rec_cq.append(rec_c.reshape(lanes, 8, 8))
 

@@ -109,10 +109,11 @@ def _temporal_cells(col_mv, col_inter, cw: int, ch: int):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "merge_cand",
-                                              "tmvp"))
+                                              "tmvp", "rdoq"))
 def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                           height: int, merge_cand: int = 1,
-                          tmvp: bool = False, col_mv=None, col_inter=None):
+                          tmvp: bool = False, col_mv=None, col_inter=None,
+                          rdoq: bool = False):
     """Dense-decision CTB64 quadtree P encode (ring-carry 64-wave)."""
     from ..core.tables import CHROMA_QP_TABLE
     from ..ops import ctu_kernels as ck
@@ -351,7 +352,7 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
             pred_y = jnp.where(arb["use_intra"][:, None], pred_i,
                                arb["pred_inter"])
             lev, rec = _code_flat_mode(ck, oyf, pred_y, qpw, log2u,
-                                       arb["use_intra"])
+                                       arb["use_intra"], lamf * lamf, rdoq)
             cY = cY.at[:, y0 : y0 + n, x0 : x0 + n].set(
                 rec.reshape(lanes, n, n))
             # chroma
@@ -371,7 +372,7 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                 pred_c = jnp.where(arb["use_intra"][:, None], pred_ic,
                                    pred_mc)
                 lc, rc = _code_flat_mode(ck, ocf, pred_c, qpcw, log2u - 1,
-                                         arb["use_intra"])
+                                         arb["use_intra"], lamf * lamf, rdoq)
                 lev_c.append(lc)
                 rec_c.append(rc)
             cU = cU.at[:, yc : yc + m, xc : xc + m].set(
@@ -461,7 +462,8 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                  X + 32 + 2 * SEARCH_RANGE + 7))
             pred = mc_luma_window_batch(w32, arb64["mv"], 32,
                                         SEARCH_RANGE).reshape(lanes, -1)
-            lv, rc = _code_flat_mode(ck, oyf, pred, qpw, 5, fls_b)
+            lv, rc = _code_flat_mode(ck, oyf, pred, qpw, 5, fls_b,
+                                     lamf * lamf, rdoq)
             rec64 = rec64.at[:, Y : Y + 32, X : X + 32].set(
                 rc.reshape(lanes, 32, 32))
             lev64.append(lv)
@@ -475,7 +477,8 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                      xc + 16 + SEARCH_RANGE + 3))
                 pc = mc_chroma_window_batch(wc, arb64["mv"], 16,
                                             SEARCH_RANGE).reshape(lanes, -1)
-                lc, rcc = _code_flat_mode(ck, ocf, pc, qpcw, 4, fls_b)
+                lc, rcc = _code_flat_mode(ck, ocf, pc, qpcw, 4, fls_b,
+                                          lamf * lamf, rdoq)
                 levs.append(lc)
                 if recs == "u":
                     rec64u = rec64u.at[:, yc : yc + 16, xc : xc + 16].set(

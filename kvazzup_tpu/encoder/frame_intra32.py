@@ -126,8 +126,9 @@ def _pred_sel(ck, a, log2: int, is_luma: bool, mode):
     return jnp.take_along_axis(preds, mode[:, None, None], axis=1)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def encode_frame_intra32_fast(y, u, v, qp, *, width: int, height: int):
+@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
+def encode_frame_intra32_fast(y, u, v, qp, *, width: int, height: int,
+                              rdoq: bool = False):
     """Dense-decision CTB32 quadtree intra encode (ring-carry 32-wave).
 
     qp: scalar OR a per-CTU (nctb,) int32 vector (the cu_qp_delta/ROI
@@ -189,9 +190,10 @@ def encode_frame_intra32_fast(y, u, v, qp, *, width: int, height: int):
     shift1 = lambda x: jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
 
     def _quad_leaf(ck_, o_flat, walk, mode, q, log2c, lam2):
+        # noqa: closes over rdoq
         a = walk
         pred = _pred_sel(ck_, a, log2c, log2c >= 4, mode)
-        return _code_flat_sel(ck_, o_flat, pred, q, log2c, lam2, False)
+        return _code_flat_sel(ck_, o_flat, pred, q, log2c, lam2, rdoq)
 
     def wave(carry, x):
         ry, ru, rv = carry
@@ -204,7 +206,7 @@ def encode_frame_intra32_fast(y, u, v, qp, *, width: int, height: int):
         a32 = intra_ops.substitute_refs_ctb(_ring_boundary(*ry, n), fl, fa, ftr, n)
         pred32 = _pred_sel(ck, a32, 5, True, m32)
         lev32, rec32 = _code_flat_sel(ck, oyw.reshape(lanes, -1), pred32,
-                                      qpw, 5, lam2, False)
+                                      qpw, 5, lam2, rdoq)
         a32u = intra_ops.substitute_refs_ctb(
             _ring_boundary(*ru, n // 2), fl, fa, ftr, n // 2)
         a32v = intra_ops.substitute_refs_ctb(
@@ -212,9 +214,9 @@ def encode_frame_intra32_fast(y, u, v, qp, *, width: int, height: int):
         predu32 = _pred_sel(ck, a32u, 4, False, m32)
         predv32 = _pred_sel(ck, a32v, 4, False, m32)
         levu32, recu32 = _code_flat_sel(ck, ouw.reshape(lanes, -1), predu32,
-                                        qpcw, 4, lam2, False)
+                                        qpcw, 4, lam2, rdoq)
         levv32, recv32 = _code_flat_sel(ck, ovw.reshape(lanes, -1), predv32,
-                                        qpcw, 4, lam2, False)
+                                        qpcw, 4, lam2, rdoq)
 
         # ---------- 4x CU16 leaves, z-order with in-step recon boundaries
         Lcol = ry[1][0]                  # (L,32) left CTB right column, top-down

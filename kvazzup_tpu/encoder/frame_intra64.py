@@ -222,8 +222,9 @@ def _rd64_prepass(yp, oy32, qp, lam, *, cw64: int, ch64: int, K: int = 2):
     return mode, rd_best
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int):
+@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
+def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
+                              rdoq: bool = False):
     """Dense-decision CTB64 quadtree intra encode (ring-carry 64-wave)."""
     from ..core.tables import CHROMA_QP_TABLE
     from ..ops import ctu_kernels as ck
@@ -324,7 +325,7 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int):
             return jnp.take_along_axis(preds, mode[:, None, None], 1)[:, 0]
 
         def tqr(pred, orig, qpv, log2u):
-            return _code_flat_sel(ck, orig, pred, qpv, log2u, lam2, False)
+            return _code_flat_sel(ck, orig, pred, qpv, log2u, lam2, rdoq)
 
         def unit(canvas, rings, orig_blk, x0, y0, log2u, mode, qpv, is_luma,
                  Sc):

@@ -226,7 +226,7 @@ class Encoder:
                         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                         pry, pru, prv, dev_qp, width=cfg.width,
                         height=cfg.height, merge_cand=cfg.merge_cand,
-                        **tmvp_kw)
+                        rdoq=cfg.rdoq, **tmvp_kw)
                     trees = quad_p64_trees_from_device(dev, cfg.width,
                                                        cfg.height)
                 else:
@@ -234,7 +234,7 @@ class Encoder:
                         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                         pry, pru, prv, dev_qp, width=cfg.width,
                         height=cfg.height, merge_cand=cfg.merge_cand,
-                        **tmvp_kw)
+                        rdoq=cfg.rdoq, **tmvp_kw)
                     trees = quad_p_trees_from_device(dev, cfg.width,
                                                      cfg.height)
                 ry = jnp.asarray(dev["recon_y"])
@@ -299,7 +299,7 @@ class Encoder:
 
                 dev = encode_frame_intra32_fast(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
-                    width=cfg.width, height=cfg.height)
+                    width=cfg.width, height=cfg.height, rdoq=cfg.rdoq)
                 out = {
                     "trees": quad_trees_from_device(dev, cfg.width, cfg.height),
                     "recon_y": dev["recon_y"],
@@ -312,7 +312,7 @@ class Encoder:
 
                 dev = encode_frame_intra64_fast(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
-                    width=cfg.width, height=cfg.height)
+                    width=cfg.width, height=cfg.height, rdoq=cfg.rdoq)
                 out = {
                     "trees": quad_trees_from_device64(dev, cfg.width,
                                                       cfg.height),

@@ -60,7 +60,7 @@ def test_quad_qp_map_ip(ctb_log2, wpp, tmp_path):
     cfg = StreamConfig(width=w, height=h, qp=34, ctb_log2=ctb_log2,
                        min_cb_log2=3, max_tb_log2=5, cu_qp_delta=True,
                        deblocking_enabled=True, sao_enabled=True, wpp=wpp,
-                       merge_cand=5, temporal_mvp=True)
+                       merge_cand=5, temporal_mvp=True, rdoq=True)
     frames = synthetic_frames(w, h, 3, seed=5)
     _roundtrip(cfg, frames, _qp_maps(cfg, 3), tmp_path)
 

@@ -93,7 +93,7 @@ def run_ours_quad(frames, w, h, qp, ctb_log2):
     cfg = StreamConfig(width=w, height=h, qp=qp, ctb_log2=ctb_log2,
                        min_cb_log2=3, max_tb_log2=5, sao_enabled=True,
                        deblocking_enabled=True, merge_cand=5, wpp=True,
-                       temporal_mvp=True)
+                       temporal_mvp=True, rdoq=True)
     enc = Encoder(cfg, intra_period=64)
     bits = 0
     ps = []
