@@ -35,10 +35,19 @@ def _shift(img, dy: int, dx: int):
     return pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
 
-def _edge_index_maps(rec):
+def _edge_index_maps(rec, xpad: int = 0, lvalid=False, rvalid=False):
     """Per-class (4, H, W) final edgeIdx in {0..4} (0 = flat / no offset),
-    with picture-boundary samples forced to 0."""
+    with picture-boundary samples forced to 0.
+
+    xpad: number of horizontal CONTEXT columns attached on each side of
+    the plane (a shard's ppermute halo of the neighbor tile's deblocked
+    recon).  lvalid/rvalid (traced bools): True when that context is real
+    picture — neighbors there classify normally; False means the picture
+    ends at the strip edge, so those reads are excluded (8.7.3).  With
+    xpad == 0 the flags describe columns beyond the array: False is the
+    picture-edge exclusion of the non-sharded path."""
     h, w = rec.shape
+    x0, x1 = xpad, w - xpad
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     maps = []
@@ -47,9 +56,11 @@ def _edge_index_maps(rec):
         n1 = _shift(rec, dy1, dx1)
         raw = 2 + jnp.sign(rec - n0) + jnp.sign(rec - n1)
         idx = jnp.where(raw == 2, 0, jnp.where(raw < 2, raw + 1, raw)).astype(jnp.int32)
-        # boundary samples whose neighbors fall outside the picture: no EO
+        # samples whose neighbors fall outside the picture: no EO
+        okx = lambda dx: jnp.where(
+            xs + dx < x0, lvalid, jnp.where(xs + dx >= x1, rvalid, True))
         ok = (
-            (xs + dx0 >= 0) & (xs + dx0 < w) & (xs + dx1 >= 0) & (xs + dx1 < w)
+            okx(dx0) & okx(dx1)
             & (ys + dy0 >= 0) & (ys + dy0 < h) & (ys + dy1 >= 0) & (ys + dy1 < h)
         )
         maps.append(jnp.where(ok, idx, 0))
@@ -62,8 +73,9 @@ def _per_ctb_sums(x, ctb: int):
     return x.reshape(lead + (h // ctb, ctb, w // ctb, ctb)).sum(axis=(-3, -1))
 
 
-@functools.partial(jax.jit, static_argnames=("ctb",))
-def sao_statistics(orig, rec, *, ctb: int):
+@functools.partial(jax.jit, static_argnames=("ctb", "xpad"))
+def sao_statistics(orig, rec, *, ctb: int, xpad: int = 0, lvalid=False,
+                   rvalid=False):
     """Per-CTB SAO statistics for one plane.
 
     orig/rec: (H, W) uint8/int32 (rec = deblocked).  Returns dict:
@@ -73,7 +85,7 @@ def sao_statistics(orig, rec, *, ctb: int):
     o = orig.astype(jnp.int32)
     r = rec.astype(jnp.int32)
     diff = o - r
-    emaps = _edge_index_maps(r)  # (4, H, W)
+    emaps = _edge_index_maps(r, xpad, lvalid, rvalid)  # (4, H, W)
     eo_sum = []
     eo_cnt = []
     for cat in range(1, 5):
@@ -103,14 +115,18 @@ def _best_offset(ssum, cnt, lo, hi):
     return jnp.where(better, o2, o), jnp.where(better, d2, d1)
 
 
-@functools.partial(jax.jit, static_argnames=("ctb",))
-def sao_decide(orig, rec, lam, *, ctb: int):
+@functools.partial(jax.jit, static_argnames=("ctb", "xpad"))
+def sao_decide(orig, rec, lam, *, ctb: int, xpad: int = 0, lvalid=False,
+               rvalid=False):
     """Choose per-CTB SAO params for one plane.
 
     Returns (type (cbh,cbw), class_or_bandpos, offsets (cbh,cbw,4), cost)
     where cost is the RD delta (<= 0 improves).  lam: scalar f32.
+    xpad/lvalid/rvalid: sharded-strip context columns (_edge_index_maps);
+    the halo CTB columns' params are meaningless — callers slice them off.
     """
-    st = sao_statistics(orig, rec, ctb=ctb)
+    st = sao_statistics(orig, rec, ctb=ctb, xpad=xpad, lvalid=lvalid,
+                        rvalid=rvalid)
     # EO: per class, best offsets with inferred signs (+,+,-,-)
     eo_off_hi = jnp.array([7, 7, 0, 0], jnp.int32)
     eo_off_lo = jnp.array([0, 0, -7, -7], jnp.int32)
@@ -152,15 +168,16 @@ def sao_decide(orig, rec, lam, *, ctb: int):
     return typ, aux, offs, cost
 
 
-@functools.partial(jax.jit, static_argnames=("ctb", "bd"))
-def sao_apply(rec, typ, aux, offs, *, ctb: int, bd: int = 8):
+@functools.partial(jax.jit, static_argnames=("ctb", "bd", "xpad"))
+def sao_apply(rec, typ, aux, offs, *, ctb: int, bd: int = 8, xpad: int = 0,
+              lvalid=False, rvalid=False):
     """Apply SAO to one plane.  typ/aux: (cbh, cbw); offs: (cbh, cbw, 4).
 
     bd: sample bit depth (band classification uses the 5 MSBs, 8.7.3;
     saoOffsetVal scales by 1 << (bd - min(bd, 10)), zero for bd <= 10)."""
     r = rec.astype(jnp.int32)
     h, w = r.shape
-    emaps = _edge_index_maps(r)  # (4, H, W)
+    emaps = _edge_index_maps(r, xpad, lvalid, rvalid)  # (4, H, W)
     # planes need not be CTB multiples (conformance-cropped sizes): the
     # upsampled per-CTB parameter maps are cropped to the plane
     up = lambda m: jnp.repeat(jnp.repeat(m, ctb, 0), ctb, 1)[:h, :w]
@@ -187,14 +204,17 @@ def sao_apply(rec, typ, aux, offs, *, ctb: int, bd: int = 8):
         jnp.uint8 if bd == 8 else jnp.uint16)
 
 
-@functools.partial(jax.jit, static_argnames=("ctb",))
-def sao_decide_chroma(orig_cb, rec_cb, orig_cr, rec_cr, lam, *, ctb: int):
+@functools.partial(jax.jit, static_argnames=("ctb", "xpad"))
+def sao_decide_chroma(orig_cb, rec_cb, orig_cr, rec_cr, lam, *, ctb: int,
+                      xpad: int = 0, lvalid=False, rvalid=False):
     """Joint chroma decision: type and EO class are shared between Cb and Cr
     (sao_type_idx_chroma / sao_eo_class_chroma coded once); offsets and band
     positions stay per-component.  Returns
     (typ, class_shared, aux_cb, aux_cr, offs_cb, offs_cr)."""
-    st_cb = sao_statistics(orig_cb, rec_cb, ctb=ctb)
-    st_cr = sao_statistics(orig_cr, rec_cr, ctb=ctb)
+    st_cb = sao_statistics(orig_cb, rec_cb, ctb=ctb, xpad=xpad,
+                           lvalid=lvalid, rvalid=rvalid)
+    st_cr = sao_statistics(orig_cr, rec_cr, ctb=ctb, xpad=xpad,
+                           lvalid=lvalid, rvalid=rvalid)
 
     eo_off_hi = jnp.array([7, 7, 0, 0], jnp.int32)[None, :, None, None]
     eo_off_lo = jnp.array([0, 0, -7, -7], jnp.int32)[None, :, None, None]

@@ -63,8 +63,10 @@ class ShardedTileEncoder:
             raise ValueError("cfg.tile_cols must equal the mesh tile size")
         if cfg.ctbs_w % n_t:
             raise ValueError("sharded tiles require uniform CTB-aligned columns")
-        if cfg.sao_enabled or cfg.wpp or cfg.cu_qp_delta or cfg.slices > 1:
-            raise NotImplementedError("sharded tiles: deblock-only loop filter")
+        if cfg.wpp or cfg.cu_qp_delta or cfg.slices > 1:
+            raise NotImplementedError("sharded tiles exclude wpp/qp_map/slices")
+        if cfg.sao_enabled and not cfg.deblocking_enabled:
+            raise NotImplementedError("sharded SAO rides the deblock halos")
         if not cfg.fast_decision:
             raise NotImplementedError("sharded tiles use the fast-decision path")
         self.mesh = mesh
@@ -120,6 +122,40 @@ class ShardedTileEncoder:
                 qp, spacing=n, bs_v=bs_v, bs_h=bs_h)
             return fy[:, n:-n], fu[:, m:-m], fv[:, m:-m]
 
+        def halo_sao(oy, ou, ov, ry, ru, rv, left_f, right_f):
+            """SAO decide+apply on the shard's deblocked column with a
+            1-CTB ppermute halo of the neighbors' deblocked recon + the
+            original frame: classification at the tile edge reads the TRUE
+            neighbor pixels, so per-CTB stats (and hence params) equal the
+            assembled-picture sao_decide's — byte-identical entropy.  Halo
+            CTB columns' params/output are cropped; picture-edge shards
+            exclude the missing side via lvalid/rvalid (8.7.3)."""
+            from ..ops.sao import sao_apply, sao_decide, sao_decide_chroma
+
+            send_r = lambda x: jax.lax.ppermute(x, "tile", fwd)
+            send_l = lambda x: jax.lax.ppermute(x, "tile", bwd)
+            ext = lambda p, k: jnp.concatenate(
+                [send_r(p[:, -k:]), p, send_l(p[:, :k])], axis=1)
+            lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+            kw = dict(lvalid=left_f, rvalid=right_f)
+            exto, extr = ext(oy, n), ext(ry, n)
+            t_l, aux_l, off_l, _ = sao_decide(exto, extr, lam, ctb=n,
+                                              xpad=n, **kw)
+            extou, extru = ext(ou, m), ext(ru, m)
+            extov, extrv = ext(ov, m), ext(rv, m)
+            t_c, _cls, aux_cb, aux_cr, off_cb, off_cr = sao_decide_chroma(
+                extou, extru, extov, extrv, lam, ctb=m, xpad=m, **kw)
+            fy = sao_apply(extr, t_l, aux_l, off_l, ctb=n, xpad=n,
+                           **kw)[:, n:-n]
+            fu = sao_apply(extru, t_c, aux_cb, off_cb, ctb=m, xpad=m,
+                           **kw)[:, m:-m]
+            fv = sao_apply(extrv, t_c, aux_cr, off_cr, ctb=m, xpad=m,
+                           **kw)[:, m:-m]
+            mid = lambda p: p[:, 1:-1]
+            params = (mid(t_l), mid(aux_l), mid(off_l), mid(t_c),
+                      mid(aux_cb), mid(aux_cr), mid(off_cb), mid(off_cr))
+            return fy, fu, fv, params
+
         def shard_i(y, u, v):
             from ..encoder.frame_intra import encode_frame_intra
 
@@ -133,9 +169,14 @@ class ShardedTileEncoder:
                 ry, ru, rv = halo_deblock(
                     ry, ru, rv, ct2, ct2, jnp.zeros((ch, cwt, 2), jnp.int32),
                     left_f, right_f)
-            return (out["mode"], out["lev_y"].astype(jnp.int16),
-                    out["lev_cb"].astype(jnp.int16),
-                    out["lev_cr"].astype(jnp.int16), ry, ru, rv)
+            res = (out["mode"], out["lev_y"].astype(jnp.int16),
+                   out["lev_cb"].astype(jnp.int16),
+                   out["lev_cr"].astype(jnp.int16))
+            if cfg.sao_enabled:
+                ry, ru, rv, params = halo_sao(y, u, v, ry, ru, rv,
+                                              left_f, right_f)
+                return res + (ry, ru, rv) + params
+            return res + (ry, ru, rv)
 
         def shard_p(y, u, v, ref_y, ref_u, ref_v):
             from ..encoder.frame_inter import encode_frame_p_fast
@@ -154,11 +195,16 @@ class ShardedTileEncoder:
                 mv2 = out["mv"].reshape(ch, cwt, 2)
                 ry, ru, rv = halo_deblock(ry, ru, rv, ct2, cb2, mv2,
                                           left_f, right_f)
-            return (out["ctype"], out["intra_mode"], out["mv"],
-                    out["mvp_flag"], out["mvd"], out["merge_idx"],
-                    out["lev_y"].astype(jnp.int16),
-                    out["lev_cb"].astype(jnp.int16),
-                    out["lev_cr"].astype(jnp.int16), ry, ru, rv)
+            res = (out["ctype"], out["intra_mode"], out["mv"],
+                   out["mvp_flag"], out["mvd"], out["merge_idx"],
+                   out["lev_y"].astype(jnp.int16),
+                   out["lev_cb"].astype(jnp.int16),
+                   out["lev_cr"].astype(jnp.int16))
+            if cfg.sao_enabled:
+                ry, ru, rv, params = halo_sao(y, u, v, ry, ru, rv,
+                                              left_f, right_f)
+                return res + (ry, ru, rv) + params
+            return res + (ry, ru, rv)
 
         from jax import shard_map
 
@@ -167,13 +213,19 @@ class ShardedTileEncoder:
         ctu2 = P("tile", None)
         ctu3 = P("tile", None, None)
         planes3 = (plane, plane, plane)
+        # SAO param grids are (ch, cwt) per shard -> picture (ch, cw)
+        pg2 = P(None, "tile")
+        pg3 = P(None, "tile", None)
+        sao_specs = (pg2, pg2, pg3, pg2, pg2, pg2, pg3, pg3) \
+            if cfg.sao_enabled else ()
         step_i = jax.jit(shard_map(
             shard_i, mesh=mesh, in_specs=planes3,
-            out_specs=(ctu1, ctu3, ctu3, ctu3) + planes3, check_vma=False))
+            out_specs=(ctu1, ctu3, ctu3, ctu3) + planes3 + sao_specs,
+            check_vma=False))
         step_p = jax.jit(shard_map(
             shard_p, mesh=mesh, in_specs=planes3 + planes3,
             out_specs=(ctu1, ctu1, ctu2, ctu1, ctu2, ctu1, ctu3, ctu3, ctu3)
-            + planes3, check_vma=False))
+            + planes3 + sao_specs, check_vma=False))
         return step_i, step_p
 
     def _put(self, y, u, v):
@@ -195,15 +247,33 @@ class ShardedTileEncoder:
         yd, ud, vd = self._put(y, u, v)
         if is_idr:
             enc._idr_count += 1
-            mode_s, ly_s, lcb_s, lcr_s, ry, ru, rv = self._step_i(yd, ud, vd)
+            res = self._step_i(yd, ud, vd)
+            mode_s, ly_s, lcb_s, lcr_s = res[:4]
+            ry, ru, rv = res[4:7]
+            sao_parts = res[7:]
             strips = {"mode": mode_s, "lev_y": ly_s, "lev_cb": lcb_s,
                       "lev_cr": lcr_s}
         else:
-            (ct_s, im_s, mv_s, mf_s, mvd_s, mi_s, ly_s, lcb_s, lcr_s, ry,
-             ru, rv) = self._step_p(yd, ud, vd, *enc._ref)
+            res = self._step_p(yd, ud, vd, *enc._ref)
+            (ct_s, im_s, mv_s, mf_s, mvd_s, mi_s, ly_s, lcb_s, lcr_s) = res[:9]
+            ry, ru, rv = res[9:12]
+            sao_parts = res[12:]
             strips = {"ctype": ct_s, "intra_mode": im_s, "mv": mv_s,
                       "mvp_flag": mf_s, "mvd": mvd_s, "merge_idx": mi_s,
                       "lev_y": ly_s, "lev_cb": lcb_s, "lev_cr": lcr_s}
+        sao_state = None
+        if cfg.sao_enabled:
+            from ..entropy.slice_data import SaoState, tile_of_map
+
+            (t_l, aux_l, off_l, t_c, aux_cb, aux_cr, off_cb, off_cr) = (
+                np.asarray(p) for p in sao_parts)
+            sao_state = SaoState(
+                cw, ch,
+                typ=np.stack([t_l, t_c, t_c]),
+                aux=np.stack([aux_l, aux_cb, aux_cr]),
+                offs=np.stack([off_l, off_cb, off_cr]),
+            )
+            sao_state.tile_of = tile_of_map(cfg, cfg.tile_cols)
         # strip-concatenated CTU arrays -> picture raster
         out = {}
         per_tile = nctu // cfg.tile_cols
@@ -219,7 +289,8 @@ class ShardedTileEncoder:
         enc._poc = 0 if is_idr else enc._poc + 1
         enc._ref = (ry, ru, rv)
         ctx = {"kind": "tiles" if is_idr else "tiles_p", "out": out, "qp": cfg.qp,
-               "first": first, "poc": enc._poc, "recon": (ry, ru, rv)}
+               "first": first, "poc": enc._poc, "recon": (ry, ru, rv),
+               "sao_state": sao_state, "flat_map": None}
         return enc.encode_frame_entropy(ctx, materialize_recon=False)
 
     def encode(self, frames) -> bytes:

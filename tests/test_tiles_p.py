@@ -102,6 +102,28 @@ def test_sharded_tiles_byte_identical(tmp_path):
         assert np.array_equal(p, q)
 
 
+def test_sharded_tiles_sao_byte_identical(tmp_path):
+    """Sharded SAO (decide+apply on ppermute halos of the deblocked
+    neighbor columns) == the single-device tiled encoder's assembled-
+    picture SAO, byte for byte; oracle-conformant."""
+    from kvazzup_tpu.parallel.tiles_p import ShardedTileEncoder, make_tile_mesh
+
+    w, h = 256, 64
+    frames = _motion_frames(w, h, 4, seed=31)
+    cfg = StreamConfig(width=w, height=h, qp=31, deblocking_enabled=True,
+                       sao_enabled=True, tile_cols=4, merge_cand=5)
+    ref_enc = Encoder(cfg, intra_period=4)
+    ref_stream = b"".join(ref_enc.encode_frame(*f)[0] for f in frames)
+    sharded = ShardedTileEncoder(make_tile_mesh(4), cfg, intra_period=4)
+    got = sharded.encode(frames)
+    assert got == ref_stream
+    ref, log = oracle_decode(got, w, h, tmp_path)
+    assert len(ref) == len(frames), log
+    rec = tuple(np.asarray(p) for p in sharded._enc._ref)
+    for p, q in zip(ref[-1], rec):
+        assert np.array_equal(p, q)
+
+
 def test_tiles_sao_qp_map(tmp_path):
     """Tiles compose with SAO + cu_qp_delta: the full tiled production
     combo (deblock+sao+merge5+ROI qp map) I+P+P, oracle-exact and
