@@ -100,6 +100,56 @@ def main() -> None:
     p5_fps = (reps - 1) / (time.time() - t0)
     del outs
 
+    # ---- quad64 production-combo P device path (kvazaar's default CTU:
+    # CU quadtree at CTB64, merge5 + TMVP — the BD-sweep operating point)
+    from kvazzup_tpu.encoder.frame_inter64 import encode_frame_p64_fast
+
+    n16 = (w // 16) * (h // 16)
+    col0 = (jnp.zeros((n16, 2), jnp.int32), jnp.zeros((n16,), jnp.int32))
+
+    @jax.jit
+    def runq64(y, u, v, ry, ru, rv):
+        return checksum(encode_frame_p64_fast(
+            y, u, v, ry, ru, rv, qp, width=w, height=h, merge_cand=5,
+            tmvp=True, col_mv=col0[0], col_inter=col0[1]))
+
+    q64_fps = None
+    try:
+        int(runq64(*dev[1], *dev[0]))
+        t0 = time.time()
+        outs = [runq64(*dev[i], *dev[i - 1]) for i in range(1, reps)]
+        int(outs[-1])
+        q64_fps = (reps - 1) / (time.time() - t0)
+        del outs
+    except Exception as e:
+        print(f"[bench] quad64 device bench failed: {e}", file=sys.stderr)
+
+    # ---- production-combo e2e: quad64 + wpp + sao + deblock + merge5 +
+    # tmvp low-delay GOP through the pipelined encoder (device | fetch |
+    # native quad CABAC)
+    e2e_q64_fps = None
+    try:
+        cfg_q = StreamConfig(width=w, height=h, qp=32, ctb_log2=6,
+                             min_cb_log2=3, max_tb_log2=5, wpp=True,
+                             sao_enabled=True, deblocking_enabled=True,
+                             merge_cand=5, temporal_mvp=True)
+        with PipelinedEncoder(cfg_q, intra_period=reps, depth=3,
+                              materialize_recon=False) as pe:
+            pe.push(*frames[0])
+            pe.flush()
+            nb_q = 0
+            t0 = time.time()
+            for i in range(reps):
+                for s, _ in pe.push(*frames[i]):
+                    nb_q += len(s)
+            for s, _ in pe.flush():
+                nb_q += len(s)
+            e2e_q64_fps = reps / (time.time() - t0)
+        print(f"[bench] quad64 production e2e {e2e_q64_fps:.2f} fps "
+              f"({nb_q // reps} bytes/frame)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] quad64 e2e bench failed: {e}", file=sys.stderr)
+
     # ---- end-to-end pipelined encoder (device | fetch | native CABAC)
     cfg = StreamConfig(width=w, height=h, qp=32, wpp=True)
     with PipelinedEncoder(cfg, intra_period=1, depth=3, materialize_recon=False) as pe:
@@ -146,9 +196,11 @@ def main() -> None:
     p_fps_4k = (reps4 - 1) / (time.time() - t0)
     del outs
 
+    q64s = "n/a" if q64_fps is None else f"{q64_fps:.2f}"
     print(
         f"[bench] 1080p: device intra {dev_fps:.2f} fps, device P {p_fps:.2f} fps "
-        f"({p_ms:.0f} ms, merge5 {p5_fps:.2f}), e2e pipelined {e2e_fps:.2f} fps "
+        f"({p_ms:.0f} ms, merge5 {p5_fps:.2f}, quad64 {q64s}), "
+        f"e2e pipelined {e2e_fps:.2f} fps "
         f"({nbytes // reps} bytes/frame); 4K intra {fps_4k:.2f} fps, "
         f"4K P {p_fps_4k:.2f} fps; "
         f"compile {compile_s:.1f}s on {jax.devices()[0].platform}",
@@ -168,8 +220,12 @@ def main() -> None:
                 "vs_baseline": round(dev_fps / 30.0, 4),
                 "p_fps_1080p_device": round(p_fps, 3),
                 "p_fps_1080p_merge5_device": round(p5_fps, 3),
+                "p_fps_1080p_quad64_device": (
+                    None if q64_fps is None else round(q64_fps, 3)),
                 "p_fps_4k_device": round(p_fps_4k, 3),
                 "e2e_fps_1080p_pipelined": round(e2e_fps, 3),
+                "e2e_fps_1080p_quad64_production": (
+                    None if e2e_q64_fps is None else round(e2e_q64_fps, 3)),
                 "intra_fps_4k_device": round(fps_4k, 3),
                 "decode_fps_1080p_x265_medium": dec_fps,
             }

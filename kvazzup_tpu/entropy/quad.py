@@ -298,6 +298,9 @@ def encode_slice_data_p_quad(cfg, trees, slice_qp=None, sao=None,
     from .slice_data import QpState
 
     sq = cfg.qp if slice_qp is None else slice_qp
+    out = _try_native_quad(cfg, trees, 1, False, sq, sao, qp_map, merge_k)
+    if out is not None:
+        return out[0]
     enc = CabacEncoder(init_type=1, slice_qp=sq)
     cw = cfg.ctbs_w
     nctu = cw * cfg.ctbs_h
@@ -325,6 +328,9 @@ def encode_slice_data_p_quad_wpp(cfg, trees, slice_qp=None, sao=None,
     from .slice_data import QpState, encode_slice_data_wpp
 
     sq = cfg.qp if slice_qp is None else slice_qp
+    out = _try_native_quad(cfg, trees, 1, True, sq, sao, qp_map, merge_k)
+    if out is not None:
+        return out
     cw = cfg.ctbs_w
     qs = QpState(sq, qp_map, cw * cfg.ctbs_h) if qp_map is not None else None
     wr = _QuadWriterP(cfg, sq, merge_k, qs)
@@ -352,6 +358,9 @@ def encode_slice_data_intra_quad(cfg, trees, slice_qp=None, sao=None,
     from .slice_data import QpState
 
     sq = cfg.qp if slice_qp is None else slice_qp
+    out = _try_native_quad(cfg, trees, 2, False, sq, sao, qp_map, 1)
+    if out is not None:
+        return out[0]
     enc = CabacEncoder(init_type=0, slice_qp=sq)
     cw = cfg.ctbs_w
     nctu = cw * cfg.ctbs_h
@@ -379,6 +388,9 @@ def encode_slice_data_intra_quad_wpp(cfg, trees, slice_qp=None, sao=None,
     from .slice_data import QpState, encode_slice_data_wpp
 
     sq = cfg.qp if slice_qp is None else slice_qp
+    out = _try_native_quad(cfg, trees, 2, True, sq, sao, qp_map, 1)
+    if out is not None:
+        return out
     cw = cfg.ctbs_w
     qs = QpState(sq, qp_map, cw * cfg.ctbs_h) if qp_map is not None else None
     wr = _QuadWriter(cfg, sq, qs)
@@ -395,3 +407,74 @@ def encode_slice_data_intra_quad_wpp(cfg, trees, slice_qp=None, sao=None,
 
     fn.init_type = 0
     return encode_slice_data_wpp(cfg, fn, qs, slice_qp=sq)
+
+
+# ------------------------------------------------ native writer frontend
+
+def _serialize_trees(cfg, trees, slice_type: int):
+    """Flatten the tree dicts into the native writer's token/levels streams
+    (see slice_cabac.c encode_slice_quad_c's grammar).
+
+    Levels are preallocated and filled in place: leaves partition each
+    CTB's area, so every CTB contributes exactly n^2 + 2*(n/2)^2 =
+    1.5*S^2 coefficients regardless of its split shape."""
+    toks: list[int] = []
+    min_cb = cfg.min_cb_log2
+    S = cfg.ctb_size
+    levels = np.empty(len(trees) * (3 * S * S) // 2, np.int32)
+    pos = [0]
+
+    def put(a):
+        n = a.size
+        levels[pos[0] : pos[0] + n] = a.reshape(-1)
+        pos[0] += n
+
+    def walk(node, log2):
+        split = "split" in node
+        if log2 > min_cb:
+            toks.append(1 if split else 0)
+        if split:
+            for sub in node["split"]:
+                walk(sub, log2 - 1)
+            return
+        if slice_type == 1:
+            ct = int(node.get("ctype", 0))
+            toks.append(ct)
+            if ct in (1, 3):
+                toks.append(int(node["merge_idx"]))
+            elif ct == 2:
+                toks.extend((int(node["mvd"][0]), int(node["mvd"][1]),
+                             int(node["mvp_flag"])))
+            if ct:
+                put(node["lev_y"])
+                put(node["lev_cb"])
+                put(node["lev_cr"])
+                return
+        nxn = 1 if node.get("part") else 0
+        toks.append(nxn)
+        modes = node["modes"]
+        if nxn:
+            toks.extend(int(m) for m in modes[:4])
+        else:
+            toks.append(int(modes[0]))
+        toks.append(int(node.get("tsplit", 0)))
+        put(node["lev_y"])
+        put(node["lev_cb"])
+        put(node["lev_cr"])
+
+    for tree in trees:
+        walk(tree, cfg.ctb_log2)
+    return np.asarray(toks, np.int32), levels
+
+
+def _try_native_quad(cfg, trees, slice_type, wpp, slice_qp, sao, qp_map,
+                     merge_k):
+    from ..native import encode_slice_quad_native
+
+    sq = cfg.qp if slice_qp is None else slice_qp
+    qpm = None
+    if qp_map is not None:
+        qpm = np.clip(np.asarray(qp_map, np.int32).reshape(-1), 0, 51)
+    tokens, levels = _serialize_trees(cfg, trees, slice_type)
+    return encode_slice_quad_native(cfg, slice_type, wpp, tokens, levels, sq,
+                                    sao=sao, qp_map=qpm, merge_k=merge_k)

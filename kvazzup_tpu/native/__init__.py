@@ -539,3 +539,65 @@ def native_filters(gd, sps, pps, sh, sao_state):
         None if sao_state is None else sao_state.offs.ctypes.data,
         oy.ctypes.data, ou.ctypes.data, ov.ctypes.data)
     return oy, ou, ov
+
+
+def _bind_quad(lib):
+    import ctypes
+
+    if hasattr(lib, "_quad_bound"):
+        return
+    lib.encode_slice_quad_c.restype = ctypes.c_long
+    lib.encode_slice_quad_c.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+    ]
+    lib._quad_bound = True
+
+
+def encode_slice_quad_native(cfg, slice_type, wpp, tokens, levels, slice_qp,
+                             sao=None, qp_map=None, merge_k: int = 1):
+    """Native CU-quadtree slice writer (the entropy/quad.py twin).
+
+    tokens/levels: the serialized tree stream (entropy/quad._serialize).
+    sao: a SaoState (its typ/aux/offs arrays ride directly) or None.
+    Returns (payload bytes, entry_offsets list or None), or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_quad(lib)
+    tokens = _as_i32(tokens)
+    levels = _as_i32(levels)
+    sao_t = sao_a = sao_o = None
+    if sao is not None:
+        sao_t = _as_i32(sao.typ)
+        sao_a = _as_i32(sao.aux)
+        sao_o = _as_i32(sao.offs)
+    qpm = None if qp_map is None else np.ascontiguousarray(
+        np.asarray(qp_map, np.int32).reshape(-1))
+    cap = max(1 << 16, levels.nbytes + 4096 * max(1, cfg.ctbs_h))
+    out = np.empty(cap, np.uint8)
+    row_lens = np.zeros(max(1, cfg.ctbs_h), np.int64)
+    n = lib.encode_slice_quad_c(
+        slice_type, 1 if wpp else 0,
+        tokens.ctypes.data, levels.ctypes.data,
+        cfg.ctbs_w, cfg.ctbs_h, cfg.ctb_log2, cfg.min_cb_log2,
+        cfg.max_transform_hierarchy_depth_intra,
+        slice_qp, merge_k,
+        None if sao_t is None else sao_t.ctypes.data,
+        None if sao_a is None else sao_a.ctypes.data,
+        None if sao_o is None else sao_o.ctypes.data,
+        None if qpm is None else qpm.ctypes.data,
+        out.ctypes.data, cap, row_lens.ctypes.data,
+    )
+    if n < 0:
+        return None
+    payload = bytes(out[:n])
+    if wpp:
+        return payload, [int(x) for x in row_lens[: cfg.ctbs_h - 1]]
+    return payload, None

@@ -3548,3 +3548,558 @@ void deblock_sao_c(
         }
     }
 }
+
+/* ==================================================================== */
+/* Quad-tree slice writer: the native twin of entropy/quad.py           */
+/* (_QuadWriter/_QuadWriterP).  Input is a flat TOKEN stream describing */
+/* the CU quadtrees plus a concatenated LEVELS buffer; a non-entropy    */
+/* prepass resolves per-CTB cursors and the cross-row context maps      */
+/* (depth4/mode4/skip4 — reads are always of scan-past positions, so    */
+/* precomputing them is exact), then per-row WPP threads (or one        */
+/* sequential stream) emit the bins.  Mirrors the Python writer         */
+/* bit-for-bit; covers SAO params (7.3.8.3) and cu_qp_delta (QG==CTB).  */
+/*                                                                      */
+/* Token grammar per node (z-order recursion):                          */
+/*   log2 > min_cb:             [split]                                 */
+/*   P leaf:                    [ctype] + (skip/merge: [merge_idx] |    */
+/*                              amvp: [mvd_x mvd_y mvp_flag])           */
+/*   intra leaf (I, or P ct=0): [nxn] [mode x (nxn?4:1)] [tsplit]       */
+/* Levels per leaf: lev_y (n^2) + lev_cb + lev_cr ((n/2)^2 each),       */
+/* raster int32, in walk order.                                         */
+
+typedef struct {
+    const int32_t *toks;
+    const int32_t *levs;
+    int cw, chh, ctb_log2, min_cb_log2, td_intra, slice_type, merge_k;
+    int w4, h4;              /* 4x4 map dims */
+    int8_t *depth4;
+    int32_t *mode4;
+    uint8_t *skip4;
+    const int32_t *sao_typ, *sao_aux, *sao_off; /* (3,nctu), (3,nctu,4) */
+    const int32_t *qp_map;   /* per-CTU target QP or NULL */
+    long *tok_off, *lev_off; /* per-CTB cursors (prepass) */
+} QuadW;
+
+typedef struct { int prev; int coded; int target; } QpChain;
+
+static int qw_scan(int intra_mode, int log2, int c_idx) {
+    /* 7.4.9.11: mode-dependent scan for small intra TBs */
+    if (intra_mode >= 0 && (log2 == 2 || (log2 == 3 && c_idx == 0))) {
+        if (intra_mode >= 6 && intra_mode <= 14) return 2;  /* vert */
+        if (intra_mode >= 22 && intra_mode <= 30) return 1; /* horiz */
+    }
+    return 0;
+}
+
+static void qw_qp_tu(CabacEnc *e, QpChain *qc, int any_cbf) {
+    if (!qc || qc->coded || !any_cbf) return;
+    qc->coded = 1;
+    int delta = qc->target - qc->prev;
+    int a = delta < 0 ? -delta : delta;
+    int pref = a < 5 ? a : 5;
+    for (int b = 0; b < pref; b++)
+        enc_bin(e, CTX_CU_QP_DELTA_ABS + (b ? 1 : 0), 1);
+    if (pref < 5) enc_bin(e, CTX_CU_QP_DELTA_ABS + (pref ? 1 : 0), 0);
+    else enc_egk(e, (uint32_t)(a - 5), 0);
+    if (a) enc_bypass(e, delta < 0);
+    qc->prev = qc->target;
+}
+
+static int qw_sao_same(const QuadW *q, long i, long j) {
+    long n = (long)q->cw * q->chh;
+    for (int c = 0; c < 3; c++) {
+        if (q->sao_typ[c * n + i] != q->sao_typ[c * n + j]) return 0;
+        if (q->sao_aux[c * n + i] != q->sao_aux[c * n + j]) return 0;
+        for (int k = 0; k < 4; k++)
+            if (q->sao_off[(c * n + i) * 4 + k] != q->sao_off[(c * n + j) * 4 + k])
+                return 0;
+    }
+    return 1;
+}
+
+static void qw_sao_params(CabacEnc *e, const QuadW *q, long i) {
+    long n = (long)q->cw * q->chh;
+    for (int c = 0; c < 3; c++) {
+        int t = q->sao_typ[c * n + i];
+        if (c != 2) { /* type coded for luma and once for chroma */
+            enc_bin(e, CTX_SAO_TYPE_IDX, t != 0);
+            if (t) enc_bypass(e, t == 2);
+        }
+        if (t == 0) continue;
+        const int32_t *off = q->sao_off + (c * n + i) * 4;
+        for (int k = 0; k < 4; k++) {
+            int a = off[k] < 0 ? -off[k] : off[k];
+            for (int b = 0; b < a; b++) enc_bypass(e, 1);
+            if (a < 7) enc_bypass(e, 0);
+        }
+        if (t == 1) { /* band: signs + position */
+            for (int k = 0; k < 4; k++)
+                if (off[k]) enc_bypass(e, off[k] < 0);
+            enc_bypass_bits(e, (uint32_t)q->sao_aux[c * n + i], 5);
+        } else if (c != 2) {
+            enc_bypass_bits(e, (uint32_t)q->sao_aux[c * n + i], 2);
+        }
+    }
+}
+
+static void qw_sao(CabacEnc *e, const QuadW *q, long i) {
+    if (!q->sao_typ) return;
+    int c = (int)(i % q->cw), r = (int)(i / q->cw);
+    int merge_left = c > 0 && qw_sao_same(q, i, i - 1);
+    if (c > 0) enc_bin(e, CTX_SAO_MERGE_FLAG, merge_left);
+    if (merge_left) return;
+    int merge_up = r > 0 && qw_sao_same(q, i, i - q->cw);
+    if (r > 0) enc_bin(e, CTX_SAO_MERGE_FLAG, merge_up);
+    if (!merge_up) qw_sao_params(e, q, i);
+}
+
+/* MPM b-candidate: DC unless the above 4x4 is in the same CTB row */
+static int qw_cand_b(const QuadW *q, int x0, int y0) {
+    int cl = 1 << q->ctb_log2;
+    if (y0 == 0 || ((y0 - 1) / cl) != (y0 / cl)) return 1;
+    return q->mode4[(long)((y0 - 1) >> 2) * q->w4 + (x0 >> 2)];
+}
+
+static int qw_cand_a(const QuadW *q, int x0, int y0) {
+    if (x0 == 0) return 1;
+    return q->mode4[(long)(y0 >> 2) * q->w4 + ((x0 - 1) >> 2)];
+}
+
+static void enc_luma_mode_tail(CabacEnc *e, int mode, int a, int b, int in_mpm) {
+    int mpm[3];
+    mpm_list(a, b, mpm);
+    if (in_mpm) {
+        int idx = 0;
+        for (int i = 0; i < 3; i++) if (mpm[i] == mode) { idx = i; break; }
+        enc_bypass(e, idx ? 1 : 0);
+        if (idx) enc_bypass(e, idx - 1);
+    } else {
+        int s[3] = {mpm[0], mpm[1], mpm[2]};
+        for (int i = 0; i < 2; i++)
+            for (int j = i + 1; j < 3; j++)
+                if (s[j] > s[i]) { int t = s[i]; s[i] = s[j]; s[j] = t; }
+        int rem = mode;
+        for (int i = 0; i < 3; i++) if (mode > s[i]) rem--;
+        enc_bypass_bits(e, (uint32_t)rem, 5);
+    }
+}
+
+static int qw_in_mpm(int mode, int a, int b) {
+    int mpm[3];
+    mpm_list(a, b, mpm);
+    for (int i = 0; i < 3; i++) if (mpm[i] == mode) return 1;
+    return 0;
+}
+
+static int qw_any(const int32_t *p, long n) {
+    for (long k = 0; k < n; k++) if (p[k]) return 1;
+    return 0;
+}
+
+/* extract a sub-rectangle of a raster block into tmp */
+static void qw_sub(const int32_t *src, int stride, int x, int y, int n, int32_t *dst) {
+    for (int r = 0; r < n; r++)
+        memcpy(dst + (long)r * n, src + (long)(y + r) * stride + x, sizeof(int32_t) * n);
+}
+
+static const int QW_ZO[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}}; /* (dy,dx) */
+
+/* intra coding_unit body (shared by I slices and P ct==0), cursor-based */
+static void qw_intra_cu(CabacEnc *e, QuadW *q, long *tp, long *lp,
+                        int x0, int y0, int log2, QpChain *qc) {
+    int n = 1 << log2;
+    int nxn = q->toks[(*tp)++];
+    int modes[4];
+    if (log2 == q->min_cb_log2) enc_bin(e, CTX_PART_MODE, !nxn);
+    if (nxn) for (int j = 0; j < 4; j++) modes[j] = q->toks[(*tp)++];
+    else modes[0] = q->toks[(*tp)++];
+    int tsplit = q->toks[(*tp)++];
+    if (!nxn) {
+        enc_luma_mode(e, modes[0], qw_cand_a(q, x0, y0), qw_cand_b(q, x0, y0));
+    } else {
+        int h = n >> 1;
+        int cands[4][2], flags[4];
+        for (int j = 0; j < 4; j++) {
+            int xj = x0 + QW_ZO[j][1] * h, yj = y0 + QW_ZO[j][0] * h;
+            cands[j][0] = qw_cand_a(q, xj, yj);
+            cands[j][1] = qw_cand_b(q, xj, yj);
+            flags[j] = qw_in_mpm(modes[j], cands[j][0], cands[j][1]);
+        }
+        for (int j = 0; j < 4; j++)
+            enc_bin(e, CTX_PREV_INTRA_LUMA_PRED_FLAG, flags[j]);
+        for (int j = 0; j < 4; j++)
+            enc_luma_mode_tail(e, modes[j], cands[j][0], cands[j][1], flags[j]);
+    }
+    enc_bin(e, CTX_INTRA_CHROMA_PRED_MODE, 0); /* DM chroma */
+    long ylen = (long)n * n, clen = (long)(n / 2) * (n / 2);
+    const int32_t *ly = q->levs + *lp;
+    const int32_t *lcb = ly + ylen;
+    const int32_t *lcr = lcb + clen;
+    *lp += ylen + 2 * clen;
+    if (log2 <= 5 && log2 > 2 && q->td_intra > 0 && !nxn)
+        enc_bin(e, CTX_SPLIT_TRANSFORM_FLAG + 5 - log2, tsplit);
+    int cbf_cb = qw_any(lcb, clen), cbf_cr = qw_any(lcr, clen);
+    enc_bin(e, CTX_CBF_CHROMA, cbf_cb);
+    enc_bin(e, CTX_CBF_CHROMA, cbf_cr);
+    int32_t tmp[32 * 32];
+    if (tsplit || log2 == 6) {
+        /* trafoDepth-1 children: tsplit quarters (CU16/CU32) or the CU64
+         * forced TT (four TU32s); per-child chroma cbfs + residuals */
+        int m = modes[0];
+        int hn = n >> 1, qn = hn >> 1;
+        for (int j = 0; j < 4; j++) {
+            int dy = QW_ZO[j][0], dx = QW_ZO[j][1];
+            int32_t tcb[16 * 16], tcr[16 * 16];
+            qw_sub(lcb, n / 2, dx * qn, dy * qn, qn, tcb);
+            qw_sub(lcr, n / 2, dx * qn, dy * qn, qn, tcr);
+            int c_cb = qw_any(tcb, (long)qn * qn);
+            int c_cr = qw_any(tcr, (long)qn * qn);
+            if (cbf_cb) enc_bin(e, CTX_CBF_CHROMA + 1, c_cb);
+            if (cbf_cr) enc_bin(e, CTX_CBF_CHROMA + 1, c_cr);
+            qw_sub(ly, n, dx * hn, dy * hn, hn, tmp);
+            int c_y = qw_any(tmp, (long)hn * hn);
+            enc_bin(e, CTX_CBF_LUMA, c_y); /* trafoDepth 1 */
+            qw_qp_tu(e, qc, c_y || c_cb || c_cr);
+            if (c_y) encode_residual(e, tmp, log2 - 1, 0, qw_scan(m, log2 - 1, 0));
+            if (c_cb) encode_residual(e, tcb, log2 - 2, 1, qw_scan(m, log2 - 2, 1));
+            if (c_cr) encode_residual(e, tcr, log2 - 2, 2, qw_scan(m, log2 - 2, 2));
+        }
+        return;
+    }
+    if (!nxn) {
+        int cbf_y = qw_any(ly, ylen);
+        enc_bin(e, CTX_CBF_LUMA + 1, cbf_y);
+        qw_qp_tu(e, qc, cbf_y || cbf_cb || cbf_cr);
+        if (cbf_y) encode_residual(e, ly, log2, 0, qw_scan(modes[0], log2, 0));
+        if (cbf_cb) encode_residual(e, lcb, log2 - 1, 1, qw_scan(modes[0], log2 - 1, 1));
+        if (cbf_cr) encode_residual(e, lcr, log2 - 1, 2, qw_scan(modes[0], log2 - 1, 2));
+        return;
+    }
+    /* NxN: four quarter luma TUs at trafoDepth 1, chroma at parent size */
+    int hn = n >> 1;
+    for (int j = 0; j < 4; j++) {
+        int dy = QW_ZO[j][0], dx = QW_ZO[j][1];
+        qw_sub(ly, n, dx * hn, dy * hn, hn, tmp);
+        int cbf_t = qw_any(tmp, (long)hn * hn);
+        enc_bin(e, CTX_CBF_LUMA, cbf_t); /* trafoDepth 1 */
+        /* 4x4 children: chroma rides the last child (7.3.8.10 last4) */
+        qw_qp_tu(e, qc, cbf_t || (j == 3 && (cbf_cb || cbf_cr)));
+        if (cbf_t) encode_residual(e, tmp, log2 - 1, 0, qw_scan(modes[j], log2 - 1, 0));
+    }
+    int dm = modes[0];
+    if (cbf_cb) encode_residual(e, lcb, log2 - 1, 1, qw_scan(dm, log2 - 1, 1));
+    if (cbf_cr) encode_residual(e, lcr, log2 - 1, 2, qw_scan(dm, log2 - 1, 2));
+}
+
+/* P-slice coding unit (inter leaves + intra via qw_intra_cu) */
+static void qw_p_cu(CabacEnc *e, QuadW *q, long *tp, long *lp,
+                    int x0, int y0, int log2, QpChain *qc) {
+    int n = 1 << log2;
+    int ct = q->toks[(*tp)++];
+    int ctx = 0;
+    if (x0 > 0 && q->skip4[(long)(y0 >> 2) * q->w4 + ((x0 - 1) >> 2)]) ctx++;
+    if (y0 > 0 && q->skip4[(long)((y0 - 1) >> 2) * q->w4 + (x0 >> 2)]) ctx++;
+    /* NOTE: skip4 is precomputed for the whole picture; the ctx must see
+     * the PRE-scan state, which equals the precomputed value because skip
+     * regions never overlap and left/up reads are scan-past positions. */
+    int is_skip = ct == CT_SKIP;
+    enc_bin(e, CTX_CU_SKIP_FLAG + ctx, is_skip);
+    if (is_skip) {
+        enc_merge_idx(e, q->toks[(*tp)++], q->merge_k);
+        *lp += (long)n * n + 2 * (long)(n / 2) * (n / 2); /* zero levels */
+        return;
+    }
+    enc_bin(e, CTX_PRED_MODE_FLAG, ct == CT_INTRA);
+    if (ct == CT_INTRA) {
+        qw_intra_cu(e, q, tp, lp, x0, y0, log2, qc);
+        return;
+    }
+    enc_bin(e, CTX_PART_MODE, 1); /* PART_2Nx2N */
+    enc_bin(e, CTX_MERGE_FLAG, ct == CT_MERGE);
+    if (ct == CT_MERGE) {
+        enc_merge_idx(e, q->toks[(*tp)++], q->merge_k);
+    } else {
+        int mvd_x = q->toks[(*tp)++], mvd_y = q->toks[(*tp)++];
+        int mvp = q->toks[(*tp)++];
+        enc_mvd(e, mvd_x, mvd_y);
+        enc_bin(e, CTX_MVP_FLAG, mvp);
+    }
+    long ylen = (long)n * n, clen = (long)(n / 2) * (n / 2);
+    const int32_t *ly = q->levs + *lp;
+    const int32_t *lcb = ly + ylen;
+    const int32_t *lcr = lcb + clen;
+    *lp += ylen + 2 * clen;
+    int cbf_y = qw_any(ly, ylen);
+    int cbf_cb = qw_any(lcb, clen), cbf_cr = qw_any(lcr, clen);
+    int root = cbf_y || cbf_cb || cbf_cr;
+    if (ct == CT_AMVP) {
+        enc_bin(e, CTX_RQT_ROOT_CBF, root);
+        if (!root) return;
+    }
+    if (log2 == 6) {
+        /* inter CU64: forced TT to four TU32s (7.3.8.8) */
+        enc_bin(e, CTX_CBF_CHROMA, cbf_cb);
+        enc_bin(e, CTX_CBF_CHROMA, cbf_cr);
+        int32_t tmp[32 * 32];
+        for (int j = 0; j < 4; j++) {
+            int dy = QW_ZO[j][0], dx = QW_ZO[j][1];
+            int32_t tcb[16 * 16], tcr[16 * 16];
+            qw_sub(lcb, 32, dx * 16, dy * 16, 16, tcb);
+            qw_sub(lcr, 32, dx * 16, dy * 16, 16, tcr);
+            int c_cb = qw_any(tcb, 256), c_cr = qw_any(tcr, 256);
+            if (cbf_cb) enc_bin(e, CTX_CBF_CHROMA + 1, c_cb);
+            if (cbf_cr) enc_bin(e, CTX_CBF_CHROMA + 1, c_cr);
+            qw_sub(ly, 64, dx * 32, dy * 32, 32, tmp);
+            int c_y = qw_any(tmp, 1024);
+            enc_bin(e, CTX_CBF_LUMA, c_y); /* trafoDepth 1 */
+            qw_qp_tu(e, qc, c_y || c_cb || c_cr);
+            if (c_y) encode_residual(e, tmp, 5, 0, 0);
+            if (c_cb) encode_residual(e, tcb, 4, 1, 0);
+            if (c_cr) encode_residual(e, tcr, 4, 2, 0);
+        }
+        return;
+    }
+    /* TU == CU at depth 0 */
+    enc_bin(e, CTX_CBF_CHROMA, cbf_cb);
+    enc_bin(e, CTX_CBF_CHROMA, cbf_cr);
+    if (cbf_cb || cbf_cr) enc_bin(e, CTX_CBF_LUMA + 1, cbf_y);
+    /* else cbf_luma inferred 1 */
+    qw_qp_tu(e, qc, cbf_y || cbf_cb || cbf_cr);
+    if (cbf_y) encode_residual(e, ly, log2, 0, 0);
+    if (cbf_cb) encode_residual(e, lcb, log2 - 1, 1, 0);
+    if (cbf_cr) encode_residual(e, lcr, log2 - 1, 2, 0);
+}
+
+static void qw_quadtree(CabacEnc *e, QuadW *q, long *tp, long *lp,
+                        int x0, int y0, int log2, int depth, QpChain *qc) {
+    int split = 0;
+    if (log2 > q->min_cb_log2) {
+        split = q->toks[(*tp)++];
+        int ctx = 0;
+        if (x0 > 0 && q->depth4[(long)(y0 >> 2) * q->w4 + ((x0 - 1) >> 2)] > depth) ctx++;
+        if (y0 > 0 && q->depth4[(long)((y0 - 1) >> 2) * q->w4 + (x0 >> 2)] > depth) ctx++;
+        enc_bin(e, CTX_SPLIT_CU_FLAG + ctx, split);
+    }
+    if (split) {
+        int h = 1 << (log2 - 1);
+        for (int j = 0; j < 4; j++)
+            qw_quadtree(e, q, tp, lp, x0 + QW_ZO[j][1] * h,
+                        y0 + QW_ZO[j][0] * h, log2 - 1, depth + 1, qc);
+        return;
+    }
+    if (q->slice_type == 1) qw_p_cu(e, q, tp, lp, x0, y0, log2, qc);
+    else qw_intra_cu(e, q, tp, lp, x0, y0, log2, qc);
+}
+
+/* ---- prepass: token/level cursors per CTB + depth4/mode4/skip4 maps.
+ * Reads during entropy are always of scan-past positions, so the final
+ * maps equal the incrementally-written ones at every read site. */
+static void qw_pre_node(QuadW *q, long *tp, long *lp, int x0, int y0,
+                        int log2, int depth) {
+    int split = 0;
+    if (log2 > q->min_cb_log2) split = q->toks[(*tp)++];
+    if (split) {
+        int h = 1 << (log2 - 1);
+        for (int j = 0; j < 4; j++)
+            qw_pre_node(q, tp, lp, x0 + QW_ZO[j][1] * h,
+                        y0 + QW_ZO[j][0] * h, log2 - 1, depth + 1);
+        return;
+    }
+    int n = 1 << log2;
+    for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+        for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+            q->depth4[(long)yy * q->w4 + xx] = (int8_t)depth;
+    int ct = 0;
+    if (q->slice_type == 1) {
+        ct = q->toks[(*tp)++];
+        for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+            for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+                q->skip4[(long)yy * q->w4 + xx] = ct == CT_SKIP;
+        if (ct == CT_SKIP || ct == CT_MERGE) (*tp)++;
+        else if (ct == CT_AMVP) (*tp) += 3;
+        if (ct != CT_INTRA) {
+            *lp += (long)n * n + 2 * (long)(n / 2) * (n / 2);
+            return;
+        }
+    }
+    int nxn = q->toks[(*tp)++];
+    if (nxn) {
+        int h = n >> 1;
+        for (int j = 0; j < 4; j++) {
+            int m = q->toks[(*tp)++];
+            int xj = x0 + QW_ZO[j][1] * h, yj = y0 + QW_ZO[j][0] * h;
+            for (int yy = yj >> 2; yy < (yj + h) >> 2; yy++)
+                for (int xx = xj >> 2; xx < (xj + h) >> 2; xx++)
+                    q->mode4[(long)yy * q->w4 + xx] = m;
+        }
+    } else {
+        int m = q->toks[(*tp)++];
+        for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
+            for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
+                q->mode4[(long)yy * q->w4 + xx] = m;
+    }
+    (*tp)++; /* tsplit */
+    *lp += (long)n * n + 2 * (long)(n / 2) * (n / 2);
+}
+
+/* ---- WPP row threads (context inheritance like encode_row_thread) */
+typedef struct QRowCtl {
+    QuadW *q;
+    int slice_qp;
+    int row;
+    uint8_t *out;
+    long cap;
+    long len;
+    uint8_t ctx_after1_state[NUM_CONTEXTS];
+    uint8_t ctx_after1_mps[NUM_CONTEXTS];
+    int ctx_after1_ready;
+    pthread_mutex_t mu;
+    pthread_cond_t cv;
+    struct QRowCtl *prev;
+    int error;
+} QRowCtl;
+
+static void qw_ctu(CabacEnc *e, QuadW *q, long i, QpChain *qc) {
+    qw_sao(e, q, i);
+    if (qc) { qc->coded = 0; qc->target = q->qp_map[i]; }
+    long tp = q->tok_off[i], lp = q->lev_off[i];
+    int n = 1 << q->ctb_log2;
+    qw_quadtree(e, q, &tp, &lp, (int)(i % q->cw) * n, (int)(i / q->cw) * n,
+                q->ctb_log2, 0, qc);
+}
+
+static void *qw_row_thread(void *arg) {
+    QRowCtl *rc = (QRowCtl *)arg;
+    QuadW *q = rc->q;
+    int cw = q->cw, chh = q->chh;
+    long nctu = (long)cw * chh;
+    CabacEnc e;
+    enc_init(&e, q->slice_type == 2 ? 0 : 1, rc->slice_qp, rc->out, rc->cap);
+    if (rc->row > 0 && cw > 1) {
+        QRowCtl *prev = rc->prev;
+        pthread_mutex_lock(&prev->mu);
+        while (!prev->ctx_after1_ready) pthread_cond_wait(&prev->cv, &prev->mu);
+        pthread_mutex_unlock(&prev->mu);
+        memcpy(e.state, prev->ctx_after1_state, NUM_CONTEXTS);
+        memcpy(e.mps, prev->ctx_after1_mps, NUM_CONTEXTS);
+    }
+    QpChain qc0 = {rc->slice_qp, 0, 0};
+    QpChain *qc = q->qp_map ? &qc0 : NULL;
+    for (int c = 0; c < cw; c++) {
+        long i = (long)rc->row * cw + c;
+        qw_ctu(&e, q, i, qc);
+        if (c == 1) {
+            pthread_mutex_lock(&rc->mu);
+            memcpy(rc->ctx_after1_state, e.state, NUM_CONTEXTS);
+            memcpy(rc->ctx_after1_mps, e.mps, NUM_CONTEXTS);
+            rc->ctx_after1_ready = 1;
+            pthread_cond_signal(&rc->cv);
+            pthread_mutex_unlock(&rc->mu);
+        }
+        int last = i == nctu - 1;
+        enc_terminate(&e, last);
+        if (!last && c == cw - 1) enc_terminate(&e, 1); /* end_of_subset */
+    }
+    if (cw == 1) {
+        pthread_mutex_lock(&rc->mu);
+        rc->ctx_after1_ready = 1;
+        pthread_cond_signal(&rc->cv);
+        pthread_mutex_unlock(&rc->mu);
+    }
+    while (e.out.nbits & 7) put_bit_raw(&e.out, 0);
+    rc->len = e.out.error ? -1 : (e.out.nbits >> 3);
+    rc->error = e.out.error;
+    return NULL;
+}
+
+long encode_slice_quad_c(
+    int slice_type, int wpp,
+    const int32_t *tokens, const int32_t *levels,
+    int ctbs_w, int ctbs_h, int ctb_log2, int min_cb_log2, int td_intra,
+    int slice_qp, int merge_k,
+    const int32_t *sao_typ, const int32_t *sao_aux, const int32_t *sao_off,
+    const int32_t *qp_map,
+    uint8_t *out, long out_cap, long *row_lens) {
+    long nctu = (long)ctbs_w * ctbs_h;
+    int w4 = (ctbs_w << ctb_log2) >> 2, h4 = (ctbs_h << ctb_log2) >> 2;
+    QuadW q = {tokens, levels, ctbs_w, ctbs_h, ctb_log2, min_cb_log2,
+               td_intra, slice_type, merge_k ? merge_k : 1, w4, h4,
+               NULL, NULL, NULL, sao_typ, sao_aux, sao_off, qp_map,
+               NULL, NULL};
+    q.depth4 = (int8_t *)calloc((size_t)w4 * h4, 1);
+    q.mode4 = (int32_t *)malloc(sizeof(int32_t) * (size_t)w4 * h4);
+    q.skip4 = (uint8_t *)calloc((size_t)w4 * h4, 1);
+    q.tok_off = (long *)malloc(sizeof(long) * (nctu + 1));
+    q.lev_off = (long *)malloc(sizeof(long) * (nctu + 1));
+    for (long k = 0; k < (long)w4 * h4; k++) q.mode4[k] = 1; /* DC init */
+    long tp = 0, lp = 0;
+    int n = 1 << ctb_log2;
+    for (long i = 0; i < nctu; i++) {
+        q.tok_off[i] = tp;
+        q.lev_off[i] = lp;
+        qw_pre_node(&q, &tp, &lp, (int)(i % ctbs_w) * n, (int)(i / ctbs_w) * n,
+                    ctb_log2, 0);
+    }
+    long total = -1;
+    if (!wpp) {
+        CabacEnc e;
+        enc_init(&e, slice_type == 2 ? 0 : 1, slice_qp, out, out_cap);
+        QpChain qc0 = {slice_qp, 0, 0};
+        QpChain *qc = qp_map ? &qc0 : NULL;
+        for (long i = 0; i < nctu; i++) {
+            qw_ctu(&e, &q, i, qc);
+            enc_terminate(&e, i == nctu - 1);
+            if (e.out.error) goto qdone;
+        }
+        while (e.out.nbits & 7) put_bit_raw(&e.out, 0);
+        row_lens[0] = e.out.nbits >> 3;
+        total = row_lens[0];
+        goto qdone;
+    }
+    {
+        long per_cap = out_cap / ctbs_h;
+        uint8_t *tmp = (uint8_t *)malloc((size_t)out_cap);
+        QRowCtl *rows = (QRowCtl *)calloc(ctbs_h, sizeof(QRowCtl));
+        pthread_t *tids = (pthread_t *)malloc(sizeof(pthread_t) * ctbs_h);
+        for (int r = 0; r < ctbs_h; r++) {
+            rows[r].q = &q;
+            rows[r].slice_qp = slice_qp;
+            rows[r].row = r;
+            rows[r].out = tmp + (long)r * per_cap;
+            rows[r].cap = per_cap;
+            pthread_mutex_init(&rows[r].mu, NULL);
+            pthread_cond_init(&rows[r].cv, NULL);
+            rows[r].prev = r > 0 ? &rows[r - 1] : NULL;
+        }
+        for (int r = 0; r < ctbs_h; r++)
+            pthread_create(&tids[r], NULL, qw_row_thread, &rows[r]);
+        int err = 0;
+        for (int r = 0; r < ctbs_h; r++) {
+            pthread_join(tids[r], NULL);
+            if (rows[r].error || rows[r].len < 0) err = 1;
+        }
+        if (!err) {
+            long pos = 0;
+            for (int r = 0; r < ctbs_h; r++) {
+                memcpy(out + pos, rows[r].out, rows[r].len);
+                row_lens[r] = rows[r].len;
+                pos += rows[r].len;
+            }
+            total = pos;
+        }
+        for (int r = 0; r < ctbs_h; r++) {
+            pthread_mutex_destroy(&rows[r].mu);
+            pthread_cond_destroy(&rows[r].cv);
+        }
+        free(tids);
+        free(rows);
+        free(tmp);
+    }
+qdone:
+    free(q.depth4);
+    free(q.mode4);
+    free(q.skip4);
+    free(q.tok_off);
+    free(q.lev_off);
+    return total;
+}
