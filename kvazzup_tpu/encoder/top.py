@@ -895,11 +895,15 @@ class RandomAccessEncoder:
         out.append(anchor)
         a4 = (anchor[0], anchor[2])
         a0p = (a0_poc, a0)
-        b2 = self._encode_inter(f2, a0p[0] + 2, [a0p, a4], slice_type=0)
+        # temporal-layer QP cascading (kvazaar/HM RA defaults): referenced
+        # mid B +1, non-referenced top-layer Bs +2
+        b2 = self._encode_inter(f2, a0p[0] + 2, [a0p, a4], slice_type=0, dqp=1)
         out.append(b2)
         p2 = (b2[0], b2[2])
-        out.append(self._encode_inter(f1, a0p[0] + 1, [a0p, p2], slice_type=0))
-        out.append(self._encode_inter(f3, a0p[0] + 3, [p2, a4], slice_type=0))
+        out.append(self._encode_inter(f1, a0p[0] + 1, [a0p, p2], slice_type=0,
+                                      dqp=2))
+        out.append(self._encode_inter(f3, a0p[0] + 3, [p2, a4], slice_type=0,
+                                      dqp=2))
         self._anchor = a4
         return out
 
@@ -919,10 +923,10 @@ class RandomAccessEncoder:
         self._anchor = (poc, recon)
         return poc, nal_bytes, recon
 
-    def _encode_inter(self, f, poc, refs, slice_type: int):
+    def _encode_inter(self, f, poc, refs, slice_type: int, dqp: int = 0):
         cfg = self.cfg
         y, u, v = f
-        qp = cfg.qp + (1 if slice_type == 0 else 0)  # mild hierarchical offset
+        qp = cfg.qp + dqp  # hierarchical layer offset
         if slice_type == 1:
             (r_poc, r), = refs
             out = encode_frame_p(

@@ -168,13 +168,162 @@ def sao_decide(orig, rec, lam, *, ctb: int, xpad: int = 0, lvalid=False,
     return typ, aux, offs, cost
 
 
-@functools.partial(jax.jit, static_argnames=("ctb", "bd", "xpad"))
+# --------------------------------------------------------- Pallas applier
+#
+# The XLA sao_apply below round-trips several full-plane intermediates
+# through HBM (upsampled parameter planes, four edge-index maps); the
+# Pallas kernel is ONE pass: a CTB-row-strip grid where each step reads
+# its strip plus one-row halos (shifted index maps on the same operand),
+# upsamples that strip's per-CTB parameters inside VMEM, classifies only
+# the selected EO class, and writes the offset strip.  Traffic = 3 reads
+# + 1 write of the plane.  TPU-only (interpret mode covers CPU tests);
+# KVZ_TPU_NO_PALLAS=1 is the kill switch.
+
+import os as _os
+
+
+def _sao_strip_kernel(typ_r, aux_r, o0_r, o1_r, o2_r, o3_r,
+                      cur_r, up_r, dn_r, out_r, *, ctb: int, bd: int):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+    h, w = cur_r.shape
+    r = cur_r[:].astype(jnp.int32)
+    # vertical neighbors: shift within the strip, splicing the halo rows
+    above = jnp.concatenate([up_r[h - 1 : h], cur_r[: h - 1]], axis=0
+                            ).astype(jnp.int32)
+    below = jnp.concatenate([cur_r[1:], dn_r[0:1]], axis=0).astype(jnp.int32)
+    left = jnp.concatenate([r[:, :1], r[:, : w - 1]], axis=1)
+    right = jnp.concatenate([r[:, 1:], r[:, w - 1 :]], axis=1)
+    ul = jnp.concatenate([above[:, :1], above[:, : w - 1]], axis=1)
+    dr = jnp.concatenate([below[:, 1:], below[:, w - 1 :]], axis=1)
+    dl = jnp.concatenate([below[:, :1], below[:, : w - 1]], axis=1)
+    ur = jnp.concatenate([above[:, 1:], above[:, w - 1 :]], axis=1)
+
+    # strip-local parameter planes from the (1, cbw) rows
+    up_px = lambda p: jnp.repeat(
+        jnp.repeat(p[:].astype(jnp.int32), ctb, axis=1), h, axis=0)
+    typ_px = up_px(typ_r)
+    aux_px = up_px(aux_r)
+    offs_px = [up_px(o) for o in (o0_r, o1_r, o2_r, o3_r)]
+
+    # EO neighbors for the selected class (0 H, 1 V, 2 135deg, 3 45deg)
+    n0 = jnp.where(aux_px == 0, left,
+         jnp.where(aux_px == 1, above,
+         jnp.where(aux_px == 2, ul, dl)))
+    n1 = jnp.where(aux_px == 0, right,
+         jnp.where(aux_px == 1, below,
+         jnp.where(aux_px == 2, dr, ur)))
+    raw = 2 + jnp.sign(r - n0) + jnp.sign(r - n1)
+    eidx = jnp.where(raw == 2, 0, jnp.where(raw < 2, raw + 1, raw))
+    # picture-boundary exclusion (8.7.3): both neighbors must exist
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    first, last = i == 0, i == n_i - 1
+    row_ok = jnp.where(aux_px == 0, True,
+                       ~((first & (ys == 0)) | (last & (ys == h - 1))))
+    col_ok = jnp.where(aux_px == 1, True, ~((xs == 0) | (xs == w - 1)))
+    eidx = jnp.where(row_ok & col_ok, eidx, 0)
+    cat_off = jnp.zeros_like(r)
+    for j in range(4):
+        cat_off = jnp.where(eidx == j + 1, offs_px[j], cat_off)
+    band = r >> (bd - 5)
+    brel = (band - aux_px) & 31
+    bo_val = jnp.zeros_like(r)
+    for j in range(4):
+        bo_val = jnp.where(brel == j, offs_px[j], bo_val)
+    delta = jnp.where(typ_px == SAO_EDGE, cat_off,
+                      jnp.where(typ_px == SAO_BAND, bo_val, 0))
+    out_r[:] = jnp.clip(r + delta, 0, (1 << bd) - 1).astype(out_r.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("ctb", "bd", "interpret"))
+def _sao_apply_pallas(rec, typ, aux, offs, *, ctb: int, bd: int = 8,
+                      interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = rec.astype(jnp.int32)
+    h, w = r.shape
+    cbh, cbw = h // ctb, w // ctb
+    typ = typ.astype(jnp.int32).reshape(cbh, cbw)
+    aux = aux.astype(jnp.int32).reshape(cbh, cbw)
+    offs = offs.astype(jnp.int32).reshape(cbh, cbw, 4)
+    prow = pl.BlockSpec((1, cbw), lambda i: (i, 0))
+    strip = pl.BlockSpec((ctb, w), lambda i: (i, 0))
+    strip_up = pl.BlockSpec((ctb, w), lambda i: (jnp.maximum(i - 1, 0), 0))
+    strip_dn = pl.BlockSpec((ctb, w), lambda i: (jnp.minimum(i + 1, cbh - 1), 0))
+    out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
+    kern = functools.partial(_sao_strip_kernel, ctb=ctb, bd=bd)
+    return pl.pallas_call(
+        kern,
+        grid=(cbh,),
+        in_specs=[prow, prow, prow, prow, prow, prow, strip, strip_up,
+                  strip_dn],
+        out_specs=strip,
+        out_shape=jax.ShapeDtypeStruct((h, w), out_dtype),
+        interpret=interpret,
+    )(typ, aux, offs[..., 0], offs[..., 1], offs[..., 2], offs[..., 3],
+      r, r, r)
+
+
+_PALLAS_OK: list = []  # memoized probe result
+
+
+def _pallas_wanted() -> bool:
+    if _os.environ.get("KVZ_TPU_NO_PALLAS"):
+        return False
+    if _PALLAS_OK:
+        return _PALLAS_OK[0]
+    try:
+        # never run the probe while tracing (shard_map/jit callers):
+        # materializing inside a trace would concretize tracers
+        from jax._src import core as _core
+
+        if not _core.trace_state_clean():
+            return False
+    except Exception:
+        return False
+    ok = False
+    try:
+        if jax.default_backend() != "cpu":
+            # one-time smoke run: a failed lowering/execution on this
+            # backend downgrades every sao_apply to the XLA path
+            r = jnp.zeros((16, 128), jnp.int32)
+            t = jnp.ones((1, 1), jnp.int32)
+            a = jnp.zeros((1, 1), jnp.int32)
+            o = jnp.ones((1, 1, 4), jnp.int32)
+            np.asarray(_sao_apply_pallas(r, t, a, o, ctb=16))
+            ok = True
+    except Exception:
+        ok = False
+    _PALLAS_OK.append(ok)
+    return ok
+
+
 def sao_apply(rec, typ, aux, offs, *, ctb: int, bd: int = 8, xpad: int = 0,
               lvalid=False, rvalid=False):
     """Apply SAO to one plane.  typ/aux: (cbh, cbw); offs: (cbh, cbw, 4).
 
+    Dispatcher: the fused Pallas strip kernel on TPU (CTB-aligned,
+    unsharded planes), the XLA one-hot-select path otherwise.
+
     bd: sample bit depth (band classification uses the 5 MSBs, 8.7.3;
     saoOffsetVal scales by 1 << (bd - min(bd, 10)), zero for bd <= 10)."""
+    h, w = rec.shape
+    if (xpad == 0 and h % ctb == 0 and w % ctb == 0 and _pallas_wanted()):
+        return _sao_apply_pallas(rec.astype(jnp.int32), jnp.asarray(typ),
+                                 jnp.asarray(aux), jnp.asarray(offs),
+                                 ctb=ctb, bd=bd)
+    return _sao_apply_xla(rec, typ, aux, offs, ctb=ctb, bd=bd, xpad=xpad,
+                          lvalid=lvalid, rvalid=rvalid)
+
+
+@functools.partial(jax.jit, static_argnames=("ctb", "bd", "xpad"))
+def _sao_apply_xla(rec, typ, aux, offs, *, ctb: int, bd: int = 8,
+                   xpad: int = 0, lvalid=False, rvalid=False):
     r = rec.astype(jnp.int32)
     h, w = r.shape
     emaps = _edge_index_maps(r, xpad, lvalid, rvalid)  # (4, H, W)

@@ -62,6 +62,29 @@ def run_ours(frames, w, h, qp):
     return bits / len(frames), float(np.mean(ps))
 
 
+def run_ours_ra(frames, w, h, qp):
+    """Random-access hierarchical GOP4 (B pictures, two temporal layers) —
+    the B-frame operating point (CTB16; wpp+sao+deblock+merge5+rdoq)."""
+    from kvazzup_tpu.encoder.top import RandomAccessEncoder
+
+    cfg = StreamConfig(width=w, height=h, qp=qp, wpp=True, sao_enabled=True,
+                       deblocking_enabled=True, merge_cand=5, rdoq=True,
+                       num_reorder_pics=2, max_dec_pic_buffering=5)
+    enc = RandomAccessEncoder(cfg, gop_size=4, intra_period=64)
+    bits = 0
+    recs = {}
+    for (y, u, v) in frames:
+        for poc, nal, recon in enc.push_frame(y, u, v):
+            bits += len(nal) * 8
+            recs[poc] = recon
+    for poc, nal, recon in enc.flush():
+        bits += len(nal) * 8
+        recs[poc] = recon
+    ps = [psnr(frames[p][0], np.asarray(recs[p][0]))
+          for p in sorted(recs) if p < len(frames)]
+    return bits / len(frames), float(np.mean(ps))
+
+
 def run_x265(frames, w, h, qp, params, tag):
     with tempfile.TemporaryDirectory() as d:
         src = f"{d}/in.yuv"
@@ -115,27 +138,30 @@ def main():
                     "no-scenecut=1:repeat-headers=1:frame-threads=1:"
                     "rc-lookahead=0")
 
-    curves = {"ours": [], "ours-quad32": [], "ours-quad64": [],
+    curves = {"ours": [], "ours-ra": [], "ours-quad32": [], "ours-quad64": [],
               "x265-medium": [], "x265-matched": []}
     for qp in QPS:
         t0 = time.time()
         curves["ours"].append(run_ours(frames, w, h, qp))
+        curves["ours-ra"].append(run_ours_ra(frames, w, h, qp))
         curves["ours-quad32"].append(run_ours_quad(frames, w, h, qp, 5))
         if w % 64 == 0 and h % 64 == 0:
             curves["ours-quad64"].append(run_ours_quad(frames, w, h, qp, 6))
         curves["x265-medium"].append(run_x265(frames, w, h, qp, x265_medium, "medium"))
         curves["x265-matched"].append(run_x265(frames, w, h, qp, x265_matched, "matched"))
         o, q = curves["ours"][-1], curves["ours-quad32"][-1]
+        ra = curves["ours-ra"][-1]
         q6 = curves["ours-quad64"][-1] if curves["ours-quad64"] else (0, 0)
         m, t = curves["x265-medium"][-1], curves["x265-matched"][-1]
         print(f"qp{qp}: ours {o[0]/1000:.0f} kb/f {o[1]:.2f} dB | "
+              f"ra {ra[0]/1000:.0f} kb/f {ra[1]:.2f} dB | "
               f"quad32 {q[0]/1000:.0f} kb/f {q[1]:.2f} dB | "
               f"quad64 {q6[0]/1000:.0f} kb/f {q6[1]:.2f} dB | "
               f"x265-med {m[0]/1000:.0f} kb/f {m[1]:.2f} dB | "
               f"x265-match {t[0]/1000:.0f} kb/f {t[1]:.2f} dB "
               f"({time.time()-t0:.0f}s)", flush=True)
 
-    ours_keys = ["ours", "ours-quad32"]
+    ours_keys = ["ours", "ours-ra", "ours-quad32"]
     if curves["ours-quad64"]:
         ours_keys.append("ours-quad64")
     for ours_key in ours_keys:
