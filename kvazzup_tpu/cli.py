@@ -67,6 +67,33 @@ def cmd_encode(args) -> int:
         raise SystemExit("--tiles requires low-delay GOPs (--gop ld)")
     if args.slices > 1 and ra:
         raise SystemExit("--slices requires low-delay GOPs (--gop ld)")
+    if args.dcn:
+        if ra:
+            raise SystemExit("--dcn distributes closed low-delay GOPs (--gop ld)")
+        from .pipeline.dcn import DcnPool, spawn_local_workers
+        from .pipeline.gop_parallel import GopParallelEncoder
+
+        procs = []
+        if args.dcn.startswith("spawn:"):
+            procs, addrs = spawn_local_workers(int(args.dcn[len("spawn:"):]))
+        else:
+            addrs = [(hp.rsplit(":", 1)[0], int(hp.rsplit(":", 1)[1]))
+                     for hp in args.dcn.split(",")]
+        t0 = time.time()
+        try:
+            stream = GopParallelEncoder(
+                cfg, gop_size=args.intra_period,
+                executor=DcnPool(addrs)).encode(frames)
+        finally:
+            for p in procs:
+                p.terminate()
+        with open(args.output, "wb") as f:
+            f.write(stream)
+        dt = time.time() - t0
+        print(f"encoded {len(frames)} frames {w}x{h} qp{args.qp} over "
+              f"{len(addrs)} DCN workers: {len(stream)} bytes, {dt:.2f}s "
+              f"({len(frames)/dt:.2f} fps)")
+        return 0
     t0 = time.time()
     total_psnr = 0.0
     nf = 0
@@ -367,6 +394,10 @@ def main(argv=None) -> int:
                     help="temporal MV prediction (kvazaar --tmvp)")
     pe.add_argument("--gop", choices=["ld", "ra"], default="ld",
                     help="ld = low-delay P, ra = hierarchical B GOP4")
+    pe.add_argument("--dcn", default=None, metavar="HOST:PORT,...|spawn:N",
+                    help="distribute closed GOPs (one per --intra-period) "
+                         "over DCN workers (python -m kvazzup_tpu.pipeline.dcn); "
+                         "spawn:N launches N local worker processes")
     pe.set_defaults(fn=cmd_encode)
 
     pi = sub.add_parser("info")
