@@ -43,8 +43,14 @@ def _x265(tmp_path, qp, extra=""):
     )
     if r.returncode != 0 or not out.exists():
         pytest.skip(f"libx265 unavailable: {r.stderr[-200:]}")
-    subprocess.run([tool, "decode", str(out), str(gold)], capture_output=True)
-    return out.read_bytes(), gold.read_bytes(), w, h
+    r = subprocess.run([tool, "decode", str(out), str(gold)],
+                       capture_output=True, text=True)
+    gold_bytes = gold.read_bytes() if gold.exists() else b""
+    # a failed/truncated oracle decode must fail loudly, not flake the compare
+    assert r.returncode == 0 and len(gold_bytes) == 3 * (w * h * 3 // 2), (
+        f"oracle decode failed: rc={r.returncode} got {len(gold_bytes)} bytes: "
+        f"{r.stderr[-200:]}")
+    return out.read_bytes(), gold_bytes, w, h
 
 
 @pytest.mark.parametrize("qp,extra", [
