@@ -136,6 +136,7 @@ def main() -> None:
         with PipelinedEncoder(cfg_q, intra_period=reps, depth=3,
                               materialize_recon=False) as pe:
             pe.push(*frames[0])
+            pe.push(*frames[1])  # warm the P path too — it dwarfs the I compile
             pe.flush()
             nb_q = 0
             t0 = time.time()
