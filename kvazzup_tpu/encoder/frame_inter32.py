@@ -634,7 +634,8 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
               jnp.zeros((3, lanes, 2, 2), jnp.int32),
               jnp.zeros((3, lanes, 2), jnp.int32),
               jnp.zeros((3, lanes, 2), jnp.int32))
-    _, outs = jax.lax.scan(wave, carry0, xs)
+    from .frame_intra import QUAD_UNROLL
+    _, outs = jax.lax.scan(wave, carry0, xs, unroll=QUAD_UNROLL)
     (ct32_w, mv32_w, mi32_w, mf32_w, mvd32_w, ct16_w, mv16_w, mi16_w, mf16_w,
      mvd16_w, lev_y_w, lev_cb_w, lev_cr_w, rec_y_w, rec_u_w, rec_v_w) = outs
 

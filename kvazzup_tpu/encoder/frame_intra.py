@@ -33,10 +33,20 @@ the live-bitrate contract of the reference's ResourceAllocator,
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# The wavefront scans are per-step-latency bound on TPU (hundreds of tiny
+# sequential waves at 1080p — BENCH_NOTES "wave-count bound").  Unrolling the
+# scan body k-fold cuts while-loop iterations (and their fusion-boundary /
+# xs-slice overhead) by k, bit-exactly.  Tunable for compile-time headroom.
+WAVE_UNROLL = int(os.environ.get("KVZ_TPU_WAVE_UNROLL", "4"))
+# The quad (CTB32/64) wave bodies are much larger programs — unroll less to
+# keep compile time in check (their wave counts are also 2-4x smaller).
+QUAD_UNROLL = int(os.environ.get("KVZ_TPU_QUAD_UNROLL", "2"))
 
 from ..ops import intra as intra_ops
 from ..ops.quant import dequantize, quantize, quantize_rdoq
@@ -658,7 +668,7 @@ def encode_frame_intra_fast(y, u, v, qp, *, width: int, height: int,
 
     carry0 = (ring0(n), ring0(n // 2), ring0(n // 2))
     _, (lev_y_w, lev_cb_w, lev_cr_w, rec_y_w, rec_cb_w, rec_cr_w) = jax.lax.scan(
-        wave, carry0, xs)
+        wave, carry0, xs, unroll=WAVE_UNROLL)
 
     w2r = lambda o: wave_to_raster(sched, o)
     m = n // 2

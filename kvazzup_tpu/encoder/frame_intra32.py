@@ -43,6 +43,7 @@ from .frame_intra import (
     wave_inputs,
     wave_to_raster,
 )
+from .frame_intra import QUAD_UNROLL
 from .wavefront import schedule_r
 
 _ZO = ((0, 0), (0, 1), (1, 0), (1, 1))  # (dy, dx) quadrants in z-order
@@ -314,7 +315,7 @@ def encode_frame_intra32_fast(y, u, v, qp, *, width: int, height: int,
 
     carry0 = (ring0(n), ring0(n // 2), ring0(n // 2))
     _, (lev_y_w, lev_cb_w, lev_cr_w, rec_y_w, rec_u_w, rec_v_w) = jax.lax.scan(
-        wave, carry0, xs)
+        wave, carry0, xs, unroll=QUAD_UNROLL)
 
     w2r = lambda o: wave_to_raster(sched, o)
     m = n // 2

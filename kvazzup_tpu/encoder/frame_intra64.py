@@ -45,6 +45,7 @@ from .frame_intra import (
     wave_to_raster,
 )
 from .frame_intra32 import _rd_prepass_grid, _subst_quad
+from .frame_intra import QUAD_UNROLL
 from .wavefront import schedule_r
 
 _ZO = ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -416,7 +417,7 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
 
     carry0 = (ring0(S), ring0(S // 2), ring0(S // 2))
     _, (lev_y_w, lev_cb_w, lev_cr_w, rec_y_w, rec_u_w, rec_v_w) = jax.lax.scan(
-        wave, carry0, xs)
+        wave, carry0, xs, unroll=QUAD_UNROLL)
 
     w2r = lambda o: wave_to_raster(sched, o)
     m = S // 2
