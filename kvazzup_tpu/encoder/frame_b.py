@@ -34,6 +34,7 @@ from ..ops.me import _mv_bits, motion_search
 from ..ops.quant import dequantize, quantize, quantize_rdoq
 from .frame_inter import REF_PAD, SEARCH_RANGE, _mvd_bits
 from .frame_intra import (
+    WAVE_UNROLL,
     _gather_refs_blocks,
     _mode_bits_table,
     _frame_setup,
@@ -192,7 +193,7 @@ def encode_frame_b(
         _wave_b, cw=cw, ch=ch, nctu=nctu, width=width, height=height,
         refp=refp, tb=(tb0, tb1), rdoq=rdoq,
     )
-    carry, outs = jax.lax.scan(wave_fn, carry0, tuple(xs))
+    carry, outs = jax.lax.scan(wave_fn, carry0, tuple(xs), unroll=WAVE_UNROLL)
     blk_y, blk_u, blk_v, modes, mvs, pfs = carry
     w2r = lambda a: wave_to_raster(sched, a)
     return {

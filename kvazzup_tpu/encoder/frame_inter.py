@@ -31,6 +31,7 @@ from ..ops.me import _mv_bits, motion_search
 from ..ops.quant import dequantize, quantize, quantize_rdoq
 from ..ops.satd import satd_blocks
 from .frame_intra import (
+    WAVE_UNROLL,
     _code_block,
     _encode_ctu,
     _frame_setup,
@@ -568,7 +569,6 @@ def encode_frame_p_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     carry0 = (ring0(n), ring0(n // 2), ring0(n // 2),
               jnp.zeros((3, lanes, 2), jnp.int32),
               jnp.zeros((3, lanes, 1), jnp.int32))
-    from .frame_intra import WAVE_UNROLL
     _, (ct_w, mv_w, mf_w, mvd_w, mi_w, lev_y_w, lev_cb_w, lev_cr_w, rec_y_w,
         rec_cb_w, rec_cr_w) = jax.lax.scan(wave, carry0, xs,
                                            unroll=WAVE_UNROLL)

@@ -37,7 +37,7 @@ from ..ops.me import _mv_bits, motion_search
 from .frame_inter import (CT_AMVP, CT_INTRA, CT_MERGE, CT_SKIP,
                           SEARCH_RANGE, REF_PAD, _amvp_list, _amvp_list_t,
                           _first_inter_mv_batch, _mvd_bits)
-from .frame_intra import (_avail_flags, _code_flat_sel, _mode_bits_table,
+from .frame_intra import (QUAD_UNROLL, _avail_flags, _code_flat_sel, _mode_bits_table,
                           _orig_boundaries, _ring_boundary, _ring_push,
                           from_blocks, to_blocks, wave_inputs,
                           wave_to_raster, P_PREPASS_MODES)
@@ -634,7 +634,6 @@ def encode_frame_p32_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
               jnp.zeros((3, lanes, 2, 2), jnp.int32),
               jnp.zeros((3, lanes, 2), jnp.int32),
               jnp.zeros((3, lanes, 2), jnp.int32))
-    from .frame_intra import QUAD_UNROLL
     _, outs = jax.lax.scan(wave, carry0, xs, unroll=QUAD_UNROLL)
     (ct32_w, mv32_w, mi32_w, mf32_w, mvd32_w, ct16_w, mv16_w, mi16_w, mf16_w,
      mvd16_w, lev_y_w, lev_cb_w, lev_cr_w, rec_y_w, rec_u_w, rec_v_w) = outs

@@ -40,7 +40,7 @@ from .frame_inter import (CT_AMVP, CT_INTRA, CT_MERGE, CT_SKIP,
 from .frame_inter32 import (_PPM_INV, _amvp_cells, _arbitrate,
                             _code_flat_mode, _cost_prepass_grid,
                             _merge_list_cells)
-from .frame_intra import (P_PREPASS_MODES, _ring_push, from_blocks,
+from .frame_intra import (P_PREPASS_MODES, QUAD_UNROLL, _ring_push, from_blocks,
                           to_blocks, wave_inputs, wave_to_raster)
 from .frame_intra64 import _seg_spec, _unit_walk, _z
 from .wavefront import schedule_r
@@ -539,7 +539,6 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
               jnp.zeros((3, lanes, 4, 2), jnp.int32),
               jnp.zeros((3, lanes, 4), jnp.int32),
               jnp.zeros((3, lanes, 4), jnp.int32))
-    from .frame_intra import QUAD_UNROLL
     _, outs = jax.lax.scan(wave, carry0, xs, unroll=QUAD_UNROLL)
     (ct64_w, mv64_w, mi64_w, mf64_w, mvd64_w, ct32_w, mv32_w, mi32_w, mf32_w,
      mvd32_w, ct16_w, mv16_w, mi16_w, mf16_w, mvd16_w, lev_y_w, lev_cb_w,

@@ -43,10 +43,23 @@ import jax.numpy as jnp
 # sequential waves at 1080p — BENCH_NOTES "wave-count bound").  Unrolling the
 # scan body k-fold cuts while-loop iterations (and their fusion-boundary /
 # xs-slice overhead) by k, bit-exactly.  Tunable for compile-time headroom.
-WAVE_UNROLL = int(os.environ.get("KVZ_TPU_WAVE_UNROLL", "4"))
+
+
+def _unroll_env(name: str, default: str) -> int:
+    raw = os.environ.get(name, default)
+    try:
+        val = int(raw)
+    except ValueError as e:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from e
+    if val < 1:
+        raise ValueError(f"{name} must be >= 1, got {val}")
+    return val
+
+
+WAVE_UNROLL = _unroll_env("KVZ_TPU_WAVE_UNROLL", "4")
 # The quad (CTB32/64) wave bodies are much larger programs — unroll less to
 # keep compile time in check (their wave counts are also 2-4x smaller).
-QUAD_UNROLL = int(os.environ.get("KVZ_TPU_QUAD_UNROLL", "2"))
+QUAD_UNROLL = _unroll_env("KVZ_TPU_QUAD_UNROLL", "2")
 
 from ..ops import intra as intra_ops
 from ..ops.quant import dequantize, quantize, quantize_rdoq

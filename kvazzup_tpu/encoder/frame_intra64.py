@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..ops import intra as intra_ops
 from ..ops.quant import dequantize, quantize
 from .frame_intra import (
+    QUAD_UNROLL,
     _avail_flags,
     _code_flat_sel,
     _mode_bits_table,
@@ -45,7 +46,6 @@ from .frame_intra import (
     wave_to_raster,
 )
 from .frame_intra32 import _rd_prepass_grid, _subst_quad
-from .frame_intra import QUAD_UNROLL
 from .wavefront import schedule_r
 
 _ZO = ((0, 0), (0, 1), (1, 0), (1, 1))

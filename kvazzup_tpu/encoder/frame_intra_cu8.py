@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..ops import ctu_kernels as ck
 from ..ops import intra as intra_ops
 from ..ops.quant import dequantize, quantize
-from .frame_intra import _mpm_list, from_blocks, to_blocks, wave_inputs
+from .frame_intra import (WAVE_UNROLL, _mpm_list, from_blocks, to_blocks,
+                          wave_inputs)
 from .wavefront import schedule
 
 _ZOFF = [(0, 0), (0, 1), (1, 0), (1, 1)]  # z-order (row, col) in sub-blocks
@@ -338,7 +339,7 @@ def encode_frame_intra_cu8(y, u, v, qp, *, width: int, height: int, nxn: bool = 
         )
 
     (blk_y8, blk_u4, blk_v4, _), outs = jax.lax.scan(
-        wave, (blk_y8, blk_u4, blk_v4, map4), xs
+        wave, (blk_y8, blk_u4, blk_v4, map4), xs, unroll=WAVE_UNROLL
     )
     split_w, part_w, modes4_w, lev_y_w, lev_cb_w, lev_cr_w, idx_w = outs
     flat = lambda a: a.reshape((-1,) + a.shape[2:])
@@ -477,7 +478,8 @@ def reconstruct_frame_intra_cu8(split, part, modes4, lev_y, lev_cb, lev_cr, qp,
             blk_v4 = blk_v4.at[tgt].set(rcr_q[:, k].reshape(L, 4, 4), mode="drop")
         return (blk_y8, blk_u4, blk_v4), None
 
-    (blk_y8, blk_u4, blk_v4), _ = jax.lax.scan(wave, (blk_y8, blk_u4, blk_v4), xs)
+    (blk_y8, blk_u4, blk_v4), _ = jax.lax.scan(wave, (blk_y8, blk_u4, blk_v4), xs,
+                                               unroll=WAVE_UNROLL)
     return (
         from_blocks(blk_y8, height, width).astype(jnp.uint8),
         from_blocks(blk_u4, height // 2, width // 2).astype(jnp.uint8),

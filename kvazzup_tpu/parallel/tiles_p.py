@@ -54,7 +54,9 @@ class ShardedTileEncoder:
 
     Byte-identical to `Encoder(cfg, intra_period)` with the same cfg
     (tile_cols == mesh "tile" size); requires the CTB16 fast-decision
-    toolset, uniform tile columns, deblocking on, SAO off.
+    toolset and uniform tile columns.  Deblock and SAO both run sharded:
+    cross-tile edges are resolved with ppermute halo exchanges (SAO rides
+    the deblock halos, so SAO requires deblocking on).
     """
 
     def __init__(self, mesh: Mesh, cfg: StreamConfig, intra_period: int = 8):
