@@ -256,6 +256,16 @@ class SliceHeader:
     num_negative_pics: int = 0
     delta_pocs: tuple = ()
     pos_deltas: tuple = ()
+    # used_by_curr_pic flags per RPS entry (empty tuple = all 1).  Entries
+    # with used = 0 are retained in the DPB but excluded from the reference
+    # lists — how the B-pyramid keeps higher anchors alive (7.4.8 RPS
+    # semantics) while L0[0]/L1[0] stay the two active references.
+    neg_used: tuple = ()
+    pos_used: tuple = ()
+    # per-slice slice_temporal_mvp_enabled_flag override (None = follow
+    # cfg.temporal_mvp): B slices in the RA pyramid code with TMVP off
+    # while the P anchors keep it
+    tmvp: bool | None = None
     num_ref_idx_l0: int = 1
     max_num_merge_cand: int = 1  # MaxNumMergeCand for this slice
     sao_luma: bool = False
@@ -305,16 +315,18 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
         # st_ref_pic_set(num_short_term_ref_pic_sets=0 -> idx 0, no inter-rps)
         w.ue(sh.num_negative_pics)
         w.ue(len(sh.pos_deltas))  # num_positive_pics
+        neg_used = sh.neg_used or (1,) * len(sh.delta_pocs)
+        pos_used = sh.pos_used or (1,) * len(sh.pos_deltas)
         prev = 0
-        for dp in sh.delta_pocs:  # negative pics: delta_poc_s0_minus1, used flag
-            w.ue(-dp + prev - 1)
+        for dp, us in zip(sh.delta_pocs, neg_used):
+            w.ue(-dp + prev - 1)  # delta_poc_s0_minus1
             prev = dp
-            w.flag(1)  # used_by_curr_pic_s0_flag
+            w.flag(1 if us else 0)  # used_by_curr_pic_s0_flag
         prev = 0
-        for dp in sh.pos_deltas:  # positive pics ascending
+        for dp, us in zip(sh.pos_deltas, pos_used):  # positive pics ascending
             w.ue(dp - prev - 1)
             prev = dp
-            w.flag(1)  # used_by_curr_pic_s1_flag
+            w.flag(1 if us else 0)  # used_by_curr_pic_s1_flag
         if cfg.long_term_refs:
             w.ue(len(sh.lt_pics))  # num_long_term_pics (no SPS LT set)
             for (lsb, used, msb_present, cycle) in sh.lt_pics:
@@ -324,7 +336,8 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
                 if msb_present:
                     w.ue(cycle)
         if cfg.temporal_mvp:
-            w.flag(1)  # slice_temporal_mvp_enabled_flag
+            eff_tmvp = cfg.temporal_mvp if sh.tmvp is None else sh.tmvp
+            w.flag(1 if eff_tmvp else 0)  # slice_temporal_mvp_enabled_flag
     if cfg.sao_enabled:
         w.flag(sh.sao_luma)
         w.flag(sh.sao_chroma)
@@ -344,9 +357,11 @@ def compose_slice_header(cfg: StreamConfig, sh: SliceHeader, entry_offsets=None)
         if sh.slice_type == 0:
             w.flag(0)  # mvd_l1_zero_flag
         # cabac_init_present=0 -> no cabac_init_flag
-        if cfg.temporal_mvp and sh.slice_type == 0:
-            # collocated_from_l0_flag: present for B slices only (7.3.6.1);
-            # P infers 1.  collocated_ref_idx absent with one active ref.
+        if cfg.temporal_mvp and sh.slice_type == 0 \
+                and (sh.tmvp is None or sh.tmvp):
+            # collocated_from_l0_flag: present for B slices only (7.3.6.1)
+            # when the slice enables TMVP; P infers 1.  collocated_ref_idx
+            # absent with one active ref.
             w.flag(1)
         w.ue(5 - sh.max_num_merge_cand)  # five_minus_max_num_merge_cand
     w.se(sh.qp - cfg.qp)  # slice_qp_delta relative to init_qp

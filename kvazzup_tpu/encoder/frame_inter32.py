@@ -145,22 +145,28 @@ def _arbitrate(ck, oy_flat, log2, win, cand_mvs, memv, mvp0, mvp1, icost,
     and the prepass intra cost.  Returns the decision bundle."""
     n = 1 << log2
     L = oy_flat.shape[0]
-    preds_m, costs_m = [], []
-    for k in range(K):
-        idx_bits = float(min(k + 1, K - 1)) if K > 1 else 0.0
-        pk = mc_luma_window_batch(win, cand_mvs[k], n, SEARCH_RANGE)
-        cost_k = ck.satd_flat(pk.reshape(L, -1), oy_flat, log2).astype(
-            jnp.float32) + lamf * (2.0 + idx_bits)
-        preds_m.append(pk.reshape(L, -1))
-        costs_m.append(cost_k)
-    costs_s = jnp.stack(costs_m)
+    # one batched MC + one batched SATD over [K merge candidates, ME MV]:
+    # identical arithmetic to per-candidate calls (MC/SATD are per-row
+    # independent), but K+1 dispatch chains collapse to one — the waves
+    # are step-latency bound, not FLOP bound
+    allmv = jnp.concatenate(list(cand_mvs) + [memv], axis=0)
+    winb = jnp.tile(win, (K + 1, 1, 1))
+    preds = mc_luma_window_batch(winb, allmv, n, SEARCH_RANGE)
+    pflat = preds.reshape((K + 1) * L, -1)
+    sats = ck.satd_flat(pflat, jnp.tile(oy_flat, (K + 1, 1)), log2).astype(
+        jnp.float32).reshape(K + 1, L)
+    idx_bits = jnp.asarray(
+        [float(min(k + 1, K - 1)) if K > 1 else 0.0 for k in range(K)],
+        jnp.float32)
+    costs_s = sats[:K] + lamf[None, :] * (2.0 + idx_bits[:, None])
+    preds_k = pflat.reshape(K + 1, L, -1)
     merge_idx = jnp.argmin(costs_s, axis=0).astype(jnp.int32)
     cost_merge = jnp.take_along_axis(costs_s, merge_idx[None], 0)[0]
     merge_mv = jnp.take_along_axis(jnp.stack(cand_mvs), merge_idx[None, :, None], 0)[0]
-    pm_flat = jnp.take_along_axis(jnp.stack(preds_m), merge_idx[None, :, None], 0)[0]
+    pm_flat = jnp.take_along_axis(preds_k[:K], merge_idx[None, :, None], 0)[0]
 
-    pred_me = mc_luma_window_batch(win, memv, n, SEARCH_RANGE)
-    cost_sat = ck.satd_flat(pred_me.reshape(L, -1), oy_flat, log2).astype(jnp.float32)
+    pred_me = preds_k[K]
+    cost_sat = sats[K]
     mvd0 = memv - mvp0
     mvd1 = memv - mvp1
     bits0 = jax.vmap(_mvd_bits)(mvd0)

@@ -355,30 +355,36 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                                        arb["use_intra"], lamf * lamf, rdoq)
             cY = cY.at[:, y0 : y0 + n, x0 : x0 + n].set(
                 rec.reshape(lanes, n, n))
-            # chroma
+            # chroma: U and V batched through one MC + one TQR chain (the
+            # math is per-row independent, so this is bit-identical to
+            # per-plane calls — it just halves the dispatch count)
             xc, yc, m = x0 >> 1, y0 >> 1, n >> 1
-            lev_c, rec_c = [], []
-            for (oc, cc, ringsC, winc) in ((ouw, cU, ringsU, winu32),
-                                           (ovw, cV, ringsV, winv32)):
-                ocf = oc[:, yc : yc + m, xc : xc + m].reshape(lanes, -1)
-                wc = jax.lax.slice(
-                    winc, (0, yc, xc),
-                    (lanes, yc + m + SEARCH_RANGE + 3,
-                     xc + m + SEARCH_RANGE + 3))
-                pred_ic = intra_pred(cc, ringsC, xc, yc, log2u - 1, isel,
-                                     False, S // 2)
-                pred_mc = mc_chroma_window_batch(
-                    wc, arb["mv"], m, SEARCH_RANGE).reshape(lanes, -1)
-                pred_c = jnp.where(arb["use_intra"][:, None], pred_ic,
-                                   pred_mc)
-                lc, rc = _code_flat_mode(ck, ocf, pred_c, qpcw, log2u - 1,
-                                         arb["use_intra"], lamf * lamf, rdoq)
-                lev_c.append(lc)
-                rec_c.append(rc)
+            sl_c = lambda winc: jax.lax.slice(
+                winc, (0, yc, xc),
+                (lanes, yc + m + SEARCH_RANGE + 3,
+                 xc + m + SEARCH_RANGE + 3))
+            ocf2 = jnp.concatenate(
+                [ouw[:, yc : yc + m, xc : xc + m].reshape(lanes, -1),
+                 ovw[:, yc : yc + m, xc : xc + m].reshape(lanes, -1)], 0)
+            pred_ic2 = jnp.concatenate(
+                [intra_pred(cU, ringsU, xc, yc, log2u - 1, isel, False,
+                            S // 2),
+                 intra_pred(cV, ringsV, xc, yc, log2u - 1, isel, False,
+                            S // 2)], 0).reshape(2 * lanes, -1)
+            wc2 = jnp.concatenate([sl_c(winu32), sl_c(winv32)], 0)
+            pred_mc2 = mc_chroma_window_batch(
+                wc2, jnp.tile(arb["mv"], (2, 1)), m,
+                SEARCH_RANGE).reshape(2 * lanes, -1)
+            ui2 = jnp.tile(arb["use_intra"], 2)
+            pred_c2 = jnp.where(ui2[:, None], pred_ic2, pred_mc2)
+            lc2, rc2 = _code_flat_mode(ck, ocf2, pred_c2,
+                                       jnp.tile(qpcw, 2), log2u - 1, ui2,
+                                       jnp.tile(lamf * lamf, 2), rdoq)
+            lev_c = [lc2[:lanes], lc2[lanes:]]
             cU = cU.at[:, yc : yc + m, xc : xc + m].set(
-                rec_c[0].reshape(lanes, m, m))
+                rc2[:lanes].reshape(lanes, m, m))
             cV = cV.at[:, yc : yc + m, xc : xc + m].set(
-                rec_c[1].reshape(lanes, m, m))
+                rc2[lanes:].reshape(lanes, m, m))
             zero = (jnp.all(lev == 0, axis=-1)
                     & jnp.all(lev_c[0] == 0, axis=-1)
                     & jnp.all(lev_c[1] == 0, axis=-1))
@@ -448,44 +454,54 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         oy64f = oyw.reshape(lanes, -1)
         arb64 = _arbitrate(ck, oy64f, 6, win64, merge64, me64w, mvp0_64,
                            mvp1_64, jnp.broadcast_to(BIG, (lanes,)), lamf, K)
-        lev64, levu64, levv64 = [], [], []
+        # MC the full 64x64 (and 32x32 chroma) ONCE — interpolation is
+        # translation-invariant, so slicing equals per-TU32 MC — then run
+        # the four forced TU32s (and all 8 chroma TU16s) as ONE batched
+        # TQR each: bit-identical, 12 MC + 12 TQR chains -> 2 MC + 2 TQR
+        fls_b = jnp.zeros((lanes,), bool)
+        pred64 = mc_luma_window_batch(win64, arb64["mv"], S, SEARCH_RANGE)
+        pc64 = mc_chroma_window_batch(
+            jnp.concatenate([winu32, winv32], 0),
+            jnp.tile(arb64["mv"], (2, 1)), S // 2, SEARCH_RANGE)
+
+        def quads(a, h):  # (B, 2h, 2h) -> (4B, h, h) z-order-major
+            return jnp.concatenate(
+                [a[:, dy * h : dy * h + h, dx * h : dx * h + h]
+                 for dy, dx in _ZO], 0)
+
+        oy4 = quads(oyw, 32).reshape(4 * lanes, -1)
+        p4 = quads(pred64, 32).reshape(4 * lanes, -1)
+        lv4, rc4 = _code_flat_mode(ck, oy4, p4, jnp.tile(qpw, 4), 5,
+                                   jnp.tile(fls_b, 4),
+                                   jnp.tile(lamf * lamf, 4), rdoq)
+        lev64 = [lv4[j * lanes : (j + 1) * lanes] for j in range(4)]
         rec64 = jnp.zeros((lanes, S, S), jnp.int32)
+        for j, (dy3, dx3) in enumerate(_ZO):
+            rec64 = rec64.at[:, dy3 * 32 : dy3 * 32 + 32,
+                             dx3 * 32 : dx3 * 32 + 32].set(
+                rc4[j * lanes : (j + 1) * lanes].reshape(lanes, 32, 32))
+        oc8 = quads(jnp.concatenate([ouw, ovw], 0), 16).reshape(
+            8 * lanes, -1)
+        pc8 = quads(pc64, 16).reshape(8 * lanes, -1)
+        lc8, rcc8 = _code_flat_mode(ck, oc8, pc8, jnp.tile(qpcw, 8), 4,
+                                    jnp.tile(fls_b, 8),
+                                    jnp.tile(lamf * lamf, 8), rdoq)
+        # quads on the (2*lanes) concat yields z-major blocks of 2*lanes:
+        # [q][plane][lane] with plane-major inside each quadrant
+        levu64 = [lc8[(2 * j) * lanes : (2 * j + 1) * lanes]
+                  for j in range(4)]
+        levv64 = [lc8[(2 * j + 1) * lanes : (2 * j + 2) * lanes]
+                  for j in range(4)]
         rec64u = jnp.zeros((lanes, S // 2, S // 2), jnp.int32)
         rec64v = jnp.zeros((lanes, S // 2, S // 2), jnp.int32)
-        fls_b = jnp.zeros((lanes,), bool)
-        for dy3, dx3 in _ZO:
-            X, Y = dx3 * 32, dy3 * 32
-            oyf = oyw[:, Y : Y + 32, X : X + 32].reshape(lanes, -1)
-            w32 = jax.lax.slice(
-                win64, (0, Y, X),
-                (lanes, Y + 32 + 2 * SEARCH_RANGE + 7,
-                 X + 32 + 2 * SEARCH_RANGE + 7))
-            pred = mc_luma_window_batch(w32, arb64["mv"], 32,
-                                        SEARCH_RANGE).reshape(lanes, -1)
-            lv, rc = _code_flat_mode(ck, oyf, pred, qpw, 5, fls_b,
-                                     lamf * lamf, rdoq)
-            rec64 = rec64.at[:, Y : Y + 32, X : X + 32].set(
-                rc.reshape(lanes, 32, 32))
-            lev64.append(lv)
-            xc, yc = X >> 1, Y >> 1
-            for (oc, winc, recs, levs) in ((ouw, winu32, "u", levu64),
-                                           (ovw, winv32, "v", levv64)):
-                ocf = oc[:, yc : yc + 16, xc : xc + 16].reshape(lanes, -1)
-                wc = jax.lax.slice(
-                    winc, (0, yc, xc),
-                    (lanes, yc + 16 + SEARCH_RANGE + 3,
-                     xc + 16 + SEARCH_RANGE + 3))
-                pc = mc_chroma_window_batch(wc, arb64["mv"], 16,
-                                            SEARCH_RANGE).reshape(lanes, -1)
-                lc, rcc = _code_flat_mode(ck, ocf, pc, qpcw, 4, fls_b,
-                                          lamf * lamf, rdoq)
-                levs.append(lc)
-                if recs == "u":
-                    rec64u = rec64u.at[:, yc : yc + 16, xc : xc + 16].set(
-                        rcc.reshape(lanes, 16, 16))
-                else:
-                    rec64v = rec64v.at[:, yc : yc + 16, xc : xc + 16].set(
-                        rcc.reshape(lanes, 16, 16))
+        for j, (dy3, dx3) in enumerate(_ZO):
+            yc, xc = dy3 * 16, dx3 * 16
+            rec64u = rec64u.at[:, yc : yc + 16, xc : xc + 16].set(
+                rcc8[(2 * j) * lanes : (2 * j + 1) * lanes].reshape(
+                    lanes, 16, 16))
+            rec64v = rec64v.at[:, yc : yc + 16, xc : xc + 16].set(
+                rcc8[(2 * j + 1) * lanes : (2 * j + 2) * lanes].reshape(
+                    lanes, 16, 16))
         zero64 = jnp.all(
             jnp.concatenate(lev64 + levu64 + levv64, axis=1) == 0, axis=-1)
         ct64 = jnp.where(arb64["is_merge"],

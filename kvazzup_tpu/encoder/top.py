@@ -844,9 +844,21 @@ class RandomAccessEncoder:
     their POCs (display order) attached.
     """
 
+    def __new__(cls, cfg: StreamConfig, gop_size: int = 4,
+                intra_period: int = 32):
+        # the production RA path: CTB64 quad device engines (B-pyramid,
+        # gop 4/8, wpp+sao+deblock+merge-K+tmvp+rdoq) — encoder/ra.py
+        if cfg.ctb_log2 == 6:
+            from .ra import QuadRAEncoder
+
+            return QuadRAEncoder(cfg, gop_size, intra_period)
+        return super().__new__(cls)
+
     def __init__(self, cfg: StreamConfig, gop_size: int = 4, intra_period: int = 32) -> None:
         if gop_size != 4:
-            raise NotImplementedError("RA v1 uses gop_size 4")
+            raise NotImplementedError(
+                "CTB16 RA uses gop_size 4 (gop 8 runs on the CTB64 quad "
+                "path: ctb_log2 6)")
         if cfg.sao_enabled and not cfg.wpp:
             raise NotImplementedError("SAO requires cfg.wpp")
         if cfg.num_reorder_pics < 2 or cfg.max_dec_pic_buffering < 4:

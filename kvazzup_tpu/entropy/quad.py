@@ -235,9 +235,17 @@ class _QuadWriterP(_QuadWriter):
         if ct == 1:
             _encode_merge_idx(enc, int(node["merge_idx"]), self.merge_k)
         else:
-            # single reference: ref_idx_l0 absent
-            _encode_mvd(enc, int(node["mvd"][0]), int(node["mvd"][1]))
-            enc.encode_bin(OFFSETS["mvp_flag"], int(node["mvp_flag"]))
+            self._amvp_pu(enc, node, log2)
+        self._inter_residual(enc, node, log2, ct)
+
+    def _amvp_pu(self, enc, node, log2):
+        from .slice_data import _encode_mvd
+
+        # single reference: ref_idx_l0 absent
+        _encode_mvd(enc, int(node["mvd"][0]), int(node["mvd"][1]))
+        enc.encode_bin(OFFSETS["mvp_flag"], int(node["mvp_flag"]))
+
+    def _inter_residual(self, enc, node, log2, ct):
         lev_y, lev_cb, lev_cr = node["lev_y"], node["lev_cb"], node["lev_cr"]
         cbf_y = 1 if np.any(lev_y) else 0
         cbf_cb = 1 if np.any(lev_cb) else 0
@@ -349,6 +357,86 @@ def encode_slice_data_p_quad_wpp(cfg, trees, slice_qp=None, sao=None,
     return encode_slice_data_wpp(cfg, fn, qs, slice_qp=sq)
 
 
+class _QuadWriterB(_QuadWriterP):
+    """B-slice quadtree writer: dual-list inter leaves (2Nx2N
+    merge/AMVP/skip with inter_pred_idc, per-list mvd + mvp_flag) —
+    mirrors decoder/generic_b.py's _coding_unit/_b_amvp_pu parse exactly
+    (one reference per list, so both ref_idx fields are absent;
+    mvd_l1_zero_flag is 0)."""
+
+    def _amvp_pu(self, enc, node, log2):
+        from .slice_data import _encode_mvd
+
+        dr = int(node["inter_dir"])  # 1 = L0, 2 = L1, 3 = BI
+        # inter_pred_idc (9.3.3.10): 2Nx2N PUs use the CtDepth ctx for the
+        # bi/uni bin, then ctx 4 for the list bin
+        ctd = self.ctb_log2 - log2
+        enc.encode_bin(OFFSETS["inter_pred_idc"] + ctd, 1 if dr == 3 else 0)
+        if dr != 3:
+            enc.encode_bin(OFFSETS["inter_pred_idc"] + 4, 1 if dr == 2 else 0)
+        for l in range(2):
+            if dr & (1 << l):
+                _encode_mvd(enc, int(node["mvd"][l][0]),
+                            int(node["mvd"][l][1]))
+                enc.encode_bin(OFFSETS["mvp_flag"], int(node["mvp_flag"][l]))
+
+
+def encode_slice_data_b_quad(cfg, trees, slice_qp=None, sao=None,
+                             merge_k: int = 1, qp_map=None) -> bytes:
+    """B-slice data for the quad-B tree representation (single slice,
+    init_type 2 — cabac_init_flag 0)."""
+    from .slice_data import QpState
+
+    sq = cfg.qp if slice_qp is None else slice_qp
+    out = _try_native_quad(cfg, trees, 0, False, sq, sao, qp_map, merge_k)
+    if out is not None:
+        return out[0]
+    enc = CabacEncoder(init_type=2, slice_qp=sq)
+    cw = cfg.ctbs_w
+    nctu = cw * cfg.ctbs_h
+    qs = QpState(sq, qp_map, nctu) if qp_map is not None else None
+    wr = _QuadWriterB(cfg, sq, merge_k, qs)
+    n = cfg.ctb_size
+    for i, node in enumerate(trees):
+        if sao is not None:
+            sao.encode(enc, i)
+        if qs is not None:
+            qs.begin_ctu(i)
+        wr.ctu(enc, node, (i % cw) * n, (i // cw) * n)
+        if qs is not None:
+            qs.end_ctu()
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    return enc.data()
+
+
+def encode_slice_data_b_quad_wpp(cfg, trees, slice_qp=None, sao=None,
+                                 merge_k: int = 1, qp_map=None):
+    """WPP variant of the B-quad writer.  Returns (payload,
+    entry_point_offsets)."""
+    from .slice_data import QpState, encode_slice_data_wpp
+
+    sq = cfg.qp if slice_qp is None else slice_qp
+    out = _try_native_quad(cfg, trees, 0, True, sq, sao, qp_map, merge_k)
+    if out is not None:
+        return out
+    cw = cfg.ctbs_w
+    qs = QpState(sq, qp_map, cw * cfg.ctbs_h) if qp_map is not None else None
+    wr = _QuadWriterB(cfg, sq, merge_k, qs)
+    n = cfg.ctb_size
+
+    def fn(enc, i):
+        if sao is not None:
+            sao.encode(enc, i)
+        if qs is not None:
+            qs.begin_ctu(i)
+        wr.ctu(enc, trees[i], (i % cw) * n, (i // cw) * n)
+        if qs is not None:
+            qs.end_ctu()
+
+    fn.init_type = 2
+    return encode_slice_data_wpp(cfg, fn, qs, slice_qp=sq)
+
+
 def encode_slice_data_intra_quad(cfg, trees, slice_qp=None, sao=None,
                                  qp_map=None) -> bytes:
     """I-slice data for the cu32.py tree representation (single slice,
@@ -437,11 +525,20 @@ def _serialize_trees(cfg, trees, slice_type: int):
             for sub in node["split"]:
                 walk(sub, log2 - 1)
             return
-        if slice_type == 1:
+        if slice_type != 2:
             ct = int(node.get("ctype", 0))
             toks.append(ct)
             if ct in (1, 3):
                 toks.append(int(node["merge_idx"]))
+            elif ct == 2 and slice_type == 0:
+                # B AMVP: [inter_dir] + (mvd_x mvd_y mvp) per active list
+                dr = int(node["inter_dir"])
+                toks.append(dr)
+                for l in range(2):
+                    if dr & (1 << l):
+                        toks.extend((int(node["mvd"][l][0]),
+                                     int(node["mvd"][l][1]),
+                                     int(node["mvp_flag"][l])))
             elif ct == 2:
                 toks.extend((int(node["mvd"][0]), int(node["mvd"][1]),
                              int(node["mvp_flag"])))

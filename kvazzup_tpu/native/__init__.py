@@ -32,8 +32,16 @@ def _build() -> str:
     ):
         return so
     generate(header)
-    cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", so]
-    subprocess.run(cmd, check=True, capture_output=True, cwd=_DIR)
+    # -march=native is safe: the .so is gitignored and always built on
+    # the machine that runs it (mtime-gated above).  Fall back to plain
+    # -O2 if the toolchain rejects the flags.
+    cmd = ["gcc", "-O3", "-march=native", "-funroll-loops", "-shared",
+           "-fPIC", src, "-o", so]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, cwd=_DIR)
+    except subprocess.CalledProcessError:
+        cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", so]
+        subprocess.run(cmd, check=True, capture_output=True, cwd=_DIR)
     return so
 
 

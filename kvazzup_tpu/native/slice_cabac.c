@@ -3818,6 +3818,20 @@ static void qw_p_cu(CabacEnc *e, QuadW *q, long *tp, long *lp,
     enc_bin(e, CTX_MERGE_FLAG, ct == CT_MERGE);
     if (ct == CT_MERGE) {
         enc_merge_idx(e, q->toks[(*tp)++], q->merge_k);
+    } else if (q->slice_type == 0) {
+        /* B AMVP PU: inter_pred_idc (9.3.3.10 — 2Nx2N uses the CtDepth
+         * ctx for the bi/uni bin, ctx 4 for the list bin), then per-list
+         * mvd + mvp_flag (one ref per list: ref_idx absent) */
+        int dr = q->toks[(*tp)++];
+        enc_bin(e, CTX_INTER_PRED_IDC + (q->ctb_log2 - log2), dr == 3);
+        if (dr != 3) enc_bin(e, CTX_INTER_PRED_IDC + 4, dr == 2);
+        for (int l = 0; l < 2; l++) {
+            if (!(dr & (1 << l))) continue;
+            int mvd_x = q->toks[(*tp)++], mvd_y = q->toks[(*tp)++];
+            int mvp = q->toks[(*tp)++];
+            enc_mvd(e, mvd_x, mvd_y);
+            enc_bin(e, CTX_MVP_FLAG, mvp);
+        }
     } else {
         int mvd_x = q->toks[(*tp)++], mvd_y = q->toks[(*tp)++];
         int mvp = q->toks[(*tp)++];
@@ -3887,7 +3901,7 @@ static void qw_quadtree(CabacEnc *e, QuadW *q, long *tp, long *lp,
                         y0 + QW_ZO[j][0] * h, log2 - 1, depth + 1, qc);
         return;
     }
-    if (q->slice_type == 1) qw_p_cu(e, q, tp, lp, x0, y0, log2, qc);
+    if (q->slice_type != 2) qw_p_cu(e, q, tp, lp, x0, y0, log2, qc);
     else qw_intra_cu(e, q, tp, lp, x0, y0, log2, qc);
 }
 
@@ -3910,13 +3924,18 @@ static void qw_pre_node(QuadW *q, long *tp, long *lp, int x0, int y0,
         for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
             q->depth4[(long)yy * q->w4 + xx] = (int8_t)depth;
     int ct = 0;
-    if (q->slice_type == 1) {
+    if (q->slice_type != 2) {
         ct = q->toks[(*tp)++];
         for (int yy = y0 >> 2; yy < (y0 + n) >> 2; yy++)
             for (int xx = x0 >> 2; xx < (x0 + n) >> 2; xx++)
                 q->skip4[(long)yy * q->w4 + xx] = ct == CT_SKIP;
         if (ct == CT_SKIP || ct == CT_MERGE) (*tp)++;
-        else if (ct == CT_AMVP) (*tp) += 3;
+        else if (ct == CT_AMVP) {
+            if (q->slice_type == 0) { /* [inter_dir] + 3 per active list */
+                int dr = q->toks[(*tp)++];
+                (*tp) += 3 * ((dr & 1) + ((dr >> 1) & 1));
+            } else (*tp) += 3;
+        }
         if (ct != CT_INTRA) {
             *lp += (long)n * n + 2 * (long)(n / 2) * (n / 2);
             return;
@@ -3974,7 +3993,8 @@ static void *qw_row_thread(void *arg) {
     int cw = q->cw, chh = q->chh;
     long nctu = (long)cw * chh;
     CabacEnc e;
-    enc_init(&e, q->slice_type == 2 ? 0 : 1, rc->slice_qp, rc->out, rc->cap);
+    enc_init(&e, q->slice_type == 2 ? 0 : (q->slice_type == 1 ? 1 : 2),
+             rc->slice_qp, rc->out, rc->cap);
     if (rc->row > 0 && cw > 1) {
         QRowCtl *prev = rc->prev;
         pthread_mutex_lock(&prev->mu);
@@ -4043,7 +4063,8 @@ long encode_slice_quad_c(
     long total = -1;
     if (!wpp) {
         CabacEnc e;
-        enc_init(&e, slice_type == 2 ? 0 : 1, slice_qp, out, out_cap);
+        enc_init(&e, slice_type == 2 ? 0 : (slice_type == 1 ? 1 : 2),
+                 slice_qp, out, out_cap);
         QpChain qc0 = {slice_qp, 0, 0};
         QpChain *qc = qp_map ? &qc0 : NULL;
         for (long i = 0; i < nctu; i++) {

@@ -252,9 +252,9 @@ def _phase_coeffs(frac, table):
     return jnp.round(oh @ tab).astype(jnp.int32)
 
 
-def mc_luma_window_batch(wins, mvs, size: int, search_range: int):
-    """Batched mc_luma_window: (L, Hw, Ww) windows, (L, 2) qpel MVs ->
-    (L, size, size).  Bit-identical to mc_luma for |MV| <= 4*search_range."""
+def mc_luma_window_batch_14bit(wins, mvs, size: int, search_range: int):
+    """Batched luma MC in the 14-bit intermediate domain (the bi-prediction
+    operand, 8.5.4.2.3) — mc_luma_14bit over per-lane windows."""
     org = mc_window_origin(search_range, False)
     ix = org + (mvs[:, 0] >> 2) - 3
     iy = org + (mvs[:, 1] >> 2) - 3
@@ -267,11 +267,17 @@ def mc_luma_window_batch(wins, mvs, size: int, search_range: int):
     out = jnp.zeros((w.shape[0], size, size), jnp.int32)
     for k in range(8):
         out = out + cfv[:, k, None, None] * acc[:, k : k + size, :]
-    return jnp.clip(((out >> 6) + 32) >> 6, 0, 255)
+    return out >> 6
 
 
-def mc_chroma_window_batch(wins, mvs, size: int, search_range: int):
-    """Batched mc_chroma_window (4-tap, eighth-pel phases)."""
+def mc_luma_window_batch(wins, mvs, size: int, search_range: int):
+    """Batched mc_luma_window: (L, Hw, Ww) windows, (L, 2) qpel MVs ->
+    (L, size, size).  Bit-identical to mc_luma for |MV| <= 4*search_range."""
+    return uni_round(mc_luma_window_batch_14bit(wins, mvs, size, search_range))
+
+
+def mc_chroma_window_batch_14bit(wins, mvs, size: int, search_range: int):
+    """Batched chroma MC in the 14-bit domain (bi-prediction operand)."""
     org = mc_window_origin(search_range, True)
     ix = org + (mvs[:, 0] >> 3) - 1
     iy = org + (mvs[:, 1] >> 3) - 1
@@ -284,7 +290,13 @@ def mc_chroma_window_batch(wins, mvs, size: int, search_range: int):
     out = jnp.zeros((w.shape[0], size, size), jnp.int32)
     for k in range(4):
         out = out + cfv[:, k, None, None] * acc[:, k : k + size, :]
-    return jnp.clip(((out >> 6) + 32) >> 6, 0, 255)
+    return out >> 6
+
+
+def mc_chroma_window_batch(wins, mvs, size: int, search_range: int):
+    """Batched mc_chroma_window (4-tap, eighth-pel phases)."""
+    return uni_round(mc_chroma_window_batch_14bit(wins, mvs, size,
+                                                  search_range))
 
 
 def sheared_ref_strips(ref_pad, n: int, search_range: int, ch: int,
