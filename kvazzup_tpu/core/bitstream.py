@@ -153,16 +153,29 @@ class BitReader:
 
 
 def insert_emulation_prevention(rbsp: bytes) -> bytes:
-    """RBSP -> NAL payload: insert 0x03 after any 0x0000 followed by 0x00..0x03."""
-    out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
-            out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    return bytes(out)
+    """RBSP -> NAL payload: insert 0x03 after any 0x0000 followed by
+    0x00..0x03.
+
+    Vectorized candidate detection (i >= 2 with rbsp[i] <= 3 and two
+    preceding zero bytes) plus a tiny greedy pass for the reset rule: an
+    insertion restarts the zero count, so a later candidate is valid only
+    if its two zeros lie at or after the previous insertion point —
+    equivalently, at distance >= 2 (e.g. 00 00 00 00 escapes once)."""
+    import numpy as np
+
+    if len(rbsp) < 3:
+        return rbsp
+    a = np.frombuffer(rbsp, np.uint8)
+    cand = np.nonzero((a[2:] <= 3) & (a[1:-1] == 0) & (a[:-2] == 0))[0] + 2
+    if cand.size == 0:
+        return rbsp
+    acc = []
+    last = -2
+    for c in cand.tolist():
+        if c - last >= 2:
+            acc.append(c)
+            last = c
+    return np.insert(a, acc, np.uint8(3)).tobytes()
 
 
 def remove_emulation_prevention(payload: bytes) -> bytes:
@@ -174,20 +187,25 @@ def remove_emulation_prevention_pos(payload: bytes) -> tuple:
     """As remove_emulation_prevention, but also return the RBSP offsets at
     which a 0x03 byte was dropped (needed to map the slice header's
     entry_point_offsets — which count emulation bytes, 7.4.7.1 — onto the
-    RBSP payload)."""
-    out = bytearray()
-    removals = []
-    zeros = 0
-    i = 0
+    RBSP payload).
+
+    Vectorized: the byte-scan rule "drop 0x03 after two appended zeros"
+    is equivalent to "drop payload[i] == 3 where payload[i-2:i] == 00 00",
+    because zeros only accumulate over appended 0x00 input bytes (a drop
+    resets the count and the dropped byte is 0x03, never 0x00), so the
+    two qualifying zeros are always the two immediately preceding input
+    bytes."""
+    import numpy as np
+
     n = len(payload)
-    while i < n:
-        b = payload[i]
-        if zeros >= 2 and b == 3 and i + 1 <= n:
-            removals.append(len(out))
-            zeros = 0
-            i += 1
-            continue
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-        i += 1
-    return bytes(out), tuple(removals)
+    if n < 3:
+        return payload, ()
+    a = np.frombuffer(payload, np.uint8)
+    cand = np.nonzero((a[2:] == 3) & (a[1:-1] == 0) & (a[:-2] == 0))[0] + 2
+    if cand.size == 0:
+        return payload, ()
+    keep = np.ones(n, bool)
+    keep[cand] = False
+    # RBSP offset of each drop = input index minus drops before it
+    rem = cand - np.arange(cand.size)
+    return a[keep].tobytes(), tuple(int(r) for r in rem)
