@@ -120,9 +120,14 @@ class GenericIntraDecoder:
         n = 1 << self.ctb_log2
         self.cw = -(-self.w // n)
         self.ch = -(-self.h // n)
-        self.y = np.zeros((self.h, self.w), np.int32)
-        self.u = np.zeros((self.h // 2, self.w // 2), np.int32)
-        self.v = np.zeros((self.h // 2, self.w // 2), np.int32)
+        # canvases are allocated uninitialized (~12 MB of memset saved
+        # per 1080p picture): the native recon writes every sample, and
+        # native_recon._reset zeroes them before any Python-tier fallback
+        # (the Python CTU loop also writes every sample, but starts from
+        # the zeroed constructor state for determinism)
+        self.y = np.empty((self.h, self.w), np.int32)
+        self.u = np.empty((self.h // 2, self.w // 2), np.int32)
+        self.v = np.empty((self.h // 2, self.w // 2), np.int32)
         # 4x4-cell maps over the picture: luma mode (MPM), CU depth (split
         # ctx), coded flag (z-scan availability is tracked positionally)
         self.mode4 = np.full((self.h // 4, self.w // 4), 1, np.int32)

@@ -15,10 +15,25 @@ Envelope: 8-bit, flat scaling lists (explicit lists fall back).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 RECON_OK = 0
 RECON_FALLBACK = 0
+
+
+def _wpp_row_threads() -> int:
+    """Worker count for the C row-parallel WPP wavefront; 1 disables it
+    (sequential per-row calls).  KVZ_TPU_WPP_ROW_THREADS overrides."""
+    raw = os.environ.get("KVZ_TPU_WPP_ROW_THREADS")
+    if raw is not None:
+        try:
+            return max(1, int(raw))
+        except ValueError:
+            raise ValueError(
+                f"KVZ_TPU_WPP_ROW_THREADS must be an int, got {raw!r}")
+    return min(4, os.cpu_count() or 1)
 
 
 def _fallback():
@@ -89,9 +104,22 @@ def try_recon_picture(gd, sps, pps, slices, starts, ends, sids, init_type,
     """Reconstruct all slice segments of a picture natively.
 
     Returns True when the picture is fully reconstructed in gd's buffers
-    (callers skip the Python CTU loop); False to fall back."""
+    (callers skip the Python CTU loop); False to fall back.  On ANY
+    False return the gd/sao buffers are restored to constructor state —
+    the canvases are allocated uninitialized (generic_intra.__init__),
+    so the Python tier must always start from a reset."""
+    ok = _try_recon_picture(gd, sps, pps, slices, starts, ends, sids,
+                            init_type, sao_state)
+    if not ok:
+        _reset(gd, sao_state, slices[0][1].qp)
+    return ok
+
+
+def _try_recon_picture(gd, sps, pps, slices, starts, ends, sids, init_type,
+                       sao_state):
     global RECON_OK
-    from ..native import GenericParseState, recon_generic_segment, get_lib
+    from ..native import (GenericParseState, get_lib, recon_generic_segment,
+                          recon_generic_wpp)
 
     if get_lib() is None:
         return _fallback()
@@ -181,6 +209,7 @@ def try_recon_picture(gd, sps, pps, slices, starts, ends, sids, init_type,
     state = GenericParseState(gd.w, gd.h)
     cw = gd.cw
     wpp = bool(getattr(pps, "entropy_sync", False))
+    row_threads = _wpp_row_threads()
     for k, (nal_k, sh_k) in enumerate(slices):
         payload = nal_k.rbsp[sh_k.data_offset_bits // 8 :]
         st, en = starts[k], ends[k]
@@ -191,7 +220,6 @@ def try_recon_picture(gd, sps, pps, slices, starts, ends, sids, init_type,
                 gd.slice_of_ctu, sids[k], state, rcfg, bufs, refs,
                 col_ptrs, wt)
             if not ok:
-                _reset(gd, sao_state, sh0.qp)
                 return _fallback()
             continue
         # WPP: per-row substreams with context inheritance (9.3.1/9.3.2.3)
@@ -203,6 +231,17 @@ def try_recon_picture(gd, sps, pps, slices, starts, ends, sids, init_type,
         bounds.append(len(payload))
         rows = range(st // cw, -(-en // cw))
         if len(bounds) - 1 != len(rows):
+            return _fallback()
+        if row_threads > 1 and len(rows) > 1:
+            # Row-parallel wavefront in C (skew-2 sync + 9.3.2.3 context
+            # inheritance); any native error resets the shared buffers
+            # and falls back to the Python tier like the sequential path.
+            ok = recon_generic_wpp(
+                cfgv, payload, bounds, row_threads, init_type, sh_k.qp,
+                st, en, gd.slice_of_ctu, sids[k], state, rcfg, bufs, refs,
+                col_ptrs, wt)
+            if ok:
+                continue
             return _fallback()
         snap = np.zeros_like(state.ctx)
         for ri, row in enumerate(rows):
@@ -219,7 +258,6 @@ def try_recon_picture(gd, sps, pps, slices, starts, ends, sids, init_type,
                 slice_last=en - 1, subset_term=True,
                 snap_after=row_st + 1 if cw > 1 else -1, ctx_snap=snap)
             if not ok:
-                _reset(gd, sao_state, sh0.qp)
                 return _fallback()
     del keep
     RECON_OK += 1

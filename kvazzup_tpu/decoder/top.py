@@ -43,6 +43,7 @@ class Decoder:
         self.pps: ParsedPps | None = None
         self._ref = None  # last decoded picture (low-delay fast path)
         self._dpb: dict = {}  # full POC -> picture (random-access refs)
+        self._i32_refs: dict = {}  # POC -> (int32 planes, id anchor)
         self._period = 0  # IDR period counter for output ordering
         self._poc_prev = (0, 0)  # (prevPicOrderCntLsb, prevPicOrderCntMsb)
 
@@ -288,7 +289,18 @@ class Decoder:
             pic = self._dpb.get(poc)
             if pic is None:
                 raise ValueError(f"missing reference picture POC {poc}")
-            return (tuple(np.asarray(p, np.int32) for p in pic), poc)
+            # int32 view of the (uint8) DPB picture, converted once per
+            # decoded picture instead of once per referencing picture —
+            # at 1080p each conversion is a ~12 MB copy.  Keyed by POC
+            # with an identity check so a same-POC replacement (new
+            # CVS) invalidates; pruned lazily against the DPB.
+            cached = self._i32_refs.get(poc)
+            if cached is None or cached[1] is not pic[0]:
+                conv = tuple(np.ascontiguousarray(p, np.int32) for p in pic)
+                self._i32_refs[poc] = cached = (conv, pic[0])
+                for k in [k for k in self._i32_refs if k not in self._dpb]:
+                    self._i32_refs.pop(k, None)
+            return (cached[0], poc)
 
         def mk(cand, n, entries):
             if not cand:

@@ -327,6 +327,25 @@ def _bind_generic(lib):
         ctypes.c_void_p,                                    # col ptrs
         ctypes.c_void_p,                                    # weights
     ]
+    lib.recon_generic_wpp_c.restype = ctypes.c_long
+    lib.recon_generic_wpp_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,                                   # rcfg
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # y u v
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # qp4 ev eh
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # inter4 mv4 ref4
+        ctypes.c_void_p, ctypes.c_void_p,                   # refpoc4 cbf4
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pf4 mv4l rp4l
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # sao t a o
+        ctypes.c_void_p, ctypes.c_void_p,                   # ref0 ptrs/poc
+        ctypes.c_void_p, ctypes.c_void_p,                   # ref1 ptrs/poc
+        ctypes.c_void_p,                                    # col ptrs
+        ctypes.c_void_p,                                    # weights
+    ]
     lib.parse_generic_slice_c.restype = ctypes.c_long
     lib.parse_generic_slice_c.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
@@ -461,6 +480,52 @@ def recon_generic_segment(cfgv, payload: bytes, init_type: int, slice_qp: int,
     return True
 
 
+def recon_generic_wpp(cfgv, payload: bytes, bounds, nthreads: int,
+                      init_type: int, slice_qp: int,
+                      ctb_from: int, ctb_to: int,
+                      slice_of, cur_slice: int, state: GenericParseState,
+                      rcfg, bufs: dict, refs, col_ptrs, wt) -> bool:
+    """Decode + reconstruct one WPP slice (all row substreams) natively
+    with row-parallel wavefront threads (skew-2 sync + 9.3.2.3 context
+    inheritance in C).  bounds: int list of row substream byte offsets
+    (len nrows+1).  Same buffer contract as recon_generic_segment."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    _bind_generic(lib)
+    buf = np.frombuffer(payload, np.uint8)
+    bnd = np.ascontiguousarray(bounds, np.int64)
+    nrows = len(bnd) - 1
+    so = None if slice_of is None else np.ascontiguousarray(slice_of, np.int32)
+    r0p, r0poc, r1p, r1poc = refs
+    rc = lib.recon_generic_wpp_c(
+        buf.ctypes.data, bnd.ctypes.data, nrows, nthreads,
+        init_type, slice_qp,
+        np.ascontiguousarray(cfgv, np.int32).ctypes.data,
+        ctb_from, ctb_to, ctb_to - 1,
+        None if so is None else so.ctypes.data, cur_slice,
+        state.depth4.ctypes.data, state.skip4.ctypes.data,
+        state.mode4.ctypes.data,
+        rcfg.ctypes.data,
+        _ptr(bufs["y"]), _ptr(bufs["u"]), _ptr(bufs["v"]),
+        _ptr(bufs["qp4"]), _ptr(bufs["edge_v"]), _ptr(bufs["edge_h"]),
+        _ptr(bufs["inter4"]), _ptr(bufs["mv4"]), _ptr(bufs["ref4"]),
+        _ptr(bufs["refpoc4"]), _ptr(bufs["cbf4"]),
+        _ptr(bufs["pf4"]), _ptr(bufs["mv4l"]), _ptr(bufs["refpoc4l"]),
+        _ptr(bufs["sao_typ"]), _ptr(bufs["sao_aux"]), _ptr(bufs["sao_offs"]),
+        _ptr(r0p), _ptr(r0poc), _ptr(r1p), _ptr(r1poc),
+        _ptr(col_ptrs), _ptr(wt),
+    )
+    if rc != 0:
+        if os.environ.get("KVZ_TPU_PARSE_DEBUG"):
+            import sys
+
+            print(f"[native-recon-wpp] rc={rc} ctb[{ctb_from},{ctb_to}) "
+                  f"rows={nrows}", file=sys.stderr)
+        return False
+    return True
+
+
 def native_bs_maps(gd, is_b: bool):
     """Deblock boundary strengths from the decoder's 4x4 maps in C
     (bs_maps_c), or None to use the Python gd.bs_maps().  Pure function
@@ -491,6 +556,19 @@ def native_bs_maps(gd, is_b: bool):
         *[None if a is None else a.ctypes.data for a in args],
         bs_v.ctypes.data, bs_h.ctypes.data)
     return bs_v, bs_h
+
+
+def _filter_threads() -> int:
+    """Worker count for the threaded in-loop filter pass (deblock_sao_c);
+    1 runs it inline.  KVZ_TPU_FILTER_THREADS overrides."""
+    raw = os.environ.get("KVZ_TPU_FILTER_THREADS")
+    if raw is not None:
+        try:
+            return max(1, int(raw))
+        except ValueError:
+            raise ValueError(
+                f"KVZ_TPU_FILTER_THREADS must be an int, got {raw!r}")
+    return min(4, os.cpu_count() or 1)
 
 
 def native_filters(gd, sps, pps, sh, sao_state):
@@ -529,7 +607,7 @@ def native_filters(gd, sps, pps, sh, sao_state):
         bs_v = bs_h = qp_map8 = None
     if not hasattr(lib, "_filters_bound"):
         lib.deblock_sao_c.restype = None
-        lib.deblock_sao_c.argtypes = [ctypes.c_int] * 11 + [ctypes.c_void_p] * 12
+        lib.deblock_sao_c.argtypes = [ctypes.c_int] * 12 + [ctypes.c_void_p] * 12
         lib._filters_bound = True
     sao_luma = 1 if (sao_state is not None and sao_state.luma) else 0
     sao_chroma = 1 if (sao_state is not None and sao_state.chroma) else 0
@@ -540,6 +618,7 @@ def native_filters(gd, sps, pps, sh, sao_state):
         w, h, sps.ctb_log2,
         sh.qp, sh.beta_offset_div2, sh.tc_offset_div2, gd.cb_off, gd.cr_off,
         do_deblock, sao_luma, sao_chroma,
+        _filter_threads(),
         gd.y.ctypes.data, gd.u.ctypes.data, gd.v.ctypes.data,
         _ptr(bs_v), _ptr(bs_h), _ptr(qp_map8),
         None if sao_state is None else sao_state.typ.ctypes.data,

@@ -2185,11 +2185,56 @@ static void rc_mc(const int32_t *ref, int W, int H, int x0, int y0,
     }
     int inside = ix - reach >= 0 && iy - reach >= 0
         && ix - reach + w + ntap - 1 <= W && iy - reach + h + ntap - 1 <= H;
-    if (inside && fx == 0 && fy == 0 && !raw14 && !wt) {
-        /* integer position, plain uni-pred: straight copy */
-        for (int r = 0; r < h; r++)
-            memcpy(out + r * w, ref + (long)(iy + r) * W + ix,
-                   sizeof(int32_t) * w);
+    if (inside && fx == 0 && fy == 0 && !wt) {
+        if (!raw14) {
+            /* integer position, plain uni-pred: straight copy */
+            for (int r = 0; r < h; r++)
+                memcpy(out + r * w, ref + (long)(iy + r) * W + ix,
+                       sizeof(int32_t) * w);
+        } else {
+            /* integer position into the 14-bit bi-pred domain: both
+               identity taps contribute x64, then >>6 — net <<6 */
+            for (int r = 0; r < h; r++) {
+                const int32_t *row = ref + (long)(iy + r) * W + ix;
+                int32_t *dst = out + r * w;
+                for (int c = 0; c < w; c++) dst[c] = row[c] << 6;
+            }
+        }
+        return;
+    }
+    if (inside && fy == 0 && !wt) {
+        /* horizontal-only: identity vertical taps cancel the >>6 */
+        for (int r = 0; r < h; r++) {
+            const int32_t *row = ref + (long)(iy + r) * W + ix - reach;
+            int32_t *dst = out + r * w;
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int k = 0; k < ntap; k++) acc += th[k] * row[c + k];
+                if (raw14) dst[c] = acc;
+                else {
+                    int v = (acc + 32) >> 6;
+                    dst[c] = v < 0 ? 0 : v > 255 ? 255 : v;
+                }
+            }
+        }
+        return;
+    }
+    if (inside && fx == 0 && !wt) {
+        /* vertical-only on integer columns */
+        for (int r = 0; r < h; r++) {
+            const int32_t *col0 = ref + (long)(iy - reach + r) * W + ix;
+            int32_t *dst = out + r * w;
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int k = 0; k < ntap; k++)
+                    acc += tv[k] * col0[(long)k * W + c];
+                if (raw14) dst[c] = acc;
+                else {
+                    int v = (acc + 32) >> 6;
+                    dst[c] = v < 0 ? 0 : v > 255 ? 255 : v;
+                }
+            }
+        }
         return;
     }
     int32_t tmp[(64 + 7) * 64];
@@ -2220,19 +2265,31 @@ static void rc_mc(const int32_t *ref, int W, int H, int x0, int y0,
             }
         }
     }
+    if (wt) {
+        int log2wd = wt[2] + 6;
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int64_t acc = 0;
+                for (int k = 0; k < ntap; k++)
+                    acc += (int64_t)tv[k] * tmp[(r + k) * w + c];
+                acc >>= 6;  /* 14-bit intermediate domain */
+                int64_t v = ((acc * wt[0] + (1LL << (log2wd - 1))) >> log2wd)
+                            + wt[1];
+                out[r * w + c] = v < 0 ? 0 : v > 255 ? 255 : (int32_t)v;
+            }
+        return;
+    }
+    /* int32 accumulation is exact here: |h-pass| <= 255*112 and the
+       v-pass adds another x112 — well inside 31 bits */
     for (int r = 0; r < h; r++)
         for (int c = 0; c < w; c++) {
-            int64_t acc = 0;
+            int32_t acc = 0;
             for (int k = 0; k < ntap; k++)
-                acc += (int64_t)tv[k] * tmp[(r + k) * w + c];
+                acc += tv[k] * tmp[(r + k) * w + c];
             acc >>= 6;  /* 14-bit intermediate domain */
-            if (raw14) { out[r * w + c] = (int32_t)acc; continue; }
-            int64_t v;
-            if (wt) {
-                int log2wd = wt[2] + 6;
-                v = ((acc * wt[0] + (1LL << (log2wd - 1))) >> log2wd) + wt[1];
-            } else v = (acc + 32) >> 6;
-            out[r * w + c] = v < 0 ? 0 : v > 255 ? 255 : (int32_t)v;
+            if (raw14) { out[r * w + c] = acc; continue; }
+            int v = (acc + 32) >> 6;
+            out[r * w + c] = v < 0 ? 0 : v > 255 ? 255 : v;
         }
 }
 
@@ -3165,12 +3222,66 @@ long parse_generic_slice_c(
     return 0;
 }
 
-/* Recon entry: decode-and-reconstruct one slice segment directly into the
-   Python decoder's buffers (canvases, 4x4 maps, SAO params, edge marks).
+/* Shared recon-buffer wiring for the recon entries (single-segment and
+   WPP row-parallel): everything the GP/RC pair needs beyond the CABAC
+   segment itself.
    rcfg: [0] strong_smoothing [1] cb_off [2] cr_off [3] cur_poc
          [4] has_col [5] col_poc [6] has_weights
    wt (when has_weights): [0] luma_denom [1] chroma_denom, then per l0 ref
    (lw, lo, cbw, cbo, crw, cro) x nref0, then the same x nref1. */
+typedef struct ReconArgs {
+    const int32_t *cfgv;
+    const int32_t *slice_of; int cur_slice;
+    int32_t *depth4, *skip4, *mode4;
+    const int32_t *rcfg;
+    int32_t *ycv, *ucv, *vcv, *qp4;
+    uint8_t *edge_v, *edge_h;
+    int32_t *inter4, *mv4, *ref4, *refpoc4, *cbf4;
+    uint8_t *pf4; int32_t *mv4l, *refpoc4l;
+    int32_t *sao_typ, *sao_aux, *sao_offs;
+    const int64_t *ref0_ptrs; const int32_t *ref0_poc;
+    const int64_t *ref1_ptrs; const int32_t *ref1_poc;
+    const int64_t *col_ptrs; const int32_t *wt;
+    int slice_qp;
+} ReconArgs;
+
+static void ra_setup(GP *g, RC *rc, const ReconArgs *a) {
+    memset(g, 0, sizeof *g);
+    memset(rc, 0, sizeof *rc);
+    gp_config(g, a->cfgv);
+    g->depth4 = a->depth4; g->skip4 = a->skip4; g->mode4 = a->mode4;
+    g->slice_of = a->slice_of; g->cur_slice = a->cur_slice;
+    g->rc = rc;
+    rc->y = a->ycv; rc->u = a->ucv; rc->v = a->vcv;
+    rc->qp4 = a->qp4; rc->edge_v = a->edge_v; rc->edge_h = a->edge_h;
+    rc->inter4 = a->inter4; rc->mv4 = a->mv4; rc->ref4 = a->ref4;
+    rc->refpoc4 = a->refpoc4;
+    rc->cbf4 = a->cbf4; rc->pf4 = a->pf4; rc->mv4l = a->mv4l;
+    rc->refpoc4l = a->refpoc4l;
+    rc->sao_typ = a->sao_typ; rc->sao_aux = a->sao_aux;
+    rc->sao_offs = a->sao_offs;
+    rc->ref0 = a->ref0_ptrs; rc->ref0_poc = a->ref0_poc;
+    rc->ref1 = a->ref1_ptrs; rc->ref1_poc = a->ref1_poc;
+    rc->strong_smoothing = a->rcfg[0];
+    rc->cb_off = a->rcfg[1]; rc->cr_off = a->rcfg[2];
+    rc->cur_poc = a->rcfg[3];
+    rc->has_col = a->rcfg[4]; rc->col_poc = a->rcfg[5];
+    if (rc->has_col && a->col_ptrs) {
+        rc->col_inter4 = (const int32_t *)(intptr_t)a->col_ptrs[0];
+        rc->col_mv4 = (const int32_t *)(intptr_t)a->col_ptrs[1];
+        rc->col_refpoc4 = (const int32_t *)(intptr_t)a->col_ptrs[2];
+    }
+    rc->wt = a->rcfg[6] ? a->wt : NULL;
+    rc->w2 = g->w >> 1; rc->h2 = g->h >> 1;
+    rc->w8 = g->w >> 3; rc->h8 = g->h >> 3;
+    rc->slice_qp = a->slice_qp;
+    rc->qp_prev = a->slice_qp;  /* qPY_PREV init per segment/row (8.6.1) */
+    rc->qg_pred = a->slice_qp;
+    rc_set_qp(g, a->slice_qp);
+}
+
+/* Recon entry: decode-and-reconstruct one slice segment directly into the
+   Python decoder's buffers (canvases, 4x4 maps, SAO params, edge marks). */
 long recon_generic_slice_c(
     const uint8_t *payload, long len, int init_type, int slice_qp,
     int continue_ctx, const int32_t *cfgv,
@@ -3192,38 +3303,205 @@ long recon_generic_slice_c(
 {
     GP g;
     RC rc;
-    memset(&g, 0, sizeof g);
-    memset(&rc, 0, sizeof rc);
-    gp_config(&g, cfgv);
-    g.depth4 = depth4; g.skip4 = skip4; g.mode4 = mode4;
-    g.slice_of = slice_of; g.cur_slice = cur_slice;
-    g.rc = &rc;
-    rc.y = ycv; rc.u = ucv; rc.v = vcv;
-    rc.qp4 = qp4; rc.edge_v = edge_v; rc.edge_h = edge_h;
-    rc.inter4 = inter4; rc.mv4 = mv4; rc.ref4 = ref4; rc.refpoc4 = refpoc4;
-    rc.cbf4 = cbf4; rc.pf4 = pf4; rc.mv4l = mv4l; rc.refpoc4l = refpoc4l;
-    rc.sao_typ = sao_typ; rc.sao_aux = sao_aux; rc.sao_offs = sao_offs;
-    rc.ref0 = ref0_ptrs; rc.ref0_poc = ref0_poc;
-    rc.ref1 = ref1_ptrs; rc.ref1_poc = ref1_poc;
-    rc.strong_smoothing = rcfg[0];
-    rc.cb_off = rcfg[1]; rc.cr_off = rcfg[2];
-    rc.cur_poc = rcfg[3];
-    rc.has_col = rcfg[4]; rc.col_poc = rcfg[5];
-    if (rc.has_col && col_ptrs) {
-        rc.col_inter4 = (const int32_t *)(intptr_t)col_ptrs[0];
-        rc.col_mv4 = (const int32_t *)(intptr_t)col_ptrs[1];
-        rc.col_refpoc4 = (const int32_t *)(intptr_t)col_ptrs[2];
-    }
-    rc.wt = rcfg[6] ? wt : NULL;
-    rc.w2 = g.w >> 1; rc.h2 = g.h >> 1;
-    rc.w8 = g.w >> 3; rc.h8 = g.h >> 3;
-    rc.slice_qp = slice_qp;
-    rc.qp_prev = slice_qp;  /* qPY_PREV init per slice segment (8.6.1) */
-    rc.qg_pred = slice_qp;
-    rc_set_qp(&g, slice_qp);
+    ReconArgs a = {cfgv, slice_of, cur_slice, depth4, skip4, mode4, rcfg,
+                   ycv, ucv, vcv, qp4, edge_v, edge_h,
+                   inter4, mv4, ref4, refpoc4, cbf4, pf4, mv4l, refpoc4l,
+                   sao_typ, sao_aux, sao_offs,
+                   ref0_ptrs, ref0_poc, ref1_ptrs, ref1_poc,
+                   col_ptrs, wt, slice_qp};
+    ra_setup(&g, &rc, &a);
     return gp_run(&g, payload, len, init_type, slice_qp, continue_ctx,
                   ctb_from, ctb_to, slice_last, subset_term, snap_after,
                   ctx_snap, ctx_state);
+}
+
+/* ---- WPP row-parallel reconstruction (openHEVC-style wavefront decode).
+
+   One slice whose segment is split into per-CTB-row substreams
+   (entropy_coding_sync, 9.3.1): rows run on worker threads under the
+   standard 2-CTU wavefront skew — row r may reconstruct CTU column c
+   only after row r-1 has completed column c+1, which covers every
+   cross-row dependency (intra up/up-right reference samples reach at
+   most the above row's c+1 CTU, merge/AMVP B0 reads the above-right
+   4x4 cell, SAO merge-up reads the above CTU's params, cu_qp_delta
+   prediction reads the above qp4 cells) — and CABAC context inheritance
+   from the snapshot after the above row's second CTU (9.3.2.3).
+   Mirrors the sequential per-row loop in decoder/native_recon.py; the
+   Python caller guarantees full rows (ctb_from/ctb_to on row bounds). */
+typedef struct RWRow {
+    struct RWPic *pic;
+    int row;                    /* picture CTB row index */
+    const uint8_t *data;        /* this row's substream */
+    long len;
+    uint8_t ctx1[2 * NUM_CONTEXTS];
+    int ctx1_ready;             /* snapshot after 2nd CTU published */
+    long done;                  /* CTU columns completed in this row */
+    long err;
+    pthread_mutex_t mu;
+    pthread_cond_t cv;
+    struct RWRow *prev;
+} RWRow;
+
+typedef struct RWPic {
+    ReconArgs a;
+    int init_type, slice_qp;
+    long ctb_from, ctb_to, slice_last;
+    RWRow *rows;
+    int nrows, nthreads;
+} RWPic;
+
+static void rw_finish_row(RWRow *r, long err, int cw) {
+    pthread_mutex_lock(&r->mu);
+    r->err = err;
+    r->done = cw;               /* release successors even on error */
+    r->ctx1_ready = 1;
+    pthread_cond_broadcast(&r->cv);
+    pthread_mutex_unlock(&r->mu);
+}
+
+static long rw_run_row(RWPic *p, RWRow *r) {
+    GP g;
+    RC rc;
+    ra_setup(&g, &rc, &p->a);
+    int cw = g.cw;
+    long row_st = p->ctb_from + (long)r->row * cw;
+    long row_en = row_st + cw;
+    if (row_en > p->ctb_to) row_en = p->ctb_to;
+    dec_init(&g.d, r->data, r->len, p->init_type, p->slice_qp);
+    if (r->row > 0 && cw > 1) {
+        RWRow *pv = r->prev;
+        pthread_mutex_lock(&pv->mu);
+        while (!pv->ctx1_ready) pthread_cond_wait(&pv->cv, &pv->mu);
+        long perr = pv->err;
+        pthread_mutex_unlock(&pv->mu);
+        if (perr) return perr;
+        memcpy(g.d.state, pv->ctx1, NUM_CONTEXTS);
+        memcpy(g.d.mps, pv->ctx1 + NUM_CONTEXTS, NUM_CONTEXTS);
+    }
+    int sao_on = g.sao_luma || g.sao_chroma;
+    int prev_ct[1] = {0};
+    for (long i = row_st; i < row_en; i++) {
+        long c = i - row_st;
+        if (r->row > 0) {
+            RWRow *pv = r->prev;
+            long need = c + 2;
+            if (need > cw) need = cw;
+            pthread_mutex_lock(&pv->mu);
+            while (pv->done < need) pthread_cond_wait(&pv->cv, &pv->mu);
+            long perr = pv->err;
+            pthread_mutex_unlock(&pv->mu);
+            if (perr) return perr;
+        }
+        if (sao_on) gp_sao(&g, i, prev_ct);
+        int x0 = (int)(i % g.cw) << g.cl;
+        int y0 = (int)(i / g.cw) << g.cl;
+        gp_cqt(&g, x0, y0, g.cl, 0);
+        if (g.err) return g.err;
+        int end = gp_term(&g);
+        if (g.err) return g.err;
+        if (end != ((i == p->slice_last) ? 1 : 0)) return -25;
+        pthread_mutex_lock(&r->mu);
+        r->done = c + 1;
+        if (c == 1) {
+            memcpy(r->ctx1, g.d.state, NUM_CONTEXTS);
+            memcpy(r->ctx1 + NUM_CONTEXTS, g.d.mps, NUM_CONTEXTS);
+            r->ctx1_ready = 1;
+        }
+        pthread_cond_broadcast(&r->cv);
+        pthread_mutex_unlock(&r->mu);
+    }
+    if (row_en - 1 != p->slice_last) {
+        /* end_of_subset_one_bit terminating a WPP row substream */
+        if (gp_term(&g) != 1) return -26;
+        if (g.err) return g.err;
+    }
+    return 0;
+}
+
+static void *rw_worker(void *arg) {
+    RWRow *r0 = (RWRow *)arg;
+    RWPic *p = r0->pic;
+    int cw = ((p->a.cfgv[0] + (1 << p->a.cfgv[2]) - 1) >> p->a.cfgv[2]);
+    /* strided row assignment: worker t owns rows t, t+T, t+2T, ... so
+       each worker sees its rows in wavefront (topological) order.  On
+       error, keep walking and mark every remaining owned row finished
+       (failed) — successors block on those rows' sync cells and would
+       deadlock if a row were abandoned. */
+    long err = 0;
+    for (int row = r0->row; row < p->nrows; row += p->nthreads) {
+        RWRow *r = &p->rows[row];
+        if (!err) err = rw_run_row(p, r);
+        rw_finish_row(r, err, cw);
+    }
+    return NULL;
+}
+
+long recon_generic_wpp_c(
+    const uint8_t *payload, const int64_t *bounds, int nrows, int nthreads,
+    int init_type, int slice_qp, const int32_t *cfgv,
+    long ctb_from, long ctb_to, long slice_last,
+    const int32_t *slice_of, int cur_slice,
+    int32_t *depth4, int32_t *skip4, int32_t *mode4,
+    const int32_t *rcfg,
+    int32_t *ycv, int32_t *ucv, int32_t *vcv,
+    int32_t *qp4, uint8_t *edge_v, uint8_t *edge_h,
+    int32_t *inter4, int32_t *mv4, int32_t *ref4, int32_t *refpoc4,
+    int32_t *cbf4, uint8_t *pf4, int32_t *mv4l, int32_t *refpoc4l,
+    int32_t *sao_typ, int32_t *sao_aux, int32_t *sao_offs,
+    const int64_t *ref0_ptrs, const int32_t *ref0_poc,
+    const int64_t *ref1_ptrs, const int32_t *ref1_poc,
+    const int64_t *col_ptrs,
+    const int32_t *wt)
+{
+    RWPic p;
+    memset(&p, 0, sizeof p);
+    ReconArgs a = {cfgv, slice_of, cur_slice, depth4, skip4, mode4, rcfg,
+                   ycv, ucv, vcv, qp4, edge_v, edge_h,
+                   inter4, mv4, ref4, refpoc4, cbf4, pf4, mv4l, refpoc4l,
+                   sao_typ, sao_aux, sao_offs,
+                   ref0_ptrs, ref0_poc, ref1_ptrs, ref1_poc,
+                   col_ptrs, wt, slice_qp};
+    p.a = a;
+    p.init_type = init_type; p.slice_qp = slice_qp;
+    p.ctb_from = ctb_from; p.ctb_to = ctb_to; p.slice_last = slice_last;
+    p.nrows = nrows;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > nrows) nthreads = nrows;
+    p.nthreads = nthreads;
+    p.rows = (RWRow *)calloc((size_t)nrows, sizeof(RWRow));
+    if (!p.rows) return -30;
+    for (int r = 0; r < nrows; r++) {
+        p.rows[r].pic = &p;
+        p.rows[r].row = r;
+        p.rows[r].data = payload + bounds[r];
+        p.rows[r].len = bounds[r + 1] - bounds[r];
+        p.rows[r].prev = r > 0 ? &p.rows[r - 1] : NULL;
+        pthread_mutex_init(&p.rows[r].mu, NULL);
+        pthread_cond_init(&p.rows[r].cv, NULL);
+    }
+    long ret = 0;
+    int cw = (cfgv[0] + (1 << cfgv[2]) - 1) >> cfgv[2];
+    if (nthreads == 1) {
+        for (int r = 0; r < nrows && ret == 0; r++) {
+            ret = rw_run_row(&p, &p.rows[r]);
+            rw_finish_row(&p.rows[r], ret, cw);
+        }
+    } else {
+        pthread_t *tids = (pthread_t *)malloc(sizeof(pthread_t) * nthreads);
+        for (int t = 0; t < nthreads; t++)
+            pthread_create(&tids[t], NULL, rw_worker, &p.rows[t]);
+        for (int t = 0; t < nthreads; t++)
+            pthread_join(tids[t], NULL);
+        free(tids);
+        for (int r = 0; r < nrows; r++)
+            if (p.rows[r].err) { ret = p.rows[r].err; break; }
+    }
+    for (int r = 0; r < nrows; r++) {
+        pthread_mutex_destroy(&p.rows[r].mu);
+        pthread_cond_destroy(&p.rows[r].cv);
+    }
+    free(p.rows);
+    return ret;
 }
 
 /* ==================================================================== */
@@ -3381,14 +3659,15 @@ static int db_edge_qp(const int32_t *qm, int w8, int slice_qp,
     (void)w8;
 }
 
-/* SAO for one plane: src (deblocked int32) -> dst uint8 */
+/* SAO for one plane: src (deblocked int32) -> dst uint8.  Rows strided
+   (yy = y_from, y_from+y_step, ...) so worker threads split a plane. */
 static void sao_plane_c(const int32_t *src, uint8_t *dst, int W, int H,
                         int ctb, int cw, long nctb, int comp,
                         const int32_t *typ, const int32_t *aux,
-                        const int32_t *offs) {
+                        const int32_t *offs, long y_from, long y_step) {
     static const int EOD[4][4] = {   /* hPos0 vPos0 hPos1 vPos1 */
         {-1, 0, 1, 0}, {0, -1, 0, 1}, {-1, -1, 1, 1}, {1, -1, -1, 1}};
-    for (long yy = 0; yy < H; yy++) {
+    for (long yy = y_from; yy < H; yy += y_step) {
         long crow = (yy / ctb) * cw;
         for (long xx = 0; xx < W; xx++) {
             long ci = crow + xx / ctb;
@@ -3420,76 +3699,71 @@ static void sao_plane_c(const int32_t *src, uint8_t *dst, int W, int H,
 }
 
 /* bs_v: (w8-1, h4); bs_h: (h8-1, w4) — 4-sample segments (native
-   bs_maps_c layout).  qp_map8: (h8, w8) per-8-block QpY or NULL. */
-void deblock_sao_c(
-    int w, int h, int ctb_log2,
-    int slice_qp, int beta_off, int tc_off, int cb_off, int cr_off,
-    int do_deblock, int sao_luma, int sao_chroma,
-    int32_t *y, int32_t *u, int32_t *v,
-    const int32_t *bs_v, const int32_t *bs_h,
-    const int32_t *qp_map8,
-    const int32_t *sao_typ, const int32_t *sao_aux, const int32_t *sao_offs,
-    uint8_t *oy, uint8_t *ou, uint8_t *ov)
-{
+   bs_maps_c layout).  qp_map8: (h8, w8) per-8-block QpY or NULL.
+
+   Worker-strided: vertical edge columns write disjoint 8-px spans
+   ([8e-4, 8e+3] for edge e), so the V pass parallelizes over e; the H
+   pass (which reads the V-filtered picture) runs after a barrier and
+   parallelizes over edge rows the same way; SAO reads the frozen
+   deblocked planes, so its rows split freely.  Chroma V rides the
+   luma-V pass (different plane) and chroma H the H pass. */
+typedef struct DSArgs {
+    int w, h, ctb_log2, slice_qp, beta_off, tc_off, cb_off, cr_off;
+    int do_deblock, sao_luma, sao_chroma;
+    int32_t *y, *u, *v;
+    const int32_t *bs_v, *bs_h, *qp_map8;
+    const int32_t *sao_typ, *sao_aux, *sao_offs;
+    uint8_t *oy, *ou, *ov;
+    int nthreads;
+    pthread_barrier_t bar;
+} DSArgs;
+
+static void ds_run(DSArgs *d, int t) {
+    int T = d->nthreads;
+    int w = d->w, h = d->h;
     int w8 = w >> 3, h8 = h >> 3, h4 = h >> 2, w4 = w >> 2;
     int w2 = w >> 1, h2 = h >> 1;
-    if (do_deblock) {
-        /* ---- luma vertical edges */
-        for (int e = 1; e < w8; e++) {
+    int32_t *y = d->y;
+    int32_t *planes[2] = {d->u, d->v};
+    int coffs[2] = {d->cb_off, d->cr_off};
+    if (d->do_deblock) {
+        /* ---- pass 1: luma vertical edges (strided over edge columns) */
+        for (int e = 1 + t; e < w8; e += T) {
             int x = 8 * e;
-            for (int t = 0; t < h4; t++) {
-                int bs = bs_v[(long)(e - 1) * h4 + t];
+            for (int s4 = 0; s4 < h4; s4++) {
+                int bs = d->bs_v[(long)(e - 1) * h4 + s4];
                 if (!bs) continue;
-                int qpe = db_edge_qp(qp_map8, w8, slice_qp,
-                                     (t >> 1) * w8 + e - 1, (t >> 1) * w8 + e);
-                int beta = DB_BETA[db_clip3(qpe + (beta_off << 1), 0, 51)];
-                int tc = DB_TC[db_clip3(qpe + 2 * (bs - 1) + (tc_off << 1), 0, 53)];
+                int qpe = db_edge_qp(d->qp_map8, w8, d->slice_qp,
+                                     (s4 >> 1) * w8 + e - 1,
+                                     (s4 >> 1) * w8 + e);
+                int beta = DB_BETA[db_clip3(qpe + (d->beta_off << 1), 0, 51)];
+                int tc = DB_TC[db_clip3(qpe + 2 * (bs - 1) + (d->tc_off << 1), 0, 53)];
                 int32_t *s[4][8];
                 for (int l = 0; l < 4; l++)
                     for (int i = 0; i < 8; i++)
-                        s[l][i] = y + (long)(4 * t + l) * w + x - 4 + i;
+                        s[l][i] = y + (long)(4 * s4 + l) * w + x - 4 + i;
                 db_luma_group(s, beta, tc);
             }
         }
-        /* ---- luma horizontal edges on the V-filtered picture */
-        for (int e = 1; e < h8; e++) {
-            int yy = 8 * e;
-            for (int t = 0; t < w4; t++) {
-                int bs = bs_h[(long)(e - 1) * w4 + t];
-                if (!bs) continue;
-                int qpe = db_edge_qp(qp_map8, w8, slice_qp,
-                                     (e - 1) * w8 + (t >> 1), e * w8 + (t >> 1));
-                int beta = DB_BETA[db_clip3(qpe + (beta_off << 1), 0, 51)];
-                int tc = DB_TC[db_clip3(qpe + 2 * (bs - 1) + (tc_off << 1), 0, 53)];
-                int32_t *s[4][8];
-                for (int l = 0; l < 4; l++)
-                    for (int i = 0; i < 8; i++)
-                        s[l][i] = y + (long)(yy - 4 + i) * w + 4 * t + l;
-                db_luma_group(s, beta, tc);
-            }
-        }
-        /* ---- chroma: bS==2 edges on the chroma 8-sample grid only
-           (luma-16 edges; pair-max over the two 4-segments per 8 rows) */
-        int32_t *planes[2] = {u, v};
-        int coffs[2] = {cb_off, cr_off};
+        /* ---- chroma vertical edges (other planes; same pass) */
         for (int p = 0; p < 2; p++) {
             int32_t *c = planes[p];
-            /* vertical chroma edges at xc = 4*e; filter when (e % 2 == 0) */
-            for (int e = 1; e < (w2 >> 2); e++) {
-                if (e % 2) continue;  /* on_grid: (idx+1) % 2 == 0, idx = e-1 */
+            /* vertical chroma edges at xc = 4*e; filter when e % 2 == 0 */
+            for (int e = 1 + t; e < (w2 >> 2); e += T) {
+                if (e % 2) continue;  /* on_grid: (idx+1) % 2 == 0 */
                 int le = e;           /* luma-8 edge at x = 2*xc = 8e */
                 int xc = 4 * e;
                 for (int g = 0; g < (h2 >> 2); g++) {
                     /* 4 chroma rows 4g..4g+3 = luma rows 8g..8g+7 ->
                        luma segments 2g, 2g+1 */
-                    int b0 = bs_v[(long)(le - 1) * h4 + 2 * g];
-                    int b1 = bs_v[(long)(le - 1) * h4 + 2 * g + 1];
+                    int b0 = d->bs_v[(long)(le - 1) * h4 + 2 * g];
+                    int b1 = d->bs_v[(long)(le - 1) * h4 + 2 * g + 1];
                     int bs = b0 > b1 ? b0 : b1;
                     if (bs != 2) continue;
-                    int qpe = db_edge_qp(qp_map8, w8, slice_qp,
+                    int qpe = db_edge_qp(d->qp_map8, w8, d->slice_qp,
                                          g * w8 + le - 1, g * w8 + le);
                     int qpc = CHROMA_QP_TABLE[db_clip3(qpe + coffs[p], 0, 57)];
-                    int tc = DB_TC[db_clip3(qpc + 2 + (tc_off << 1), 0, 53)];
+                    int tc = DB_TC[db_clip3(qpc + 2 + (d->tc_off << 1), 0, 53)];
                     if (!tc) continue;
                     for (int l = 0; l < 4; l++) {
                         int32_t *row = c + (long)(4 * g + l) * w2;
@@ -3501,20 +3775,42 @@ void deblock_sao_c(
                     }
                 }
             }
-            /* horizontal chroma edges */
-            for (int e = 1; e < (h2 >> 2); e++) {
+        }
+        if (T > 1) pthread_barrier_wait(&d->bar);
+        /* ---- pass 2: luma horizontal edges on the V-filtered picture */
+        for (int e = 1 + t; e < h8; e += T) {
+            int yy = 8 * e;
+            for (int s4 = 0; s4 < w4; s4++) {
+                int bs = d->bs_h[(long)(e - 1) * w4 + s4];
+                if (!bs) continue;
+                int qpe = db_edge_qp(d->qp_map8, w8, d->slice_qp,
+                                     (e - 1) * w8 + (s4 >> 1),
+                                     e * w8 + (s4 >> 1));
+                int beta = DB_BETA[db_clip3(qpe + (d->beta_off << 1), 0, 51)];
+                int tc = DB_TC[db_clip3(qpe + 2 * (bs - 1) + (d->tc_off << 1), 0, 53)];
+                int32_t *s[4][8];
+                for (int l = 0; l < 4; l++)
+                    for (int i = 0; i < 8; i++)
+                        s[l][i] = y + (long)(yy - 4 + i) * w + 4 * s4 + l;
+                db_luma_group(s, beta, tc);
+            }
+        }
+        /* ---- chroma horizontal edges */
+        for (int p = 0; p < 2; p++) {
+            int32_t *c = planes[p];
+            for (int e = 1 + t; e < (h2 >> 2); e += T) {
                 if (e % 2) continue;
                 int le = e;
                 int yc = 4 * e;
                 for (int g = 0; g < (w2 >> 2); g++) {
-                    int b0 = bs_h[(long)(le - 1) * w4 + 2 * g];
-                    int b1 = bs_h[(long)(le - 1) * w4 + 2 * g + 1];
+                    int b0 = d->bs_h[(long)(le - 1) * w4 + 2 * g];
+                    int b1 = d->bs_h[(long)(le - 1) * w4 + 2 * g + 1];
                     int bs = b0 > b1 ? b0 : b1;
                     if (bs != 2) continue;
-                    int qpe = db_edge_qp(qp_map8, w8, slice_qp,
+                    int qpe = db_edge_qp(d->qp_map8, w8, d->slice_qp,
                                          (le - 1) * w8 + g, le * w8 + g);
                     int qpc = CHROMA_QP_TABLE[db_clip3(qpe + coffs[p], 0, 57)];
-                    int tc = DB_TC[db_clip3(qpc + 2 + (tc_off << 1), 0, 53)];
+                    int tc = DB_TC[db_clip3(qpc + 2 + (d->tc_off << 1), 0, 53)];
                     if (!tc) continue;
                     for (int l = 0; l < 4; l++) {
                         int32_t *col = c + 4 * g + l;
@@ -3527,26 +3823,75 @@ void deblock_sao_c(
                 }
             }
         }
+        if (T > 1) pthread_barrier_wait(&d->bar);
     }
-    /* ---- SAO on the deblocked picture (or plain clip-copy) */
-    int ctb = 1 << ctb_log2;
-    int cw = (w + ctb - 1) >> ctb_log2;
-    int chh = (h + ctb - 1) >> ctb_log2;
+    /* ---- pass 3: SAO on the deblocked picture (or plain clip-copy) */
+    int ctb = 1 << d->ctb_log2;
+    int cw = (w + ctb - 1) >> d->ctb_log2;
+    int chh = (h + ctb - 1) >> d->ctb_log2;
     long nctb = (long)cw * chh;
-    if (sao_luma)
-        sao_plane_c(y, oy, w, h, ctb, cw, nctb, 0, sao_typ, sao_aux, sao_offs);
+    if (d->sao_luma)
+        sao_plane_c(y, d->oy, w, h, ctb, cw, nctb, 0,
+                    d->sao_typ, d->sao_aux, d->sao_offs, t, T);
     else
-        for (long i = 0; i < (long)w * h; i++)
-            oy[i] = (uint8_t)db_clip3(y[i], 0, 255);
-    if (sao_chroma) {
-        sao_plane_c(u, ou, w2, h2, ctb >> 1, cw, nctb, 1, sao_typ, sao_aux, sao_offs);
-        sao_plane_c(v, ov, w2, h2, ctb >> 1, cw, nctb, 2, sao_typ, sao_aux, sao_offs);
+        for (long yy = t; yy < h; yy += T)
+            for (long xx = 0; xx < w; xx++)
+                d->oy[yy * w + xx] = (uint8_t)db_clip3(y[yy * w + xx], 0, 255);
+    if (d->sao_chroma) {
+        sao_plane_c(d->u, d->ou, w2, h2, ctb >> 1, cw, nctb, 1,
+                    d->sao_typ, d->sao_aux, d->sao_offs, t, T);
+        sao_plane_c(d->v, d->ov, w2, h2, ctb >> 1, cw, nctb, 2,
+                    d->sao_typ, d->sao_aux, d->sao_offs, t, T);
     } else {
-        for (long i = 0; i < (long)w2 * h2; i++) {
-            ou[i] = (uint8_t)db_clip3(u[i], 0, 255);
-            ov[i] = (uint8_t)db_clip3(v[i], 0, 255);
-        }
+        for (long yy = t; yy < h2; yy += T)
+            for (long xx = 0; xx < w2; xx++) {
+                d->ou[yy * w2 + xx] = (uint8_t)db_clip3(d->u[yy * w2 + xx], 0, 255);
+                d->ov[yy * w2 + xx] = (uint8_t)db_clip3(d->v[yy * w2 + xx], 0, 255);
+            }
     }
+}
+
+typedef struct { DSArgs *d; int t; } DSTh;
+
+static void *ds_thread(void *arg) {
+    DSTh *a = (DSTh *)arg;
+    ds_run(a->d, a->t);
+    return NULL;
+}
+
+void deblock_sao_c(
+    int w, int h, int ctb_log2,
+    int slice_qp, int beta_off, int tc_off, int cb_off, int cr_off,
+    int do_deblock, int sao_luma, int sao_chroma,
+    int nthreads,
+    int32_t *y, int32_t *u, int32_t *v,
+    const int32_t *bs_v, const int32_t *bs_h,
+    const int32_t *qp_map8,
+    const int32_t *sao_typ, const int32_t *sao_aux, const int32_t *sao_offs,
+    uint8_t *oy, uint8_t *ou, uint8_t *ov)
+{
+    DSArgs d = {w, h, ctb_log2, slice_qp, beta_off, tc_off, cb_off, cr_off,
+                do_deblock, sao_luma, sao_chroma,
+                y, u, v, bs_v, bs_h, qp_map8,
+                sao_typ, sao_aux, sao_offs, oy, ou, ov, 1};
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 64) nthreads = 64;
+    if (nthreads > (h >> 3)) nthreads = (h >> 3) > 0 ? (h >> 3) : 1;
+    d.nthreads = nthreads;
+    if (nthreads == 1) {
+        ds_run(&d, 0);
+        return;
+    }
+    pthread_barrier_init(&d.bar, NULL, (unsigned)nthreads);
+    pthread_t tids[64];
+    DSTh th[64];
+    for (int t = 1; t < nthreads; t++) {
+        th[t].d = &d; th[t].t = t;
+        pthread_create(&tids[t], NULL, ds_thread, &th[t]);
+    }
+    ds_run(&d, 0);
+    for (int t = 1; t < nthreads; t++) pthread_join(tids[t], NULL);
+    pthread_barrier_destroy(&d.bar);
 }
 
 /* ==================================================================== */
