@@ -151,6 +151,29 @@ def main() -> None:
     except Exception as e:
         print(f"[bench] quad64 e2e bench failed: {e}", file=sys.stderr)
 
+    # ---- production-combo batched throughput: B=4 closed GOPs per device
+    # dispatch through GopBatchDeviceEncoder (the on-chip OWF/session axis
+    # at the quad64 operating point) — lanes x4 at ~constant wave latency
+    q64_batch_fps = None
+    try:
+        from kvazzup_tpu.pipeline.gop_batch import GopBatchDeviceEncoder
+
+        cfg_qb = StreamConfig(width=w, height=h, qp=32, ctb_log2=6,
+                              min_cb_log2=3, max_tb_log2=5, wpp=True,
+                              sao_enabled=True, deblocking_enabled=True,
+                              merge_cand=5, temporal_mvp=True, rdoq=True)
+        gb = GopBatchDeviceEncoder(cfg_qb, gop_size=8, batch=4)
+        nfb = 32
+        frb = [frames[i % reps] for i in range(nfb)]
+        gb.encode(frb[:8] * 4)  # warm both step jits at batch=4
+        t0 = time.time()
+        nb_qb = len(gb.encode(frb))
+        q64_batch_fps = nfb / (time.time() - t0)
+        print(f"[bench] quad64 production gop-batched e2e {q64_batch_fps:.2f}"
+              f" fps ({nb_qb // nfb} bytes/frame)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] quad64 gop-batch bench failed: {e}", file=sys.stderr)
+
     # ---- end-to-end pipelined encoder (device | fetch | native CABAC)
     cfg = StreamConfig(width=w, height=h, qp=32, wpp=True)
     with PipelinedEncoder(cfg, intra_period=1, depth=3, materialize_recon=False) as pe:

@@ -361,7 +361,9 @@ class Encoder:
                 ry = sao_apply(ry, t_l, aux_l, off_l, ctb=cfg.ctb_size)
                 ru = sao_apply(ru, t_c, aux_cb, off_cb, ctb=cfg.ctb_size // 2)
                 rv = sao_apply(rv, t_c, aux_cr, off_cr, ctb=cfg.ctb_size // 2)
-            first = self._frame_count == 0
+            first = self._frame_count == 0 or (
+                self.vps_period
+                and (self._idr_count - 1) % self.vps_period == 0)
             self._frame_count += 1
             self._poc = 0
             self._ref = (ry, ru, rv)
@@ -386,7 +388,9 @@ class Encoder:
                 ry, ru, rv = deblock_frame(
                     ry, ru, rv, qp, spacing=8, bs_v=bv, bs_h=bh, chroma_every=2
                 )
-            first = self._frame_count == 0
+            first = self._frame_count == 0 or (
+                self.vps_period
+                and (self._idr_count - 1) % self.vps_period == 0)
             self._frame_count += 1
             self._ref = (ry, ru, rv)
             return {"kind": "cu8", "out": out, "qp": qp, "first": first,

@@ -17,9 +17,16 @@ import sys
 import tempfile
 import time
 
+import os
+
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
-import cpu_env  # noqa: E402  (force CPU; TPU tunnel is slower for this)
+if not os.environ.get("KVZ_TPU_BD_TPU"):
+    # force CPU (TPU tunnel is slower for the small sizes); set
+    # KVZ_TPU_BD_TPU=1 to run the device rows on the real chip —
+    # right for the 1080p RA quad64 standing number, where each frame
+    # is one big jit dispatch and the tunnel latency amortizes.
+    import cpu_env  # noqa: F401
 
 import numpy as np  # noqa: E402
 
@@ -72,6 +79,32 @@ def run_ours_ra(frames, w, h, qp):
                        num_reorder_pics=2, max_dec_pic_buffering=5)
     enc = RandomAccessEncoder(cfg, gop_size=4, intra_period=64)
     bits = 0
+    recs = {}
+    for (y, u, v) in frames:
+        for poc, nal, recon in enc.push_frame(y, u, v):
+            bits += len(nal) * 8
+            recs[poc] = recon
+    for poc, nal, recon in enc.flush():
+        bits += len(nal) * 8
+        recs[poc] = recon
+    ps = [psnr(frames[p][0], np.asarray(recs[p][0]))
+          for p in sorted(recs) if p < len(frames)]
+    return bits / len(frames), float(np.mean(ps))
+
+
+def run_ours_ra_quad64(frames, w, h, qp, gop_size=8):
+    """The RA production operating point (BASELINE configs[2]): CTB64
+    quad engines, gop8 B-pyramid with temporal-layer QP cascading,
+    wpp+sao+deblock+merge5+tmvp+rdoq."""
+    from kvazzup_tpu.encoder.ra import QuadRAEncoder
+
+    cfg = StreamConfig(width=w, height=h, qp=qp, ctb_log2=6, min_cb_log2=3,
+                       max_tb_log2=5, wpp=True, sao_enabled=True,
+                       deblocking_enabled=True, merge_cand=5,
+                       temporal_mvp=True, rdoq=True, num_reorder_pics=3,
+                       max_dec_pic_buffering=6)
+    enc = QuadRAEncoder(cfg, gop_size=gop_size, intra_period=64)
+    bits = len(enc.headers()) * 8
     recs = {}
     for (y, u, v) in frames:
         for poc, nal, recon in enc.push_frame(y, u, v):
@@ -138,32 +171,34 @@ def main():
                     "no-scenecut=1:repeat-headers=1:frame-threads=1:"
                     "rc-lookahead=0")
 
+    only_ra = "--ra-only" in sys.argv  # quick 1080p standing-number mode
+    quad64_ok = w % 64 == 0 and h % 64 == 0
+
     curves = {"ours": [], "ours-ra": [], "ours-quad32": [], "ours-quad64": [],
-              "x265-medium": [], "x265-matched": []}
+              "ours-ra-quad64": [], "x265-medium": [], "x265-matched": []}
     for qp in QPS:
         t0 = time.time()
-        curves["ours"].append(run_ours(frames, w, h, qp))
-        curves["ours-ra"].append(run_ours_ra(frames, w, h, qp))
-        curves["ours-quad32"].append(run_ours_quad(frames, w, h, qp, 5))
-        if w % 64 == 0 and h % 64 == 0:
-            curves["ours-quad64"].append(run_ours_quad(frames, w, h, qp, 6))
+        if not only_ra:
+            curves["ours"].append(run_ours(frames, w, h, qp))
+            curves["ours-ra"].append(run_ours_ra(frames, w, h, qp))
+            curves["ours-quad32"].append(run_ours_quad(frames, w, h, qp, 5))
+            if quad64_ok:
+                curves["ours-quad64"].append(run_ours_quad(frames, w, h, qp, 6))
+        if quad64_ok:
+            curves["ours-ra-quad64"].append(
+                run_ours_ra_quad64(frames, w, h, qp))
         curves["x265-medium"].append(run_x265(frames, w, h, qp, x265_medium, "medium"))
         curves["x265-matched"].append(run_x265(frames, w, h, qp, x265_matched, "matched"))
-        o, q = curves["ours"][-1], curves["ours-quad32"][-1]
-        ra = curves["ours-ra"][-1]
-        q6 = curves["ours-quad64"][-1] if curves["ours-quad64"] else (0, 0)
-        m, t = curves["x265-medium"][-1], curves["x265-matched"][-1]
-        print(f"qp{qp}: ours {o[0]/1000:.0f} kb/f {o[1]:.2f} dB | "
-              f"ra {ra[0]/1000:.0f} kb/f {ra[1]:.2f} dB | "
-              f"quad32 {q[0]/1000:.0f} kb/f {q[1]:.2f} dB | "
-              f"quad64 {q6[0]/1000:.0f} kb/f {q6[1]:.2f} dB | "
-              f"x265-med {m[0]/1000:.0f} kb/f {m[1]:.2f} dB | "
-              f"x265-match {t[0]/1000:.0f} kb/f {t[1]:.2f} dB "
-              f"({time.time()-t0:.0f}s)", flush=True)
+        fmt = lambda key: (f"{key} {curves[key][-1][0]/1000:.0f} kb/f "
+                           f"{curves[key][-1][1]:.2f} dB") if curves[key] else ""
+        line = " | ".join(filter(None, [
+            fmt("ours"), fmt("ours-ra"), fmt("ours-quad32"),
+            fmt("ours-quad64"), fmt("ours-ra-quad64"),
+            fmt("x265-medium"), fmt("x265-matched")]))
+        print(f"qp{qp}: {line} ({time.time()-t0:.0f}s)", flush=True)
 
-    ours_keys = ["ours", "ours-ra", "ours-quad32"]
-    if curves["ours-quad64"]:
-        ours_keys.append("ours-quad64")
+    ours_keys = [k for k in ("ours", "ours-ra", "ours-quad32", "ours-quad64",
+                             "ours-ra-quad64") if curves[k]]
     for ours_key in ours_keys:
         ro = np.array([c[0] for c in curves[ours_key]])
         po = np.array([c[1] for c in curves[ours_key]])
