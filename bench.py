@@ -151,9 +151,62 @@ def main() -> None:
     except Exception as e:
         print(f"[bench] quad64 e2e bench failed: {e}", file=sys.stderr)
 
+    # ---- RA-quad64 device path (BASELINE configs[2] operating point):
+    # the gop8 B-pyramid's device critical path is 4 dispatches for 8
+    # frames — P anchor, single B, a 2-batched B level and a 4-batched B
+    # level (encoder/ra_batch.py) — so device fps = 8 / sum of the four.
+    from kvazzup_tpu.encoder.frame_b64 import encode_frame_b64_fast
+
+    ra_dev_fps = None
+    ra_b1_fps = ra_b4_fps = None
+    try:
+        deltas = jnp.asarray([1, -1], jnp.int32)
+
+        def runb_body(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v):
+            return encode_frame_b64_fast(
+                y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, deltas,
+                width=w, height=h, merge_cand=5, rdoq=True)
+
+        runb = jax.jit(lambda *a: checksum(runb_body(*a)))
+        runb2 = jax.jit(lambda *a: checksum(jax.vmap(runb_body)(*a)))
+        runb4 = jax.jit(lambda *a: checksum(jax.vmap(runb_body)(*a)))
+
+        def bt(fn, b, nrep=6):
+            if b == 1:
+                args = lambda i: (*dev[i], *dev[i - 1], *dev[(i + 1) % reps])
+            else:
+                st = lambda xs: jnp.stack(xs)
+                args = lambda i: tuple(
+                    st([dev[(i + j) % reps][p] for j in range(b)])
+                    for p in range(3)) + tuple(
+                    st([dev[(i + j + 1) % reps][p] for j in range(b)])
+                    for p in range(3)) + tuple(
+                    st([dev[(i + j + 2) % reps][p] for j in range(b)])
+                    for p in range(3))
+            int(fn(*args(1)))
+            t0 = time.time()
+            outs = [fn(*args(1 + i)) for i in range(nrep)]
+            int(outs[-1])
+            return (time.time() - t0) / nrep
+
+        tb1 = bt(runb, 1)
+        tb2 = bt(runb2, 2)
+        tb4 = bt(runb4, 4)
+        tp = 1.0 / q64_fps if q64_fps else tb1
+        ra_dev_fps = 8.0 / (tp + tb1 + tb2 + tb4)
+        ra_b1_fps, ra_b4_fps = 1.0 / tb1, 4.0 / tb4
+        print(f"[bench] ra-quad64 device: b64 {tb1*1e3:.0f} ms, "
+              f"b64x2 {tb2*1e3:.0f} ms, b64x4 {tb4*1e3:.0f} ms -> "
+              f"gop8 pyramid {ra_dev_fps:.2f} fps "
+              f"(level-batch scaling {4*tb1/tb4:.2f}x at B=4)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] ra-quad64 device bench failed: {e}", file=sys.stderr)
+
     # ---- production-combo batched throughput: B=4 closed GOPs per device
     # dispatch through GopBatchDeviceEncoder (the on-chip OWF/session axis
-    # at the quad64 operating point) — lanes x4 at ~constant wave latency
+    # at the quad64 operating point, low-delay I/P segments) — lanes x4 at
+    # ~constant wave latency
     q64_batch_fps = None
     try:
         from kvazzup_tpu.pipeline.gop_batch import GopBatchDeviceEncoder
@@ -252,6 +305,17 @@ def main() -> None:
                     None if e2e_q64_fps is None else round(e2e_q64_fps, 3)),
                 "intra_fps_4k_device": round(fps_4k, 3),
                 "decode_fps_1080p_x265_medium": dec_fps,
+                "ra_quad64_gop8_device_fps_1080p": (
+                    None if ra_dev_fps is None else round(ra_dev_fps, 3)),
+                "ra_quad64_b64x4_batch_fps": (
+                    None if ra_b4_fps is None else round(ra_b4_fps, 3)),
+                # standing quality numbers: tools/bd_sweep.py 1920x1088
+                # --ra-only, 24 frames, QP 24/28/32/36, KVZ_TPU_BD_TPU=1,
+                # run 2026-08-20 (BENCH_NOTES.md round-4 section)
+                "ra_quad64_bd_psnr_vs_x265_medium_1080p": -3.11,
+                "ra_quad64_bd_rate_vs_x265_medium_pct": 31.9,
+                "ra_quad64_bd_psnr_vs_x265_matched_1080p": -0.68,
+                "ra_quad64_bd_rate_vs_x265_matched_pct": 5.9,
             }
         )
     )

@@ -285,6 +285,12 @@ class Decoder:
         cand0 = st_before + st_after + lt
         cand1 = st_after + st_before + lt
 
+        # Prune int32 copies of pictures evicted from the DPB up front
+        # (each is ~12 MB at 1080p) — not only on cache misses, so all-hit
+        # streams don't accumulate stale entries (ADVICE r3).
+        for k in [k for k in self._i32_refs if k not in self._dpb]:
+            self._i32_refs.pop(k, None)
+
         def fetch(poc):
             pic = self._dpb.get(poc)
             if pic is None:
@@ -298,8 +304,6 @@ class Decoder:
             if cached is None or cached[1] is not pic[0]:
                 conv = tuple(np.ascontiguousarray(p, np.int32) for p in pic)
                 self._i32_refs[poc] = cached = (conv, pic[0])
-                for k in [k for k in self._i32_refs if k not in self._dpb]:
-                    self._i32_refs.pop(k, None)
             return (cached[0], poc)
 
         def mk(cand, n, entries):

@@ -2,6 +2,11 @@
 
 Build-on-first-use with a content-hash check; the Python implementations in
 entropy/ remain the behavioral reference and fallback.
+
+Portability: the library is Linux-only — deblock_sao_c uses
+pthread_barrier_t, which is optional POSIX and absent on Darwin.  On a
+non-Linux host the build fails and every caller falls back to the Python
+tier automatically.
 """
 
 from __future__ import annotations

@@ -990,11 +990,19 @@ long encode_slice_c(
             pthread_cond_init(&rows[r].cv, NULL);
             rows[r].prev = r > 0 ? (struct RowCtl *)&rows[r - 1] : NULL;
         }
-        for (int r = 0; r < ctbs_h; r++) pthread_create(&tids[r], NULL, encode_row_thread, &rows[r]);
+        int started = 0;
+        for (int r = 0; r < ctbs_h; r++) {
+            if (pthread_create(&tids[r], NULL, encode_row_thread, &rows[r]) != 0)
+                break;  /* thread limit: finish the rest inline below */
+            started++;
+        }
+        /* un-started rows run inline in ascending order — each waits only
+           on its predecessor, which is either live or already run here */
+        for (int r = started; r < ctbs_h; r++) encode_row_thread(&rows[r]);
         total = 0;
         int err = 0;
         for (int r = 0; r < ctbs_h; r++) {
-            pthread_join(tids[r], NULL);
+            if (r < started) pthread_join(tids[r], NULL);
             if (rows[r].error || rows[r].len < 0) err = 1;
         }
         if (!err) {
@@ -3488,9 +3496,28 @@ long recon_generic_wpp_c(
         }
     } else {
         pthread_t *tids = (pthread_t *)malloc(sizeof(pthread_t) * nthreads);
-        for (int t = 0; t < nthreads; t++)
-            pthread_create(&tids[t], NULL, rw_worker, &p.rows[t]);
-        for (int t = 0; t < nthreads; t++)
+        int started = 0;
+        for (int t = 0; t < nthreads; t++) {
+            if (pthread_create(&tids[t], NULL, rw_worker, &p.rows[t]) != 0)
+                break;  /* thread limit: orphaned rows run inline below */
+            started++;
+        }
+        if (started < nthreads) {
+            /* Rows owned by un-started workers run inline in ascending
+               (wavefront-topological) order: any wait is on a smaller row,
+               which either has a live worker or ran earlier in this loop,
+               so progress is guaranteed.  Error semantics match rw_worker:
+               once an inline row fails, remaining inline rows are marked
+               finished so successors never deadlock. */
+            long ierr = 0;
+            for (int row = 0; row < nrows; row++) {
+                if (row % nthreads < started) continue;
+                RWRow *r = &p.rows[row];
+                if (!ierr) ierr = rw_run_row(&p, r);
+                rw_finish_row(r, ierr, cw);
+            }
+        }
+        for (int t = 0; t < started; t++)
             pthread_join(tids[t], NULL);
         free(tids);
         for (int r = 0; r < nrows; r++)
@@ -3715,7 +3742,12 @@ typedef struct DSArgs {
     const int32_t *sao_typ, *sao_aux, *sao_offs;
     uint8_t *oy, *ou, *ov;
     int nthreads;
-    pthread_barrier_t bar;
+    pthread_barrier_t bar;  /* NOTE: pthread barriers are optional POSIX
+                               (absent on Darwin) — this .so is Linux-only,
+                               documented in native/__init__.py */
+    int go;                 /* start gate: 0 wait, 1 run, -1 abort */
+    pthread_mutex_t gmu;
+    pthread_cond_t gcv;
 } DSArgs;
 
 static void ds_run(DSArgs *d, int t) {
@@ -3855,7 +3887,15 @@ typedef struct { DSArgs *d; int t; } DSTh;
 
 static void *ds_thread(void *arg) {
     DSTh *a = (DSTh *)arg;
-    ds_run(a->d, a->t);
+    DSArgs *d = a->d;
+    /* Wait for the start gate: the spawner only releases workers once ALL
+       of them exist, because the barrier counts d->nthreads participants —
+       running with fewer would deadlock the barrier waits. */
+    pthread_mutex_lock(&d->gmu);
+    while (d->go == 0) pthread_cond_wait(&d->gcv, &d->gmu);
+    int go = d->go;
+    pthread_mutex_unlock(&d->gmu);
+    if (go > 0) ds_run(d, a->t);
     return NULL;
 }
 
@@ -3883,15 +3923,33 @@ void deblock_sao_c(
         return;
     }
     pthread_barrier_init(&d.bar, NULL, (unsigned)nthreads);
+    pthread_mutex_init(&d.gmu, NULL);
+    pthread_cond_init(&d.gcv, NULL);
+    d.go = 0;
     pthread_t tids[64];
     DSTh th[64];
+    int started = 1;  /* slot 0 is this thread */
     for (int t = 1; t < nthreads; t++) {
         th[t].d = &d; th[t].t = t;
-        pthread_create(&tids[t], NULL, ds_thread, &th[t]);
+        if (pthread_create(&tids[t], NULL, ds_thread, &th[t]) != 0)
+            break;  /* thread limit: abort the gated workers, run solo */
+        started++;
     }
-    ds_run(&d, 0);
-    for (int t = 1; t < nthreads; t++) pthread_join(tids[t], NULL);
+    pthread_mutex_lock(&d.gmu);
+    d.go = (started == nthreads) ? 1 : -1;
+    pthread_cond_broadcast(&d.gcv);
+    pthread_mutex_unlock(&d.gmu);
+    if (started == nthreads) {
+        ds_run(&d, 0);
+        for (int t = 1; t < started; t++) pthread_join(tids[t], NULL);
+    } else {
+        for (int t = 1; t < started; t++) pthread_join(tids[t], NULL);
+        d.nthreads = 1;  /* T==1 skips every barrier wait */
+        ds_run(&d, 0);
+    }
     pthread_barrier_destroy(&d.bar);
+    pthread_mutex_destroy(&d.gmu);
+    pthread_cond_destroy(&d.gcv);
 }
 
 /* ==================================================================== */
@@ -4437,11 +4495,16 @@ long encode_slice_quad_c(
             pthread_cond_init(&rows[r].cv, NULL);
             rows[r].prev = r > 0 ? &rows[r - 1] : NULL;
         }
-        for (int r = 0; r < ctbs_h; r++)
-            pthread_create(&tids[r], NULL, qw_row_thread, &rows[r]);
+        int started = 0;
+        for (int r = 0; r < ctbs_h; r++) {
+            if (pthread_create(&tids[r], NULL, qw_row_thread, &rows[r]) != 0)
+                break;  /* thread limit: finish the rest inline below */
+            started++;
+        }
+        for (int r = started; r < ctbs_h; r++) qw_row_thread(&rows[r]);
         int err = 0;
         for (int r = 0; r < ctbs_h; r++) {
-            pthread_join(tids[r], NULL);
+            if (r < started) pthread_join(tids[r], NULL);
             if (rows[r].error || rows[r].len < 0) err = 1;
         }
         if (!err) {
