@@ -42,8 +42,11 @@ def cmd_encode(args) -> int:
         raise SystemExit("no frames read")
     ra = args.gop == "ra"
     ctb_log2 = {16: 4, 32: 5, 64: 6}[args.ctu]
-    cfg = StreamConfig(
-        width=w, height=h, qp=args.qp,
+    ra_quad = ra and ctb_log2 == 6
+    # non-CTB-aligned source sizes pad internally and signal a
+    # conformance window (so e.g. true 1920x1080 encodes spec-correctly)
+    cfg = StreamConfig.for_source(
+        w, h, qp=args.qp,
         ctb_log2=ctb_log2,
         deblocking_enabled=not args.no_deblock,
         sao_enabled=args.sao,
@@ -52,17 +55,18 @@ def cmd_encode(args) -> int:
         min_cb_log2=3 if (args.cu8 or ctb_log2 > 4) else 4,
         max_tb_log2=5 if ctb_log2 > 4 else 4,
         max_transform_hierarchy_depth_intra=args.tu_intra_depth - 1,
-        num_reorder_pics=2 if ra else 0,
-        max_dec_pic_buffering=5 if ra else 2,
+        num_reorder_pics=(3 if ra_quad else 2) if ra else 0,
+        max_dec_pic_buffering=(6 if ra_quad else 5) if ra else 2,
         merge_cand=args.merge,
         temporal_mvp=args.tmvp,
         rdoq=args.rdoq,
     )
     if ctb_log2 > 4 and args.intra_period != 1:
-        if ra or args.tu_intra_depth != 1:
+        if (ra and not ra_quad) or args.tu_intra_depth != 1:
             raise SystemExit(
-                "--ctu 32/64 inter is low-delay (--gop ld) without --tu-intra-depth; "
-                "use --gop ra / --tu-intra-depth with --ctu 16 or all-intra")
+                "--ctu 32 inter is low-delay (--gop ld) without --tu-intra-depth; "
+                "use --gop ra with --ctu 16/64, --tu-intra-depth with --ctu 16, "
+                "or all-intra")
     if args.tiles > 1 and ra:
         raise SystemExit("--tiles requires low-delay GOPs (--gop ld)")
     if args.slices > 1 and ra:
@@ -99,7 +103,15 @@ def cmd_encode(args) -> int:
     nf = 0
     with open(args.output, "wb") as f:
         if ra:
-            enc = RandomAccessEncoder(cfg, gop_size=4, intra_period=args.intra_period)
+            if ra_quad:
+                from .encoder.ra_batch import QuadRABatchEncoder
+
+                gop = 8
+                ip = max(gop, args.intra_period - args.intra_period % gop)
+                enc = QuadRABatchEncoder(cfg, gop_size=gop, intra_period=ip)
+            else:
+                enc = RandomAccessEncoder(cfg, gop_size=4,
+                                          intra_period=args.intra_period)
             for (y, u, v) in frames:
                 for _poc, nal, recon in enc.push_frame(y, u, v):
                     f.write(nal)

@@ -139,10 +139,17 @@ def _amvp_cells(a_pairs, b_pairs, temporal=None):
 
 
 def _arbitrate(ck, oy_flat, log2, win, cand_mvs, memv, mvp0, mvp1, icost,
-               lamf, K):
+               lamf, K, mcts=None):
     """Shared intra/merge/AMVP arbitration at one CU size: SATD-cost every
     merge candidate's MC, the ME MV's MC (rate = min over the two MVPs),
-    and the prepass intra cost.  Returns the decision bundle."""
+    and the prepass intra cost.  Returns the decision bundle.
+
+    mcts: None, or (xpos (L,), left_interior, right_interior, tile_w) —
+    kvazaar --mv-constraint frametile semantics: a merge candidate whose
+    MC support would cross an interior tile boundary may not be SELECTED
+    (the decoder MCs from the full reference picture; the spec merge
+    LIST itself is unchanged).  The ME MV is already constrained by
+    motion_search's own mv_valid_x masking."""
     n = 1 << log2
     L = oy_flat.shape[0]
     # one batched MC + one batched SATD over [K merge candidates, ME MV]:
@@ -159,6 +166,15 @@ def _arbitrate(ck, oy_flat, log2, win, cand_mvs, memv, mvp0, mvp1, icost,
         [float(min(k + 1, K - 1)) if K > 1 else 0.0 for k in range(K)],
         jnp.float32)
     costs_s = sats[:K] + lamf[None, :] * (2.0 + idx_bits[:, None])
+    if mcts is not None:
+        from ..ops.me import mv_valid_x
+
+        xpos, lf, rf, tile_w = mcts
+        cand_x = jnp.stack(cand_mvs)[:, :, 0].reshape(-1)  # (K*L,)
+        ok = mv_valid_x(cand_x, jnp.tile(xpos, (K,)), n, tile_w, lf, rf)
+        ok = jnp.reshape(ok, (K, L)) if not isinstance(ok, bool) else ok
+        if ok is not True:
+            costs_s = jnp.where(ok, costs_s, jnp.float32(3e18))
     preds_k = pflat.reshape(K + 1, L, -1)
     merge_idx = jnp.argmin(costs_s, axis=0).astype(jnp.int32)
     cost_merge = jnp.take_along_axis(costs_s, merge_idx[None], 0)[0]

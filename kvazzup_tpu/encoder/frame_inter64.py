@@ -109,12 +109,21 @@ def _temporal_cells(col_mv, col_inter, cw: int, ch: int):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "merge_cand",
-                                              "tmvp", "rdoq"))
+                                              "tmvp", "rdoq", "xtile"))
 def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                           height: int, merge_cand: int = 1,
                           tmvp: bool = False, col_mv=None, col_inter=None,
-                          rdoq: bool = False):
-    """Dense-decision CTB64 quadtree P encode (ring-carry 64-wave)."""
+                          rdoq: bool = False, xtile=(False, False),
+                          xflags=None):
+    """Dense-decision CTB64 quadtree P encode (ring-carry 64-wave).
+
+    xtile/xflags: MCTS tile-column constraint (kvazaar --mv-constraint
+    frametile, kvazaarfilter.cpp:246-276) — the frame is one tile column
+    of `width` px: ME search and merge-candidate SELECTION keep every MC
+    support inside [0, width) at interior boundaries (ops/me.mv_valid_x),
+    so a tile shard never reads a neighbor's DPB column.  xtile carries
+    static bools (host tiled path); xflags overrides with traced bools
+    (the shard_map path derives them from lax.axis_index)."""
     from ..core.tables import CHROMA_QP_TABLE
     from ..ops import ctu_kernels as ck
 
@@ -138,7 +147,8 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
 
     # ---- dense pre-passes
     lam_x1k = (lam.mean() * 1024.0).astype(jnp.int32)
-    mekw = dict(search_range=SEARCH_RANGE, width=width, height=height)
+    mekw = dict(search_range=SEARCH_RANGE, width=width, height=height,
+                xtile=xtile, xflags=xflags)
     me64, _ = motion_search(y, ref_y, lam_x1k, block=64, **mekw)
     me32, _ = motion_search(y, ref_y, lam_x1k, block=32, **mekw)
     me16, _ = motion_search(y, ref_y, lam_x1k, block=16, **mekw)
@@ -241,9 +251,12 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
     fa_w = jnp.asarray(sched["rs"] > 0)
     ftr_w = jnp.asarray((sched["rs"] > 0) & (sched["cs"] + 1 < cw))
     dwave = jnp.arange(sched["n_waves"], dtype=jnp.int32)
+    csw_w = jnp.asarray(sched["cs"])  # (n_waves, lanes) CTB column index
     xs = (oy_w, ou_w, ov_w, me64_w, me32_w, me16_w, im32_w, ic32_w, im16_w,
           ic16_w, s64_w, s32_w, qp_w, qpc_w, lam_w, t64m_w, t64o_w, t32m_w,
-          t32o_w, t16m_w, t16o_w, dwave, fl_w, fa_w, ftr_w)
+          t32o_w, t16m_w, t16o_w, dwave, fl_w, fa_w, ftr_w, csw_w)
+    mcts_on = xtile[0] or xtile[1]
+    mlf, mrf = xtile if xflags is None else xflags
 
     ring0 = lambda m: (jnp.zeros((3, lanes, m), jnp.int32),
                        jnp.zeros((3, lanes, m), jnp.int32))
@@ -254,7 +267,9 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
         (ry, ru, rv, mvb_ring, mvr_ring, ifb_ring, ifr_ring) = carry
         (oyw, ouw, ovw, me64w, me32w, me16w, im32, ic32, im16, ic16,
          s64, s32, qpw, qpcw, lamw, t64mv, t64ok, t32mv, t32ok, t16mv,
-         t16ok, dw, fl, fa, ftr) = x
+         t16ok, dw, fl, fa, ftr, csw) = x
+        mcts_at = (lambda x0: (csw * S + x0, mlf, mrf, width)) \
+            if mcts_on else (lambda x0: None)
         lamf = lamw.astype(jnp.float32)
         fal = fl & fa
         fls = jnp.zeros_like(fl)
@@ -346,7 +361,7 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                  x0 + n + 2 * SEARCH_RANGE + 7))
             merge, mvp0, mvp1 = unit_lists(mcv, mif, x0, y0, n, temporal)
             arb = _arbitrate(ck, oyf, log2u, win, merge, memv, mvp0, mvp1,
-                             icost, lamf, K)
+                             icost, lamf, K, mcts=mcts_at(x0))
             isel = jnp.asarray(_PPM_INV)[imode]
             pred_i = intra_pred(cY, ringsY, x0, y0, log2u, isel, True, S)
             pred_y = jnp.where(arb["use_intra"][:, None], pred_i,
@@ -453,7 +468,8 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
             jnp.zeros((lanes, 4, 4), jnp.int32), 0, 0, 64, t64q)
         oy64f = oyw.reshape(lanes, -1)
         arb64 = _arbitrate(ck, oy64f, 6, win64, merge64, me64w, mvp0_64,
-                           mvp1_64, jnp.broadcast_to(BIG, (lanes,)), lamf, K)
+                           mvp1_64, jnp.broadcast_to(BIG, (lanes,)), lamf, K,
+                           mcts=mcts_at(0))
         # MC the full 64x64 (and 32x32 chroma) ONCE — interpolation is
         # translation-invariant, so slicing equals per-TU32 MC — then run
         # the four forced TU32s (and all 8 chroma TU16s) as ONE batched

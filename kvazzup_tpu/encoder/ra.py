@@ -78,8 +78,8 @@ class QuadRAEncoder:
             raise ValueError(
                 f"RA gop{gop_size} needs num_reorder_pics >= {need_reorder},"
                 f" max_dec_pic_buffering >= {gop_size // 2 + 2}")
-        if cfg.cu_qp_delta or cfg.tile_cols > 1 or cfg.slices > 1:
-            raise NotImplementedError("quad RA excludes qp_map/tiles/slices")
+        if cfg.tile_cols > 1 or cfg.slices > 1:
+            raise NotImplementedError("quad RA excludes tiles/slices")
         self.cfg = cfg
         self.gop_size = gop_size
         self.intra_period = intra_period
@@ -97,14 +97,21 @@ class QuadRAEncoder:
             compose_vps(cfg), compose_sps(cfg), compose_pps(cfg)))
 
     # ------------------------------------------------------------- driving
-    def push_frame(self, y, u, v, qp=None):
+    def push_frame(self, y, u, v, qp=None, qp_map=None):
         """Returns a list of (poc, annexb_bytes, recon) in decode order
-        (empty until a mini-GOP completes)."""
-        self._pending.append((np.asarray(y), np.asarray(u), np.asarray(v)))
+        (empty until a mini-GOP completes).  qp_map: per-CTU
+        (ctbs_h, ctbs_w) QP grid (requires cfg.cu_qp_delta) — the
+        ROI/RoiMap hook (kvazaarfilter.cpp:423-431); temporal-layer QP
+        cascading shifts the whole map by the layer offset."""
+        from .top import pad_to_coded
+
+        if qp_map is not None and not self.cfg.cu_qp_delta:
+            raise ValueError("qp_map requires cfg.cu_qp_delta")
+        self._pending.append((pad_to_coded(self.cfg, y, u, v), qp_map))
         out = []
         if self._anchor_poc is None:
-            f = self._pending.pop(0)
-            out.append(self._code_i(f, poc=0, idr=True, qp=qp))
+            f, qmap = self._pending.pop(0)
+            out.append(self._code_i(f, poc=0, idr=True, qp=qp, qp_map=qmap))
             return out
         if len(self._pending) == self.gop_size:
             out.extend(self._code_group(qp))
@@ -114,11 +121,11 @@ class QuadRAEncoder:
         """Encode buffered frames as a low-delay P tail."""
         out = []
         poc = self._anchor_poc
-        for f in self._pending:
+        for f, qmap in self._pending:
             poc += 1
             out.append(self._code_p(f, poc, ref_poc=poc - 1, layer=0,
                                     rps=(((-1, 1),), ()), qp=qp,
-                                    tail=True))
+                                    tail=True, qp_map=qmap))
         self._pending = []
         return out
 
@@ -129,7 +136,7 @@ class QuadRAEncoder:
         self._pending = []
         out = []
         for (off, l0, l1, layer, neg, pos) in self.sched:
-            f = frames[off - 1]
+            f, qmap = frames[off - 1]
             poc = a0 + off
             if l1 is None:
                 if poc % self.intra_period == 0:
@@ -137,16 +144,28 @@ class QuadRAEncoder:
                     # this group's trailing Bs (used = 0: no ref lists)
                     out.append(self._code_i(
                         f, poc, idr=False, qp=qp,
-                        rps=(((-self.gop_size, 0),), ())))
+                        rps=(((-self.gop_size, 0),), ()), qp_map=qmap))
                 else:
                     out.append(self._code_p(f, poc, ref_poc=a0, layer=layer,
-                                            rps=(neg, pos), qp=qp))
+                                            rps=(neg, pos), qp=qp,
+                                            qp_map=qmap))
             else:
                 out.append(self._code_b(f, poc, a0 + l0, a0 + l1, layer,
-                                        (neg, pos), qp))
+                                        (neg, pos), qp, qp_map=qmap))
             self._prune_dpb(poc, (neg, pos))
         self._anchor_poc = a0 + self.gop_size
         return out
+
+    def _qp_eff(self, qp, qp_map, layer):
+        """(slice_qp, device_qp, flat_map) for a temporal layer: the layer
+        offset shifts both the slice QP and, when a ROI map is present,
+        every per-CTU entry (clipped to 0..51)."""
+        base = self._base_qp(qp) + self.dqp[layer]
+        if qp_map is None:
+            return base, base, None
+        flat = np.clip(np.asarray(qp_map, np.int32).reshape(-1)
+                       + self.dqp[layer], 0, 51)
+        return base, jnp.asarray(flat), flat
 
     def _prune_dpb(self, poc, rps):
         keep = {poc}
@@ -162,19 +181,21 @@ class QuadRAEncoder:
     def _base_qp(self, qp):
         return self.cfg.qp if qp is None else qp
 
-    def _loopfilters(self, f, ry, ru, rv, qp, bs, bs_rep=4):
+    def _loopfilters(self, f, ry, ru, rv, qp, bs, bs_rep=4, dq8=None):
         """Deblock + SAO decide/apply; returns (ry, ru, rv, sao_state).
 
         bs_rep: granularity of the bS maps along the edge — the P/B
         maps are 4-px spec segments (rep 4), the intra quad_bs_maps are
-        8-px (rep 0 -> spacing)."""
+        8-px (rep 0 -> spacing).  dq8: per-8-block actual-QP grid when a
+        ROI map is active (deblock edge QPs follow the 8.6.1 chain)."""
         cfg = self.cfg
         y, u, v = f
         if cfg.deblocking_enabled:
             bv, bh = bs
             ry, ru, rv = deblock_frame(
                 ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
-                bs_h=jnp.asarray(bh), chroma_every=2, bs_rep=bs_rep)
+                bs_h=jnp.asarray(bh), chroma_every=2, bs_rep=bs_rep,
+                qp_map=dq8)
         sao_state = None
         if cfg.sao_enabled:
             lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
@@ -208,7 +229,10 @@ class QuadRAEncoder:
             stream += self.headers()
             self._sent_headers = True
         stream += compose_nal(NalUnit(sh.nal_type, w.data()))
-        recon = (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+        from .top import crop_display
+
+        cry, cru, crv = crop_display(self.cfg, ry, ru, rv)
+        recon = (np.asarray(cry), np.asarray(cru), np.asarray(crv))
         return stream, recon
 
     def _rps_fields(self, rps):
@@ -223,18 +247,19 @@ class QuadRAEncoder:
             pos_used=tuple(u for _, u in pos),
         )
 
-    def _code_i(self, f, poc, idr: bool, qp=None, rps=None):
+    def _code_i(self, f, poc, idr: bool, qp=None, rps=None, qp_map=None):
         cfg = self.cfg
         from ..entropy.quad import (encode_slice_data_intra_quad,
                                     encode_slice_data_intra_quad_wpp)
         from .cu32 import quad_bs_maps
         from .frame_intra64 import (encode_frame_intra64_fast,
                                     quad_trees_from_device64)
+        from .top import quad_dq8
 
         y, u, v = f
-        qp = self._base_qp(qp)
+        qp, dev_qp, flat_map = self._qp_eff(qp, qp_map, 0)
         dev = encode_frame_intra64_fast(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), qp,
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
             width=cfg.width, height=cfg.height, rdoq=cfg.rdoq)
         trees = quad_trees_from_device64(dev, cfg.width, cfg.height)
         ry = jnp.asarray(dev["recon_y"])
@@ -244,14 +269,18 @@ class QuadRAEncoder:
         if cfg.deblocking_enabled:
             bv, bh = quad_bs_maps(trees, cfg.width, cfg.height, cfg.ctb_log2)
             bs = (bv, bh)
+        dq8 = (quad_dq8(cfg, trees, flat_map, qp)
+               if flat_map is not None else None)
         ry, ru, rv, sao_state = self._loopfilters(f, ry, ru, rv, qp, bs,
-                                                  bs_rep=0)
+                                                  bs_rep=0, dq8=dq8)
         if cfg.wpp:
             pair = encode_slice_data_intra_quad_wpp(cfg, trees, slice_qp=qp,
-                                                    sao=sao_state)
+                                                    sao=sao_state,
+                                                    qp_map=flat_map)
         else:
             pair = (encode_slice_data_intra_quad(cfg, trees, slice_qp=qp,
-                                                 sao=sao_state), None)
+                                                 sao=sao_state,
+                                                 qp_map=flat_map), None)
         sh = SliceHeader(
             slice_type=2, qp=qp,
             nal_type=NalType.IDR_W_RADL if idr else NalType.TRAIL_R,
@@ -267,16 +296,18 @@ class QuadRAEncoder:
         self._anchor_poc = poc
         return poc, stream, recon
 
-    def _code_p(self, f, poc, ref_poc, layer, rps, qp=None, tail=False):
+    def _code_p(self, f, poc, ref_poc, layer, rps, qp=None, tail=False,
+                qp_map=None):
         cfg = self.cfg
         from ..entropy.quad import (encode_slice_data_p_quad,
                                     encode_slice_data_p_quad_wpp)
         from .frame_inter32 import (quad_p_bs_maps, quad_p_cell_maps)
         from .frame_inter64 import (encode_frame_p64_fast,
                                     quad_p64_trees_from_device)
+        from .top import quad_dq8
 
         y, u, v = f
-        qp = self._base_qp(qp) + self.dqp[layer]
+        qp, dev_qp, flat_map = self._qp_eff(qp, qp_map, layer)
         pry, pru, prv = self._dpb[ref_poc]
         tmvp_kw = {}
         if cfg.temporal_mvp:
@@ -288,7 +319,7 @@ class QuadRAEncoder:
             tmvp_kw = dict(tmvp=True, col_mv=col[0], col_inter=col[1])
         dev = encode_frame_p64_fast(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), pry, pru, prv,
-            qp, width=cfg.width, height=cfg.height,
+            dev_qp, width=cfg.width, height=cfg.height,
             merge_cand=cfg.merge_cand, rdoq=cfg.rdoq, **tmvp_kw)
         trees = quad_p64_trees_from_device(dev, cfg.width, cfg.height)
         ry = jnp.asarray(dev["recon_y"])
@@ -300,15 +331,18 @@ class QuadRAEncoder:
         if cfg.deblocking_enabled:
             bs = quad_p_bs_maps(trees, mv4, inter4, cbf4, cfg.width,
                                 cfg.height, ctb=cfg.ctb_size)
-        ry, ru, rv, sao_state = self._loopfilters(f, ry, ru, rv, qp, bs)
+        dq8 = (quad_dq8(cfg, trees, flat_map, qp)
+               if flat_map is not None else None)
+        ry, ru, rv, sao_state = self._loopfilters(f, ry, ru, rv, qp, bs,
+                                                  dq8=dq8)
         if cfg.wpp:
             pair = encode_slice_data_p_quad_wpp(
                 cfg, trees, slice_qp=qp, sao=sao_state,
-                merge_k=cfg.merge_cand)
+                merge_k=cfg.merge_cand, qp_map=flat_map)
         else:
             pair = (encode_slice_data_p_quad(
                 cfg, trees, slice_qp=qp, sao=sao_state,
-                merge_k=cfg.merge_cand), None)
+                merge_k=cfg.merge_cand, qp_map=flat_map), None)
         sh = SliceHeader(
             slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
             pic_order_cnt_lsb=poc % (1 << cfg.log2_max_poc_lsb),
@@ -326,23 +360,34 @@ class QuadRAEncoder:
             self._anchor_poc = poc
         return poc, stream, recon
 
-    def _code_b(self, f, poc, p0, p1, layer, rps, qp=None):
+    def _code_b(self, f, poc, p0, p1, layer, rps, qp=None, qp_map=None):
         cfg = self.cfg
-        from ..entropy.quad import (encode_slice_data_b_quad,
-                                    encode_slice_data_b_quad_wpp)
-        from .frame_b64 import (encode_frame_b64_fast, quad_b_bs_maps,
-                                quad_b_cell_maps, quad_b64_trees_from_device)
+        from .frame_b64 import encode_frame_b64_fast
 
         y, u, v = f
-        qp = self._base_qp(qp) + self.dqp[layer]
+        qp, dev_qp, flat_map = self._qp_eff(qp, qp_map, layer)
         r0 = self._dpb[p0]
         r1 = self._dpb[p1]
         dev = encode_frame_b64_fast(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-            r0[0], r0[1], r0[2], r1[0], r1[1], r1[2], qp,
+            r0[0], r0[1], r0[2], r1[0], r1[1], r1[2], dev_qp,
             jnp.asarray([poc - p0, poc - p1], jnp.int32),
             width=cfg.width, height=cfg.height, merge_cand=cfg.merge_cand,
             rdoq=cfg.rdoq)
+        return self._finish_b(f, dev, poc, qp, flat_map, rps)
+
+    def _finish_b(self, f, dev, poc, qp, flat_map, rps):
+        """Trees + loop filters + entropy + emit for one B picture; `dev`
+        is the (per-frame) device output dict of encode_frame_b64_fast —
+        shared by the sequential path and the level-batched encoder
+        (ra_batch.QuadRABatchEncoder slices its vmapped outputs here)."""
+        cfg = self.cfg
+        from ..entropy.quad import (encode_slice_data_b_quad,
+                                    encode_slice_data_b_quad_wpp)
+        from .frame_b64 import (quad_b_bs_maps, quad_b_cell_maps,
+                                quad_b64_trees_from_device)
+        from .top import quad_dq8
+
         trees = quad_b64_trees_from_device(dev, cfg.width, cfg.height)
         ry = jnp.asarray(dev["recon_y"])
         ru = jnp.asarray(dev["recon_u"])
@@ -353,15 +398,18 @@ class QuadRAEncoder:
                                               ctb=cfg.ctb_size)
             bs = quad_b_bs_maps(trees, mv4, pf4, cbf4, cfg.width, cfg.height,
                                 ctb=cfg.ctb_size)
-        ry, ru, rv, sao_state = self._loopfilters(f, ry, ru, rv, qp, bs)
+        dq8 = (quad_dq8(cfg, trees, flat_map, qp)
+               if flat_map is not None else None)
+        ry, ru, rv, sao_state = self._loopfilters(f, ry, ru, rv, qp, bs,
+                                                  dq8=dq8)
         if cfg.wpp:
             pair = encode_slice_data_b_quad_wpp(
                 cfg, trees, slice_qp=qp, sao=sao_state,
-                merge_k=cfg.merge_cand)
+                merge_k=cfg.merge_cand, qp_map=flat_map)
         else:
             pair = (encode_slice_data_b_quad(
                 cfg, trees, slice_qp=qp, sao=sao_state,
-                merge_k=cfg.merge_cand), None)
+                merge_k=cfg.merge_cand, qp_map=flat_map), None)
         sh = SliceHeader(
             slice_type=0, qp=qp, nal_type=NalType.TRAIL_R,
             pic_order_cnt_lsb=poc % (1 << cfg.log2_max_poc_lsb),

@@ -148,6 +148,77 @@ def encode_frame_p_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
     }
 
 
+def encode_frame_intra64_tiles(cfg, y, u, v, qp: int, *, rdoq: bool = False):
+    """All-intra CTB64 quadtree frame as independent tile columns: each
+    strip runs the quad64 device wavefront at tile width (intra
+    availability stops at the strip edge = the tile rule).  Returns
+    (picture-raster trees, recon planes)."""
+    from .frame_intra64 import (encode_frame_intra64_fast,
+                                quad_trees_from_device64)
+
+    n = cfg.ctb_size
+    cw, ch = cfg.ctbs_w, cfg.ctbs_h
+    cols = tile_grid(cfg, cfg.tile_cols)
+    trees_pic = [None] * (cw * ch)
+    ry_p, ru_p, rv_p = [], [], []
+    for t, (x0, x1) in enumerate(cols):
+        px0, px1 = x0 * n, x1 * n
+        dev = encode_frame_intra64_fast(
+            jnp.asarray(y[:, px0:px1]), jnp.asarray(u[:, px0 // 2 : px1 // 2]),
+            jnp.asarray(v[:, px0 // 2 : px1 // 2]), qp,
+            width=px1 - px0, height=cfg.height, rdoq=rdoq)
+        trees_t = quad_trees_from_device64(dev, px1 - px0, cfg.height)
+        cwt = x1 - x0
+        for r in range(ch):
+            for ci in range(cwt):
+                trees_pic[r * cw + x0 + ci] = trees_t[r * cwt + ci]
+        ry_p.append(dev["recon_y"])
+        ru_p.append(dev["recon_u"])
+        rv_p.append(dev["recon_v"])
+    return trees_pic, (jnp.concatenate(ry_p, axis=1),
+                       jnp.concatenate(ru_p, axis=1),
+                       jnp.concatenate(rv_p, axis=1))
+
+
+def encode_frame_p64_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
+                           merge_cand: int = 1, rdoq: bool = False):
+    """Low-delay P CTB64 quadtree frame as motion-constrained tile columns
+    (kvazaar --mv-constraint frametile): each strip runs the quad64 P
+    wavefront on its own view of the reference with xtile MV bounds, so
+    MC never reads across a tile boundary.  Loop filtering is the
+    caller's, on the assembled picture (across-tiles semantics)."""
+    from .frame_inter64 import (encode_frame_p64_fast,
+                                quad_p64_trees_from_device)
+
+    n = cfg.ctb_size
+    cw, ch = cfg.ctbs_w, cfg.ctbs_h
+    cols = tile_grid(cfg, cfg.tile_cols)
+    n_tiles = len(cols)
+    trees_pic = [None] * (cw * ch)
+    ry_p, ru_p, rv_p = [], [], []
+    for t, (x0, x1) in enumerate(cols):
+        px0, px1 = x0 * n, x1 * n
+        dev = encode_frame_p64_fast(
+            jnp.asarray(y[:, px0:px1]), jnp.asarray(u[:, px0 // 2 : px1 // 2]),
+            jnp.asarray(v[:, px0 // 2 : px1 // 2]),
+            jnp.asarray(ref_y[:, px0:px1]),
+            jnp.asarray(ref_u[:, px0 // 2 : px1 // 2]),
+            jnp.asarray(ref_v[:, px0 // 2 : px1 // 2]), qp,
+            width=px1 - px0, height=cfg.height, merge_cand=merge_cand,
+            rdoq=rdoq, xtile=(t > 0, t < n_tiles - 1))
+        trees_t = quad_p64_trees_from_device(dev, px1 - px0, cfg.height)
+        cwt = x1 - x0
+        for r in range(ch):
+            for ci in range(cwt):
+                trees_pic[r * cw + x0 + ci] = trees_t[r * cwt + ci]
+        ry_p.append(dev["recon_y"])
+        ru_p.append(dev["recon_u"])
+        rv_p.append(dev["recon_v"])
+    return trees_pic, (jnp.concatenate(ry_p, axis=1),
+                       jnp.concatenate(ru_p, axis=1),
+                       jnp.concatenate(rv_p, axis=1))
+
+
 def _strip_qp(qp, cols, t, cw, ch):
     """Per-strip QP: scalar passthrough, or tile-raster slice of a flat
     per-CTU actual-QP vector (cu_qp_delta)."""

@@ -42,6 +42,42 @@ from .frame_inter import encode_frame_p
 from .frame_intra import encode_frame_intra
 
 
+def pad_to_coded(cfg, y, u, v):
+    """Edge-replicate a display-size frame up to the coded (CTB-aligned)
+    size when cfg carries a conformance window (7.4.3.2.1); coded-size
+    input passes through so pre-padded callers keep working."""
+    if (cfg.out_height, cfg.out_width) == (cfg.height, cfg.width):
+        return y, u, v
+    y = np.asarray(y)
+    if y.shape == (cfg.height, cfg.width):
+        return y, u, v
+    py, px = cfg.height - cfg.out_height, cfg.width - cfg.out_width
+    return (np.pad(y, ((0, py), (0, px)), mode="edge"),
+            np.pad(np.asarray(u), ((0, py // 2), (0, px // 2)), mode="edge"),
+            np.pad(np.asarray(v), ((0, py // 2), (0, px // 2)), mode="edge"))
+
+
+def quad_dq8(cfg, trees, flat_map, qp):
+    """Per-8-block QP grid for the quad paths' deblock (bs maps ride the
+    8-grid there): the 8.6.1 actual-QP chain expanded per CTB."""
+    any_cbf = np.array([Encoder._tree_any_cbf(t) for t in trees], bool)
+    qp_actual = derive_qp_actual(
+        flat_map, any_cbf, cfg.ctbs_w, cfg.ctbs_h, qp, cfg.wpp)
+    r = cfg.ctb_size // 8
+    return jnp.asarray(np.kron(
+        qp_actual.reshape(cfg.ctbs_h, cfg.ctbs_w),
+        np.ones((r, r), np.int32)))
+
+
+def crop_display(cfg, ry, ru, rv):
+    """Crop a coded-size recon to the signalled conformance window, the
+    same crop every conforming decoder applies on output."""
+    dh, dw = cfg.out_height, cfg.out_width
+    if (dh, dw) == (cfg.height, cfg.width):
+        return ry, ru, rv
+    return ry[:dh, :dw], ru[: dh // 2, : dw // 2], rv[: dh // 2, : dw // 2]
+
+
 class Encoder:
     """HEVC encoder: all-intra or low-delay P (see frame_intra/frame_inter)."""
 
@@ -85,7 +121,18 @@ class Encoder:
                     "CTB32/64 cu_qp_delta needs the device quad path: "
                     "fast_decision, td_intra 0")
             if cfg.tile_cols > 1 or cfg.slices > 1:
-                raise NotImplementedError("CTB32/64 excludes tiles/slices for now")
+                quad_tiles_ok = (
+                    cfg.ctb_log2 == 6 and cfg.tile_cols > 1
+                    and cfg.slices == 1 and not cfg.wpp
+                    and not cfg.cu_qp_delta and not cfg.temporal_mvp
+                    and cfg.fast_decision
+                    and cfg.max_transform_hierarchy_depth_intra == 0)
+                if not quad_tiles_ok:
+                    raise NotImplementedError(
+                        "quad tiles need CTB64 + the device path "
+                        "(fast_decision, td_intra 0) without "
+                        "wpp/qp_map/tmvp; CTB32 tiles and quad slices "
+                        "remain excluded")
         elif cfg.min_cb_log2 == 3:
             if cfg.max_transform_hierarchy_depth_intra:
                 raise NotImplementedError("TU trees require the CTB32/64 path")
@@ -156,16 +203,7 @@ class Encoder:
                     or np.any(node["lev_cr"]))
 
     def _quad_dq8(self, trees, flat_map, qp):
-        """Per-8-block QP grid for the quad paths' deblock (bs maps ride
-        the 8-grid there): the 8.6.1 actual-QP chain expanded per CTB."""
-        cfg = self.cfg
-        any_cbf = np.array([self._tree_any_cbf(t) for t in trees], bool)
-        qp_actual = derive_qp_actual(
-            flat_map, any_cbf, cfg.ctbs_w, cfg.ctbs_h, qp, cfg.wpp)
-        r = cfg.ctb_size // 8
-        return jnp.asarray(np.kron(
-            qp_actual.reshape(cfg.ctbs_h, cfg.ctbs_w),
-            np.ones((r, r), np.int32)))
+        return quad_dq8(self.cfg, trees, flat_map, qp)
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int | None = None,
                      qp_map: np.ndarray | None = None):
@@ -183,6 +221,7 @@ class Encoder:
         (kvazaar's owf/\"frames in flight\" overlap, SURVEY §2.7).
         Returns an opaque ctx for encode_frame_entropy."""
         cfg = self.cfg
+        y, u, v = pad_to_coded(cfg, y, u, v)
         qp = cfg.qp if qp is None else qp
         if qp_map is not None and not cfg.cu_qp_delta:
             raise ValueError("qp_map requires cfg.cu_qp_delta")
@@ -197,6 +236,81 @@ class Encoder:
         # ---- device encode
         if cfg.ctb_log2 in (5, 6):
             from .cu32 import encode_frame_intra_quad_ref, quad_bs_maps
+
+            if cfg.tile_cols > 1:
+                # CTB64 quadtree x tiles: the production toolset's
+                # multi-chip axis (VERDICT r3 ask #4).  Per-strip quad64
+                # device wavefronts with MCTS MV constraints, then
+                # picture-level loop filters across tile boundaries
+                # (loop_filter_across_tiles_enabled_flag = 1) — the same
+                # structure parallel/tiles_p.py reproduces sharded.
+                from ..entropy.slice_data import tile_of_map
+                from .tiled import (encode_frame_intra64_tiles,
+                                    encode_frame_p64_tiles)
+
+                if is_idr:
+                    trees, (ry, ru, rv) = encode_frame_intra64_tiles(
+                        cfg, np.asarray(y), np.asarray(u), np.asarray(v),
+                        qp, rdoq=cfg.rdoq)
+                else:
+                    trees, (ry, ru, rv) = encode_frame_p64_tiles(
+                        cfg, np.asarray(y), np.asarray(u), np.asarray(v),
+                        *(np.asarray(p) for p in self._ref), qp,
+                        merge_cand=cfg.merge_cand, rdoq=cfg.rdoq)
+                if cfg.deblocking_enabled:
+                    if is_idr:
+                        bv, bh = quad_bs_maps(trees, cfg.width, cfg.height,
+                                              cfg.ctb_log2)
+                        ry, ru, rv = deblock_frame(
+                            ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
+                            bs_h=jnp.asarray(bh), chroma_every=2)
+                    else:
+                        from .frame_inter32 import (quad_p_bs_maps,
+                                                    quad_p_cell_maps)
+
+                        mv4, inter4, cbf4 = quad_p_cell_maps(
+                            trees, cfg.width, cfg.height, ctb=cfg.ctb_size)
+                        bv, bh = quad_p_bs_maps(
+                            trees, mv4, inter4, cbf4, cfg.width, cfg.height,
+                            ctb=cfg.ctb_size)
+                        ry, ru, rv = deblock_frame(
+                            ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
+                            bs_h=jnp.asarray(bh), chroma_every=2, bs_rep=4)
+                sao_state = None
+                if cfg.sao_enabled:
+                    lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+                    t_l, aux_l, off_l, _ = sao_decide(
+                        jnp.asarray(np.asarray(y)), ry, lam, ctb=cfg.ctb_size)
+                    t_c, _cls, aux_cb, aux_cr, off_cb, off_cr = \
+                        sao_decide_chroma(
+                            jnp.asarray(np.asarray(u)), ru,
+                            jnp.asarray(np.asarray(v)), rv, lam,
+                            ctb=cfg.ctb_size // 2)
+                    sao_state = SaoState(
+                        cfg.ctbs_w, cfg.ctbs_h,
+                        typ=np.stack([np.asarray(t_l), np.asarray(t_c),
+                                      np.asarray(t_c)]),
+                        aux=np.stack([np.asarray(aux_l), np.asarray(aux_cb),
+                                      np.asarray(aux_cr)]),
+                        offs=np.stack([np.asarray(off_l), np.asarray(off_cb),
+                                       np.asarray(off_cr)]),
+                    )
+                    sao_state.tile_of = tile_of_map(cfg, cfg.tile_cols)
+                    ry = sao_apply(ry, t_l, aux_l, off_l, ctb=cfg.ctb_size)
+                    ru = sao_apply(ru, t_c, aux_cb, off_cb,
+                                   ctb=cfg.ctb_size // 2)
+                    rv = sao_apply(rv, t_c, aux_cr, off_cr,
+                                   ctb=cfg.ctb_size // 2)
+                first = self._frame_count == 0 or (
+                    is_idr and self.vps_period
+                    and (self._idr_count - 1) % self.vps_period == 0)
+                self._frame_count += 1
+                self._poc = 0 if is_idr else self._poc + 1
+                self._ref = (ry, ru, rv)
+                return {"kind": "quad_tiles" if is_idr else "quad_p_tiles",
+                        "out": {"trees": trees}, "qp": qp, "first": first,
+                        "poc": self._poc, "flat_map": None,
+                        "sao_state": sao_state, "recon": (ry, ru, rv)}
 
             use_device = (
                 cfg.ctb_log2 == 5
@@ -598,6 +712,14 @@ class Encoder:
                 "first": first, "poc": self._poc, "flat_map": flat_map,
                 "sao_state": sao_state, "recon": (ry, ru, rv)}
 
+    def _finish(self, stream, ry, ru, rv, materialize_recon):
+        """Crop the recon to the conformance window (decoder-output
+        semantics) and optionally materialize to host numpy."""
+        ry, ru, rv = crop_display(self.cfg, ry, ru, rv)
+        if materialize_recon:
+            return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
+        return stream, (ry, ru, rv)
+
     def encode_frame_entropy(self, ctx, materialize_recon: bool = True):
         """Host stage: CABAC + NAL mux for a ctx from encode_frame_device.
         Safe to run in a worker thread; returns (annexb_bytes, recon).
@@ -630,9 +752,7 @@ class Encoder:
             w.write_bytes(payload)
             stream = self.headers() if first else b""
             stream += compose_nal(NalUnit(sh.nal_type, w.data()))
-            if materialize_recon:
-                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-            return stream, (ry, ru, rv)
+            return self._finish(stream, ry, ru, rv, materialize_recon)
         if ctx["kind"] == "quad_p":
             from ..entropy.quad import (encode_slice_data_p_quad,
                                         encode_slice_data_p_quad_wpp)
@@ -659,9 +779,7 @@ class Encoder:
             w.write_bytes(payload)
             stream = self.headers() if first else b""
             stream += compose_nal(NalUnit(sh.nal_type, w.data()))
-            if materialize_recon:
-                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-            return stream, (ry, ru, rv)
+            return self._finish(stream, ry, ru, rv, materialize_recon)
         if ctx["kind"] == "cu8":
             from ..entropy.slice_data import (
                 encode_slice_data_intra_cu8x,
@@ -687,25 +805,46 @@ class Encoder:
             w.write_bytes(payload)
             stream = self.headers() if first else b""
             stream += compose_nal(NalUnit(sh.nal_type, w.data()))
-            if materialize_recon:
-                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-            return stream, (ry, ru, rv)
+            return self._finish(stream, ry, ru, rv, materialize_recon)
         if ctx["kind"] == "slices":
             from .sliced import entropy_frame_intra_slices
 
             stream = self.headers() if first else b""
             stream += entropy_frame_intra_slices(cfg, ctx["dev"], qp)
-            if materialize_recon:
-                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-            return stream, (ry, ru, rv)
+            return self._finish(stream, ry, ru, rv, materialize_recon)
         if ctx["kind"] == "slices_p":
             from .sliced import entropy_frame_p_slices
 
             stream = self.headers() if first else b""
             stream += entropy_frame_p_slices(cfg, ctx["dev"], qp, ctx["poc"])
-            if materialize_recon:
-                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-            return stream, (ry, ru, rv)
+            return self._finish(stream, ry, ru, rv, materialize_recon)
+        if ctx["kind"] in ("quad_tiles", "quad_p_tiles"):
+            from ..entropy.quad import encode_slice_data_quad_tiles
+
+            st = 2 if ctx["kind"] == "quad_tiles" else 1
+            payload, entry_offsets = encode_slice_data_quad_tiles(
+                cfg, out["trees"], st, cfg.tile_cols, slice_qp=qp,
+                sao=ctx["sao_state"], merge_k=cfg.merge_cand)
+            if st == 2:
+                sh = SliceHeader(slice_type=2, qp=qp,
+                                 nal_type=NalType.IDR_W_RADL,
+                                 sao_luma=cfg.sao_enabled,
+                                 sao_chroma=cfg.sao_enabled)
+            else:
+                sh = SliceHeader(
+                    slice_type=1, qp=qp, nal_type=NalType.TRAIL_R,
+                    pic_order_cnt_lsb=ctx["poc"] % (1 << cfg.log2_max_poc_lsb),
+                    num_negative_pics=1, delta_pocs=(-1,),
+                    max_num_merge_cand=cfg.merge_cand,
+                    sao_luma=cfg.sao_enabled, sao_chroma=cfg.sao_enabled,
+                )
+            if entry_offsets:
+                entry_offsets = ebsp_entry_offsets(payload, entry_offsets)
+            w = compose_slice_header(cfg, sh, entry_offsets)
+            w.write_bytes(payload)
+            stream = self.headers() if first else b""
+            stream += compose_nal(NalUnit(sh.nal_type, w.data()))
+            return self._finish(stream, ry, ru, rv, materialize_recon)
         if ctx["kind"] in ("tiles", "tiles_p"):
             from ..entropy.slice_data import (
                 encode_slice_data_intra_tiles,
@@ -752,9 +891,7 @@ class Encoder:
             w.write_bytes(payload)
             stream = self.headers() if first else b""
             stream += compose_nal(NalUnit(sh.nal_type, w.data()))
-            if materialize_recon:
-                return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-            return stream, (ry, ru, rv)
+            return self._finish(stream, ry, ru, rv, materialize_recon)
         flat_map, sao_state = ctx["flat_map"], ctx["sao_state"]
         entry_offsets = None
         qp_actual = None
@@ -833,9 +970,7 @@ class Encoder:
         if first:
             stream += self.headers()
         stream += compose_nal(NalUnit(sh.nal_type, w.data()))
-        if materialize_recon:
-            return stream, (np.asarray(ry), np.asarray(ru), np.asarray(rv))
-        return stream, (ry, ru, rv)
+        return self._finish(stream, ry, ru, rv, materialize_recon)
 
 
 class RandomAccessEncoder:
@@ -878,16 +1013,16 @@ class RandomAccessEncoder:
     def push_frame(self, y, u, v):
         """Returns a list of (poc, annexb_bytes, recon) in decode order
         (empty until a group completes)."""
-        self._pending.append((np.asarray(y), np.asarray(u), np.asarray(v)))
+        self._pending.append(pad_to_coded(self.cfg, y, u, v))
         out = []
         if self._anchor is None:
             # first frame: IDR anchor immediately
             f = self._pending.pop(0)
             out.append(self._encode_anchor(f, idr=True))
-            return out
+            return self._crop_out(out)
         if len(self._pending) == self.gop_size:
             out.extend(self._encode_group())
-        return out
+        return self._crop_out(out)
 
     def flush(self):
         """Encode any buffered frames as a low-delay P tail."""
@@ -898,7 +1033,15 @@ class RandomAccessEncoder:
             out.append(self._encode_inter(f, poc, [self._anchor], slice_type=1))
             self._anchor = (poc, out[-1][2])
         self._pending = []
-        return out
+        return self._crop_out(out)
+
+    def _crop_out(self, out):
+        """Conformance-window crop for caller-visible recons; internal
+        references (self._anchor chains) stay coded-size."""
+        cfg = self.cfg
+        if (cfg.out_height, cfg.out_width) == (cfg.height, cfg.width):
+            return out
+        return [(p, s, crop_display(cfg, *r)) for (p, s, r) in out]
 
     # ----------------------------------------------------------- internals
     def _encode_group(self):
@@ -1038,15 +1181,21 @@ class RandomAccessEncoder:
             )
         else:
             (p0, _), (p1, _) = refs
-            payload, entry_offsets = encode_slice_data_b_wpp(
-                cfg,
+            b_arrays = (
                 np.asarray(out["ctype"]), np.asarray(out["intra_mode"]),
                 np.asarray(out["pf"]), np.asarray(out["mv"]),
                 np.asarray(out["inter_dir"]), np.asarray(out["mvp_flag"]),
                 np.asarray(out["mvd"]), np.asarray(out["lev_y"]),
                 np.asarray(out["lev_cb"]), np.asarray(out["lev_cr"]),
-                slice_qp=qp, sao=sao_state,
             )
+            if cfg.wpp:
+                payload, entry_offsets = encode_slice_data_b_wpp(
+                    cfg, *b_arrays, slice_qp=qp, sao=sao_state)
+            else:
+                from ..entropy.slice_data import encode_slice_data_b
+
+                payload = encode_slice_data_b(
+                    cfg, *b_arrays, slice_qp=qp, sao=sao_state)
             sh = SliceHeader(
                 slice_type=0, qp=qp, nal_type=NalType.TRAIL_R,
                 pic_order_cnt_lsb=poc % (1 << cfg.log2_max_poc_lsb),

@@ -327,6 +327,48 @@ def encode_slice_data_p_quad(cfg, trees, slice_qp=None, sao=None,
     return enc.data()
 
 
+def encode_slice_data_quad_tiles(cfg, trees, slice_type: int, n_cols: int,
+                                 slice_qp=None, sao=None, merge_k: int = 1):
+    """Tile-column quad slice data (CTB32/64 quadtrees): one independent
+    CABAC substream per tile, CTUs in tile-raster order, end_of_subset
+    termination (7.3.8.1).  Each tile gets a FRESH writer with
+    tile-LOCAL coordinates — the writer's x0==0 availability rule then
+    IS the tile-boundary rule (split/skip contexts, MPM cand_a and the
+    P cell maps all stop at the tile edge, matching the per-strip device
+    encode).  SAO keeps picture-raster indexing with SaoState.tile_of
+    gating merge flags.  Returns (payload, entry_point_offsets)."""
+    import dataclasses
+
+    from .slice_data import tile_grid
+
+    sq = cfg.qp if slice_qp is None else slice_qp
+    cw, chh = cfg.ctbs_w, cfg.ctbs_h
+    n = cfg.ctb_size
+    cols = tile_grid(cfg, n_cols)
+    payloads = []
+    last_tile = n_cols - 1
+    for t, (x0, x1) in enumerate(cols):
+        cfg_t = dataclasses.replace(cfg, width=(x1 - x0) * n, tile_cols=1,
+                                    display_width=0, display_height=0)
+        wr = (_QuadWriter(cfg_t, sq) if slice_type == 2
+              else _QuadWriterP(cfg_t, sq, merge_k))
+        enc = CabacEncoder(init_type=0 if slice_type == 2 else 1,
+                           slice_qp=sq)
+        for r in range(chh):
+            for c in range(x0, x1):
+                i = r * cw + c
+                if sao is not None:
+                    sao.encode(enc, i)
+                wr.ctu(enc, trees[i], (c - x0) * n, r * n)
+                last_in_slice = (t == last_tile and r == chh - 1
+                                 and c == x1 - 1)
+                enc.encode_terminate(1 if last_in_slice else 0)
+                if not last_in_slice and r == chh - 1 and c == x1 - 1:
+                    enc.encode_terminate(1)  # end_of_subset_one_bit
+        payloads.append(enc.data())
+    return b"".join(payloads), [len(p) for p in payloads[:-1]]
+
+
 def encode_slice_data_p_quad_wpp(cfg, trees, slice_qp=None, sao=None,
                                  merge_k: int = 1, qp_map=None):
     """WPP variant of the P-quad writer (entropy_coding_sync): per-row

@@ -1335,6 +1335,27 @@ def _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr, mv_arr,
         qp_state.encode(enc, i, False)
 
 
+def encode_slice_data_b(cfg, ctype, intra_modes, pf_arr, mv_arr, inter_dirs,
+                        mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None,
+                        sao=None, merge_idxs=None, merge_k=1) -> bytes:
+    """B-slice CTU syntax (CU == CTB == 16) as ONE sequential CABAC stream
+    — the non-WPP twin of encode_slice_data_b_wpp.  (The RA path used to
+    emit WPP row substreams unconditionally; without entropy_coding_sync
+    in the PPS a decoder parses them as a continuous stream and desyncs
+    at the first row restart — r4 conformance-window tests caught it.)"""
+    nctu = cfg.ctbs_w * cfg.ctbs_h
+    skip = np.zeros(nctu, dtype=bool)
+    sq = slice_qp if slice_qp is not None else cfg.qp
+    enc = CabacEncoder(init_type=2, slice_qp=sq)
+    for i in range(nctu):
+        _encode_ctu_b_one(enc, cfg, i, skip, ctype, intra_modes, pf_arr,
+                          mv_arr, inter_dirs, mvp_flags, mvds, lev_y, lev_cb,
+                          lev_cr, None, sao, merge_idxs=merge_idxs,
+                          merge_k=merge_k)
+        enc.encode_terminate(1 if i == nctu - 1 else 0)
+    return enc.data()
+
+
 def encode_slice_data_b_wpp(cfg, ctype, intra_modes, pf_arr, mv_arr, inter_dirs,
                             mvp_flags, mvds, lev_y, lev_cb, lev_cr, slice_qp=None,
                             sao=None, merge_idxs=None, merge_k=1):

@@ -114,6 +114,14 @@ def satd_flat(a, b, log2: int):
     """SATD between (..., N^2) blocks; bit-identical to satd.satd_blocks."""
     n = 1 << log2
     bsz = min(8, n)
+    # K <= 1024: the (K, K) Hadamard-kron weight must fit VMEM (4 MB at
+    # 32x32; the 4096-case block-diagonal stays on the XLA path)
+    if (a.ndim == 2 and a.shape[0] >= 256 and a.shape[1] % 128 == 0
+            and a.shape[1] <= 1024):
+        from .pallas_q import pallas_enabled, satd_2d
+
+        if pallas_enabled():
+            return satd_2d(a, b, jnp.asarray(_satd_weights(log2)), log2)
     diff = (a - b).astype(jnp.int32)
     t = exact_matmul_small(diff, jnp.asarray(_satd_weights(log2)))
     nsb = (n // bsz) ** 2

@@ -47,12 +47,36 @@ def _dz_num(intra, like):
     return jnp.where(intra, jnp.int32(171), jnp.int32(85))
 
 
+def _pallas_2d_ok(x) -> bool:
+    """Route large flat batches to the fused Pallas kernel on TPU: one
+    HBM read+write instead of a chain of fusion-boundary round-trips.
+    Small (in-wave, lanes-wide) calls stay on the jnp path — padding to
+    the Pallas tile would cost more than it saves."""
+    from .pallas_q import pallas_enabled
+
+    return (x.ndim == 2 and x.shape[0] >= 256 and x.shape[1] % 128 == 0
+            and pallas_enabled())
+
+
 def quantize(coef: jnp.ndarray, qp, log2: int, intra=True) -> jnp.ndarray:
     """Forward quantization of transform coefficients (..., N, N) -> levels.
 
     qp may be a scalar or an array matching coef's leading dims (per-CTU
     adaptive QP / ROI); `intra` may be a traced per-lane bool array (mixed
     intra/inter waves quantize in ONE pass instead of two)."""
+    if _pallas_2d_ok(coef) and jnp.asarray(qp).ndim <= 1 and (
+            isinstance(intra, bool) or jnp.asarray(intra).ndim <= 1):
+        from .pallas_q import quantize_2d
+
+        b = coef.shape[0]
+        qp_col = jnp.broadcast_to(jnp.asarray(qp, jnp.int32),
+                                  (b,)).reshape(b, 1)
+        if isinstance(intra, bool):
+            dz = jnp.full((b, 1), 171 if intra else 85, jnp.int32)
+        else:
+            dz = jnp.where(jnp.broadcast_to(jnp.asarray(intra), (b,)),
+                           171, 85).astype(jnp.int32).reshape(b, 1)
+        return quantize_2d(coef, qp_col, dz, log2)
     qp = _bcast(qp, coef)
     per, rem = qp // 6, qp % 6
     qbits = 21 + per - log2  # QUANT_SHIFT(14) + per + transformShift(7-log2)
@@ -70,6 +94,13 @@ def dequantize(level: jnp.ndarray, qp, log2: int, bd: int = 8) -> jnp.ndarray:
     `(level*m*levScale << per)` form can overflow 32 bits at high QP):
     right-shift by (bdShift - per) when positive, else left-shift.
     """
+    if bd == 8 and _pallas_2d_ok(level) and jnp.asarray(qp).ndim <= 1:
+        from .pallas_q import dequantize_2d
+
+        b = level.shape[0]
+        qp_col = jnp.broadcast_to(jnp.asarray(qp, jnp.int32),
+                                  (b,)).reshape(b, 1)
+        return dequantize_2d(level, qp_col, log2, bd)
     qp = _bcast(qp, level)
     per, rem = qp // 6, qp % 6
     bd_shift = bd + log2 - 5  # BitDepth + log2 + 10 - 15

@@ -182,7 +182,7 @@ def sao_decide(orig, rec, lam, *, ctb: int, xpad: int = 0, lvalid=False,
 import os as _os
 
 
-def _sao_strip_kernel(typ_r, aux_r, o0_r, o1_r, o2_r, o3_r,
+def _sao_strip_kernel(typ_r, aux_r, o0_r, o1_r, o2_r, o3_r, sel_r,
                       cur_r, up_r, dn_r, out_r, *, ctb: int, bd: int):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -202,9 +202,15 @@ def _sao_strip_kernel(typ_r, aux_r, o0_r, o1_r, o2_r, o3_r,
     dl = jnp.concatenate([below[:, :1], below[:, : w - 1]], axis=1)
     ur = jnp.concatenate([above[:, 1:], above[:, w - 1 :]], axis=1)
 
-    # strip-local parameter planes from the (1, cbw) rows
-    up_px = lambda p: jnp.repeat(
-        jnp.repeat(p[:].astype(jnp.int32), ctb, axis=1), h, axis=0)
+    # strip-local parameter planes: the param refs carry the FULL (cbh,
+    # cbw) grids (a (1, cbw) block spec does not lower when cbh is not
+    # the full array dim).  Column upsample rides a (cbw, w) 0/1 selector
+    # MATMUL (Mosaic rejects the repeat/reshape form); rows broadcast.
+    def up_px(p):
+        row = p[pl.ds(i, 1), :].astype(jnp.float32)       # (1, cbw)
+        px = jnp.dot(row, sel_r[:], preferred_element_type=jnp.float32)
+        return jnp.broadcast_to(px.astype(jnp.int32), (h, w))
+
     typ_px = up_px(typ_r)
     aux_px = up_px(aux_r)
     offs_px = [up_px(o) for o in (o0_r, o1_r, o2_r, o3_r)]
@@ -222,10 +228,13 @@ def _sao_strip_kernel(typ_r, aux_r, o0_r, o1_r, o2_r, o3_r,
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     first, last = i == 0, i == n_i - 1
-    row_ok = jnp.where(aux_px == 0, True,
-                       ~((first & (ys == 0)) | (last & (ys == h - 1))))
-    col_ok = jnp.where(aux_px == 1, True, ~((xs == 0) | (xs == w - 1)))
-    eidx = jnp.where(row_ok & col_ok, eidx, 0)
+    # int32-valued selects: Mosaic rejects i1-vector select operands
+    # ("Unsupported target bitwidth for truncation")
+    row_bad = ((first & (ys == 0)) | (last & (ys == h - 1))).astype(jnp.int32)
+    col_bad = ((xs == 0) | (xs == w - 1)).astype(jnp.int32)
+    row_ok = jnp.where(aux_px == 0, 1, 1 - row_bad)
+    col_ok = jnp.where(aux_px == 1, 1, 1 - col_bad)
+    eidx = jnp.where(row_ok * col_ok > 0, eidx, 0)
     cat_off = jnp.zeros_like(r)
     for j in range(4):
         cat_off = jnp.where(eidx == j + 1, offs_px[j], cat_off)
@@ -236,7 +245,9 @@ def _sao_strip_kernel(typ_r, aux_r, o0_r, o1_r, o2_r, o3_r,
         bo_val = jnp.where(brel == j, offs_px[j], bo_val)
     delta = jnp.where(typ_px == SAO_EDGE, cat_off,
                       jnp.where(typ_px == SAO_BAND, bo_val, 0))
-    out_r[:] = jnp.clip(r + delta, 0, (1 << bd) - 1).astype(out_r.dtype)
+    # int32 store: Mosaic rejects the in-kernel 8-bit truncation
+    # ("Unsupported target bitwidth"); the caller casts outside
+    out_r[:] = jnp.clip(r + delta, 0, (1 << bd) - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("ctb", "bd", "interpret"))
@@ -251,22 +262,27 @@ def _sao_apply_pallas(rec, typ, aux, offs, *, ctb: int, bd: int = 8,
     typ = typ.astype(jnp.int32).reshape(cbh, cbw)
     aux = aux.astype(jnp.int32).reshape(cbh, cbw)
     offs = offs.astype(jnp.int32).reshape(cbh, cbw, 4)
-    prow = pl.BlockSpec((1, cbw), lambda i: (i, 0))
+    prow = pl.BlockSpec((cbh, cbw), lambda i: (0, 0))
+    selspec = pl.BlockSpec((cbw, w), lambda i: (0, 0))
     strip = pl.BlockSpec((ctb, w), lambda i: (i, 0))
     strip_up = pl.BlockSpec((ctb, w), lambda i: (jnp.maximum(i - 1, 0), 0))
     strip_dn = pl.BlockSpec((ctb, w), lambda i: (jnp.minimum(i + 1, cbh - 1), 0))
     out_dtype = jnp.uint8 if bd == 8 else jnp.uint16
     kern = functools.partial(_sao_strip_kernel, ctb=ctb, bd=bd)
-    return pl.pallas_call(
+    # (cbw, w) 0/1 column-upsample selector for the in-kernel param matmul
+    sel = jnp.asarray(np.kron(np.eye(cbw, dtype=np.float32),
+                              np.ones((1, ctb), np.float32)))
+    out = pl.pallas_call(
         kern,
         grid=(cbh,),
-        in_specs=[prow, prow, prow, prow, prow, prow, strip, strip_up,
-                  strip_dn],
+        in_specs=[prow, prow, prow, prow, prow, prow, selspec, strip,
+                  strip_up, strip_dn],
         out_specs=strip,
-        out_shape=jax.ShapeDtypeStruct((h, w), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
         interpret=interpret,
     )(typ, aux, offs[..., 0], offs[..., 1], offs[..., 2], offs[..., 3],
-      r, r, r)
+      sel, r, r, r)
+    return out.astype(out_dtype)
 
 
 _PALLAS_OK: list = []  # memoized probe result

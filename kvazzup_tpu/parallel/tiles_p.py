@@ -297,3 +297,275 @@ class ShardedTileEncoder:
 
     def encode(self, frames) -> bytes:
         return b"".join(self.encode_frame(*f)[0] for f in frames)
+
+
+# CTB64 quad device outputs: every per-CTB array shards on its leading
+# (strip-raster CTB) axis; recon planes shard on width.
+_Q64_I_KEYS = ("split64", "split32", "mode64", "modes32", "modes16",
+               "lev_y", "lev_cb", "lev_cr")
+_Q64_P_KEYS = ("split64", "split32", "imode32", "imode16",
+               "ct64", "mv64", "merge_idx64", "mvp_flag64", "mvd64",
+               "ct32", "mv32", "merge_idx32", "mvp_flag32", "mvd32",
+               "ct16", "mv16", "merge_idx16", "mvp_flag16", "mvd16",
+               "lev_y", "lev_cb", "lev_cr")
+
+
+class ShardedQuadTileEncoder:
+    """The quad64 production combo sharded over tile columns — the
+    multi-chip form of Encoder's quad_tiles path (VERDICT r3 ask #4),
+    byte-identical to it.
+
+    Three stages per frame (same split as the single-device path, whose
+    deblock bS comes from host-extracted CU trees):
+      1. sharded quad64 wavefront per tile column (MCTS xflags from
+         lax.axis_index) — all device compute;
+      2. host: per-tile trees -> picture trees -> bS maps; per-shard
+         extended bS windows are sliced from the picture maps (on a
+         multi-host rig this is the only metadata that moves, a few KB);
+      3. sharded deblock (1-CTB ppermute recon halo, picture-level
+         across-tiles semantics) + sharded SAO (decide on true neighbor
+         pixels via halos), as in ShardedTileEncoder.
+    Entropy: per-tile quad CABAC substreams with entry points
+    (entropy/quad.encode_slice_data_quad_tiles), shared with the
+    single-device path.
+    """
+
+    def __init__(self, mesh: Mesh, cfg: StreamConfig, intra_period: int = 8):
+        n_t = mesh.shape["tile"]
+        if cfg.ctb_log2 != 6:
+            raise NotImplementedError("quad tile sharding requires CTB64")
+        if cfg.tile_cols != n_t:
+            raise ValueError("cfg.tile_cols must equal the mesh tile size")
+        if cfg.ctbs_w % n_t:
+            raise ValueError("sharded tiles require uniform CTB-aligned columns")
+        if cfg.wpp or cfg.cu_qp_delta or cfg.slices > 1 or cfg.temporal_mvp:
+            raise NotImplementedError(
+                "sharded quad tiles exclude wpp/qp_map/slices/tmvp")
+        if cfg.sao_enabled and not cfg.deblocking_enabled:
+            raise NotImplementedError("sharded SAO rides the deblock halos")
+        if not cfg.fast_decision or cfg.max_transform_hierarchy_depth_intra:
+            raise NotImplementedError(
+                "quad tile sharding uses the device quad path")
+        self.mesh = mesh
+        self.cfg = cfg
+        self.intra_period = intra_period
+        self._enc = Encoder(cfg, intra_period=intra_period)
+        self._step_i, self._step_p, self._filters = self._build()
+
+    def _build(self):
+        cfg = self.cfg
+        mesh = self.mesh
+        n = cfg.ctb_size  # 64
+        m = n // 2
+        n_t = mesh.shape["tile"]
+        cwt = cfg.ctbs_w // n_t
+        tile_w = cwt * n
+        qp = cfg.qp
+        fwd = [(i, i + 1) for i in range(n_t - 1)]
+        bwd = [(i + 1, i) for i in range(n_t - 1)]
+
+        def shard_i(y, u, v):
+            from ..encoder.frame_intra64 import encode_frame_intra64_fast
+
+            dev = encode_frame_intra64_fast(y, u, v, qp, width=tile_w,
+                                            height=cfg.height, rdoq=cfg.rdoq)
+            return tuple(dev[k] for k in _Q64_I_KEYS) + (
+                dev["recon_y"], dev["recon_u"], dev["recon_v"])
+
+        def shard_p(y, u, v, ref_y, ref_u, ref_v):
+            from ..encoder.frame_inter64 import encode_frame_p64_fast
+
+            idx = jax.lax.axis_index("tile")
+            dev = encode_frame_p64_fast(
+                y, u, v, ref_y, ref_u, ref_v, qp, width=tile_w,
+                height=cfg.height, merge_cand=cfg.merge_cand, rdoq=cfg.rdoq,
+                xtile=(True, True), xflags=(idx > 0, idx < n_t - 1))
+            return tuple(dev[k] for k in _Q64_P_KEYS) + (
+                dev["recon_y"], dev["recon_u"], dev["recon_v"])
+
+        def shard_filters(y, u, v, ry, ru, rv, bsv_t, bsh_t, rep_flag):
+            """Deblock + SAO on the shard's column with ppermute halos.
+            bsv_t: (1, Ev, L) per-shard extended-window bS slices (host
+            precomputed); rep_flag selects intra (8-grid) vs P (4-px)
+            granularity statically via two jit variants."""
+            from ..ops.deblock import deblock_frame
+            from ..ops.sao import sao_apply, sao_decide, sao_decide_chroma
+
+            idx = jax.lax.axis_index("tile")
+            left_f, right_f = idx > 0, idx < n_t - 1
+            send_r = lambda x: jax.lax.ppermute(x, "tile", fwd)
+            send_l = lambda x: jax.lax.ppermute(x, "tile", bwd)
+            ext = lambda p, k: jnp.concatenate(
+                [send_r(p[:, -k:]), p, send_l(p[:, :k])], axis=1)
+            if cfg.deblocking_enabled:
+                fy, fu, fv = deblock_frame(
+                    ext(ry, n), ext(ru, m), ext(rv, m), qp, spacing=8,
+                    bs_v=bsv_t[0], bs_h=bsh_t[0], chroma_every=2,
+                    bs_rep=rep_flag)
+                ry, ru, rv = fy[:, n:-n], fu[:, m:-m], fv[:, m:-m]
+            res = (ry, ru, rv)
+            if cfg.sao_enabled:
+                lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+                kw = dict(lvalid=left_f, rvalid=right_f)
+                exto, extr = ext(y, n), ext(ry, n)
+                t_l, aux_l, off_l, _ = sao_decide(exto, extr, lam, ctb=n,
+                                                  xpad=n, **kw)
+                extou, extru = ext(u, m), ext(ru, m)
+                extov, extrv = ext(v, m), ext(rv, m)
+                t_c, _cls, aux_cb, aux_cr, off_cb, off_cr = sao_decide_chroma(
+                    extou, extru, extov, extrv, lam, ctb=m, xpad=m, **kw)
+                fy = sao_apply(extr, t_l, aux_l, off_l, ctb=n, xpad=n,
+                               **kw)[:, n:-n]
+                fu = sao_apply(extru, t_c, aux_cb, off_cb, ctb=m, xpad=m,
+                               **kw)[:, m:-m]
+                fv = sao_apply(extrv, t_c, aux_cr, off_cr, ctb=m, xpad=m,
+                               **kw)[:, m:-m]
+                mid = lambda p: p[:, 1:-1]
+                res = (fy, fu, fv) + (mid(t_l), mid(aux_l), mid(off_l),
+                                      mid(t_c), mid(aux_cb), mid(aux_cr),
+                                      mid(off_cb), mid(off_cr))
+            return res
+
+        from jax import shard_map
+
+        plane = P(None, "tile")
+        ctu = P("tile")
+        planes3 = (plane, plane, plane)
+        i_specs = tuple(ctu for _ in _Q64_I_KEYS) + planes3
+        p_specs = tuple(ctu for _ in _Q64_P_KEYS) + planes3
+        pg2 = P(None, "tile")
+        pg3 = P(None, "tile", None)
+        sao_specs = (pg2, pg2, pg3, pg2, pg2, pg2, pg3, pg3) \
+            if cfg.sao_enabled else ()
+        step_i = jax.jit(shard_map(
+            shard_i, mesh=mesh, in_specs=planes3, out_specs=i_specs,
+            check_vma=False))
+        step_p = jax.jit(shard_map(
+            shard_p, mesh=mesh, in_specs=planes3 + planes3,
+            out_specs=p_specs, check_vma=False))
+        filt = {}
+        for rep in (0, 4):
+            filt[rep] = jax.jit(shard_map(
+                functools.partial(shard_filters, rep_flag=rep), mesh=mesh,
+                in_specs=planes3 + planes3 + (P("tile"), P("tile")),
+                out_specs=planes3 + sao_specs, check_vma=False))
+        return step_i, step_p, filt
+
+    def _put(self, y, u, v):
+        sh = NamedSharding(self.mesh, P(None, "tile"))
+        return tuple(jax.device_put(jnp.asarray(p), sh) for p in (y, u, v))
+
+    def _bs_windows(self, bv, bh):
+        """Per-shard extended-window slices of the picture bS maps.
+
+        The filter stage runs on [px0-64, px1+64) strips; vertical edge
+        rows and horizontal segment columns outside the picture get bS 0
+        (picture edges are never deblocked), which also covers the
+        zero halos ppermute delivers to edge shards."""
+        cfg = self.cfg
+        n_t = cfg.tile_cols
+        tile_w = cfg.width // n_t
+        we = tile_w + 128  # extended strip width
+        bv = np.asarray(bv)
+        bh = np.asarray(bh)
+        seg = bv.shape[1] * 8 // cfg.height  # 1 for 8-grid, 2 for 4-px
+        # vertical: picture edge at x=8e -> row e-1; pad 8 edge-rows/side
+        pad_v = np.zeros((bv.shape[0] + 16, bv.shape[1]), np.int32)
+        pad_v[8:8 + bv.shape[0]] = bv
+        # horizontal: columns in (8/seg)-px units; pad one CTB each side
+        cps = 64 * seg // 8  # columns per 64 px
+        pad_h = np.zeros((bh.shape[0], bh.shape[1] + 2 * cps), np.int32)
+        pad_h[:, cps:cps + bh.shape[1]] = bh
+        bsv, bsh = [], []
+        for t in range(n_t):
+            px0 = t * tile_w
+            e0 = px0 // 8  # first padded edge row for local edge x=8
+            bsv.append(pad_v[e0:e0 + we // 8 - 1])
+            c0 = px0 * seg // 8
+            bsh.append(pad_h[:, c0:c0 + we * seg // 8])
+        return (jnp.asarray(np.stack(bsv)), jnp.asarray(np.stack(bsh)))
+
+    def encode_frame(self, y, u, v):
+        """Returns (annexb_bytes, recon tuple of device arrays)."""
+        from ..encoder.frame_intra64 import quad_trees_from_device64
+        from ..encoder.frame_inter64 import quad_p64_trees_from_device
+        from ..encoder.cu32 import quad_bs_maps
+        from ..encoder.frame_inter32 import (quad_p_bs_maps,
+                                             quad_p_cell_maps)
+        from ..entropy.slice_data import SaoState, tile_of_map, tile_grid
+
+        cfg = self.cfg
+        enc = self._enc
+        cw, ch = cfg.ctbs_w, cfg.ctbs_h
+        n_t = cfg.tile_cols
+        cwt = cw // n_t
+        per_tile = cwt * ch
+        is_idr = enc._frame_count % self.intra_period == 0 or enc._ref is None
+        yd, ud, vd = self._put(y, u, v)
+        if is_idr:
+            enc._idr_count += 1
+            res = self._step_i(yd, ud, vd)
+            keys = _Q64_I_KEYS
+            mk_trees = quad_trees_from_device64
+        else:
+            res = self._step_p(yd, ud, vd, *enc._ref)
+            keys = _Q64_P_KEYS
+            mk_trees = quad_p64_trees_from_device
+        dev_np = {k: np.asarray(res[j]) for j, k in enumerate(keys)}
+        ry, ru, rv = res[len(keys):len(keys) + 3]
+        # per-tile trees -> picture raster
+        trees = [None] * (cw * ch)
+        tile_wp = cwt * cfg.ctb_size
+        for t in range(n_t):
+            sl = {k: v[t * per_tile:(t + 1) * per_tile]
+                  for k, v in dev_np.items()}
+            tt = mk_trees(sl, tile_wp, cfg.height)
+            for r in range(ch):
+                for ci in range(cwt):
+                    trees[r * cw + t * cwt + ci] = tt[r * cwt + ci]
+        # bS maps on the assembled picture (across-tiles deblock)
+        rep = 0
+        bs_args = None
+        if cfg.deblocking_enabled:
+            if is_idr:
+                bv, bh = quad_bs_maps(trees, cfg.width, cfg.height,
+                                      cfg.ctb_log2)
+            else:
+                mv4, inter4, cbf4 = quad_p_cell_maps(
+                    trees, cfg.width, cfg.height, ctb=cfg.ctb_size)
+                bv, bh = quad_p_bs_maps(trees, mv4, inter4, cbf4, cfg.width,
+                                        cfg.height, ctb=cfg.ctb_size)
+                rep = 4
+            bs_args = self._bs_windows(bv, bh)
+        if cfg.deblocking_enabled or cfg.sao_enabled:
+            if bs_args is None:
+                z = jnp.zeros((n_t, 1, 1), jnp.int32)
+                bs_args = (z, z)
+            out = self._filters[rep](yd, ud, vd, ry, ru, rv, *bs_args)
+            ry, ru, rv = out[:3]
+            sao_parts = out[3:]
+        else:
+            sao_parts = ()
+        sao_state = None
+        if cfg.sao_enabled:
+            (t_l, aux_l, off_l, t_c, aux_cb, aux_cr, off_cb, off_cr) = (
+                np.asarray(p) for p in sao_parts)
+            sao_state = SaoState(
+                cw, ch,
+                typ=np.stack([t_l, t_c, t_c]),
+                aux=np.stack([aux_l, aux_cb, aux_cr]),
+                offs=np.stack([off_l, off_cb, off_cr]),
+            )
+            sao_state.tile_of = tile_of_map(cfg, n_t)
+        first = enc._frame_count == 0
+        enc._frame_count += 1
+        enc._poc = 0 if is_idr else enc._poc + 1
+        enc._ref = (ry, ru, rv)
+        ctx = {"kind": "quad_tiles" if is_idr else "quad_p_tiles",
+               "out": {"trees": trees}, "qp": cfg.qp, "first": first,
+               "poc": enc._poc, "recon": (ry, ru, rv),
+               "sao_state": sao_state, "flat_map": None}
+        return enc.encode_frame_entropy(ctx, materialize_recon=False)
+
+    def encode(self, frames) -> bytes:
+        return b"".join(self.encode_frame(*f)[0] for f in frames)

@@ -57,15 +57,29 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
     if not getattr(_cc, "_kvz_tpu_locked", False):
         _lock = threading.Lock()
+        # Per-process compile-cache operation budget: jaxlib's executable
+        # serialize/deserialize null-derefs after ~200 compiles in ONE
+        # process (see pytest.ini).  After the budget the wrappers stop
+        # entering the crashy serialize path entirely — later compiles
+        # just skip the persistent cache (slower, alive).  The budget
+        # counts puts and HITS only; misses are cheap and common.
+        budget = int(os.environ.get("KVZ_TPU_CACHE_BUDGET", "120"))
+        used = [0]
 
-        def _locked(fn):
+        def _locked(fn, miss_value=None):
             def wrap(*a, **k):
                 with _lock:
-                    return fn(*a, **k)
+                    if used[0] >= budget:
+                        return miss_value
+                    out = fn(*a, **k)
+                    if not (isinstance(out, tuple) and out[0] is None):
+                        used[0] += 1
+                    return out
             return wrap
 
         _cc.put_executable_and_time = _locked(_cc.put_executable_and_time)
-        _cc.get_executable_and_time = _locked(_cc.get_executable_and_time)
+        _cc.get_executable_and_time = _locked(
+            _cc.get_executable_and_time, miss_value=(None, None))
         _cc._kvz_tpu_locked = True
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -58,8 +58,48 @@ def bench(name, fn, args_list, bytes_model, flops_model=0.0):
     print(line, flush=True)
 
 
+CHAIN = 48  # sequential op applications fused into ONE dispatch
+
+
+def bench_chain(name, op, xs, bytes_model, flops_model=0.0):
+    """Time `op` as a CHAIN-long lax.scan inside one jit dispatch.
+
+    Individual op dispatches through the axon tunnel bottom out at a
+    ~4 ms call-latency floor (r4 finding: quantize, SATD and even their
+    Pallas variants all 'measured' 3.99-4.07 ms — the floor, not the
+    op).  Chaining the op on its own output amortizes the floor away and
+    times real device throughput.  op must map x -> x-shaped."""
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            return op(c), None
+        y, _ = jax.lax.scan(body, x, None, length=CHAIN)
+        return y
+
+    jax.block_until_ready(run(xs[0]))
+    t0 = time.time()
+    outs = [run(x) for x in xs[1:]]
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / (len(xs) - 1) / CHAIN
+    gbps = bytes_model / dt / 1e9
+    line = (f"{name:34s} {dt*1e3:7.3f} ms  {gbps:7.1f} GB/s "
+            f"({100*gbps/HBM_GBPS:5.1f}% HBM)")
+    if flops_model:
+        tf = flops_model / dt / 1e12
+        line += f"  {tf:6.2f} TFLOP/s ({100*tf/MXU_TFLOPS:5.1f}% MXU)"
+    print(line, flush=True)
+
+
 def main():
-    rng = np.random.default_rng(5)
+    import os as _os
+
+    # fresh content EVERY RUN: the axon tunnel memoizes executions
+    # content-addressed ACROSS processes (bench.py r1 finding; this
+    # script used a fixed seed until r4 — those rows were partly cached)
+    seed = int.from_bytes(_os.urandom(4), "little") % 1_000_000
+    print(f"[sol_audit] run_seed {seed}", flush=True)
+    rng = np.random.default_rng(seed)
     n_in = REPS + 1
     resids = [jnp.asarray(rng.integers(-200, 200, (NCTU, 256), np.int32))
               for _ in range(n_in)]
@@ -86,16 +126,61 @@ def main():
 
     from kvazzup_tpu.ops.quant import dequantize, quantize
 
-    q = jax.jit(lambda c: quantize(c, qp, 4, True))
-    bench("quantize (frame)", q, [(c,) for c in coefs], bytes_t)
-    dq = jax.jit(lambda c: dequantize(c, qp, 4))
-    bench("dequantize (frame)", dq, [(c,) for c in coefs], bytes_t)
+    # ---- XLA vs Pallas rows, chained past the tunnel dispatch floor
+    _os.environ["KVZ_TPU_NO_PALLAS"] = "1"
+    bench_chain("quantize (chained, XLA)",
+                lambda c: quantize(c, qp, 4, True), coefs, bytes_t)
+    bench_chain("dequantize (chained, XLA)",
+                lambda c: dequantize(c, qp, 4), coefs, bytes_t)
+    blocks0 = blocks[0]
+    bench_chain("SATD 16x16 (chained, XLA)",
+                lambda a: a + ck.satd_flat(a, blocks0, 4)[:, None],
+                blocks, NCTU * 256 * 8, NCTU * 2 * (256 * 16 * 2) * 2)
+    _os.environ.pop("KVZ_TPU_NO_PALLAS", None)
 
-    s = jax.jit(lambda a, b: ck.satd_flat(a, b, 4))
-    bench("SATD 16x16 (frame pairs)", s,
-          [(blocks[i], blocks[i + 1] if i + 1 < n_in else blocks[0])
-           for i in range(n_in)],
-          NCTU * 256 * 8, NCTU * 2 * (256 * 16 * 2) * 2)
+    # Pallas rows (ops/pallas_q.py): the same ops as single fused VMEM
+    # kernels; TPU-measured per VERDICT r3 ask #7
+    if jax.default_backend() == "tpu":
+        from kvazzup_tpu.ops.pallas_q import (dequantize_2d, quantize_2d,
+                                              satd_2d)
+
+        qcol = jnp.full((NCTU, 1), 32, jnp.int32)
+        dz = jnp.full((NCTU, 1), 171, jnp.int32)
+        bench_chain("quantize (chained, Pallas)",
+                    lambda c: quantize_2d(c, qcol, dz, 4), coefs, bytes_t)
+        bench_chain("dequantize (chained, Pallas)",
+                    lambda c: dequantize_2d(c, qcol, 4), coefs, bytes_t)
+        wsatd = jnp.asarray(ck._satd_weights(4))
+        bench_chain("SATD 16x16 (chained, Pallas)",
+                    lambda a: a + satd_2d(a, blocks0, wsatd, 4)[:, None],
+                    blocks, NCTU * 256 * 8, NCTU * 2 * (256 * 16 * 2) * 2)
+
+        from kvazzup_tpu.ops.sao import _sao_apply_pallas
+
+        try:
+            typ16 = jnp.asarray(rng.integers(0, 5, (H // 16, W // 16),
+                                             np.int32))
+            aux16 = jnp.asarray(rng.integers(0, 4, (H // 16, W // 16),
+                                             np.int32))
+            offs16 = jnp.asarray(rng.integers(-3, 3, (H // 16, W // 16, 4),
+                                              np.int32))
+            fr2 = synthetic_frames(W, H, n_in, seed=seed + 9)
+            bench_chain("sao_apply (chained, Pallas)",
+                        lambda y: _sao_apply_pallas(
+                            y.astype(jnp.int32), typ16, aux16, offs16,
+                            ctb=16),
+                        [jnp.asarray(f[0]) for f in fr2], W * H * 2 * 2)
+            _os.environ["KVZ_TPU_NO_PALLAS"] = "1"
+            from kvazzup_tpu.ops.sao import _sao_apply_xla
+
+            bench_chain("sao_apply (chained, XLA)",
+                        lambda y: _sao_apply_xla(
+                            y.astype(jnp.int32), typ16, aux16, offs16,
+                            ctb=16),
+                        [jnp.asarray(f[0]) for f in fr2], W * H * 2 * 2)
+            _os.environ.pop("KVZ_TPU_NO_PALLAS", None)
+        except Exception as e:
+            print(f"sao pallas row skipped: {e}", flush=True)
 
     p = jax.jit(lambda a: ck.predict_all_modes_flat(a, 4, True))
     # out: 35 modes x 256 px
