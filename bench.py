@@ -128,6 +128,7 @@ def main() -> None:
     # tmvp low-delay GOP through the pipelined encoder (device | fetch |
     # native quad CABAC)
     e2e_q64_fps = None
+    link_gbps = cabac_fps_q64 = e2e_q64_proj = None
     try:
         cfg_q = StreamConfig(width=w, height=h, qp=32, ctb_log2=6,
                              min_cb_log2=3, max_tb_log2=5, wpp=True,
@@ -138,6 +139,8 @@ def main() -> None:
             pe.push(*frames[0])
             pe.push(*frames[1])  # warm the P path too — it dwarfs the I compile
             pe.flush()
+            pe.stage = {k: 0 if isinstance(v, int) else 0.0
+                        for k, v in pe.stage.items()}
             nb_q = 0
             t0 = time.time()
             for i in range(reps):
@@ -146,8 +149,28 @@ def main() -> None:
             for s, _ in pe.flush():
                 nb_q += len(s)
             e2e_q64_fps = reps / (time.time() - t0)
+            st = dict(pe.stage)
         print(f"[bench] quad64 production e2e {e2e_q64_fps:.2f} fps "
               f"({nb_q // reps} bytes/frame)", file=sys.stderr)
+        # ---- the r2-open e2e measurement (VERDICT r3 ask #6c): the rig's
+        # host<->TPU management link vs a co-located TPU-VM host.  The
+        # pipeline is 3 overlapped stages, so steady-state e2e =
+        # 1/max(device, fetch, cabac); substitute the fetch stage with a
+        # PCIe-class 10 GB/s link for the production projection.
+        if st["frames"]:
+            fetch_bpf = st["fetch_bytes"] / st["frames"]
+            link_gbps = (st["fetch_bytes"] / st["fetch_s"] / 1e9
+                         if st["fetch_s"] else None)
+            cabac_fps_q64 = st["frames"] / st["cabac_s"]
+            dev_t = 1.0 / q64_fps if q64_fps else 0.0
+            e2e_q64_proj = 1.0 / max(dev_t, st["cabac_s"] / st["frames"],
+                                     fetch_bpf / 10e9)
+            print(f"[bench] e2e stages: fetch {fetch_bpf/1e6:.2f} MB/frame "
+                  f"at {0 if not link_gbps else link_gbps*1e3:.0f} MB/s "
+                  f"(this rig), cabac {cabac_fps_q64:.1f} fps -> "
+                  f"co-located projection {e2e_q64_proj:.1f} fps "
+                  f"(min of device {0 if not q64_fps else q64_fps:.1f}, "
+                  f"cabac, PCIe fetch)", file=sys.stderr)
     except Exception as e:
         print(f"[bench] quad64 e2e bench failed: {e}", file=sys.stderr)
 
@@ -227,6 +250,34 @@ def main() -> None:
     except Exception as e:
         print(f"[bench] quad64 gop-batch bench failed: {e}", file=sys.stderr)
 
+    # ---- RA production e2e: the BD operating point end-to-end through
+    # the level-batched RA encoder (gop8 B-pyramid, full toolset)
+    ra_e2e_fps = None
+    try:
+        from kvazzup_tpu.encoder.ra_batch import QuadRABatchEncoder
+
+        cfg_ra = StreamConfig(width=w, height=h, qp=32, ctb_log2=6,
+                              min_cb_log2=3, max_tb_log2=5, wpp=True,
+                              sao_enabled=True, deblocking_enabled=True,
+                              merge_cand=5, temporal_mvp=True, rdoq=True,
+                              num_reorder_pics=3, max_dec_pic_buffering=6)
+        enc_ra = QuadRABatchEncoder(cfg_ra, gop_size=8, intra_period=64)
+        for f in frames[:9]:
+            enc_ra.push_frame(*f)  # warm every level jit (one full gop8)
+        nfr = 0
+        nb_ra = 0
+        t0 = time.time()
+        for i in range(reps):
+            for _poc, nal, _rec in enc_ra.push_frame(*frames[i]):
+                nfr += 1
+                nb_ra += len(nal)
+        ra_e2e_fps = nfr / (time.time() - t0) if nfr else None
+        if ra_e2e_fps:
+            print(f"[bench] ra-quad64 production e2e {ra_e2e_fps:.2f} fps "
+                  f"({nb_ra // max(1, nfr)} bytes/frame)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] ra e2e bench failed: {e}", file=sys.stderr)
+
     # ---- end-to-end pipelined encoder (device | fetch | native CABAC)
     cfg = StreamConfig(width=w, height=h, qp=32, wpp=True)
     with PipelinedEncoder(cfg, intra_period=1, depth=3, materialize_recon=False) as pe:
@@ -273,6 +324,43 @@ def main() -> None:
     p_fps_4k = (reps4 - 1) / (time.time() - t0)
     del outs
 
+    # ---- 4K on the production CTU (CTB64 quadtrees): 4x fewer waves
+    # than CTB16 at the same pixel rate — the wave-latency-bound regime's
+    # answer to the 4K targets
+    q64_intra_4k = q64_p_4k = None
+    try:
+        from kvazzup_tpu.encoder.frame_intra64 import \
+            encode_frame_intra64_fast
+
+        @jax.jit
+        def runq64i4(y, u, v):
+            return checksum(encode_frame_intra64_fast(
+                y, u, v, qp, width=w4, height=h4))
+
+        int(runq64i4(*dev4[0]))
+        t0 = time.time()
+        outs = [runq64i4(*dev4[i]) for i in range(reps4)]
+        int(outs[-1])
+        q64_intra_4k = reps4 / (time.time() - t0)
+        del outs
+
+        @jax.jit
+        def runq64p4(y, u, v, ry, ru, rv):
+            return checksum(encode_frame_p64_fast(
+                y, u, v, ry, ru, rv, qp, width=w4, height=h4,
+                merge_cand=5, rdoq=True))
+
+        int(runq64p4(*dev4[1], *dev4[0]))
+        t0 = time.time()
+        outs = [runq64p4(*dev4[i], *dev4[i - 1]) for i in range(1, reps4)]
+        int(outs[-1])
+        q64_p_4k = (reps4 - 1) / (time.time() - t0)
+        del outs
+        print(f"[bench] 4K quad64: intra {q64_intra_4k:.2f} fps, "
+              f"P(merge5+rdoq) {q64_p_4k:.2f} fps", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] 4K quad64 bench failed: {e}", file=sys.stderr)
+
     q64s = "n/a" if q64_fps is None else f"{q64_fps:.2f}"
     print(
         f"[bench] 1080p: device intra {dev_fps:.2f} fps, device P {p_fps:.2f} fps "
@@ -304,6 +392,10 @@ def main() -> None:
                 "e2e_fps_1080p_quad64_production": (
                     None if e2e_q64_fps is None else round(e2e_q64_fps, 3)),
                 "intra_fps_4k_device": round(fps_4k, 3),
+                "intra_fps_4k_quad64_device": (
+                    None if q64_intra_4k is None else round(q64_intra_4k, 3)),
+                "p_fps_4k_quad64_device": (
+                    None if q64_p_4k is None else round(q64_p_4k, 3)),
                 "decode_fps_1080p_x265_medium": dec_fps,
                 "ra_quad64_gop8_device_fps_1080p": (
                     None if ra_dev_fps is None else round(ra_dev_fps, 3)),
@@ -316,6 +408,16 @@ def main() -> None:
                 "ra_quad64_bd_rate_vs_x265_medium_pct": 31.9,
                 "ra_quad64_bd_psnr_vs_x265_matched_1080p": -0.68,
                 "ra_quad64_bd_rate_vs_x265_matched_pct": 5.9,
+                "e2e_fps_1080p_ra_quad64": (
+                    None if ra_e2e_fps is None else round(ra_e2e_fps, 3)),
+                "link_mbps_measured": (
+                    None if not link_gbps else round(link_gbps * 1e3, 1)),
+                "cabac_fps_1080p_quad64": (
+                    None if cabac_fps_q64 is None
+                    else round(cabac_fps_q64, 2)),
+                "e2e_fps_1080p_quad64_colocated_projection": (
+                    None if e2e_q64_proj is None
+                    else round(e2e_q64_proj, 2)),
             }
         )
     )

@@ -318,6 +318,125 @@ class Decoder:
             l1 = mk(cand1, max(1, getattr(sh, "num_ref_idx_l1", 1)), sh.list_entry_l1)
         return l0, l1
 
+    def _decode_slices_generic(self, gd, slices, sao_state, init_type,
+                               starts, ends, sids, ctu_fn):
+        """Entropy stage of the generic tier for raster-scan (non-tiled)
+        pictures: native C tiers first, Python/CABAC fallback."""
+        from ..entropy.cabac import CabacDecoder
+        from .native_parse import try_parse_picture
+        from .native_recon import try_recon_picture
+
+        sps, pps = self.sps, self.pps
+        # fastest tier: full C reconstruction into gd's own buffers
+        if try_recon_picture(gd, sps, pps, slices, starts, ends, sids,
+                             init_type, sao_state):
+            return
+        replay = try_parse_picture(gd, sps, pps, slices, starts, ends,
+                                   sids, init_type, sao_state)
+        carry_ctx = None
+        for k, (nal_k, sh_k) in enumerate(slices):
+            gd.cur_slice = sids[k]
+            if k:  # per-SEGMENT QP prediction / quant-group reset (8.6.1)
+                gd._set_qp(sh_k.qp)
+                gd.qp_prev = sh_k.qp
+                gd.slice_qp = sh_k.qp
+                gd._qg_key = None
+            payload = nal_k.rbsp[sh_k.data_offset_bits // 8 :]
+            st, en = starts[k], ends[k]
+            if replay is not None:
+                cw_ = gd.cw
+                wpp_ = bool(pps.entropy_sync)
+                for i in range(st, en):
+                    ctu_fn(replay, i)
+                    end = replay.decode_terminate()
+                    if end != (1 if i == en - 1 else 0):
+                        raise ValueError(f"end_of_slice mismatch at CTU {i}")
+                    if wpp_ and i != en - 1 and i % cw_ == cw_ - 1:
+                        if replay.decode_terminate() != 1:
+                            raise ValueError("missing end_of_subset_one_bit")
+            elif pps.entropy_sync:
+                from ..entropy.slice_data import decode_slice_data_wpp
+
+                if sh_k.dependent:
+                    raise NotImplementedError("dependent slices with WPP")
+                decode_slice_data_wpp(
+                    StreamConfig(width=sps.width, height=sps.height, qp=sh_k.qp,
+                                 ctb_log2=sps.ctb_log2, min_cb_log2=sps.min_cb_log2),
+                    payload, sh_k.entry_points, ctu_fn, init_type, sh_k.qp,
+                    ctu_range=(st, en),
+                )
+            else:
+                # dependent segments continue the parent's contexts (9.3.1)
+                dec = CabacDecoder(payload, init_type=init_type, slice_qp=sh_k.qp,
+                                   ctx=carry_ctx if sh_k.dependent else None)
+                for i in range(st, en):
+                    ctu_fn(dec, i)
+                    end = dec.decode_terminate()
+                    if end != (1 if i == en - 1 else 0):
+                        raise ValueError(f"end_of_slice mismatch at CTU {i}")
+                carry_ctx = dec.ctx
+
+    def _decode_tiles_generic(self, gd, slices, sao_state, init_type):
+        """Generic-tier tiled pictures (any CTB size — our quad64-tiles
+        streams and alien uniform-column tiles): one CABAC substream per
+        tile in tile-raster order; availability is tile-gated by reusing
+        the engines' slice gating (slice_of_ctu = TileId)."""
+        from ..entropy.cabac import CabacDecoder
+        from ..entropy.slice_data import tile_of_map
+
+        sps, pps = self.sps, self.pps
+        if pps.num_tile_rows != 1 or not pps.uniform_spacing:
+            raise NotImplementedError(
+                "generic tiles: uniform tile columns only")
+        if len(slices) != 1:
+            raise NotImplementedError("generic tiles with multi-slice")
+        if not getattr(pps, "loop_filter_across_tiles", True):
+            raise NotImplementedError(
+                "loop_filter_across_tiles_enabled_flag = 0")
+        nal, sh = slices[0]
+        n_cols = pps.num_tile_cols
+        cw, ch = gd.cw, gd.ch
+        cfg_t = StreamConfig(width=sps.width, height=sps.height,
+                             ctb_log2=sps.ctb_log2)
+        tile_of = tile_of_map(cfg_t, n_cols)
+        gd.slice_of_ctu = tile_of
+        if sao_state is not None:
+            sao_state.tile_of = tile_of
+        payload = nal.rbsp[sh.data_offset_bits // 8 :]
+        bounds = [0]
+        for off in sh.entry_points or ():
+            bounds.append(bounds[-1] + off)
+        bounds.append(len(payload))
+        if len(bounds) != n_cols + 1:
+            raise ValueError("entry point count does not match tile count")
+        cols = [((t * cw) // n_cols, ((t + 1) * cw) // n_cols)
+                for t in range(n_cols)]
+        for t, (x0, x1) in enumerate(cols):
+            gd.cur_slice = t
+            gd.qp_prev = sh.qp  # 8.6.1: qPY_PREV = SliceQpY at tile start
+            gd._qg_key = None
+            dec = CabacDecoder(payload[bounds[t] : bounds[t + 1]],
+                               init_type=init_type, slice_qp=sh.qp)
+            last_tile = t == n_cols - 1
+            for r in range(ch):
+                for c in range(x0, x1):
+                    i = r * cw + c
+                    if sao_state is not None:
+                        sao_state.decode(dec, i)
+                    gd.decode_ctu(dec, i)
+                    last = last_tile and r == ch - 1 and c == x1 - 1
+                    end = dec.decode_terminate()
+                    if end != (1 if last else 0):
+                        raise ValueError(f"end_of_slice mismatch at CTU {i}")
+                    if not last and r == ch - 1 and c == x1 - 1:
+                        if dec.decode_terminate() != 1:
+                            raise ValueError("missing end_of_subset")
+        # availability gating was tile-scoped; clear it so the loop
+        # filters don't apply slice-boundary restrictions to tile edges
+        # (loop_filter_across_tiles_enabled_flag = 1 here)
+        gd.slice_of_ctu = None
+        gd.cur_slice = 0
+
     def _decode_picture_generic(self, slices):
         """Any-CTB-size pictures via the recursive reference engines:
         x265-default ctu=64 streams etc.  `slices` is a list of
@@ -380,61 +499,18 @@ class Decoder:
                 sao_state.decode(dec, i)
             gd.decode_ctu(dec, i)
 
-        from .native_parse import try_parse_picture
-        from .native_recon import try_recon_picture
-
-        # fastest tier: full C reconstruction into gd's own buffers
-        if try_recon_picture(gd, sps, pps, slices, starts, ends, sids,
-                             init_type, sao_state):
-            slices_to_run = []
-            replay = None
+        if getattr(pps, "tiles_enabled", False):
+            # generic-tier tiles (any CTB size — our quad64-tiles streams
+            # and alien tiled streams): per-tile CABAC substreams in
+            # tile-raster order.  Availability reuses the engines'
+            # slice gating — samples in another TILE are unavailable
+            # exactly as samples in another slice (6.4.1), so
+            # slice_of_ctu = TileId + cur_slice = current tile gives the
+            # normative behavior for single-slice tiled pictures.
+            self._decode_tiles_generic(gd, slices, sao_state, init_type)
         else:
-            slices_to_run = slices
-            replay = try_parse_picture(gd, sps, pps, slices, starts, ends,
-                                       sids, init_type, sao_state)
-
-        carry_ctx = None
-        for k, (nal_k, sh_k) in enumerate(slices_to_run):
-            gd.cur_slice = sids[k]
-            if k:  # per-SEGMENT QP prediction / quant-group reset (8.6.1)
-                gd._set_qp(sh_k.qp)
-                gd.qp_prev = sh_k.qp
-                gd.slice_qp = sh_k.qp
-                gd._qg_key = None
-            payload = nal_k.rbsp[sh_k.data_offset_bits // 8 :]
-            st, en = starts[k], ends[k]
-            if replay is not None:
-                cw_ = gd.cw
-                wpp_ = bool(pps.entropy_sync)
-                for i in range(st, en):
-                    ctu_fn(replay, i)
-                    end = replay.decode_terminate()
-                    if end != (1 if i == en - 1 else 0):
-                        raise ValueError(f"end_of_slice mismatch at CTU {i}")
-                    if wpp_ and i != en - 1 and i % cw_ == cw_ - 1:
-                        if replay.decode_terminate() != 1:
-                            raise ValueError("missing end_of_subset_one_bit")
-            elif pps.entropy_sync:
-                from ..entropy.slice_data import decode_slice_data_wpp
-
-                if sh_k.dependent:
-                    raise NotImplementedError("dependent slices with WPP")
-                decode_slice_data_wpp(
-                    StreamConfig(width=sps.width, height=sps.height, qp=sh_k.qp,
-                                 ctb_log2=sps.ctb_log2, min_cb_log2=sps.min_cb_log2),
-                    payload, sh_k.entry_points, ctu_fn, init_type, sh_k.qp,
-                    ctu_range=(st, en),
-                )
-            else:
-                # dependent segments continue the parent's contexts (9.3.1)
-                dec = CabacDecoder(payload, init_type=init_type, slice_qp=sh_k.qp,
-                                   ctx=carry_ctx if sh_k.dependent else None)
-                for i in range(st, en):
-                    ctu_fn(dec, i)
-                    end = dec.decode_terminate()
-                    if end != (1 if i == en - 1 else 0):
-                        raise ValueError(f"end_of_slice mismatch at CTU {i}")
-                carry_ctx = dec.ctx
+            self._decode_slices_generic(gd, slices, sao_state, init_type,
+                                        starts, ends, sids, ctu_fn)
 
         restrict = (getattr(gd, "slice_of_ctu", None) is not None
                     and not sh.loop_filter_across_slices)

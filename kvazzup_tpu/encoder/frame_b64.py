@@ -262,10 +262,11 @@ def _arbitrate_b(ck, oy_flat, log2, win0, win1, merge_cands, me0, me1,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "merge_cand",
-                                              "rdoq"))
+                                              "rdoq", "lam_scale"))
 def encode_frame_b64_fast(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp,
                           poc_diffs, *, width: int, height: int,
-                          merge_cand: int = 1, rdoq: bool = False):
+                          merge_cand: int = 1, rdoq: bool = False,
+                          lam_scale: float = 1.0):
     """Dense-decision CTB64 quadtree B encode (ring-carry 64-wave).
 
     poc_diffs: (2,) int32 = (poc_cur - poc_ref0, poc_cur - poc_ref1); used
@@ -286,7 +287,12 @@ def encode_frame_b64_fast(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp,
     qp = jnp.asarray(qp, jnp.int32)
     qpb = jnp.broadcast_to(qp, (nctb,))
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qpb, 0, 57)]
-    lam = jnp.sqrt(0.57 * 2.0 ** ((qpb.astype(jnp.float32) - 12.0) / 3.0))
+    # lam_scale: temporal-layer lambda weighting (HM/kvazaar weight the
+    # hierarchical B lambdas above the I/P formula; the RA driver passes
+    # its per-layer factor — sqrt because this lam is the SATD-domain one)
+    lam = jnp.sqrt(
+        0.57 * float(lam_scale) ** 2
+        * 2.0 ** ((qpb.astype(jnp.float32) - 12.0) / 3.0))
     yi = y.astype(jnp.int32)
     oy64 = to_blocks(yi, S)
     ou32 = to_blocks(u.astype(jnp.int32), S // 2)

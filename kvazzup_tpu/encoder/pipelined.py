@@ -36,6 +36,11 @@ class PipelinedEncoder:
         self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         self._pool = ThreadPoolExecutor(max_workers=1)  # in-order CABAC
         self._pending: deque = deque()
+        # cumulative per-stage accounting (each stage is a single worker
+        # thread, so plain accumulation is safe): the e2e bottleneck
+        # analysis and bench.py's co-located projection read these
+        self.stage = {"fetch_s": 0.0, "fetch_bytes": 0, "cabac_s": 0.0,
+                      "frames": 0}
 
     @staticmethod
     def _materialize(ctx):
@@ -74,16 +79,34 @@ class PipelinedEncoder:
             ]
         return ctx
 
+    def _materialize_timed(self, ctx):
+        import time as _time
+
+        t0 = _time.monotonic()
+        ctx = self._materialize(ctx)
+        self.stage["fetch_s"] += _time.monotonic() - t0
+        import numpy as _np
+
+        self.stage["fetch_bytes"] += sum(
+            v.nbytes for v in ctx["out"].values()
+            if isinstance(v, _np.ndarray))
+        return ctx
+
+    def _entropy_timed(self, f):
+        import time as _time
+
+        ctx = f.result()
+        t0 = _time.monotonic()
+        out = self.enc.encode_frame_entropy(ctx, self.materialize_recon)
+        self.stage["cabac_s"] += _time.monotonic() - t0
+        self.stage["frames"] += 1
+        return out
+
     def push(self, y, u, v, qp=None, qp_map=None):
         ctx = self.enc.encode_frame_device(y, u, v, qp, qp_map)
-        fetched = self._fetch_pool.submit(self._materialize, ctx)
+        fetched = self._fetch_pool.submit(self._materialize_timed, ctx)
         self._pending.append(
-            self._pool.submit(
-                lambda f: self.enc.encode_frame_entropy(
-                    f.result(), self.materialize_recon
-                ),
-                fetched,
-            )
+            self._pool.submit(self._entropy_timed, fetched)
         )
         done = []
         while self._pending and (

@@ -85,6 +85,21 @@ class QuadRAEncoder:
         self.intra_period = intra_period
         self.sched = _GOP8 if gop_size == 8 else _GOP4
         self.dqp = _LAYER_DQP[gop_size]
+        # per-temporal-layer B lambda weights (HM-style hierarchical
+        # weighting knob; 1.0 = the flat I/P formula).  Override for
+        # calibration experiments with KVZ_TPU_RA_BLAM="l0,l1,l2,l3".
+        import os as _os
+
+        raw = _os.environ.get("KVZ_TPU_RA_BLAM")
+        if raw:
+            vals = tuple(float(x) for x in raw.split(","))
+            self.blam = (vals + (vals[-1],) * 4)[:4]
+        else:
+            self.blam = (1.0, 1.0, 1.0, 1.0)
+        raw = _os.environ.get("KVZ_TPU_RA_DQP")  # cascade calibration knob
+        if raw:
+            vals = tuple(int(x) for x in raw.split(","))
+            self.dqp = (vals + (vals[-1],) * 4)[:4]
         self._pending: list = []
         self._anchor_poc = None
         self._dpb: dict = {}   # poc -> (ry, ru, rv) jnp planes
@@ -373,7 +388,7 @@ class QuadRAEncoder:
             r0[0], r0[1], r0[2], r1[0], r1[1], r1[2], dev_qp,
             jnp.asarray([poc - p0, poc - p1], jnp.int32),
             width=cfg.width, height=cfg.height, merge_cand=cfg.merge_cand,
-            rdoq=cfg.rdoq)
+            rdoq=cfg.rdoq, lam_scale=self.blam[layer])
         return self._finish_b(f, dev, poc, qp, flat_map, rps)
 
     def _finish_b(self, f, dev, poc, qp, flat_map, rps):

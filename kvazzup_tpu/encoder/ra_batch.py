@@ -45,8 +45,8 @@ class QuadRABatchEncoder(QuadRAEncoder):
         self._bjits: dict = {}
 
     # ------------------------------------------------------------ batching
-    def _bfns(self, b: int, with_map: bool):
-        key = (b, with_map)
+    def _bfns(self, b: int, with_map: bool, lam_scale: float = 1.0):
+        key = (b, with_map, lam_scale)
         if key in self._bjits:
             return self._bjits[key]
         cfg = self.cfg
@@ -56,7 +56,8 @@ class QuadRABatchEncoder(QuadRAEncoder):
             return encode_frame_b64_fast(
                 y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, deltas,
                 width=cfg.width, height=cfg.height,
-                merge_cand=cfg.merge_cand, rdoq=cfg.rdoq)
+                merge_cand=cfg.merge_cand, rdoq=cfg.rdoq,
+                lam_scale=lam_scale)
 
         in_axes = (0,) * 9 + (0 if with_map else None, None)
         fn = jax.jit(jax.vmap(run, in_axes=in_axes))
@@ -84,7 +85,7 @@ class QuadRABatchEncoder(QuadRAEncoder):
             qarg = jnp.asarray(eff[0][0], jnp.int32)
         deltas = jnp.asarray([items[0][1] - items[0][2],
                               items[0][1] - items[0][3]], jnp.int32)
-        dev = self._bfns(len(items), with_map)(
+        dev = self._bfns(len(items), with_map, self.blam[layer])(
             ys, us, vs,
             st([r[0] for r in r0]), st([r[1] for r in r0]),
             st([r[2] for r in r0]),

