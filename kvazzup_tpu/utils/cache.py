@@ -67,13 +67,21 @@ def enable_compilation_cache(path: str | None = None) -> None:
         # variants) still segfaulted in a put at <=120 ops; 48 keeps the
         # serialize call count well below the observed crash region while
         # caching every first-tier engine compile
-        budget = int(os.environ.get("KVZ_TPU_CACHE_BUDGET", "48"))
         used = [0]
 
-        def _locked(fn, miss_value=None):
+        def _budget() -> int:
+            return int(os.environ.get("KVZ_TPU_CACHE_BUDGET", "48"))
+
+        def _locked(fn, miss_value=None, is_put=False):
             def wrap(*a, **k):
                 with _lock:
-                    if used[0] >= budget:
+                    if used[0] >= _budget():
+                        return miss_value
+                    if is_put and os.environ.get("KVZ_TPU_CACHE_NO_PUT"):
+                        # executable.serialize() is the abort site; tests
+                        # whose compile mix triggers it opt out of WRITES
+                        # while keeping reads (entries written by other
+                        # processes still accelerate them)
                         return miss_value
                     out = fn(*a, **k)
                     if not (isinstance(out, tuple) and out[0] is None):
@@ -81,7 +89,8 @@ def enable_compilation_cache(path: str | None = None) -> None:
                     return out
             return wrap
 
-        _cc.put_executable_and_time = _locked(_cc.put_executable_and_time)
+        _cc.put_executable_and_time = _locked(_cc.put_executable_and_time,
+                                              is_put=True)
         _cc.get_executable_and_time = _locked(
             _cc.get_executable_and_time, miss_value=(None, None))
         _cc._kvz_tpu_locked = True

@@ -12,6 +12,16 @@ import pickle
 import subprocess
 import sys
 
+# this file's compile mix (vmapped b64 engines) deterministically aborts
+# jaxlib's executable.serialize() in the persistent-cache put path; keep
+# cache READS, skip writes (utils/cache.py)
+os.environ["KVZ_TPU_CACHE_NO_PUT"] = "1"
+# and unroll the wave scans 1x: the 2x-unrolled vmap4 b64 program OOMs
+# the LLVM CPU backend when other xdist workers compile concurrently
+# (unroll is bit-exact — speed-only)
+os.environ["KVZ_TPU_QUAD_UNROLL"] = "1"
+os.environ["KVZ_TPU_WAVE_UNROLL"] = "1"
+
 import numpy as np
 
 from kvazzup_tpu.core.params import StreamConfig

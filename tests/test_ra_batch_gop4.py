@@ -2,6 +2,12 @@
 compile-budget spreading; sequential reference in a subprocess (see
 tests/test_ra_batch.py)."""
 
+import os
+
+os.environ["KVZ_TPU_CACHE_NO_PUT"] = "1"  # see tests/test_ra_batch.py
+os.environ["KVZ_TPU_QUAD_UNROLL"] = "1"
+os.environ["KVZ_TPU_WAVE_UNROLL"] = "1"
+
 from kvazzup_tpu.core.params import StreamConfig
 from kvazzup_tpu.encoder.ra_batch import QuadRABatchEncoder
 from kvazzup_tpu.io.yuv import synthetic_frames

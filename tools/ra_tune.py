@@ -21,17 +21,23 @@ sys.path.insert(0, "/root/repo/tools")
 
 import numpy as np  # noqa: E402
 
+# keep the TPU backend: importing bd_sweep would pull in cpu_env
+os.environ.setdefault("KVZ_TPU_BD_TPU", "1")
 from bd_sweep import bd_metrics  # noqa: E402
 
 QPS = [24, 29, 34, 39]
 
 # dqp variants are compile-free (qp is traced); each distinct lam value
-# recompiles the b64 jits once per batch width — keep the lam list short
+# recompiles the b64 jits once per batch width — keep the lam list short.
+# Round 1 (2026-08-20): dqp 0,1,3,4 +0.068 dB/-0.9%; 0,1,1,2 -0.18 dB;
+# blam-hm (1.0,1.12,1.26,1.41) +0.004 dB (neutral).  Round 2 probes
+# deeper cascades around the winner.
 VARIANTS = [
     ("baseline", {}),
-    ("dqp-deep", {"KVZ_TPU_RA_DQP": "0,1,3,4"}),
-    ("dqp-flat", {"KVZ_TPU_RA_DQP": "0,1,1,2"}),
-    ("blam-hm", {"KVZ_TPU_RA_BLAM": "1.0,1.12,1.26,1.41"}),
+    ("dqp-0134", {"KVZ_TPU_RA_DQP": "0,1,3,4"}),
+    ("dqp-0245", {"KVZ_TPU_RA_DQP": "0,2,4,5"}),
+    ("dqp-0135", {"KVZ_TPU_RA_DQP": "0,1,3,5"}),
+    ("dqp-0234", {"KVZ_TPU_RA_DQP": "0,2,3,4"}),
 ]
 
 
