@@ -20,13 +20,31 @@ from kvazzup_tpu.io.yuv import psnr, synthetic_frames
 HEVCREF = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools", "hevcref")
 
 
+def _is_fresh(src: str) -> bool:
+    return os.path.exists(HEVCREF) and \
+        os.path.getmtime(HEVCREF) >= os.path.getmtime(src)
+
+
 def _ensure_oracle() -> str:
-    """Build the libavcodec conformance oracle on first use."""
+    """Build the libavcodec conformance oracle on first use.
+
+    Race-safe for xdist: at round start every worker sees a stale binary
+    at once; an exclusive flock serializes the build and the compile goes
+    to a temp path + atomic rename so no worker ever execs a file that is
+    open for writing (ETXTBSY)."""
     src = HEVCREF + ".c"
-    if not os.path.exists(HEVCREF) or os.path.getmtime(HEVCREF) < os.path.getmtime(src):
-        subprocess.run(
-            ["gcc", "-O2", src, "-o", HEVCREF, "-lavcodec", "-lavutil"], check=True
-        )
+    if _is_fresh(src):
+        return HEVCREF
+    import fcntl
+
+    with open(HEVCREF + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        if not _is_fresh(src):
+            tmp = f"{HEVCREF}.build.{os.getpid()}"
+            subprocess.run(
+                ["gcc", "-O2", src, "-o", tmp, "-lavcodec", "-lavutil"],
+                check=True)
+            os.replace(tmp, HEVCREF)
     return HEVCREF
 
 
