@@ -60,7 +60,10 @@ def cmd_encode(args) -> int:
         merge_cand=args.merge,
         temporal_mvp=args.tmvp,
         rdoq=args.rdoq,
+        cu_qp_delta=args.cutree > 0,
     )
+    if args.cutree > 0 and not ra_quad:
+        raise SystemExit("--cutree needs the RA quad path (--gop ra --ctu 64)")
     if ctb_log2 > 4 and args.intra_period != 1:
         if (ra and not ra_quad) or args.tu_intra_depth != 1:
             raise SystemExit(
@@ -108,7 +111,8 @@ def cmd_encode(args) -> int:
 
                 gop = 8
                 ip = max(gop, args.intra_period - args.intra_period % gop)
-                enc = QuadRABatchEncoder(cfg, gop_size=gop, intra_period=ip)
+                enc = QuadRABatchEncoder(cfg, gop_size=gop, intra_period=ip,
+                                         cutree=args.cutree)
             else:
                 enc = RandomAccessEncoder(cfg, gop_size=4,
                                           intra_period=args.intra_period)
@@ -404,6 +408,9 @@ def main(argv=None) -> int:
                     help="RD-optimized quantization (kvazaar --rd quant)")
     pe.add_argument("--tmvp", action="store_true",
                     help="temporal MV prediction (kvazaar --tmvp)")
+    pe.add_argument("--cutree", type=float, default=0.0, metavar="S",
+                    help="cu-tree lookahead strength (RA quad64; per-CTB "
+                         "adaptive QP from temporal propagation)")
     pe.add_argument("--gop", choices=["ld", "ra"], default="ld",
                     help="ld = low-delay P, ra = hierarchical B GOP4")
     pe.add_argument("--dcn", default=None, metavar="HOST:PORT,...|spawn:N",

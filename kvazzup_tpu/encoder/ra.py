@@ -53,13 +53,17 @@ _GOP4 = (
     (1, 0, 2, 2, ((-1, 1),), ((1, 1), (3, 0))),
     (3, 2, 4, 2, ((-1, 1),), ((1, 1),)),
 )
-_LAYER_DQP = {4: (0, 1, 2, 2), 8: (0, 1, 2, 3)}
+_LAYER_DQP = {4: (0, 1, 2, 2), 8: (0, 1, 3, 4)}
+# gop8 cascade 0,1,3,4: tools/ra_tune.py round 1 (2026-08-20, on-chip,
+# 1280x704 16f qp24-39): +0.068 dB / -0.9% BD-rate over 0,1,2,3; flat
+# cascades lose -0.18 dB; HM-style B lambda weights neutral here.
 
 
 class QuadRAEncoder:
     """Hierarchical RA encoder (gop 4/8) on the quad64 production path."""
 
-    def __init__(self, cfg, gop_size: int = 8, intra_period: int = 32):
+    def __init__(self, cfg, gop_size: int = 8, intra_period: int = 32,
+                 cutree: float | None = None):
         if cfg.ctb_log2 != 6:
             raise NotImplementedError("quad RA requires ctb_log2 6 (CTB64)")
         if not cfg.fast_decision or cfg.max_transform_hierarchy_depth_intra:
@@ -100,6 +104,15 @@ class QuadRAEncoder:
         if raw:
             vals = tuple(int(x) for x in raw.split(","))
             self.dqp = (vals + (vals[-1],) * 4)[:4]
+        # cu-tree temporal lookahead (encoder/lookahead.py): strength > 0
+        # lowers QP on blocks future pictures predict from, via the
+        # qp_map x RA path.  Decision-layer only; streams stay oracle-exact.
+        if cutree is None:
+            cutree = float(_os.environ.get("KVZ_TPU_RA_CUTREE", "0") or 0)
+        self.cutree = float(cutree)
+        if self.cutree and not cfg.cu_qp_delta:
+            raise ValueError("KVZ_TPU_RA_CUTREE needs cfg.cu_qp_delta")
+        self._la_prev = None  # previous anchor's source luma (display off 0)
         self._pending: list = []
         self._anchor_poc = None
         self._dpb: dict = {}   # poc -> (ry, ru, rv) jnp planes
@@ -145,9 +158,38 @@ class QuadRAEncoder:
         return out
 
     # ------------------------------------------------------------ internals
+    def _lookahead_frames(self, frames, qp):
+        """cu-tree pass over one buffered mini-GOP: returns the (frame,
+        qp_map) list with per-CTB lookahead offsets merged into the maps
+        (user ROI maps compose additively).  No-op when disabled."""
+        if not self.cutree:
+            return frames
+        from .lookahead import cutree_offsets
+
+        cfg = self.cfg
+        base = self._base_qp(qp)
+        if self._la_prev is not None and \
+                self._la_prev.shape != frames[0][0][0].shape:
+            self._la_prev = None  # resolution reconfigure between groups
+        offs = cutree_offsets(
+            [f for f, _ in frames], self._la_prev, self.sched, base,
+            width=cfg.width, height=cfg.height, strength=self.cutree,
+            ctb=cfg.ctb_size)
+        out = []
+        for i, (f, qmap) in enumerate(frames):
+            o = offs[i + 1]
+            if qmap is None:
+                m = np.clip(base + o, 0, 51)
+            else:
+                m = np.clip(np.asarray(qmap, np.int32).reshape(o.shape) + o,
+                            0, 51)
+            out.append((f, m))
+        self._la_prev = frames[-1][0][0]  # next group's display offset 0
+        return out
+
     def _code_group(self, qp):
         a0 = self._anchor_poc
-        frames = self._pending
+        frames = self._lookahead_frames(self._pending, qp)
         self._pending = []
         out = []
         for (off, l0, l1, layer, neg, pos) in self.sched:
@@ -177,6 +219,13 @@ class QuadRAEncoder:
         every per-CTU entry (clipped to 0..51)."""
         base = self._base_qp(qp) + self.dqp[layer]
         if qp_map is None:
+            if self.cfg.cu_qp_delta:
+                # an enabled-PPS slice must code the delta syntax even
+                # when no map is supplied (zero deltas): the entropy
+                # writers emit cu_qp_delta only when a map is present
+                n = self.cfg.ctbs_w * self.cfg.ctbs_h
+                flat = np.full(n, np.clip(base, 0, 51), np.int32)
+                return base, jnp.asarray(flat), flat
             return base, base, None
         flat = np.clip(np.asarray(qp_map, np.int32).reshape(-1)
                        + self.dqp[layer], 0, 51)
@@ -309,6 +358,7 @@ class QuadRAEncoder:
             self._col[poc] = (jnp.zeros((n16, 2), jnp.int32),
                               jnp.zeros((n16,), jnp.int32))
         self._anchor_poc = poc
+        self._la_prev = y  # lookahead's display-offset-0 source
         return poc, stream, recon
 
     def _code_p(self, f, poc, ref_poc, layer, rps, qp=None, tail=False,

@@ -40,8 +40,9 @@ class QuadRABatchEncoder(QuadRAEncoder):
     # time the level's first entry appears in decode order.
     _LEVELS = {8: ((2, 5), (3, 4, 6, 7)), 4: ((2, 3),)}
 
-    def __init__(self, cfg, gop_size: int = 8, intra_period: int = 32):
-        super().__init__(cfg, gop_size, intra_period)
+    def __init__(self, cfg, gop_size: int = 8, intra_period: int = 32,
+                 cutree: float | None = None):
+        super().__init__(cfg, gop_size, intra_period, cutree=cutree)
         self._bjits: dict = {}
 
     # ------------------------------------------------------------ batching
@@ -102,7 +103,7 @@ class QuadRABatchEncoder(QuadRAEncoder):
     # ------------------------------------------------------- group driver
     def _code_group(self, qp):
         a0 = self._anchor_poc
-        frames = self._pending
+        frames = self._lookahead_frames(self._pending, qp)
         self._pending = []
         sched = self.sched
         level_of = {i: lvl for lvl in self._LEVELS[self.gop_size]

@@ -102,7 +102,8 @@ def run_ours_ra_quad64(frames, w, h, qp, gop_size=8):
                        max_tb_log2=5, wpp=True, sao_enabled=True,
                        deblocking_enabled=True, merge_cand=5,
                        temporal_mvp=True, rdoq=True, num_reorder_pics=3,
-                       max_dec_pic_buffering=6)
+                       max_dec_pic_buffering=6,
+                       cu_qp_delta=bool(os.environ.get("KVZ_TPU_RA_CUTREE")))
     enc = QuadRAEncoder(cfg, gop_size=gop_size, intra_period=64)
     bits = len(enc.headers()) * 8
     recs = {}

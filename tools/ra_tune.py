@@ -40,9 +40,21 @@ VARIANTS = [
     ("dqp-0234", {"KVZ_TPU_RA_DQP": "0,2,3,4"}),
 ]
 
+# KVZ_TPU_TUNE_SET=cutree probes the lookahead strengths
+# (encoder/lookahead.py) on top of the shipping cascade.
+VARIANT_SETS = {
+    "dqp2": VARIANTS,
+    "cutree": [
+        ("baseline", {}),
+        ("cutree-1.0", {"KVZ_TPU_RA_CUTREE": "1.0"}),
+        ("cutree-2.0", {"KVZ_TPU_RA_CUTREE": "2.0"}),
+        ("cutree-3.0", {"KVZ_TPU_RA_CUTREE": "3.0"}),
+    ],
+}
+
 
 def run_variant(frames, w, h, qp, env):
-    for k in ("KVZ_TPU_RA_BLAM", "KVZ_TPU_RA_DQP"):
+    for k in ("KVZ_TPU_RA_BLAM", "KVZ_TPU_RA_DQP", "KVZ_TPU_RA_CUTREE"):
         os.environ.pop(k, None)
     os.environ.update(env)
     from kvazzup_tpu.core.params import StreamConfig
@@ -53,7 +65,8 @@ def run_variant(frames, w, h, qp, env):
                        max_tb_log2=5, wpp=True, sao_enabled=True,
                        deblocking_enabled=True, merge_cand=5,
                        temporal_mvp=True, rdoq=True, num_reorder_pics=3,
-                       max_dec_pic_buffering=6)
+                       max_dec_pic_buffering=6,
+                       cu_qp_delta=bool(env.get("KVZ_TPU_RA_CUTREE")))
     enc = QuadRABatchEncoder(cfg, gop_size=8, intra_period=64)
     bits = len(enc.headers()) * 8
     recs = {}
@@ -79,7 +92,8 @@ def main():
     nf = int(os.environ.get("KVZ_TPU_TUNE_FRAMES", "16"))
     frames = synthetic_frames(w, h, nf, seed=42)
     curves = {}
-    for name, env in VARIANTS:
+    variants = VARIANT_SETS[os.environ.get("KVZ_TPU_TUNE_SET", "dqp2")]
+    for name, env in variants:
         pts = []
         for qp in QPS:
             t0 = time.time()
