@@ -2,29 +2,138 @@
 
 Prints ONE JSON line: 1080p frames/s through the device wavefront
 (dense mode-decision prepass + ring-carry reconstruction scan — the TPU
-compute path), plus secondary fields: low-delay-P device fps, e2e
-pipelined fps, and a 4K all-intra figure.  vs_baseline is measured
-against 30 fps — a kvazaar-medium-class single-CPU 1080p all-intra
-operating point (the reference publishes no numbers; see BASELINE.md).
+compute path), plus secondary fields: low-delay-P device fps, RA B-pyramid
+device fps, e2e pipelined fps, 4K figures, decode fps.  vs_baseline is
+measured against 30 fps — a kvazaar-medium-class single-CPU 1080p
+all-intra operating point (the reference publishes no numbers; see
+BASELINE.md).
+
+Robustness contract (round-5): the JSON line ALWAYS lands.  Results
+accumulate into one dict; an idempotent emit() prints it; a watchdog
+thread fires emit() at the wall-clock budget (KVZ_BENCH_BUDGET_S,
+default 780 s) and SIGTERM (the driver's `timeout`) is caught to emit
+before dying.  Lanes run core-first and are skipped (value null) once
+the remaining budget is too small for them, so a slow rig degrades to
+fewer fields instead of an empty record (BENCH_r04.json was rc:124,
+parsed:null — never again).
 
 Methodology notes:
 * every timed rep uses DISTINCT frame content — the axon tunnel caches
   executions content-addressed, so recycling frames under-measures;
 * the e2e number (device + coefficient fetch + native CABAC, conformant
-  Annex-B out) is tunnel-bound on this rig (~29 MB/s host<->TPU
+  Annex-B out) is tunnel-bound on this rig (~40 MB/s host<->TPU
   management link); a co-located TPU-VM host pays ~2 ms for the same
   copy.  See BENCH_NOTES.md for breakdowns.
+* BD-quality fields are read from tools/bd_results.json (written by
+  tools/bd_sweep.py with its run date) so stale numbers are visible,
+  not silently baked in.
 """
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
+T0 = time.time()
+BUDGET_S = float(os.environ.get("KVZ_BENCH_BUDGET_S", "780"))
+
+# every JSON field, pre-initialized so a partial run still has the schema
+R = {
+    "metric": "encode_fps_1080p_intra_device",
+    "value": None,
+    "unit": "frames/s/chip",
+    "vs_baseline": None,
+    "p_fps_1080p_device": None,
+    "p_fps_1080p_merge5_device": None,
+    "p_fps_1080p_quad64_device": None,
+    "p_fps_4k_device": None,
+    "e2e_fps_1080p_pipelined": None,
+    "e2e_fps_1080p_quad64_production": None,
+    "intra_fps_4k_device": None,
+    "intra_fps_4k_quad64_device": None,
+    "p_fps_4k_quad64_device": None,
+    "decode_fps_1080p_x265_medium": None,
+    "compile_s_first_jit": None,
+    "ra_quad64_gop8_device_fps_1080p": None,
+    "ra_quad64_b64x4_batch_fps": None,
+    "e2e_fps_1080p_ra_quad64": None,
+    "link_mbps_measured": None,
+    "cabac_fps_1080p_quad64": None,
+    "e2e_fps_1080p_quad64_colocated_projection": None,
+    "e2e_fps_1080p_ra_colocated_projection": None,
+    "bench_wall_s": None,
+    "bench_lanes_skipped": [],
+}
+
+_emitted = threading.Event()
+
+
+def emit():
+    if _emitted.is_set():
+        return
+    _emitted.set()
+    R["bench_wall_s"] = round(time.time() - T0, 1)
+    print(json.dumps(R))
+    sys.stdout.flush()
+
+
+def _watchdog():
+    # fires even if the main thread is stuck inside a native XLA call
+    while not _emitted.is_set():
+        left = BUDGET_S - (time.time() - T0)
+        if left <= 0:
+            print("[bench] BUDGET EXHAUSTED - emitting partial results",
+                  file=sys.stderr)
+            emit()
+            os._exit(0)
+        time.sleep(min(left, 5.0))
+
+
+def _on_term(signum, frame):
+    print(f"[bench] signal {signum} - emitting partial results",
+          file=sys.stderr)
+    emit()
+    os._exit(0)
+
+
+def left_s():
+    return BUDGET_S - (time.time() - T0)
+
+
+def lane(name, est_s):
+    """True if the lane fits the remaining budget (with 30 s of slack
+    reserved for emit)."""
+    if left_s() > est_s + 30:
+        print(f"[bench] lane {name} (t+{time.time()-T0:.0f}s)",
+              file=sys.stderr)
+        return True
+    print(f"[bench] SKIP lane {name}: {left_s():.0f}s left < {est_s}s est",
+          file=sys.stderr)
+    R["bench_lanes_skipped"].append(name)
+    return False
+
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    # standing BD-quality numbers from the dated sweep results file
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tools", "bd_results.json")) as f:
+            bd = json.load(f)
+        for k, v in bd.items():
+            if k.startswith("ra_quad64_bd_"):
+                R[k] = v
+        R["bd_sweep_date"] = bd.get("date")
+    except Exception as e:
+        print(f"[bench] no bd_results.json: {e}", file=sys.stderr)
+
     from kvazzup_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -71,34 +180,39 @@ def main() -> None:
     int(outs[-1])
     dev_fps = reps / (time.time() - t0)
     del outs
+    R["value"] = round(dev_fps, 3)
+    R["vs_baseline"] = round(dev_fps / 30.0, 4)
+    R["compile_s_first_jit"] = round(compile_s, 1)
 
     # ---- low-delay P device path (ME + MC + merge/AMVP + residual),
     # chained references like a real P run
-    @jax.jit
-    def runp(y, u, v, ry, ru, rv):
-        return checksum(encode_frame_p_fast(y, u, v, ry, ru, rv, qp,
-                                            width=w, height=h))
+    if lane("p_1080p", 60):
+        @jax.jit
+        def runp(y, u, v, ry, ru, rv):
+            return checksum(encode_frame_p_fast(y, u, v, ry, ru, rv, qp,
+                                                width=w, height=h))
 
-    int(runp(*dev[1], *dev[0]))
-    t0 = time.time()
-    outs = [runp(*dev[i], *dev[i - 1]) for i in range(1, reps)]
-    int(outs[-1])
-    p_fps = (reps - 1) / (time.time() - t0)
-    p_ms = 1000.0 / p_fps
-    del outs
+        int(runp(*dev[1], *dev[0]))
+        t0 = time.time()
+        outs = [runp(*dev[i], *dev[i - 1]) for i in range(1, reps)]
+        int(outs[-1])
+        p_fps = (reps - 1) / (time.time() - t0)
+        del outs
+        R["p_fps_1080p_device"] = round(p_fps, 3)
 
     # ---- P at the BD operating point (merge 1..5 + TMVP threaded)
-    @jax.jit
-    def runp5(y, u, v, ry, ru, rv):
-        return checksum(encode_frame_p_fast(y, u, v, ry, ru, rv, qp,
-                                            width=w, height=h, merge_cand=5))
+    if lane("p_merge5_1080p", 60):
+        @jax.jit
+        def runp5(y, u, v, ry, ru, rv):
+            return checksum(encode_frame_p_fast(y, u, v, ry, ru, rv, qp,
+                                                width=w, height=h, merge_cand=5))
 
-    int(runp5(*dev[1], *dev[0]))
-    t0 = time.time()
-    outs = [runp5(*dev[i], *dev[i - 1]) for i in range(1, reps)]
-    int(outs[-1])
-    p5_fps = (reps - 1) / (time.time() - t0)
-    del outs
+        int(runp5(*dev[1], *dev[0]))
+        t0 = time.time()
+        outs = [runp5(*dev[i], *dev[i - 1]) for i in range(1, reps)]
+        int(outs[-1])
+        R["p_fps_1080p_merge5_device"] = round((reps - 1) / (time.time() - t0), 3)
+        del outs
 
     # ---- quad64 production-combo P device path (kvazaar's default CTU:
     # CU quadtree at CTB64, merge5 + TMVP — the BD-sweep operating point)
@@ -106,78 +220,103 @@ def main() -> None:
 
     n16 = (w // 16) * (h // 16)
     col0 = (jnp.zeros((n16, 2), jnp.int32), jnp.zeros((n16,), jnp.int32))
-
-    @jax.jit
-    def runq64(y, u, v, ry, ru, rv):
-        return checksum(encode_frame_p64_fast(
-            y, u, v, ry, ru, rv, qp, width=w, height=h, merge_cand=5,
-            tmvp=True, col_mv=col0[0], col_inter=col0[1]))
-
     q64_fps = None
-    try:
-        int(runq64(*dev[1], *dev[0]))
-        t0 = time.time()
-        outs = [runq64(*dev[i], *dev[i - 1]) for i in range(1, reps)]
-        int(outs[-1])
-        q64_fps = (reps - 1) / (time.time() - t0)
-        del outs
-    except Exception as e:
-        print(f"[bench] quad64 device bench failed: {e}", file=sys.stderr)
+    if lane("p_quad64_1080p", 90):
+        @jax.jit
+        def runq64(y, u, v, ry, ru, rv):
+            return checksum(encode_frame_p64_fast(
+                y, u, v, ry, ru, rv, qp, width=w, height=h, merge_cand=5,
+                tmvp=True, col_mv=col0[0], col_inter=col0[1]))
 
-    # ---- production-combo e2e: quad64 + wpp + sao + deblock + merge5 +
-    # tmvp low-delay GOP through the pipelined encoder (device | fetch |
-    # native quad CABAC)
-    e2e_q64_fps = None
-    link_gbps = cabac_fps_q64 = e2e_q64_proj = None
-    # e2e lanes encode TRUE 1920x1080 via the conformance window (r4):
-    # the coded size stays 1920x1088, the SPS signals the 8-row crop —
-    # a spec-correct 1080p stream, as any kvazaar 1080p encode emits
-    frames1080 = synthetic_frames(1920, 1080, reps, seed=run_seed + 3)
-    try:
-        cfg_q = StreamConfig.for_source(
-            1920, 1080, qp=32, ctb_log2=6,
-            min_cb_log2=3, max_tb_log2=5, wpp=True,
-            sao_enabled=True, deblocking_enabled=True,
-            merge_cand=5, temporal_mvp=True)
-        with PipelinedEncoder(cfg_q, intra_period=reps, depth=3,
-                              materialize_recon=False) as pe:
-            pe.push(*frames1080[0])
-            pe.push(*frames1080[1])  # warm the P path (dwarfs the I compile)
-            pe.flush()
-            pe.stage = {k: 0 if isinstance(v, int) else 0.0
-                        for k, v in pe.stage.items()}
-            nb_q = 0
+        try:
+            int(runq64(*dev[1], *dev[0]))
             t0 = time.time()
-            for i in range(reps):
-                for s, _ in pe.push(*frames1080[i]):
-                    nb_q += len(s)
-            for s, _ in pe.flush():
-                nb_q += len(s)
-            e2e_q64_fps = reps / (time.time() - t0)
-            st = dict(pe.stage)
-        print(f"[bench] quad64 production e2e {e2e_q64_fps:.2f} fps "
-              f"({nb_q // reps} bytes/frame)", file=sys.stderr)
-        # ---- the r2-open e2e measurement (VERDICT r3 ask #6c): the rig's
-        # host<->TPU management link vs a co-located TPU-VM host.  The
-        # pipeline is 3 overlapped stages, so steady-state e2e =
-        # 1/max(device, fetch, cabac); substitute the fetch stage with a
-        # PCIe-class 10 GB/s link for the production projection.
-        if st["frames"]:
-            fetch_bpf = st["fetch_bytes"] / st["frames"]
-            link_gbps = (st["fetch_bytes"] / st["fetch_s"] / 1e9
-                         if st["fetch_s"] else None)
-            cabac_fps_q64 = st["frames"] / st["cabac_s"]
-            dev_t = 1.0 / q64_fps if q64_fps else 0.0
-            e2e_q64_proj = 1.0 / max(dev_t, st["cabac_s"] / st["frames"],
-                                     fetch_bpf / 10e9)
-            print(f"[bench] e2e stages: fetch {fetch_bpf/1e6:.2f} MB/frame "
-                  f"at {0 if not link_gbps else link_gbps*1e3:.0f} MB/s "
-                  f"(this rig), cabac {cabac_fps_q64:.1f} fps -> "
-                  f"co-located projection {e2e_q64_proj:.1f} fps "
-                  f"(min of device {0 if not q64_fps else q64_fps:.1f}, "
-                  f"cabac, PCIe fetch)", file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] quad64 e2e bench failed: {e}", file=sys.stderr)
+            outs = [runq64(*dev[i], *dev[i - 1]) for i in range(1, reps)]
+            int(outs[-1])
+            q64_fps = (reps - 1) / (time.time() - t0)
+            del outs
+            R["p_fps_1080p_quad64_device"] = round(q64_fps, 3)
+        except Exception as e:
+            print(f"[bench] quad64 device bench failed: {e}", file=sys.stderr)
+
+    # ---- decode lane (core figure, host-side, cheap) — early so it
+    # always lands
+    if lane("decode_1080p", 90):
+        R["decode_fps_1080p_x265_medium"] = _decode_bench()
+
+    # ---- 4K figures (device)
+    w4, h4 = 3840, 2176
+    reps4 = 6
+    dev4 = None
+    if lane("4k_intra_p", 120):
+        fr4 = synthetic_frames(w4, h4, reps4, seed=run_seed + 1)
+        dev4 = [(jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[2]))
+                for f in fr4]
+        jax.block_until_ready(dev4)
+
+        @jax.jit
+        def run4(y, u, v):
+            return checksum(encode_frame_intra_fast(y, u, v, qp,
+                                                    width=w4, height=h4))
+
+        int(run4(*dev4[0]))
+        t0 = time.time()
+        outs = [run4(*dev4[i]) for i in range(reps4)]
+        int(outs[-1])
+        R["intra_fps_4k_device"] = round(reps4 / (time.time() - t0), 3)
+        del outs
+
+        @jax.jit
+        def runp4(y, u, v, ry, ru, rv):
+            return checksum(encode_frame_p_fast(y, u, v, ry, ru, rv, qp,
+                                                width=w4, height=h4))
+
+        int(runp4(*dev4[1], *dev4[0]))
+        t0 = time.time()
+        outs = [runp4(*dev4[i], *dev4[i - 1]) for i in range(1, reps4)]
+        int(outs[-1])
+        R["p_fps_4k_device"] = round((reps4 - 1) / (time.time() - t0), 3)
+        del outs
+
+    # ---- 4K on the production CTU (CTB64 quadtrees): 4x fewer waves
+    # than CTB16 at the same pixel rate — the wave-latency-bound regime's
+    # answer to the 4K targets
+    if dev4 is not None and lane("4k_quad64", 150):
+        try:
+            from kvazzup_tpu.encoder.frame_intra64 import \
+                encode_frame_intra64_fast
+
+            @jax.jit
+            def runq64i4(y, u, v):
+                return checksum(encode_frame_intra64_fast(
+                    y, u, v, qp, width=w4, height=h4))
+
+            int(runq64i4(*dev4[0]))
+            t0 = time.time()
+            outs = [runq64i4(*dev4[i]) for i in range(reps4)]
+            int(outs[-1])
+            q64_intra_4k = reps4 / (time.time() - t0)
+            del outs
+            R["intra_fps_4k_quad64_device"] = round(q64_intra_4k, 3)
+
+            @jax.jit
+            def runq64p4(y, u, v, ry, ru, rv):
+                return checksum(encode_frame_p64_fast(
+                    y, u, v, ry, ru, rv, qp, width=w4, height=h4,
+                    merge_cand=5, rdoq=True))
+
+            int(runq64p4(*dev4[1], *dev4[0]))
+            t0 = time.time()
+            outs = [runq64p4(*dev4[i], *dev4[i - 1]) for i in range(1, reps4)]
+            int(outs[-1])
+            q64_p_4k = (reps4 - 1) / (time.time() - t0)
+            del outs
+            R["p_fps_4k_quad64_device"] = round(q64_p_4k, 3)
+            print(f"[bench] 4K quad64: intra {q64_intra_4k:.2f} fps, "
+                  f"P(merge5+rdoq) {q64_p_4k:.2f} fps", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] 4K quad64 bench failed: {e}", file=sys.stderr)
+    del dev4
 
     # ---- RA-quad64 device path (BASELINE configs[2] operating point):
     # the gop8 B-pyramid's device critical path is 4 dispatches for 8
@@ -186,252 +325,203 @@ def main() -> None:
     from kvazzup_tpu.encoder.frame_b64 import encode_frame_b64_fast
 
     ra_dev_fps = None
-    ra_b1_fps = ra_b4_fps = None
-    try:
-        deltas = jnp.asarray([1, -1], jnp.int32)
+    if lane("ra_device_1080p", 150):
+        try:
+            deltas = jnp.asarray([1, -1], jnp.int32)
 
-        def runb_body(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v):
-            return encode_frame_b64_fast(
-                y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, deltas,
-                width=w, height=h, merge_cand=5, rdoq=True)
+            def runb_body(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v):
+                return encode_frame_b64_fast(
+                    y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp, deltas,
+                    width=w, height=h, merge_cand=5, rdoq=True)
 
-        runb = jax.jit(lambda *a: checksum(runb_body(*a)))
-        runb2 = jax.jit(lambda *a: checksum(jax.vmap(runb_body)(*a)))
-        runb4 = jax.jit(lambda *a: checksum(jax.vmap(runb_body)(*a)))
+            runb = jax.jit(lambda *a: checksum(runb_body(*a)))
+            runb2 = jax.jit(lambda *a: checksum(jax.vmap(runb_body)(*a)))
+            runb4 = jax.jit(lambda *a: checksum(jax.vmap(runb_body)(*a)))
 
-        def bt(fn, b, nrep=6):
-            if b == 1:
-                args = lambda i: (*dev[i], *dev[i - 1], *dev[(i + 1) % reps])
-            else:
-                st = lambda xs: jnp.stack(xs)
-                args = lambda i: tuple(
-                    st([dev[(i + j) % reps][p] for j in range(b)])
-                    for p in range(3)) + tuple(
-                    st([dev[(i + j + 1) % reps][p] for j in range(b)])
-                    for p in range(3)) + tuple(
-                    st([dev[(i + j + 2) % reps][p] for j in range(b)])
-                    for p in range(3))
-            int(fn(*args(1)))
+            def bt(fn, b, nrep=6):
+                if b == 1:
+                    args = lambda i: (*dev[i], *dev[i - 1], *dev[(i + 1) % reps])
+                else:
+                    st = lambda xs: jnp.stack(xs)
+                    args = lambda i: tuple(
+                        st([dev[(i + j) % reps][p] for j in range(b)])
+                        for p in range(3)) + tuple(
+                        st([dev[(i + j + 1) % reps][p] for j in range(b)])
+                        for p in range(3)) + tuple(
+                        st([dev[(i + j + 2) % reps][p] for j in range(b)])
+                        for p in range(3))
+                int(fn(*args(1)))
+                t0 = time.time()
+                outs = [fn(*args(1 + i)) for i in range(nrep)]
+                int(outs[-1])
+                return (time.time() - t0) / nrep
+
+            tb1 = bt(runb, 1)
+            tb2 = bt(runb2, 2)
+            tb4 = bt(runb4, 4)
+            tp = 1.0 / q64_fps if q64_fps else tb1
+            ra_dev_fps = 8.0 / (tp + tb1 + tb2 + tb4)
+            R["ra_quad64_gop8_device_fps_1080p"] = round(ra_dev_fps, 3)
+            R["ra_quad64_b64x4_batch_fps"] = round(4.0 / tb4, 3)
+            print(f"[bench] ra-quad64 device: b64 {tb1*1e3:.0f} ms, "
+                  f"b64x2 {tb2*1e3:.0f} ms, b64x4 {tb4*1e3:.0f} ms -> "
+                  f"gop8 pyramid {ra_dev_fps:.2f} fps "
+                  f"(level-batch scaling {4*tb1/tb4:.2f}x at B=4)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] ra-quad64 device bench failed: {e}", file=sys.stderr)
+
+    # ---- end-to-end pipelined encoder (device | fetch | native CABAC),
+    # all-intra CTB16 — the lightest e2e lane
+    if lane("e2e_intra_1080p", 90):
+        cfg = StreamConfig(width=w, height=h, qp=32, wpp=True)
+        with PipelinedEncoder(cfg, intra_period=1, depth=3,
+                              materialize_recon=False) as pe:
+            pe.push(*frames[0])  # warm the jit caches for this config
+            pe.flush()
+            nbytes = 0
             t0 = time.time()
-            outs = [fn(*args(1 + i)) for i in range(nrep)]
-            int(outs[-1])
-            return (time.time() - t0) / nrep
+            for i in range(reps):
+                for s, _ in pe.push(*frames[i]):
+                    nbytes += len(s)
+            for s, _ in pe.flush():
+                nbytes += len(s)
+            e2e_dt = time.time() - t0
+        R["e2e_fps_1080p_pipelined"] = round(reps / e2e_dt, 3)
 
-        tb1 = bt(runb, 1)
-        tb2 = bt(runb2, 2)
-        tb4 = bt(runb4, 4)
-        tp = 1.0 / q64_fps if q64_fps else tb1
-        ra_dev_fps = 8.0 / (tp + tb1 + tb2 + tb4)
-        ra_b1_fps, ra_b4_fps = 1.0 / tb1, 4.0 / tb4
-        print(f"[bench] ra-quad64 device: b64 {tb1*1e3:.0f} ms, "
-              f"b64x2 {tb2*1e3:.0f} ms, b64x4 {tb4*1e3:.0f} ms -> "
-              f"gop8 pyramid {ra_dev_fps:.2f} fps "
-              f"(level-batch scaling {4*tb1/tb4:.2f}x at B=4)",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] ra-quad64 device bench failed: {e}", file=sys.stderr)
+    # e2e lanes encode TRUE 1920x1080 via the conformance window (r4):
+    # the coded size stays 1920x1088, the SPS signals the 8-row crop —
+    # a spec-correct 1080p stream, as any kvazaar 1080p encode emits
+    frames1080 = synthetic_frames(1920, 1080, reps, seed=run_seed + 3)
+
+    # ---- production-combo e2e: quad64 + wpp + sao + deblock + merge5 +
+    # tmvp low-delay GOP through the pipelined encoder (device | fetch |
+    # native quad CABAC)
+    if lane("e2e_quad64_1080p", 150):
+        try:
+            cfg_q = StreamConfig.for_source(
+                1920, 1080, qp=32, ctb_log2=6,
+                min_cb_log2=3, max_tb_log2=5, wpp=True,
+                sao_enabled=True, deblocking_enabled=True,
+                merge_cand=5, temporal_mvp=True)
+            with PipelinedEncoder(cfg_q, intra_period=reps, depth=3,
+                                  materialize_recon=False) as pe:
+                pe.push(*frames1080[0])
+                pe.push(*frames1080[1])  # warm the P path
+                pe.flush()
+                pe.stage = {k: 0 if isinstance(v, int) else 0.0
+                            for k, v in pe.stage.items()}
+                nb_q = 0
+                t0 = time.time()
+                for i in range(reps):
+                    for s, _ in pe.push(*frames1080[i]):
+                        nb_q += len(s)
+                for s, _ in pe.flush():
+                    nb_q += len(s)
+                e2e_q64_fps = reps / (time.time() - t0)
+                st = dict(pe.stage)
+            R["e2e_fps_1080p_quad64_production"] = round(e2e_q64_fps, 3)
+            print(f"[bench] quad64 production e2e {e2e_q64_fps:.2f} fps "
+                  f"({nb_q // reps} bytes/frame)", file=sys.stderr)
+            # the rig's host<->TPU management link vs a co-located TPU-VM
+            # host.  The pipeline is 3 overlapped stages, so steady-state
+            # e2e = 1/max(device, fetch, cabac); substitute the fetch stage
+            # with a PCIe-class 10 GB/s link for the production projection.
+            if st["frames"]:
+                fetch_bpf = st["fetch_bytes"] / st["frames"]
+                link_gbps = (st["fetch_bytes"] / st["fetch_s"] / 1e9
+                             if st["fetch_s"] else None)
+                cabac_fps_q64 = st["frames"] / st["cabac_s"]
+                dev_t = 1.0 / q64_fps if q64_fps else 0.0
+                e2e_q64_proj = 1.0 / max(dev_t, st["cabac_s"] / st["frames"],
+                                         fetch_bpf / 10e9)
+                R["link_mbps_measured"] = (
+                    None if not link_gbps else round(link_gbps * 1e3, 1))
+                R["cabac_fps_1080p_quad64"] = round(cabac_fps_q64, 2)
+                R["e2e_fps_1080p_quad64_colocated_projection"] = round(
+                    e2e_q64_proj, 2)
+                print(f"[bench] e2e stages: fetch {fetch_bpf/1e6:.2f} MB/frame "
+                      f"at {0 if not link_gbps else link_gbps*1e3:.0f} MB/s "
+                      f"(this rig), cabac {cabac_fps_q64:.1f} fps -> "
+                      f"co-located projection {e2e_q64_proj:.1f} fps "
+                      f"(min of device {0 if not q64_fps else q64_fps:.1f}, "
+                      f"cabac, PCIe fetch)", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] quad64 e2e bench failed: {e}", file=sys.stderr)
+
+    # ---- RA production e2e: the BD operating point end-to-end through
+    # the level-batched RA encoder (gop8 B-pyramid, full toolset)
+    if lane("e2e_ra_1080p", 180):
+        try:
+            from kvazzup_tpu.encoder.ra_batch import QuadRABatchEncoder
+
+            cfg_ra = StreamConfig.for_source(
+                1920, 1080, qp=32, ctb_log2=6,
+                min_cb_log2=3, max_tb_log2=5, wpp=True,
+                sao_enabled=True, deblocking_enabled=True,
+                merge_cand=5, temporal_mvp=True, rdoq=True,
+                num_reorder_pics=3, max_dec_pic_buffering=6)
+            enc_ra = QuadRABatchEncoder(cfg_ra, gop_size=8, intra_period=64)
+            for f in frames1080[:9]:
+                enc_ra.push_frame(*f)  # warm every level jit (one full gop8)
+            nfr = 0
+            nb_ra = 0
+            t0 = time.time()
+            for i in range(reps):
+                for _poc, nal, _rec in enc_ra.push_frame(*frames1080[i]):
+                    nfr += 1
+                    nb_ra += len(nal)
+            dt_ra = time.time() - t0
+            if nfr:
+                ra_e2e_fps = nfr / dt_ra
+                R["e2e_fps_1080p_ra_quad64"] = round(ra_e2e_fps, 3)
+                st_ra = getattr(enc_ra, "stage", None)
+                if st_ra and st_ra.get("frames"):
+                    # co-located projection: steady-state = 1/max(device,
+                    # cabac, PCIe-class fetch) using measured stage times
+                    dev_t = (1.0 / ra_dev_fps) if ra_dev_fps else 0.0
+                    proj = 1.0 / max(
+                        dev_t,
+                        st_ra["cabac_s"] / st_ra["frames"],
+                        (st_ra["fetch_bytes"] / st_ra["frames"]) / 10e9)
+                    R["e2e_fps_1080p_ra_colocated_projection"] = round(proj, 2)
+                print(f"[bench] ra-quad64 production e2e {ra_e2e_fps:.2f} fps "
+                      f"({nb_ra // max(1, nfr)} bytes/frame)", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] ra e2e bench failed: {e}", file=sys.stderr)
 
     # ---- production-combo batched throughput: B=4 closed GOPs per device
     # dispatch through GopBatchDeviceEncoder (the on-chip OWF/session axis
     # at the quad64 operating point, low-delay I/P segments) — lanes x4 at
     # ~constant wave latency
-    q64_batch_fps = None
-    try:
-        from kvazzup_tpu.pipeline.gop_batch import GopBatchDeviceEncoder
+    if lane("gop_batch_1080p", 150):
+        try:
+            from kvazzup_tpu.pipeline.gop_batch import GopBatchDeviceEncoder
 
-        cfg_qb = StreamConfig(width=w, height=h, qp=32, ctb_log2=6,
-                              min_cb_log2=3, max_tb_log2=5, wpp=True,
-                              sao_enabled=True, deblocking_enabled=True,
-                              merge_cand=5, temporal_mvp=True, rdoq=True)
-        gb = GopBatchDeviceEncoder(cfg_qb, gop_size=8, batch=4)
-        nfb = 32
-        frb = [frames[i % reps] for i in range(nfb)]
-        gb.encode(frb[:8] * 4)  # warm both step jits at batch=4
-        t0 = time.time()
-        nb_qb = len(gb.encode(frb))
-        q64_batch_fps = nfb / (time.time() - t0)
-        print(f"[bench] quad64 production gop-batched e2e (low-delay I/P "
-              f"segments) {q64_batch_fps:.2f}"
-              f" fps ({nb_qb // nfb} bytes/frame)", file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] quad64 gop-batch bench failed: {e}", file=sys.stderr)
+            cfg_qb = StreamConfig(width=w, height=h, qp=32, ctb_log2=6,
+                                  min_cb_log2=3, max_tb_log2=5, wpp=True,
+                                  sao_enabled=True, deblocking_enabled=True,
+                                  merge_cand=5, temporal_mvp=True, rdoq=True)
+            gb = GopBatchDeviceEncoder(cfg_qb, gop_size=8, batch=4)
+            nfb = 32
+            frb = [frames[i % reps] for i in range(nfb)]
+            gb.encode(frb[:8] * 4)  # warm both step jits at batch=4
+            t0 = time.time()
+            nb_qb = len(gb.encode(frb))
+            q64_batch_fps = nfb / (time.time() - t0)
+            print(f"[bench] quad64 production gop-batched e2e (low-delay I/P "
+                  f"segments) {q64_batch_fps:.2f}"
+                  f" fps ({nb_qb // nfb} bytes/frame)", file=sys.stderr)
+            R["e2e_fps_1080p_quad64_gop_batched"] = round(q64_batch_fps, 3)
+        except Exception as e:
+            print(f"[bench] quad64 gop-batch bench failed: {e}", file=sys.stderr)
 
-    # ---- RA production e2e: the BD operating point end-to-end through
-    # the level-batched RA encoder (gop8 B-pyramid, full toolset)
-    ra_e2e_fps = None
-    try:
-        from kvazzup_tpu.encoder.ra_batch import QuadRABatchEncoder
-
-        cfg_ra = StreamConfig.for_source(
-            1920, 1080, qp=32, ctb_log2=6,
-            min_cb_log2=3, max_tb_log2=5, wpp=True,
-            sao_enabled=True, deblocking_enabled=True,
-            merge_cand=5, temporal_mvp=True, rdoq=True,
-            num_reorder_pics=3, max_dec_pic_buffering=6)
-        enc_ra = QuadRABatchEncoder(cfg_ra, gop_size=8, intra_period=64)
-        for f in frames1080[:9]:
-            enc_ra.push_frame(*f)  # warm every level jit (one full gop8)
-        nfr = 0
-        nb_ra = 0
-        t0 = time.time()
-        for i in range(reps):
-            for _poc, nal, _rec in enc_ra.push_frame(*frames1080[i]):
-                nfr += 1
-                nb_ra += len(nal)
-        ra_e2e_fps = nfr / (time.time() - t0) if nfr else None
-        if ra_e2e_fps:
-            print(f"[bench] ra-quad64 production e2e {ra_e2e_fps:.2f} fps "
-                  f"({nb_ra // max(1, nfr)} bytes/frame)", file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] ra e2e bench failed: {e}", file=sys.stderr)
-
-    # ---- end-to-end pipelined encoder (device | fetch | native CABAC)
-    cfg = StreamConfig(width=w, height=h, qp=32, wpp=True)
-    with PipelinedEncoder(cfg, intra_period=1, depth=3, materialize_recon=False) as pe:
-        pe.push(*frames[0])  # warm the jit caches for this config
-        pe.flush()
-        nbytes = 0
-        t0 = time.time()
-        for i in range(reps):
-            for s, _ in pe.push(*frames[i]):
-                nbytes += len(s)
-        for s, _ in pe.flush():
-            nbytes += len(s)
-        e2e_dt = time.time() - t0
-    e2e_fps = reps / e2e_dt
-
-    # ---- 4K all-intra device figure
-    w4, h4 = 3840, 2176
-    reps4 = 6
-    fr4 = synthetic_frames(w4, h4, reps4, seed=run_seed + 1)
-    dev4 = [(jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[2])) for f in fr4]
-    jax.block_until_ready(dev4)
-
-    @jax.jit
-    def run4(y, u, v):
-        return checksum(encode_frame_intra_fast(y, u, v, qp, width=w4, height=h4))
-
-    int(run4(*dev4[0]))
-    t0 = time.time()
-    outs = [run4(*dev4[i]) for i in range(reps4)]
-    int(outs[-1])
-    fps_4k = reps4 / (time.time() - t0)
-    del outs
-
-    # ---- 4K low-delay P device figure
-    @jax.jit
-    def runp4(y, u, v, ry, ru, rv):
-        return checksum(encode_frame_p_fast(y, u, v, ry, ru, rv, qp,
-                                            width=w4, height=h4))
-
-    int(runp4(*dev4[1], *dev4[0]))
-    t0 = time.time()
-    outs = [runp4(*dev4[i], *dev4[i - 1]) for i in range(1, reps4)]
-    int(outs[-1])
-    p_fps_4k = (reps4 - 1) / (time.time() - t0)
-    del outs
-
-    # ---- 4K on the production CTU (CTB64 quadtrees): 4x fewer waves
-    # than CTB16 at the same pixel rate — the wave-latency-bound regime's
-    # answer to the 4K targets
-    q64_intra_4k = q64_p_4k = None
-    try:
-        from kvazzup_tpu.encoder.frame_intra64 import \
-            encode_frame_intra64_fast
-
-        @jax.jit
-        def runq64i4(y, u, v):
-            return checksum(encode_frame_intra64_fast(
-                y, u, v, qp, width=w4, height=h4))
-
-        int(runq64i4(*dev4[0]))
-        t0 = time.time()
-        outs = [runq64i4(*dev4[i]) for i in range(reps4)]
-        int(outs[-1])
-        q64_intra_4k = reps4 / (time.time() - t0)
-        del outs
-
-        @jax.jit
-        def runq64p4(y, u, v, ry, ru, rv):
-            return checksum(encode_frame_p64_fast(
-                y, u, v, ry, ru, rv, qp, width=w4, height=h4,
-                merge_cand=5, rdoq=True))
-
-        int(runq64p4(*dev4[1], *dev4[0]))
-        t0 = time.time()
-        outs = [runq64p4(*dev4[i], *dev4[i - 1]) for i in range(1, reps4)]
-        int(outs[-1])
-        q64_p_4k = (reps4 - 1) / (time.time() - t0)
-        del outs
-        print(f"[bench] 4K quad64: intra {q64_intra_4k:.2f} fps, "
-              f"P(merge5+rdoq) {q64_p_4k:.2f} fps", file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] 4K quad64 bench failed: {e}", file=sys.stderr)
-
-    q64s = "n/a" if q64_fps is None else f"{q64_fps:.2f}"
     print(
-        f"[bench] 1080p: device intra {dev_fps:.2f} fps, device P {p_fps:.2f} fps "
-        f"({p_ms:.0f} ms, merge5 {p5_fps:.2f}, quad64 {q64s}), "
-        f"e2e pipelined {e2e_fps:.2f} fps "
-        f"({nbytes // reps} bytes/frame); 4K intra {fps_4k:.2f} fps, "
-        f"4K P {p_fps_4k:.2f} fps; "
-        f"compile {compile_s:.1f}s on {jax.devices()[0].platform}",
+        f"[bench] done in {time.time()-T0:.0f}s on "
+        f"{jax.devices()[0].platform}; skipped={R['bench_lanes_skipped']}",
         file=sys.stderr,
     )
-    # Headline = device path: on this rig the e2e number is bound by the
-    # management tunnel (coefficient fetch), which a co-located TPU-VM host
-    # does not have; the device path is the number that transfers to
-    # production.  All lines are recorded in the JSON for the judge.
-    dec_fps = _decode_bench()
-    print(
-        json.dumps(
-            {
-                "metric": "encode_fps_1080p_intra_device",
-                "value": round(dev_fps, 3),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(dev_fps / 30.0, 4),
-                "p_fps_1080p_device": round(p_fps, 3),
-                "p_fps_1080p_merge5_device": round(p5_fps, 3),
-                "p_fps_1080p_quad64_device": (
-                    None if q64_fps is None else round(q64_fps, 3)),
-                "p_fps_4k_device": round(p_fps_4k, 3),
-                "e2e_fps_1080p_pipelined": round(e2e_fps, 3),
-                "e2e_fps_1080p_quad64_production": (
-                    None if e2e_q64_fps is None else round(e2e_q64_fps, 3)),
-                "intra_fps_4k_device": round(fps_4k, 3),
-                "intra_fps_4k_quad64_device": (
-                    None if q64_intra_4k is None else round(q64_intra_4k, 3)),
-                "p_fps_4k_quad64_device": (
-                    None if q64_p_4k is None else round(q64_p_4k, 3)),
-                "decode_fps_1080p_x265_medium": dec_fps,
-                # reconfiguration cost datum (VERDICT r3 weak #6): first
-                # jit of the 1080p intra engine this run — ~0 s when the
-                # persistent compile cache is warm, minutes cold
-                "compile_s_first_jit": round(compile_s, 1),
-                "ra_quad64_gop8_device_fps_1080p": (
-                    None if ra_dev_fps is None else round(ra_dev_fps, 3)),
-                "ra_quad64_b64x4_batch_fps": (
-                    None if ra_b4_fps is None else round(ra_b4_fps, 3)),
-                # standing quality numbers: tools/bd_sweep.py 1920x1088
-                # --ra-only, 24 frames, QP 24/28/32/36, KVZ_TPU_BD_TPU=1,
-                # run 2026-08-20 (BENCH_NOTES.md round-4 section)
-                "ra_quad64_bd_psnr_vs_x265_medium_1080p": -3.11,
-                "ra_quad64_bd_rate_vs_x265_medium_pct": 31.9,
-                "ra_quad64_bd_psnr_vs_x265_matched_1080p": -0.68,
-                "ra_quad64_bd_rate_vs_x265_matched_pct": 5.9,
-                "e2e_fps_1080p_ra_quad64": (
-                    None if ra_e2e_fps is None else round(ra_e2e_fps, 3)),
-                "link_mbps_measured": (
-                    None if not link_gbps else round(link_gbps * 1e3, 1)),
-                "cabac_fps_1080p_quad64": (
-                    None if cabac_fps_q64 is None
-                    else round(cabac_fps_q64, 2)),
-                "e2e_fps_1080p_quad64_colocated_projection": (
-                    None if e2e_q64_proj is None
-                    else round(e2e_q64_proj, 2)),
-            }
-        )
-    )
+    emit()
 
 
 def _decode_bench():

@@ -6,7 +6,9 @@ or JAX signal kernels"):
   block-NLMS adaptive echo canceller with a delayed playback-reference ring
   buffer and an anti-drift valve.
 * SpeexDSP preprocessor parity (speexdsp.cpp:34-86): automatic gain control
-  toward a target level + energy-based noise gate (denoise stage).
+  toward a target level + energy-based noise gate (denoise stage) + a
+  spectral late-reverberation suppressor (the dereverb stage the reference
+  configures at speexdsp.cpp:41,99-103 with decay/level knobs).
 
 All filters run on int16 frames; the adaptive state is a small pytree the
 host threads carry between frames.
@@ -88,22 +90,88 @@ def _agc_gate(frame, gain, target_rms, max_gain, gate_rms):
     return out, new_gain
 
 
+@functools.partial(jax.jit, static_argnames=("half",))
+def _dereverb_step(x_full, rev_psd, prev_out_tail, decay, level, *,
+                   half: int):
+    """One 50%-overlap STFT hop of late-reverb suppression.
+
+    x_full: (2*half,) f32 windowed-input segment (previous half-frame tail
+    + current half-frame); rev_psd: (half+1,) running late-reverb PSD
+    estimate; prev_out_tail: (half,) synthesis overlap from the previous
+    hop.  Model: the late reverb in this hop is the decayed accumulation
+    of earlier hops' spectral power (level scales the injection); the
+    suppression gain is a floored Wiener rule.  Returns
+    (out_half, new_rev_psd, new_out_tail)."""
+    n = 2 * half
+    win = jnp.sqrt(0.5 - 0.5 * jnp.cos(
+        2.0 * jnp.pi * (jnp.arange(n) + 0.5) / n)).astype(jnp.float32)
+    X = jnp.fft.rfft(x_full * win)
+    pxx = jnp.abs(X) ** 2
+    gain2 = jnp.clip(1.0 - rev_psd / (pxx + 1e-6), 0.01, 1.0)
+    Y = X * jnp.sqrt(gain2)
+    seg = jnp.fft.irfft(Y, n).astype(jnp.float32) * win
+    out_half = seg[:half] + prev_out_tail
+    new_psd = decay * (rev_psd + level * pxx)
+    return out_half, new_psd, seg[half:]
+
+
+class Dereverb:
+    """Late-reverberation suppressor (SpeexDSP dereverb-stage parity).
+
+    decay: per-hop energy retention of the reverb-tail model (the
+    reference's SPEEX_PREPROCESS_SET_DEREVERB_DECAY); level: how strongly
+    each hop's spectrum feeds the tail estimate (…_DEREVERB_LEVEL).
+    Processes int16 frames of any multiple of 2*half with half-frame
+    algorithmic delay from the 50% overlap."""
+
+    def __init__(self, half: int = 240, decay: float = 0.5,
+                 level: float = 0.2) -> None:
+        self.half = half
+        self.decay = jnp.float32(decay)
+        self.level = jnp.float32(level)
+        self.rev_psd = jnp.zeros((half + 1,), jnp.float32)
+        self._in_tail = np.zeros(half, np.float32)
+        self._out_tail = jnp.zeros((half,), jnp.float32)
+
+    def process(self, frame: np.ndarray) -> np.ndarray:
+        f = np.asarray(frame, np.float32)
+        outs = []
+        for i in range(0, len(f) - len(f) % self.half, self.half):
+            cur = f[i : i + self.half]
+            x = np.concatenate([self._in_tail, cur])
+            out_half, self.rev_psd, self._out_tail = _dereverb_step(
+                jnp.asarray(x), self.rev_psd, self._out_tail, self.decay,
+                self.level, half=self.half)
+            self._in_tail = cur
+            outs.append(np.asarray(out_half))
+        out = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        return np.clip(out, -32768, 32767).astype(np.int16)
+
+
 class Preprocessor:
-    """AGC + noise gate (SpeexDSP preprocessor parity)."""
+    """AGC + noise gate + dereverb (SpeexDSP preprocessor parity)."""
 
     def __init__(self, agc: bool = True, denoise: bool = True,
-                 target_level: float = 6000.0, max_gain: float = 30.0) -> None:
+                 target_level: float = 6000.0, max_gain: float = 30.0,
+                 dereverb: bool = False, dereverb_decay: float = 0.5,
+                 dereverb_level: float = 0.2,
+                 frame_samples: int = 480) -> None:
         self.agc = agc
         self.denoise = denoise
         self.target = target_level
         self.max_gain = max_gain
         self.gain = jnp.float32(1.0)
+        self.dereverb = (Dereverb(half=frame_samples // 2,
+                                  decay=dereverb_decay,
+                                  level=dereverb_level)
+                         if dereverb else None)
 
     def process(self, frame: np.ndarray) -> np.ndarray:
+        if self.dereverb is not None:
+            frame = self.dereverb.process(frame)
         if not (self.agc or self.denoise):
             return np.asarray(frame, np.int16)
         gate = 200.0 if self.denoise else 0.0
-        target = self.target if self.agc else None
         out, self.gain = _agc_gate(
             jnp.asarray(frame, jnp.int16),
             self.gain,

@@ -30,7 +30,10 @@ class AudioSendPipeline:
         self.stats = stats or Statistics()
         self.buffer = AudioFrameBuffer(SAMPLES_PER_FRAME)
         self.aec = EchoCanceller(SAMPLES_PER_FRAME) if aec else None
-        self.pre = Preprocessor()
+        # full input-chain DSP (reference filtergraph.cpp:377-382: AEC +
+        # AGC + denoise + dereverb)
+        self.pre = Preprocessor(dereverb=True,
+                                frame_samples=SAMPLES_PER_FRAME)
         self.encoder = OpusEncoder(SAMPLE_RATE, 1, self.allocator.audio_bitrate)
 
     def put_capture(self, chunk: np.ndarray) -> None:

@@ -43,6 +43,10 @@ def cmd_encode(args) -> int:
     ra = args.gop == "ra"
     ctb_log2 = {16: 4, 32: 5, 64: 6}[args.ctu]
     ra_quad = ra and ctb_log2 == 6
+    # --cutree wins; otherwise the documented KVZ_TPU_RA_CUTREE env knob
+    # applies (ADVICE r4: the CLI used to pass 0.0 and silently mask it)
+    cutree = args.cutree if args.cutree > 0 else float(
+        os.environ.get("KVZ_TPU_RA_CUTREE", "0") or 0)
     # non-CTB-aligned source sizes pad internally and signal a
     # conformance window (so e.g. true 1920x1080 encodes spec-correctly)
     cfg = StreamConfig.for_source(
@@ -60,9 +64,9 @@ def cmd_encode(args) -> int:
         merge_cand=args.merge,
         temporal_mvp=args.tmvp,
         rdoq=args.rdoq,
-        cu_qp_delta=args.cutree > 0,
+        cu_qp_delta=cutree > 0,
     )
-    if args.cutree > 0 and not ra_quad:
+    if cutree > 0 and not ra_quad:
         raise SystemExit("--cutree needs the RA quad path (--gop ra --ctu 64)")
     if ctb_log2 > 4 and args.intra_period != 1:
         if (ra and not ra_quad) or args.tu_intra_depth != 1:
@@ -112,7 +116,7 @@ def cmd_encode(args) -> int:
                 gop = 8
                 ip = max(gop, args.intra_period - args.intra_period % gop)
                 enc = QuadRABatchEncoder(cfg, gop_size=gop, intra_period=ip,
-                                         cutree=args.cutree)
+                                         cutree=cutree)
             else:
                 enc = RandomAccessEncoder(cfg, gop_size=4,
                                           intra_period=args.intra_period)

@@ -56,12 +56,19 @@ for _q32, (_dy3, _dx3) in enumerate(_ZO):
         _UNITS_SPLIT.append((1, _q32, _q16, _X + _dx * 16, _Y + _dy * 16, 16))
 
 
-def _temporal_cells(col_mv, col_inter, cw: int, ch: int):
+def _temporal_cells(col_mv, col_inter, cw: int, ch: int,
+                    xext: bool = False):
     """Per-unit temporal candidate (mv, ok) for the 21 units of each
     64-CTB, from the raster 16-grid collocated store.  Returns
     t64 ((nctb, 2), (nctb,)), t32 ((nctb, 4, 2), (nctb, 4)),
-    t16 ((nctb, 4, 4, 2), (nctb, 4, 4))."""
-    H16, W16 = 4 * ch, 4 * cw
+    t16 ((nctb, 4, 4, 2), (nctb, 4, 4)).
+
+    xext: the store carries ONE extra 16-cell column on the right — the
+    tile-column case, where the spec's colBr (8.5.3.2.8) is derived
+    picture-level and a right-edge unit's colBr cell lives in the next
+    tile column (the caller fills the extra column with the neighbor
+    tile's cells, or inter=0 at the picture edge)."""
+    H16, W16 = 4 * ch, 4 * cw + (1 if xext else 0)
     nctb = cw * ch
     cmv = col_mv.astype(jnp.int32).reshape(H16, W16, 2)
     cif = col_inter.astype(jnp.int32).reshape(H16, W16)
@@ -109,10 +116,12 @@ def _temporal_cells(col_mv, col_inter, cw: int, ch: int):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "merge_cand",
-                                              "tmvp", "rdoq", "xtile"))
+                                              "tmvp", "rdoq", "xtile",
+                                              "col_xext"))
 def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
                           height: int, merge_cand: int = 1,
                           tmvp: bool = False, col_mv=None, col_inter=None,
+                          col_xext: bool = False,
                           rdoq: bool = False, xtile=(False, False),
                           xflags=None):
     """Dense-decision CTB64 quadtree P encode (ring-carry 64-wave).
@@ -230,7 +239,7 @@ def encode_frame_p64_fast(y, u, v, ref_y, ref_u, ref_v, qp, *, width: int,
 
     if tmvp:
         (t64m, t64o, t32m, t32o, t16m, t16o) = _temporal_cells(
-            col_mv, col_inter, cw, ch)
+            col_mv, col_inter, cw, ch, xext=col_xext)
     else:
         t64m = jnp.zeros((nctb, 2), jnp.int32)
         t64o = jnp.zeros((nctb,), jnp.int32)

@@ -180,13 +180,40 @@ def encode_frame_intra64_tiles(cfg, y, u, v, qp: int, *, rdoq: bool = False):
                        jnp.concatenate(rv_p, axis=1))
 
 
+def col_strip_slice(col_mv, col_inter, height: int, px0: int, px1: int):
+    """Strip-raster slice of the picture-raster 16-grid collocated store
+    for the tile column covering pixels [px0, px1), EXTENDED by one cell
+    column on the right: the spec derives colBr (8.5.3.2.8) picture-level,
+    so a right-edge unit's colBr cell lives in the NEXT tile column (at
+    the picture edge the extra column is inter=0 = unavailable).  Pairs
+    with encode_frame_p64_fast(col_xext=True)."""
+    h16 = height // 16
+    w16 = col_inter.shape[0] // h16
+    mv2 = np.asarray(col_mv).reshape(h16, w16, 2)
+    if2 = np.asarray(col_inter).reshape(h16, w16)
+    x0, x1 = px0 // 16, px1 // 16
+    mv_s = np.zeros((h16, x1 - x0 + 1, 2), np.int32)
+    if_s = np.zeros((h16, x1 - x0 + 1), np.int32)
+    xe = min(x1 + 1, w16)
+    mv_s[:, : xe - x0] = mv2[:, x0:xe]
+    if_s[:, : xe - x0] = if2[:, x0:xe]
+    return (jnp.asarray(mv_s.reshape(-1, 2)),
+            jnp.asarray(if_s.reshape(-1)))
+
+
 def encode_frame_p64_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
-                           merge_cand: int = 1, rdoq: bool = False):
+                           merge_cand: int = 1, rdoq: bool = False,
+                           tmvp: bool = False, col_mv=None, col_inter=None):
     """Low-delay P CTB64 quadtree frame as motion-constrained tile columns
     (kvazaar --mv-constraint frametile): each strip runs the quad64 P
     wavefront on its own view of the reference with xtile MV bounds, so
     MC never reads across a tile boundary.  Loop filtering is the
-    caller's, on the assembled picture (across-tiles semantics)."""
+    caller's, on the assembled picture (across-tiles semantics).
+
+    tmvp: temporal MVP (8.5.3.2.8) — col_mv/col_inter are the PICTURE-
+    raster 16-grid collocated store of the reference; each strip gets its
+    tile-column slice (col_strip_slice).  MCTS keeps candidate SELECTION
+    inside the column via the existing xtile masks."""
     from .frame_inter64 import (encode_frame_p64_fast,
                                 quad_p64_trees_from_device)
 
@@ -198,6 +225,12 @@ def encode_frame_p64_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
     ry_p, ru_p, rv_p = [], [], []
     for t, (x0, x1) in enumerate(cols):
         px0, px1 = x0 * n, x1 * n
+        tmvp_kw = {}
+        if tmvp:
+            cmv, cif = col_strip_slice(col_mv, col_inter, cfg.height,
+                                       px0, px1)
+            tmvp_kw = dict(tmvp=True, col_mv=cmv, col_inter=cif,
+                           col_xext=True)
         dev = encode_frame_p64_fast(
             jnp.asarray(y[:, px0:px1]), jnp.asarray(u[:, px0 // 2 : px1 // 2]),
             jnp.asarray(v[:, px0 // 2 : px1 // 2]),
@@ -205,7 +238,7 @@ def encode_frame_p64_tiles(cfg, y, u, v, ref_y, ref_u, ref_v, qp: int, *,
             jnp.asarray(ref_u[:, px0 // 2 : px1 // 2]),
             jnp.asarray(ref_v[:, px0 // 2 : px1 // 2]), qp,
             width=px1 - px0, height=cfg.height, merge_cand=merge_cand,
-            rdoq=rdoq, xtile=(t > 0, t < n_tiles - 1))
+            rdoq=rdoq, xtile=(t > 0, t < n_tiles - 1), **tmvp_kw)
         trees_t = quad_p64_trees_from_device(dev, px1 - px0, cfg.height)
         cwt = x1 - x0
         for r in range(ch):

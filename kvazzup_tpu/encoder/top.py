@@ -124,14 +124,14 @@ class Encoder:
                 quad_tiles_ok = (
                     cfg.ctb_log2 == 6 and cfg.tile_cols > 1
                     and cfg.slices == 1 and not cfg.wpp
-                    and not cfg.cu_qp_delta and not cfg.temporal_mvp
+                    and not cfg.cu_qp_delta
                     and cfg.fast_decision
                     and cfg.max_transform_hierarchy_depth_intra == 0)
                 if not quad_tiles_ok:
                     raise NotImplementedError(
                         "quad tiles need CTB64 + the device path "
                         "(fast_decision, td_intra 0) without "
-                        "wpp/qp_map/tmvp; CTB32 tiles and quad slices "
+                        "wpp/qp_map; CTB32 tiles and quad slices "
                         "remain excluded")
         elif cfg.min_cb_log2 == 3:
             if cfg.max_transform_hierarchy_depth_intra:
@@ -148,10 +148,16 @@ class Encoder:
         if cfg.temporal_mvp:
             if not cfg.fast_decision:
                 raise NotImplementedError("temporal_mvp needs fast_decision")
-            if cfg.tile_cols > 1 or cfg.slices > 1:
-                # MCTS forbids temporal prediction across tile refreshes
-                # (kvazaarfilter.cpp mv-constraint disables TMVP too)
-                raise NotImplementedError("temporal_mvp excludes tiles/slices")
+            if cfg.slices > 1:
+                raise NotImplementedError("temporal_mvp excludes slices")
+            if cfg.tile_cols > 1 and cfg.ctb_log2 != 6:
+                # composed on the quad64 tiles path (r5): the collocated
+                # 16-grid store is sliced per tile column (TMVP cells are
+                # same-position, so a strip's candidates live entirely in
+                # its own column) and MCTS filters candidate SELECTION via
+                # the existing xtile masks (ops/me.mv_valid_x)
+                raise NotImplementedError(
+                    "temporal_mvp with tiles needs the quad64 tiles path")
         if cfg.slices > 1:
             if intra_period != 1 and not cfg.fast_decision:
                 raise NotImplementedError("sliced P requires cfg.fast_decision")
@@ -252,11 +258,30 @@ class Encoder:
                     trees, (ry, ru, rv) = encode_frame_intra64_tiles(
                         cfg, np.asarray(y), np.asarray(u), np.asarray(v),
                         qp, rdoq=cfg.rdoq)
+                    if cfg.temporal_mvp:
+                        self._col = None  # IDR ref: all-intra collocated
                 else:
+                    tmvp_kw = {}
+                    if cfg.temporal_mvp:
+                        n16 = (cfg.width // 16) * (cfg.height // 16)
+                        col = self._col
+                        if col is None or col[0].shape[0] != n16:
+                            col = (jnp.zeros((n16, 2), jnp.int32),
+                                   jnp.zeros((n16,), jnp.int32))
+                        tmvp_kw = dict(tmvp=True, col_mv=col[0],
+                                       col_inter=col[1])
                     trees, (ry, ru, rv) = encode_frame_p64_tiles(
                         cfg, np.asarray(y), np.asarray(u), np.asarray(v),
                         *(np.asarray(p) for p in self._ref), qp,
-                        merge_cand=cfg.merge_cand, rdoq=cfg.rdoq)
+                        merge_cand=cfg.merge_cand, rdoq=cfg.rdoq, **tmvp_kw)
+                    if cfg.temporal_mvp:
+                        from .frame_inter32 import quad_p_cell_maps
+
+                        mv4, inter4, _ = quad_p_cell_maps(
+                            trees, cfg.width, cfg.height, ctb=cfg.ctb_size)
+                        self._col = (
+                            jnp.asarray(mv4[::4, ::4].reshape(-1, 2)),
+                            jnp.asarray(inter4[::4, ::4].reshape(-1)))
                 if cfg.deblocking_enabled:
                     if is_idr:
                         bv, bh = quad_bs_maps(trees, cfg.width, cfg.height,

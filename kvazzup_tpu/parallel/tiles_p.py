@@ -338,9 +338,9 @@ class ShardedQuadTileEncoder:
             raise ValueError("cfg.tile_cols must equal the mesh tile size")
         if cfg.ctbs_w % n_t:
             raise ValueError("sharded tiles require uniform CTB-aligned columns")
-        if cfg.wpp or cfg.cu_qp_delta or cfg.slices > 1 or cfg.temporal_mvp:
+        if cfg.wpp or cfg.cu_qp_delta or cfg.slices > 1:
             raise NotImplementedError(
-                "sharded quad tiles exclude wpp/qp_map/slices/tmvp")
+                "sharded quad tiles exclude wpp/qp_map/slices")
         if cfg.sao_enabled and not cfg.deblocking_enabled:
             raise NotImplementedError("sharded SAO rides the deblock halos")
         if not cfg.fast_decision or cfg.max_transform_hierarchy_depth_intra:
@@ -350,6 +350,11 @@ class ShardedQuadTileEncoder:
         self.cfg = cfg
         self.intra_period = intra_period
         self._enc = Encoder(cfg, intra_period=intra_period)
+        # TMVP (r5): picture-level 16-grid collocated store of the
+        # reference picture, host numpy (h16, w16[, 2]) — each shard gets
+        # its tile column's slice extended by one cell column
+        # (encoder/tiled.col_strip_slice semantics, col_xext)
+        self._col2 = None
         self._step_i, self._step_p, self._filters = self._build()
 
     def _build(self):
@@ -372,14 +377,19 @@ class ShardedQuadTileEncoder:
             return tuple(dev[k] for k in _Q64_I_KEYS) + (
                 dev["recon_y"], dev["recon_u"], dev["recon_v"])
 
-        def shard_p(y, u, v, ref_y, ref_u, ref_v):
+        def shard_p(y, u, v, ref_y, ref_u, ref_v, *col):
             from ..encoder.frame_inter64 import encode_frame_p64_fast
 
             idx = jax.lax.axis_index("tile")
+            tmvp_kw = {}
+            if cfg.temporal_mvp:
+                tmvp_kw = dict(tmvp=True, col_mv=col[0][0],
+                               col_inter=col[1][0], col_xext=True)
             dev = encode_frame_p64_fast(
                 y, u, v, ref_y, ref_u, ref_v, qp, width=tile_w,
                 height=cfg.height, merge_cand=cfg.merge_cand, rdoq=cfg.rdoq,
-                xtile=(True, True), xflags=(idx > 0, idx < n_t - 1))
+                xtile=(True, True), xflags=(idx > 0, idx < n_t - 1),
+                **tmvp_kw)
             return tuple(dev[k] for k in _Q64_P_KEYS) + (
                 dev["recon_y"], dev["recon_u"], dev["recon_v"])
 
@@ -440,8 +450,9 @@ class ShardedQuadTileEncoder:
         step_i = jax.jit(shard_map(
             shard_i, mesh=mesh, in_specs=planes3, out_specs=i_specs,
             check_vma=False))
+        col_specs = ((P("tile"), P("tile")) if cfg.temporal_mvp else ())
         step_p = jax.jit(shard_map(
-            shard_p, mesh=mesh, in_specs=planes3 + planes3,
+            shard_p, mesh=mesh, in_specs=planes3 + planes3 + col_specs,
             out_specs=p_specs, check_vma=False))
         filt = {}
         for rep in (0, 4):
@@ -507,8 +518,29 @@ class ShardedQuadTileEncoder:
             res = self._step_i(yd, ud, vd)
             keys = _Q64_I_KEYS
             mk_trees = quad_trees_from_device64
+            self._col2 = None  # IDR ref: all-intra collocated
         else:
-            res = self._step_p(yd, ud, vd, *enc._ref)
+            col_args = ()
+            if cfg.temporal_mvp:
+                h16, w16 = cfg.height // 16, cfg.width // 16
+                w16t = w16 // n_t
+                cmv2 = (np.zeros((h16, w16, 2), np.int32)
+                        if self._col2 is None else self._col2[0])
+                cif2 = (np.zeros((h16, w16), np.int32)
+                        if self._col2 is None else self._col2[1])
+                mv_s = np.zeros((n_t, h16, w16t + 1, 2), np.int32)
+                if_s = np.zeros((n_t, h16, w16t + 1), np.int32)
+                for t in range(n_t):
+                    xe = min((t + 1) * w16t + 1, w16)
+                    mv_s[t, :, : xe - t * w16t] = cmv2[:, t * w16t : xe]
+                    if_s[t, :, : xe - t * w16t] = cif2[:, t * w16t : xe]
+                sh_t = NamedSharding(self.mesh, P("tile"))
+                col_args = (
+                    jax.device_put(
+                        jnp.asarray(mv_s.reshape(n_t, -1, 2)), sh_t),
+                    jax.device_put(
+                        jnp.asarray(if_s.reshape(n_t, -1)), sh_t))
+            res = self._step_p(yd, ud, vd, *enc._ref, *col_args)
             keys = _Q64_P_KEYS
             mk_trees = quad_p64_trees_from_device
         dev_np = {k: np.asarray(res[j]) for j, k in enumerate(keys)}
@@ -537,6 +569,15 @@ class ShardedQuadTileEncoder:
                                         cfg.height, ctb=cfg.ctb_size)
                 rep = 4
             bs_args = self._bs_windows(bv, bh)
+        if cfg.temporal_mvp and not is_idr:
+            # publish the 16x16-compressed collocated store (the spec's
+            # compression reads each cell's top-left 4x4), host-side like
+            # the single-device quad-tiles path — on a multi-host rig this
+            # is a few KB of metadata per frame
+            if not cfg.deblocking_enabled:
+                mv4, inter4, _ = quad_p_cell_maps(
+                    trees, cfg.width, cfg.height, ctb=cfg.ctb_size)
+            self._col2 = (mv4[::4, ::4], inter4[::4, ::4])
         if cfg.deblocking_enabled or cfg.sao_enabled:
             if bs_args is None:
                 z = jnp.zeros((n_t, 1, 1), jnp.int32)

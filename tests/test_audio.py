@@ -130,3 +130,37 @@ def test_audio_output_auto_backend_falls_back():
     assert out.backend in ("alsa", "null")  # no sound card -> null, honestly
     out.start()
     out.stop()
+
+
+def test_dereverb_suppresses_tail():
+    """Dereverb (SpeexDSP dereverb-stage parity, speexdsp.cpp:99-103):
+    an impulse burst followed by an exponential reverb tail — after the
+    suppressor, the tail-window energy drops substantially while the
+    direct-sound window survives."""
+    from kvazzup_tpu.audio.dsp import Dereverb
+
+    rng = np.random.default_rng(3)
+    sr = 48000
+    n = sr // 2  # 0.5 s
+    dry = np.zeros(n, np.float64)
+    dry[1000:1480] = rng.normal(0, 9000, 480)  # 10 ms burst
+    # synthetic room: exponentially decaying diffuse tail (RT60-ish 300 ms)
+    ir = rng.normal(0, 1.0, sr // 4) * np.exp(
+        -np.arange(sr // 4) / (sr * 0.043))
+    ir[0] = 1.0
+    wet = np.convolve(dry, ir)[:n]
+    wet = np.clip(wet, -32768, 32767).astype(np.int16)
+
+    drv = Dereverb(half=240, decay=0.6, level=0.4)
+    outs = [drv.process(wet[i : i + 480]) for i in range(0, n, 480)]
+    out = np.concatenate(outs).astype(np.float64)
+    lag = 240  # half-hop algorithmic delay
+    tail = slice(8000, 20000)  # well after the burst: pure reverb
+    e_wet = float(np.mean(wet[tail].astype(np.float64) ** 2))
+    e_out = float(np.mean(out[lag + tail.start : lag + tail.stop] ** 2))
+    assert e_out < 0.5 * e_wet, (e_out, e_wet)
+    burst = slice(1000, 1480)
+    e_burst_in = float(np.mean(wet[burst].astype(np.float64) ** 2))
+    e_burst_out = float(np.mean(
+        out[lag + burst.start : lag + burst.stop] ** 2))
+    assert e_burst_out > 0.2 * e_burst_in, (e_burst_out, e_burst_in)

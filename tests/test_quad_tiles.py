@@ -79,3 +79,17 @@ def test_quad64_tiles_untiled_unchanged():
     enc = Encoder(cfg, intra_period=8)
     streams = [enc.encode_frame(*f)[0] for f in frames]
     assert all(len(s) > 0 for s in streams)
+
+
+def test_quad64_tiles_tmvp_production(tmp_path):
+    """TMVP composed into the quad64 tiles path (VERDICT r4 ask #6): the
+    collocated 16-grid store is sliced per tile column (temporal
+    candidate cells are same-position, 8.5.3.2.8) and MCTS filters
+    candidate selection.  Crosses an IDR refresh (intra_period=3) so the
+    collocated store reset after the refresh is exercised too; pinned
+    against the libavcodec oracle."""
+    w, h = 256, 128
+    cfg = _cfg(w, h, 2, sao_enabled=True, merge_cand=5, rdoq=True,
+               temporal_mvp=True)
+    frames = synthetic_frames(w, h, 5, seed=37)
+    _run(cfg, frames, tmp_path, intra_period=3)

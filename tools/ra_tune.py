@@ -66,7 +66,8 @@ def run_variant(frames, w, h, qp, env):
                        deblocking_enabled=True, merge_cand=5,
                        temporal_mvp=True, rdoq=True, num_reorder_pics=3,
                        max_dec_pic_buffering=6,
-                       cu_qp_delta=bool(env.get("KVZ_TPU_RA_CUTREE")))
+                       cu_qp_delta=float(
+                           env.get("KVZ_TPU_RA_CUTREE", "0") or 0) > 0)
     enc = QuadRABatchEncoder(cfg, gop_size=8, intra_period=64)
     bits = len(enc.headers()) * 8
     recs = {}
