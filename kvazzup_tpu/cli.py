@@ -18,8 +18,9 @@ import time
 import numpy as np
 
 
-def _read_input(path: str, size: str | None, max_frames: int | None):
-    from .io.yuv import read_y4m, read_yuv420
+def _read_input(path: str, size: str | None, max_frames: int | None,
+                bitdepth: int = 8):
+    from .io.yuv import read_y4m, read_yuv420, read_yuv420_10
 
     if path.endswith(".y4m"):
         frames, w, h, _fps = read_y4m(path, max_frames)
@@ -27,7 +28,8 @@ def _read_input(path: str, size: str | None, max_frames: int | None):
     if not size:
         raise SystemExit("raw .yuv input requires --size WxH")
     w, h = (int(t) for t in size.split("x"))
-    return read_yuv420(path, w, h, max_frames), w, h
+    rd = read_yuv420_10 if bitdepth > 8 else read_yuv420
+    return rd(path, w, h, max_frames), w, h
 
 
 def cmd_encode(args) -> int:
@@ -37,7 +39,8 @@ def cmd_encode(args) -> int:
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    frames, w, h = _read_input(args.input, args.size, args.frames)
+    frames, w, h = _read_input(args.input, args.size, args.frames,
+                               getattr(args, "bitdepth", 8))
     if not frames:
         raise SystemExit("no frames read")
     ra = args.gop == "ra"
@@ -65,6 +68,7 @@ def cmd_encode(args) -> int:
         temporal_mvp=args.tmvp,
         rdoq=args.rdoq,
         cu_qp_delta=cutree > 0,
+        bit_depth=args.bitdepth,
     )
     if cutree > 0 and not ra_quad:
         raise SystemExit("--cutree needs the RA quad path (--gop ra --ctu 64)")
@@ -144,7 +148,8 @@ def cmd_encode(args) -> int:
                 if rc is not None:
                     rc.update(qp_i, len(stream) * 8, is_idr)
                 f.write(stream)
-                total_psnr += psnr(y, recon[0])
+                total_psnr += psnr(y, recon[0],
+                                   peak=(1 << args.bitdepth) - 1)
     dt = time.time() - t0
     nbytes = sum(1 for _ in open(args.output, "rb").read())
     print(
@@ -156,7 +161,7 @@ def cmd_encode(args) -> int:
 
 def cmd_decode(args) -> int:
     from .decoder.top import Decoder
-    from .io.yuv import write_yuv420
+    from .io.yuv import write_yuv420, write_yuv420_10
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -164,7 +169,10 @@ def cmd_decode(args) -> int:
     t0 = time.time()
     frames = Decoder().decode(stream)
     dt = time.time() - t0
-    write_yuv420(args.output, frames)
+    if frames and np.asarray(frames[0][0]).dtype == np.uint16:
+        write_yuv420_10(args.output, frames)  # Main10 -> yuv420p10le
+    else:
+        write_yuv420(args.output, frames)
     if frames:
         h, w = frames[0][0].shape
         print(f"decoded {len(frames)} frames {w}x{h} in {dt:.2f}s ({len(frames)/dt:.2f} fps)")
@@ -412,6 +420,9 @@ def main(argv=None) -> int:
                     help="RD-optimized quantization (kvazaar --rd quant)")
     pe.add_argument("--tmvp", action="store_true",
                     help="temporal MV prediction (kvazaar --tmvp)")
+    pe.add_argument("--bitdepth", type=int, choices=(8, 10), default=8,
+                    help="sample bit depth (10 = Main10; raw input read as "
+                         "yuv420p10le)")
     pe.add_argument("--cutree", type=float, default=0.0, metavar="S",
                     help="cu-tree lookahead strength (RA quad64; per-CTB "
                          "adaptive QP from temporal propagation)")

@@ -105,11 +105,13 @@ class StreamConfig:
 
 
 def _profile_tier_level(w: BitWriter, cfg: StreamConfig) -> None:
+    main10 = cfg.bit_depth > 8
     w.u(0, 2)  # general_profile_space
     w.flag(0)  # general_tier_flag
-    w.u(1, 5)  # general_profile_idc = Main
+    w.u(2 if main10 else 1, 5)  # general_profile_idc: Main10 / Main
     compat = [0] * 32
-    compat[1] = 1  # Main
+    if not main10:
+        compat[1] = 1  # Main
     compat[2] = 1  # Main streams also conform to Main10
     for b in compat:
         w.flag(b)

@@ -604,14 +604,15 @@ def _ring_push(ring, bot, rcol):
             jnp.concatenate([rcol[None], rr[:2]], axis=0))
 
 
-def _code_flat_sel(ck, orig, pred, q, log2, lam2, rdoq):
-    coef = ck.fwd_transform_flat(orig - pred, log2)
+def _code_flat_sel(ck, orig, pred, q, log2, lam2, rdoq, bd: int = 8):
+    coef = ck.fwd_transform_flat(orig - pred, log2, bd=bd)
     if rdoq:
-        lev = quantize_rdoq(coef, q, log2, lam2, True)
+        lev = quantize_rdoq(coef, q, log2, lam2, True, bd=bd)
     else:
-        lev = quantize(coef, q, log2, True)
-    deq = dequantize(lev, q, log2)
-    rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2), 0, 255)
+        lev = quantize(coef, q, log2, True, bd=bd)
+    deq = dequantize(lev, q, log2, bd=bd)
+    rec = jnp.clip(pred + ck.inv_transform_flat(deq, log2, bd=bd), 0,
+                   (1 << bd) - 1)
     return lev, rec
 
 

@@ -49,7 +49,8 @@ from .wavefront import schedule_r
 _ZO = ((0, 0), (0, 1), (1, 0), (1, 1))  # (dy, dx) quadrants in z-order
 
 
-def _rd_prepass_grid(yp, oyb, qp, lam, *, log2: int, cw: int, ch: int, K: int = 3):
+def _rd_prepass_grid(yp, oyb, qp, lam, *, log2: int, cw: int, ch: int, K: int = 3,
+                     bd: int = 8):
     """Orig-boundary intra mode + RD estimate on an n=2^log2 block grid.
 
     The intra_mode_prepass shape generalized over block size and returning
@@ -63,8 +64,9 @@ def _rd_prepass_grid(yp, oyb, qp, lam, *, log2: int, cw: int, ch: int, K: int = 
     flj = jnp.asarray(fl.reshape(-1))
     a_raw = _orig_boundaries(yp, n, cw, ch)
     a = intra_ops.substitute_refs_ctb(
-        a_raw, flj, jnp.asarray(fa.reshape(-1)), jnp.asarray(ftr.reshape(-1)), n)
-    preds = ck.predict_all_modes_flat(a, log2, True)
+        a_raw, flj, jnp.asarray(fa.reshape(-1)), jnp.asarray(ftr.reshape(-1)), n,
+        bd=bd)
+    preds = ck.predict_all_modes_flat(a, log2, True, bd=bd)
     oy_flat = oyb.reshape(nb, n * n)
     satd = ck.satd_flat(preds, oy_flat[:, None, :], log2).astype(jnp.float32)
     mode0 = jnp.argmin(satd, axis=1).astype(jnp.int32)
@@ -75,11 +77,12 @@ def _rd_prepass_grid(yp, oyb, qp, lam, *, log2: int, cw: int, ch: int, K: int = 
     cost = satd + lam[:, None] * bits
     _, cand = jax.lax.top_k(-cost, K)
     cand_preds = jnp.take_along_axis(preds, cand[:, :, None], axis=1)
-    coef = ck.fwd_transform_flat(oy_flat[:, None, :] - cand_preds, log2)
+    coef = ck.fwd_transform_flat(oy_flat[:, None, :] - cand_preds, log2, bd=bd)
     qpb = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (nb,))
-    lev = quantize(coef, qpb, log2, True)
-    deq = dequantize(lev, qpb, log2)
-    rec = jnp.clip(cand_preds + ck.inv_transform_flat(deq, log2), 0, 255)
+    lev = quantize(coef, qpb, log2, True, bd=bd)
+    deq = dequantize(lev, qpb, log2, bd=bd)
+    rec = jnp.clip(cand_preds + ck.inv_transform_flat(deq, log2, bd=bd), 0,
+                   (1 << bd) - 1)
     sse = jnp.sum((rec - oy_flat[:, None, :]) ** 2, axis=-1).astype(jnp.float32)
     lev_bits = jnp.sum(
         jnp.where(lev != 0,

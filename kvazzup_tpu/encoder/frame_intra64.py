@@ -112,7 +112,7 @@ def _seg_spec(x0: int, y0: int, n: int, S: int):
     return bl, left, corner, top, tr
 
 
-def _unit_walk(canvas, rings, spec, n, flags):
+def _unit_walk(canvas, rings, spec, n, flags, bd: int = 8):
     """Materialize a unit's substituted boundary walk.
 
     canvas: (L, S, S) in-step recon canvas; rings: dict with Lcol (L, S),
@@ -166,10 +166,11 @@ def _unit_walk(canvas, rings, spec, n, flags):
     (bl_s, bl_f), (l_s, l_f), (c_s, c_f), (t_s, t_f), (tr_s, tr_f) = spec
     return _subst_quad(
         seg(bl_s, n), seg(l_s, n), px(c_s), seg(t_s, n), seg(tr_s, n),
-        fvec(bl_f), fvec(l_f), fvec(c_f), fvec(t_f), fvec(tr_f))
+        fvec(bl_f), fvec(l_f), fvec(c_f), fvec(t_f), fvec(tr_f), bd=bd)
 
 
-def _rd64_prepass(yp, oy32, qp, lam, *, cw64: int, ch64: int, K: int = 2):
+def _rd64_prepass(yp, oy32, qp, lam, *, cw64: int, ch64: int, K: int = 2,
+                  bd: int = 8):
     """CU64 leaf mode + RD estimate: orig-boundary 35-mode sweeps on the
     32-grid summed per 64-CTB (the forced-TT structure: one mode, four
     TU32s), then TQR RD for the top-K shared modes."""
@@ -182,8 +183,8 @@ def _rd64_prepass(yp, oy32, qp, lam, *, cw64: int, ch64: int, K: int = 2):
     a_raw = _orig_boundaries(yp, 32, cw, ch)
     a = intra_ops.substitute_refs_ctb(
         a_raw, jnp.asarray(fl.reshape(-1)), jnp.asarray(fa.reshape(-1)),
-        jnp.asarray(ftr.reshape(-1)), 32)
-    preds = ck.predict_all_modes_flat(a, 5, True)        # (nb, 35, 1024)
+        jnp.asarray(ftr.reshape(-1)), 32, bd=bd)
+    preds = ck.predict_all_modes_flat(a, 5, True, bd=bd)  # (nb, 35, 1024)
     oy_flat = oy32.reshape(nb, 32 * 32)
     satd = ck.satd_flat(preds, oy_flat[:, None, :], 5).astype(jnp.float32)
     quad = lambda a2: jnp.stack(
@@ -200,13 +201,14 @@ def _rd64_prepass(yp, oy32, qp, lam, *, cw64: int, ch64: int, K: int = 2):
     candp = jnp.take_along_axis(pred4, cand[:, None, :, None], axis=2)
     oy4 = quad(oy_flat.reshape(ch, cw, 1024))            # (n64, 4, 1024)
     resid = oy4[:, :, None, :] - candp                   # (n64, 4, K, 1024)
-    coef = ck.fwd_transform_flat(resid.reshape(-1, K, 1024), 5)
+    coef = ck.fwd_transform_flat(resid.reshape(-1, K, 1024), 5, bd=bd)
     # per-quadrant repeat: flat order is (n64, 4) — ctu-major
     qpb = jnp.repeat(jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (n64,)), 4)
-    lev = quantize(coef, qpb, 5, True)
-    deq = dequantize(lev, qpb, 5)
-    rec = jnp.clip(candp.reshape(-1, K, 1024) + ck.inv_transform_flat(deq, 5),
-                   0, 255)
+    lev = quantize(coef, qpb, 5, True, bd=bd)
+    deq = dequantize(lev, qpb, 5, bd=bd)
+    rec = jnp.clip(candp.reshape(-1, K, 1024)
+                   + ck.inv_transform_flat(deq, 5, bd=bd),
+                   0, (1 << bd) - 1)
     sse = jnp.sum((rec - oy4.reshape(-1, 1024)[:, None, :]) ** 2,
                   axis=-1).astype(jnp.float32)
     lev_bits = jnp.sum(
@@ -223,10 +225,17 @@ def _rd64_prepass(yp, oy32, qp, lam, *, cw64: int, ch64: int, K: int = 2):
     return mode, rd_best
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "rdoq",
+                                              "bit_depth"))
 def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
-                              rdoq: bool = False):
-    """Dense-decision CTB64 quadtree intra encode (ring-carry 64-wave)."""
+                              rdoq: bool = False, bit_depth: int = 8):
+    """Dense-decision CTB64 quadtree intra encode (ring-carry 64-wave).
+
+    bit_depth 10 = Main10: same syntax/decision structure, bd-scaled
+    transform/quant shifts and clip bounds, uint16 recon planes, lambda
+    scaled by 2^(bd-8) (SATD domain; its square pairs with the bd-scaled
+    SSE in the RD comparisons)."""
+    bd = bit_depth
     from ..core.tables import CHROMA_QP_TABLE
     from ..ops import ctu_kernels as ck
 
@@ -240,6 +249,12 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
     qpb = jnp.broadcast_to(qp, (nctb,))  # qp may be scalar or per-CTU (nctb,)
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qpb, 0, 57)]
     lam = jnp.sqrt(0.57 * 2.0 ** ((qpb.astype(jnp.float32) - 12.0) / 3.0))
+    lam = lam * (1 << (bd - 8))
+    # the scaling chain runs at Qp' = qp + QpBdOffset (8.6.3); headers
+    # still signal qp.  The relative step at (qp, bd) thus matches
+    # (qp, 8-bit), which is also why the lambda base keeps plain qp.
+    qpq = qpb + 6 * (bd - 8)
+    qpc_q = qp_c + 6 * (bd - 8)
     yi = y.astype(jnp.int32)
     oy64 = to_blocks(yi, S)
     ou32 = to_blocks(u.astype(jnp.int32), S // 2)
@@ -248,17 +263,17 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
     # per-block expansions of the CTU grid onto the 16-/32-grids (raster)
     rep = lambda a, f: jnp.repeat(
         jnp.repeat(a.reshape(ch, cw), f, 0), f, 1).reshape(-1)
-    qp16, lam16 = rep(qpb, 4), rep(lam, 4)
-    qp32, lam32 = rep(qpb, 2), rep(lam, 2)
+    qp16, lam16 = rep(qpq, 4), rep(lam, 4)
+    qp32, lam32 = rep(qpq, 2), rep(lam, 2)
 
     # ---- dense prepass at all three levels
     oy16 = to_blocks(yi, 16)
     oy32 = to_blocks(yi, 32)
     mode16, rd16 = _rd_prepass_grid(yi, oy16, qp16, lam16, log2=4,
-                                    cw=4 * cw, ch=4 * ch)
+                                    cw=4 * cw, ch=4 * ch, bd=bd)
     mode32, rd32 = _rd_prepass_grid(yi, oy32, qp32, lam32, log2=5,
-                                    cw=2 * cw, ch=2 * ch)
-    mode64, rd64 = _rd64_prepass(yi, oy32, qpb, lam, cw64=cw, ch64=ch)
+                                    cw=2 * cw, ch=2 * ch, bd=bd)
+    mode64, rd64 = _rd64_prepass(yi, oy32, qpq, lam, cw64=cw, ch64=ch, bd=bd)
 
     lam2_32 = (lam32 * lam32).astype(jnp.float32)
     lam2v = (lam * lam).astype(jnp.float32)
@@ -288,7 +303,7 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
     (oy_w, ou_w, ov_w, m64_w, m32_w, m16_w, s64_w, s32_w,
      qp_w, qpc_w, lam_w) = wave_inputs(
         sched, nctb,
-        [oy64, ou32, ov32, mode64, m32z, m16z, split64, split32, qpb, qp_c,
+        [oy64, ou32, ov32, mode64, m32z, m16z, split64, split32, qpq, qpc_q,
          lam])
     fl_w = jnp.asarray(sched["cs"] > 0)
     fa_w = jnp.asarray(sched["rs"] > 0)
@@ -321,12 +336,13 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
             """Predict+TQR one unit on the canvas; returns (lev, rec)."""
             n = 1 << log2u
             spec = _seg_spec(x0, y0, n, Sc)
-            a = _unit_walk(canvas, rings, spec, n, flags)
-            preds = ck.predict_all_modes_flat(a, log2u, is_luma)
+            a = _unit_walk(canvas, rings, spec, n, flags, bd=bd)
+            preds = ck.predict_all_modes_flat(a, log2u, is_luma, bd=bd)
             return jnp.take_along_axis(preds, mode[:, None, None], 1)[:, 0]
 
         def tqr(pred, orig, qpv, log2u):
-            return _code_flat_sel(ck, orig, pred, qpv, log2u, lam2, rdoq)
+            return _code_flat_sel(ck, orig, pred, qpv, log2u, lam2, rdoq,
+                                  bd=bd)
 
         def unit(canvas, rings, orig_blk, x0, y0, log2u, mode, qpv, is_luma,
                  Sc):
@@ -410,9 +426,10 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
         ry = _ring_push(ry, rec_y[:, S - 1, :], rec_y[:, :, S - 1])
         ru = _ring_push(ru, rec_u[:, S // 2 - 1, :], rec_u[:, :, S // 2 - 1])
         rv = _ring_push(rv, rec_v[:, S // 2 - 1, :], rec_v[:, :, S // 2 - 1])
+        pix = jnp.uint8 if bd == 8 else jnp.uint16
         out = (lev_y.astype(jnp.int16), lev_cb.astype(jnp.int16),
-               lev_cr.astype(jnp.int16), rec_y.astype(jnp.uint8),
-               rec_u.astype(jnp.uint8), rec_v.astype(jnp.uint8))
+               lev_cr.astype(jnp.int16), rec_y.astype(pix),
+               rec_u.astype(pix), rec_v.astype(pix))
         return (ry, ru, rv), out
 
     carry0 = (ring0(S), ring0(S // 2), ring0(S // 2))
@@ -424,6 +441,7 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
     rec_y = w2r(rec_y_w).reshape(nctb, S, S).astype(jnp.int32)
     rec_u = w2r(rec_u_w).reshape(nctb, m, m).astype(jnp.int32)
     rec_v = w2r(rec_v_w).reshape(nctb, m, m).astype(jnp.int32)
+    pix = jnp.uint8 if bd == 8 else jnp.uint16
     return {
         "split64": split64,
         "split32": split32,
@@ -433,9 +451,9 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
         "lev_y": w2r(lev_y_w),
         "lev_cb": w2r(lev_cb_w),
         "lev_cr": w2r(lev_cr_w),
-        "recon_y": from_blocks(rec_y, height, width).astype(jnp.uint8),
-        "recon_u": from_blocks(rec_u, height // 2, width // 2).astype(jnp.uint8),
-        "recon_v": from_blocks(rec_v, height // 2, width // 2).astype(jnp.uint8),
+        "recon_y": from_blocks(rec_y, height, width).astype(pix),
+        "recon_u": from_blocks(rec_u, height // 2, width // 2).astype(pix),
+        "recon_v": from_blocks(rec_v, height // 2, width // 2).astype(pix),
     }
 
 

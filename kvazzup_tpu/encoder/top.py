@@ -141,6 +141,20 @@ class Encoder:
             if cfg.sao_enabled or cfg.cu_qp_delta or cfg.tile_cols > 1 \
                     or cfg.slices > 1:
                 raise NotImplementedError("CU8 excludes sao/qp_map/tiles/slices for now")
+        if cfg.bit_depth != 8:
+            # Main10 encode (r5): quad64 all-intra device path (+deblock);
+            # ref config surface kvazaarfilter.cpp:351-371 (bit depth is
+            # part of the exposed kvazaar parameter set)
+            if cfg.bit_depth != 10:
+                raise ValueError("bit_depth must be 8 or 10")
+            if not (cfg.ctb_log2 == 6 and intra_period == 1
+                    and cfg.tile_cols == 1 and cfg.slices == 1
+                    and not cfg.wpp and not cfg.cu_qp_delta
+                    and not cfg.sao_enabled and cfg.fast_decision
+                    and cfg.max_transform_hierarchy_depth_intra == 0):
+                raise NotImplementedError(
+                    "Main10 encode currently = quad64 all-intra device "
+                    "path (deblock ok; no wpp/sao/qp_map/tiles/inter yet)")
         if not 1 <= cfg.merge_cand <= 5:
             raise ValueError("merge_cand must be in 1..5")
         if cfg.merge_cand > 1 and not cfg.fast_decision:
@@ -451,7 +465,8 @@ class Encoder:
 
                 dev = encode_frame_intra64_fast(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), dev_qp,
-                    width=cfg.width, height=cfg.height, rdoq=cfg.rdoq)
+                    width=cfg.width, height=cfg.height, rdoq=cfg.rdoq,
+                    bit_depth=cfg.bit_depth)
                 out = {
                     "trees": quad_trees_from_device64(dev, cfg.width,
                                                       cfg.height),
@@ -480,6 +495,7 @@ class Encoder:
                 ry, ru, rv = deblock_frame(
                     ry, ru, rv, qp, spacing=8, bs_v=jnp.asarray(bv),
                     bs_h=jnp.asarray(bh), chroma_every=2, qp_map=dq8,
+                    bd=cfg.bit_depth,
                 )
             sao_state = None
             if cfg.sao_enabled:

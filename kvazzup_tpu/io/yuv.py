@@ -72,11 +72,38 @@ def read_y4m(path: str, max_frames: int | None = None):
     return frames, width, height, fps
 
 
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
+def read_yuv420_10(path: str, width: int, height: int,
+                   max_frames: int | None = None):
+    """Read raw planar yuv420p10le frames -> list of (y, u, v) uint16."""
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    frame_sz = 2 * (ysz + 2 * csz)
+    frames = []
+    with open(path, "rb") as f:
+        while max_frames is None or len(frames) < max_frames:
+            buf = f.read(frame_sz)
+            if len(buf) < frame_sz:
+                break
+            arr = np.frombuffer(buf, dtype="<u2")
+            frames.append((arr[:ysz].reshape(height, width),
+                           arr[ysz : ysz + csz].reshape(height // 2,
+                                                        width // 2),
+                           arr[ysz + csz :].reshape(height // 2,
+                                                    width // 2)))
+    return frames
+
+
+def write_yuv420_10(path: str, frames) -> None:
+    with open(path, "wb") as f:
+        for y, u, v in frames:
+            for p in (y, u, v):
+                f.write(np.ascontiguousarray(p, dtype="<u2").tobytes())
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:
         return float("inf")
-    return 10.0 * np.log10(255.0 * 255.0 / mse)
+    return 10.0 * np.log10(peak * peak / mse)
 
 
 def synthetic_frames(width: int, height: int, n: int, seed: int = 0):
@@ -103,3 +130,17 @@ def synthetic_frames(width: int, height: int, n: int, seed: int = 0):
         v = np.full((height // 2, width // 2), 100 + (t * 5) % 56, np.uint8)
         frames.append((y, u, v))
     return frames
+
+
+def synthetic_frames_10(width: int, height: int, n: int, seed: int = 0):
+    """10-bit test content: the 8-bit synthetic frames scaled to the
+    10-bit range plus deterministic low bits (so the extra precision is
+    actually exercised, not just zero-padded)."""
+    rng = np.random.default_rng(seed + 1)
+    out = []
+    for (y, u, v) in synthetic_frames(width, height, n, seed=seed):
+        def up(p):
+            lo = rng.integers(0, 4, p.shape, dtype=np.uint16)
+            return (p.astype(np.uint16) << 2) | lo
+        out.append((up(y), up(u), up(v)))
+    return out

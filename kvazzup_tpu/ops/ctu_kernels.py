@@ -70,21 +70,27 @@ def _kron_stages(log2: int, dst: bool, inverse: bool):
     return w1, w2
 
 
-def fwd_transform_flat(resid, log2: int, dst: bool = False):
-    """resid: (..., N^2) int32 in [-255, 255] -> coeffs (..., N^2)."""
+def fwd_transform_flat(resid, log2: int, dst: bool = False, bd: int = 8):
+    """resid: (..., N^2) int32 in [-(2^bd - 1), 2^bd - 1] -> coeffs.
+
+    Stage-1 shift is log2 + bd - 9 (the encoder-side transform shift);
+    stage 2 is bd-invariant."""
     w1, w2 = _kron_stages(log2, dst, inverse=False)
-    s1 = log2 - 1
+    s1 = log2 + bd - 9
     s2 = log2 + 6
     tmp = (exact_matmul_small(resid, jnp.asarray(w1)) + (1 << (s1 - 1))) >> s1
     return (exact_matmul_i17(tmp, jnp.asarray(w2)) + (1 << (s2 - 1))) >> s2
 
 
-def inv_transform_flat(coef, log2: int, dst: bool = False):
-    """coef: (..., N^2) int16-range int32 -> residual (..., N^2)."""
+def inv_transform_flat(coef, log2: int, dst: bool = False, bd: int = 8):
+    """coef: (..., N^2) int16-range int32 -> residual (..., N^2).
+
+    Final shift is 20 - bd (8.6.4: bdShift)."""
     w1, w2 = _kron_stages(log2, dst, inverse=True)
     tmp = (exact_matmul_i17(coef, jnp.asarray(w1)) + 64) >> 7
     tmp = jnp.clip(tmp, -32768, 32767)
-    res = (exact_matmul_i17(tmp, jnp.asarray(w2)) + (1 << 11)) >> 12
+    res = (exact_matmul_i17(tmp, jnp.asarray(w2))
+           + (1 << (19 - bd))) >> (20 - bd)
     return jnp.clip(res, -32768, 32767)
 
 
@@ -174,12 +180,13 @@ def _intra_weights(log2: int, is_luma: bool):
     return w, bias, shift
 
 
-def predict_all_modes_flat(a, log2: int, is_luma: bool):
+def predict_all_modes_flat(a, log2: int, is_luma: bool, bd: int = 8):
     """Batched all-modes intra prediction.
 
     a: (B, 4N+1) int32 substituted boundary walk.
     Returns (B, 35, N^2) int32 — bit-identical to intra.predict_all_modes.
     """
+    mx = (1 << bd) - 1
     n = 1 << log2
     af = intra_ops.filter_refs(a) if is_luma else a
     a2 = jnp.concatenate([a, af], axis=-1)
@@ -207,8 +214,8 @@ def predict_all_modes_flat(a, log2: int, is_luma: bool):
 
     if is_luma and n < 32:
         # mode 10 (horizontal): clip-filtered first row; mode 26: first col
-        row0 = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1), 0, 255)
-        col0 = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1), 0, 255)
+        row0 = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1), 0, mx)
+        col0 = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1), 0, mx)
         p10 = preds[:, 10].reshape(-1, n, n).at[:, 0, :].set(row0)
         p26 = preds[:, 26].reshape(-1, n, n).at[:, :, 0].set(col0)
         preds = preds.at[:, 10].set(p10.reshape(-1, n * n))
@@ -216,7 +223,8 @@ def predict_all_modes_flat(a, log2: int, is_luma: bool):
     return preds
 
 
-def predict_modes_subset_flat(a, log2: int, is_luma: bool, modes: tuple):
+def predict_modes_subset_flat(a, log2: int, is_luma: bool, modes: tuple,
+                              bd: int = 8):
     """Subset-of-modes intra prediction (encoder-side search trimming).
 
     Identical per-mode output to predict_all_modes_flat, but the weight
@@ -235,6 +243,7 @@ def predict_modes_subset_flat(a, log2: int, is_luma: bool, modes: tuple):
             + jnp.asarray(bsub, jnp.int32)) >> shift
     preds = main.reshape(a.shape[0], len(modes), n * n)
 
+    mx = (1 << bd) - 1
     top = a[:, 2 * n + 1 : 2 * n + 1 + n]
     left = a[:, 2 * n - 1 : n - 1 : -1]
     corner = a[:, 2 * n]
@@ -255,12 +264,12 @@ def predict_modes_subset_flat(a, log2: int, is_luma: bool, modes: tuple):
     if is_luma and n < 32:
         if 10 in modes:
             k = modes.index(10)
-            row0 = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1), 0, 255)
+            row0 = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1), 0, mx)
             pk = preds[:, k].reshape(-1, n, n).at[:, 0, :].set(row0)
             preds = preds.at[:, k].set(pk.reshape(-1, n * n))
         if 26 in modes:
             k = modes.index(26)
-            col0 = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1), 0, 255)
+            col0 = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1), 0, mx)
             pk = preds[:, k].reshape(-1, n, n).at[:, :, 0].set(col0)
             preds = preds.at[:, k].set(pk.reshape(-1, n * n))
     return preds

@@ -58,13 +58,14 @@ def _pallas_2d_ok(x) -> bool:
             and pallas_enabled())
 
 
-def quantize(coef: jnp.ndarray, qp, log2: int, intra=True) -> jnp.ndarray:
+def quantize(coef: jnp.ndarray, qp, log2: int, intra=True,
+             bd: int = 8) -> jnp.ndarray:
     """Forward quantization of transform coefficients (..., N, N) -> levels.
 
     qp may be a scalar or an array matching coef's leading dims (per-CTU
     adaptive QP / ROI); `intra` may be a traced per-lane bool array (mixed
     intra/inter waves quantize in ONE pass instead of two)."""
-    if _pallas_2d_ok(coef) and jnp.asarray(qp).ndim <= 1 and (
+    if bd == 8 and _pallas_2d_ok(coef) and jnp.asarray(qp).ndim <= 1 and (
             isinstance(intra, bool) or jnp.asarray(intra).ndim <= 1):
         from .pallas_q import quantize_2d
 
@@ -79,7 +80,8 @@ def quantize(coef: jnp.ndarray, qp, log2: int, intra=True) -> jnp.ndarray:
         return quantize_2d(coef, qp_col, dz, log2)
     qp = _bcast(qp, coef)
     per, rem = qp // 6, qp % 6
-    qbits = 21 + per - log2  # QUANT_SHIFT(14) + per + transformShift(7-log2)
+    # QUANT_SHIFT(14) + per + transformShift(15 - bd - log2)
+    qbits = 29 - bd + per - log2
     offset = jnp.left_shift(_dz_num(intra, coef), qbits - 9)
     scale = _table6(QUANT_SCALES, rem)
     mag = jnp.right_shift(jnp.abs(coef) * scale + offset, qbits)
@@ -135,7 +137,8 @@ def dequantize_scaled(level: jnp.ndarray, qp, log2: int, m: jnp.ndarray,
     return jnp.clip(d, -32768, 32767)
 
 
-def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra=True) -> jnp.ndarray:
+def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra=True,
+                  bd: int = 8) -> jnp.ndarray:
     """Rate-distortion optimized quantization (vectorized RDOQ-lite).
 
     Per coefficient, compares the deadzone level against level-1 (and 0) by
@@ -147,7 +150,7 @@ def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra=True) -> jnp.ndar
     """
     qp = _bcast(qp, coef)
     per, rem = qp // 6, qp % 6
-    qbits = 21 + per - log2
+    qbits = 29 - bd + per - log2
     scale = _table6(QUANT_SCALES, rem)
     lam = jnp.asarray(lam, jnp.float32)
     while lam.ndim < coef.ndim:
@@ -160,7 +163,10 @@ def quantize_rdoq(coef: jnp.ndarray, qp, log2: int, lam, intra=True) -> jnp.ndar
     numf = num.astype(jnp.float32)
     stepf = jnp.exp2(qbits.astype(jnp.float32))
     scalef = scale.astype(jnp.float32)
-    lamq = lam * scalef * scalef * jnp.exp2(jnp.float32(14 - 2 * log2))
+    # pixel-domain SSE ~ e^2 * 2^(2*(log2 + bd - 15)) / Q^2, so the
+    # num-domain rate weight is lam * Q^2 * 2^(30 - 2*bd - 2*log2)
+    lamq = lam * scalef * scalef * jnp.exp2(jnp.float32(30 - 2 * bd
+                                                        - 2 * log2))
 
     def bits_of(l):
         return 2.0 * jnp.log2(l + 1.0) + 1.0
