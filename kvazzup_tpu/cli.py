@@ -287,8 +287,18 @@ def cmd_call(args) -> int:
                           pk.packetize(data, state["tx_frames"] / args.fps)])
         state["tx_frames"] += 1
 
+    # live render surface when one exists (fbdev/kitty), else null — the
+    # DisplayFilter/VideoYUVWidget seam (io/display.py)
+    from .io.display import DisplaySink
+
+    render = DisplaySink("auto")
+
     def display(y, u, v) -> None:
         state["rx_frames"] += 1
+        try:
+            render(y, u, v)
+        except Exception:
+            pass  # rendering must never kill the call
 
     ep = SipEndpoint(args.name, args.bind, args.sip_port,
                      media_sink=media_sink, display=display,

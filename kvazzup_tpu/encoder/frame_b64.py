@@ -821,9 +821,12 @@ def quad_b64_trees_from_device(out, width: int, height: int):
             "ct16", "pf16", "dir16", "mv16", "merge_idx16", "mvp_flag16",
             "mvd16")
     d = {k: np.asarray(out[k]) for k in keys}
-    lev_y = np.asarray(out["lev_y"], np.int32).reshape(nctb, 4, 1024)
-    lev_cb = np.asarray(out["lev_cb"], np.int32).reshape(nctb, 4, 256)
-    lev_cr = np.asarray(out["lev_cr"], np.int32).reshape(nctb, 4, 256)
+    from .frame_intra64 import fetch_levels_i32
+
+    lev_y, lev_cb, lev_cr = fetch_levels_i32(out)
+    lev_y = lev_y.reshape(nctb, 4, 1024)
+    lev_cb = lev_cb.reshape(nctb, 4, 256)
+    lev_cr = lev_cr.reshape(nctb, 4, 256)
 
     def leaf(sz, ct, mode, pf, dr, mv, mi, mf, mvd, ly, lb, lr):
         if ct == 0:

@@ -457,6 +457,28 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
     }
 
 
+def fetch_levels_i32(out):
+    """Host numpy (int32) level planes from device outputs, shipped as
+    int8 over the link when every |level| <= 127 (true at streaming QPs)
+    — the device->host level transfer is the dominant fetch cost on a
+    remote-attached TPU (VERDICT r4 ask #5), and this halves it.  One
+    scalar fetch (the max) decides; falls through for host arrays."""
+    ly, lcb, lcr = out["lev_y"], out["lev_cb"], out["lev_cr"]
+    try:
+        import jax.numpy as jnp
+
+        if hasattr(ly, "device"):  # device arrays only
+            maxabs = int(jnp.maximum(
+                jnp.abs(ly).max(),
+                jnp.maximum(jnp.abs(lcb).max(), jnp.abs(lcr).max())))
+            if maxabs <= 127:
+                ly, lcb, lcr = (x.astype(jnp.int8) for x in (ly, lcb, lcr))
+    except Exception:
+        pass
+    return (np.asarray(ly).astype(np.int32),
+            np.asarray(lcb).astype(np.int32),
+            np.asarray(lcr).astype(np.int32))
+
 def quad_trees_from_device64(out, width: int, height: int):
     """cu32-format trees from the CTB64 device outputs.
 
@@ -470,9 +492,10 @@ def quad_trees_from_device64(out, width: int, height: int):
     m64 = np.asarray(out["mode64"]).reshape(-1)
     m32 = np.asarray(out["modes32"]).reshape(nctb, 4)
     m16 = np.asarray(out["modes16"]).reshape(nctb, 4, 4)
-    lev_y = np.asarray(out["lev_y"], np.int32).reshape(nctb, 4, 1024)
-    lev_cb = np.asarray(out["lev_cb"], np.int32).reshape(nctb, 4, 256)
-    lev_cr = np.asarray(out["lev_cr"], np.int32).reshape(nctb, 4, 256)
+    lev_y, lev_cb, lev_cr = fetch_levels_i32(out)
+    lev_y = lev_y.reshape(nctb, 4, 1024)
+    lev_cb = lev_cb.reshape(nctb, 4, 256)
+    lev_cr = lev_cr.reshape(nctb, 4, 256)
     trees = []
     for i in range(nctb):
         if not s64[i]:
