@@ -249,12 +249,17 @@ def encode_frame_intra64_fast(y, u, v, qp, *, width: int, height: int,
     qpb = jnp.broadcast_to(qp, (nctb,))  # qp may be scalar or per-CTU (nctb,)
     qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qpb, 0, 57)]
     lam = jnp.sqrt(0.57 * 2.0 ** ((qpb.astype(jnp.float32) - 12.0) / 3.0))
-    lam = lam * (1 << (bd - 8))
     # the scaling chain runs at Qp' = qp + QpBdOffset (8.6.3); headers
     # still signal qp.  The relative step at (qp, bd) thus matches
     # (qp, 8-bit), which is also why the lambda base keeps plain qp.
-    qpq = qpb + 6 * (bd - 8)
-    qpc_q = qp_c + 6 * (bd - 8)
+    # The bd == 8 branch adds NO graph nodes so the traced jaxpr (and
+    # the persistent-cache key) is bit-identical to the pre-Main10 one.
+    if bd > 8:
+        lam = lam * (1 << (bd - 8))
+        qpq = qpb + 6 * (bd - 8)
+        qpc_q = qp_c + 6 * (bd - 8)
+    else:
+        qpq, qpc_q = qpb, qp_c
     yi = y.astype(jnp.int32)
     oy64 = to_blocks(yi, S)
     ou32 = to_blocks(u.astype(jnp.int32), S // 2)

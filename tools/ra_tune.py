@@ -94,6 +94,10 @@ def main():
     frames = synthetic_frames(w, h, nf, seed=42)
     curves = {}
     variants = VARIANT_SETS[os.environ.get("KVZ_TPU_TUNE_SET", "dqp2")]
+    only = os.environ.get("KVZ_TPU_TUNE_VARIANTS")
+    if only:
+        keep = set(only.split(","))
+        variants = [v for v in variants if v[0] in keep]
     for name, env in variants:
         pts = []
         for qp in QPS:
